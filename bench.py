@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect cost, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_warehouse_data_mining_spark.registry import headline_queries
+from data_warehouse_data_mining_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_session(app_name="bench", master=f"local[{CPUS}]")
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/reader paths once with the cheapest query so JIT and
+    # parquet footer caching don't distort the first measured query
+    qs = headline_queries()
+    first = sorted(qs)[0]
+    _force(qs[first].builder(spark, SF_DIR))
+
+    total = 0.0
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        _force(qs[name].builder(spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

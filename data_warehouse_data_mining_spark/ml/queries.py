@@ -1,0 +1,159 @@
+"""Registered ML queries (rows-only driver checks — model fitting is
+not ANSI-SQL-expressible, so these get the weaker rows-only check; the
+distributed-metrics building blocks they use ARE oracle-checked via the
+relational queries).
+
+Dataset: the ``embeddings`` table; binary target = (label >= 5);
+features = the 64-d embedding via array_to_vector. Everything is
+seeded, so re-runs are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.functions import vectors as V
+from data_warehouse_data_mining_spark.ml import balance, classify, metrics
+from data_warehouse_data_mining_spark.registry import register
+
+SEED = 42
+
+
+def _dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        array_to_vector(V.as_double(F.col("embedding"))).alias("features"),
+        (F.col("label") >= 5).cast("double").alias("label"),
+    )
+
+
+@register("ml_logreg_confusion")
+def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogisticRegression fit/transform (reference nb:cell9-10) with the
+    distributed confusion matrix (groupBy pivot, not sklearn-on-driver)."""
+    train, test = _dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=SEED)
+    result = classify.train_evaluate("logistic_regression", train, test)
+    return metrics.confusion_matrix(result.predictions).orderBy("label", "prediction")
+
+
+@register("ml_random_forest_report")
+def ml_random_forest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForest (the reference script's active classifier,
+    stroke_predict.py:144-146) + distributed classification report with
+    sklearn zero_division=1 parity."""
+    train, test = _dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=SEED)
+    result = classify.train_evaluate("random_forest", train, test)
+    report = metrics.classification_report(result.predictions)
+    return report.select(
+        "class",
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+        "support",
+    )
+
+
+@register("ml_five_classifiers_auc")
+def ml_five_classifiers_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five reference classifier families trained and AUC-scored on
+    the same seeded split (nb:cell9-10). NaiveBayes needs non-negative
+    features, so it trains on shifted copies (documented reference
+    quirk, SURVEY.md §7)."""
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings
+    base = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("arr"),
+        (F.col("label") >= 5).cast("double").alias("label"),
+    )
+    signed = base.select(
+        "vec_id", array_to_vector("arr").alias("features"), "label"
+    )
+    nonneg = base.select(
+        "vec_id",
+        array_to_vector(F.transform(F.col("arr"), lambda x: x + F.lit(1.0))).alias(
+            "features"
+        ),
+        "label",
+    )
+    rows = []
+    for name in [
+        "logistic_regression",
+        "naive_bayes",
+        "linear_svc",
+        "decision_tree",
+        "random_forest",
+    ]:
+        data = nonneg if name == "naive_bayes" else signed
+        train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+        result = classify.train_evaluate(name, train, test)
+        rows.append((name, round(result.auc, 4)))
+    return spark.createDataFrame(rows, "classifier string, auc double")
+
+
+@register("ml_cv_grid_search")
+def ml_cv_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free CV grid search (reference's grids are full-size,
+    stroke_predict.py:183-208; a reduced LR grid keeps the per-round
+    check fast — the full grids live in ml/classify.py::param_grid)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    train, test = _dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=SEED)
+    clf = LogisticRegression(featuresCol="features", labelCol="label")
+    grid = (
+        ParamGridBuilder()
+        .addGrid(clf.regParam, [0.01, 0.1])
+        .addGrid(clf.maxIter, [10, 20])
+        .build()
+    )
+    result = classify.cross_validate(
+        "logistic_regression", train, test, num_folds=3, grid=grid
+    )
+    return spark.createDataFrame(
+        [("logistic_regression", round(result.auc, 4))], "classifier string, auc double"
+    )
+
+
+@register("smote_rebalance_counts")
+def smote_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SMOTE (ml/balance.py — LSH-bucketed applyInPandas
+    k-NN synthesis, fixing the reference's driver-side implementation
+    and its neighbor-indexing bug). Output: class counts before/after."""
+    e = load(spark, sf_dir).embeddings
+    data = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("v"),
+        (F.col("label") >= 9).cast("int").alias("cls"),
+    )
+    before = data.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("before").alias("stage"), "cls", "n"
+    )
+    balanced = balance.smote(
+        data, id_col="vec_id", features_col="v", label_col="cls",
+        minority_label=1, k=5, oversample_ratio=2,
+    )
+    after = balanced.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("after").alias("stage"), "cls", "n"
+    )
+    return before.unionByName(after)
+
+
+@register("class_weights_profile")
+def class_weights_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class-weight column (the zero-data-movement
+    alternative to SMOTE): per-class weight summary."""
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", (F.col("label") >= 5).cast("int").alias("cls")
+    )
+    weighted = balance.class_weights(e, "cls")
+    return weighted.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("weight"), 6).alias("weight"),
+    )

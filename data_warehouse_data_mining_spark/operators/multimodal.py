@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (``decode_image`` raises NotImplementedError; the
+registered query uses a deterministic fake featurizer instead). The
+Spark-side plumbing — binary column construction, schema, batch
+iteration, partition-preserving featurization — is real and tested.
+
+At 100 TB this shape is exactly how image/audio corpora are processed:
+parquet binary columns in, mapInPandas featurizers out, no shuffle in
+the featurize stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes int, head_hex string, "
+    "byte_mean double, printable_ratio double"
+)
+
+
+def with_payload(documents: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata to each row.
+
+    Stands in for real image/audio bytes: payload = UTF-8 bytes of the
+    text column; metadata mirrors what an ingest service would attach.
+    """
+    return documents.select(
+        "doc_id",
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — image decode requires a codec library not present in this
+    container. The Spark plumbing around it (binary column, mapInPandas
+    batching) is real; swap this body for PIL/ffmpeg on a real cluster.
+    """
+    raise NotImplementedError(
+        "image/audio codecs are not available in this environment; "
+        "extract_features uses a deterministic byte-level featurizer instead"
+    )
+
+
+def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level featurizer (the fake 'decode' path).
+
+    Pure per-row computation over Arrow batches: no state, no shuffle,
+    partition-preserving — identical shape to a real decoder.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": n_bytes.astype("int32"),
+                "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+                "byte_mean": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ).round(6),
+                "printable_ratio": payloads.map(
+                    lambda b: round(sum(32 <= x < 127 for x in b) / len(b), 6)
+                    if len(b)
+                    else 0.0
+                ),
+            }
+        )
+
+
+def extract_features(df_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas featurization over the binary payload column."""
+    return df_with_payload.mapInPandas(_featurize_batches, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           round(avg(octet_length(encode(text))), 6) AS avg_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column accounting per source: byte sizes of the opaque
+    payload (JVM-side octet length — the featurizer never runs here)."""
+    d = with_payload(load(spark, sf_dir).documents)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.round(F.avg(F.length("payload")), 6).alias("avg_bytes"),
+    )
+
+
+@register("multimodal_feature_extract")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas featurization of binary payloads
+    (rows-only: the featurizer is Python-side by design). Deterministic:
+    byte stats + head hex per payload."""
+    d = with_payload(load(spark, sf_dir).documents)
+    return extract_features(d)

@@ -1,0 +1,960 @@
+"""Core relational operators, each with a DuckDB oracle mirror.
+
+Covers the reference's relational surface (SURVEY.md §2.1: scans,
+projections, filters, casts, conditional rewrite/imputation, group-by
+counts, global aggregates, distinct, union, null profiling, summary
+stats — reference sites cited per query) plus the §2.2 capability-gap
+set (joins of every flavor, rollup/cube/grouping sets, set ops, scalar
+string/date/math/json functions, pivot, subqueries, top-k).
+
+Scale design notes (applies to all queries here):
+* Dimension joins (region/nation/part/supplier) are explicitly
+  broadcast — at 100 TB the fact side never shuffles for those.
+* Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  handles skew.  No query collects to the driver.
+* All filters are plain column predicates on scan columns so Catalyst
+  pushes them into the parquet reader (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan→filter→hash-agg.
+
+    The flagship query (SURVEY.md §7 phase 0): exercises predicate
+    pushdown, column pruning, partial+final hash aggregation.
+    """
+    li = load(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style single-row conjunctive-filter aggregate."""
+    li = load(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.08))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "global_mean",
+    oracle="""
+    SELECT round(avg(l_quantity), 6) AS mean_qty,
+           round(avg(l_extendedprice), 6) AS mean_price
+    FROM lineitem
+    """,
+)
+def global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate (reference: mean(bmi), stroke_predict.py:46-47)."""
+    li = load(spark, sf_dir).lineitem
+    return li.agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+    )
+
+
+@register(
+    "value_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency table (reference: df.groupby('stroke').count(),
+    stroke_predict.py:29-30)."""
+    return load(spark, sf_dir).orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "batched_frequency_tables",
+    oracle="""
+    SELECT CASE WHEN grouping(o_orderstatus) = 0 THEN 'o_orderstatus'
+                ELSE 'o_orderpriority' END AS col_name,
+           coalesce(o_orderstatus, o_orderpriority) AS col_value,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def batched_frequency_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column frequency tables in ONE scan via GROUPING SETS.
+
+    The reference loops one groupBy job per nominal column
+    (stroke_prediction.ipynb cell 4) — a per-column-scan anti-pattern
+    (SURVEY.md §4.3). Grouping sets computes all of them in a single
+    pass, which is what survives at 100 TB.
+    """
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(o_orderstatus) = 0 THEN 'o_orderstatus'
+                    ELSE 'o_orderpriority' END AS col_name,
+               coalesce(o_orderstatus, o_orderpriority) AS col_value,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "summary_stats",
+    oracle="""
+    SELECT count(l_quantity)              AS n,
+           round(avg(l_quantity), 6)      AS mean,
+           round(stddev(l_quantity), 6)   AS std,
+           round(min(l_quantity), 2)      AS min,
+           round(max(l_quantity), 2)      AS max,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median
+    FROM lineitem
+    """,
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style profile, plus exact median
+    (reference: df.describe().show(2), stroke_predict.py:26)."""
+    li = load(spark, sf_dir).lineitem
+    return li.agg(
+        F.count("l_quantity").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mean"),
+        F.round(F.stddev("l_quantity"), 6).alias("std"),
+        F.round(F.min("l_quantity"), 2).alias("min"),
+        F.round(F.max("l_quantity"), 2).alias("max"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median"),
+    )
+
+
+@register(
+    "distinct_count_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (reference distinct: smote_sampling.py:9)."""
+    li = load(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a column pair (reference:
+    encoded.select(c, idx).distinct(), stroke_predict.py:81)."""
+    return load(spark, sf_dir).lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — rows-only check (Spark's HLL
+    and DuckDB's differ by design; exact twin is distinct_count_by_group)."""
+    li = load(spark, sf_dir).lineitem
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "median_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS median_price,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (approx twin exists for
+    the 100 TB path: percentile_approx)."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS INT) AS bucket,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS bucket_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed histogram binning — replaces the reference's
+    collect-whole-column-then-plt.hist (nb:cell5, SURVEY.md §4.2)."""
+    li = load(spark, sf_dir).lineitem
+    bucket = F.floor((F.col("l_quantity") - 1.0) / 5.0).cast("int").alias("bucket")
+    return li.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("bucket_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    headline=True,
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style multi-join: fact-fact shuffle join + broadcast
+    dimension joins (nation/region always broadcast; customer is small
+    here but would shuffle at 100 TB — left to AQE)."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    dim = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT p_brand,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of the part dimension: the fact
+    table never shuffles — the plan that must survive at 100 TB."""
+    t = load(spark, sf_dir)
+    part = t.part.filter(F.col("p_size") <= 25).select("p_partkey", "p_brand")
+    return (
+        t.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a >400k order."""
+    t = load(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    t = load(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "full_outer_nation_presence",
+    oracle="""
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+    ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations having customers
+    and/or suppliers)."""
+    t = load(spark, sf_dir)
+    c = t.customer.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("n_cust_raw")
+    )
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count(F.lit(1)).alias("n_supp_raw")
+    )
+    return (
+        c.join(s, F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust_raw"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp_raw"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "theta_join_late_shipments",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_late,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def theta_join_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a residual range predicate (theta join): lines
+    shipped >90 days after the order date."""
+    t = load(spark, sf_dir)
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        t.lineitem.join(t.orders, cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 6).alias(
+                "avg_lag_days"
+            ),
+        )
+    )
+
+
+@register(
+    "exists_subquery_sql",
+    oracle="""
+    SELECT p_brand, count(*) AS n
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+    GROUP BY p_brand
+    """,
+)
+def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery via the SQL surface (Catalyst rewrites
+    it to a left-semi join)."""
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n
+        FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "in_subquery_sql",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderpriority
+    """,
+)
+def in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (orders of customers in debt)."""
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+           round(sum(l_extendedprice), 2) AS total_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators (subtotals + grand total)."""
+    li = load(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "total_price", "n")
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations in one pass)."""
+    o = load(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide). Implemented with conditional aggregation so
+    missing combinations are 0 (Spark's .pivot() yields NULL there);
+    single-pass, no per-pivot-value jobs."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT p_partkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) t
+    WHERE p_partkey <= 200
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    p = load(spark, sf_dir).part.filter(F.col("p_partkey") <= 200)
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, raw)",
+    ).select("p_partkey", "metric", F.round(F.col("raw"), 2).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations / union / sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both H1-1996 and H1-1997."""
+    o = load(spark, sf_dir).orders
+    h1_96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    h1_97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    return h1_96.intersect(h1_97)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: BUILDING-segment customers minus big spenders."""
+    t = load(spark, sf_dir)
+    b = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = t.orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return b.exceptAll(big.distinct()).distinct()
+
+
+@register(
+    "union_all_tiers",
+    oracle="""
+    SELECT 'high' AS tier, o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT 'low' AS tier, o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice < 2000
+    """,
+)
+def union_all_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — reference: unionAll,
+    smote_sampling.py:52-54)."""
+    o = load(spark, sf_dir).orders
+    high = o.filter(F.col("o_totalprice") > 400000).select(
+        F.lit("high").alias("tier"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    low = o.filter(F.col("o_totalprice") < 2000).select(
+        F.lit("low").alias("tier"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    return high.unionByName(low)
+
+
+@register("bernoulli_sample")
+def bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (reference: dataInput_maj.sample(...),
+    smote_sampling.py:53). Rows-only: sampling RNGs differ per engine."""
+    o = load(spark, sf_dir).orders
+    return o.sample(withReplacement=False, fraction=0.1, seed=42).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register("random_split_sizes")
+def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 70:30 randomSplit (reference: stroke_predict.py:152).
+    Rows-only: returns the two split sizes."""
+    o = load(spark, sf_dir).orders
+    train, test = o.randomSplit([0.7, 0.3], seed=42)
+    return train.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("train").alias("split"), "n"
+    ).unionByName(
+        test.agg(F.count(F.lit(1)).alias("n")).select(F.lit("test").alias("split"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / json / case-when / casts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           substr(p_name, 1, 8)                             AS name_prefix,
+           length(p_name)                                   AS name_len,
+           replace(p_type, ' ', '_')                        AS type_slug,
+           p_brand || ':' || CAST(p_size AS VARCHAR)        AS brand_size,
+           strpos(p_name, 'a')                              AS first_a
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (upper/substr/length/replace/concat/locate)."""
+    p = load(spark, sf_dir).part.filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.locate("a", F.col("p_name")).alias("first_a"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT year(o_orderdate)    AS yr,
+           month(o_orderdate)   AS mo,
+           quarter(o_orderdate) AS qtr,
+           count(*)             AS n,
+           round(sum(o_totalprice), 2) AS total,
+           strftime(min(date_trunc('month', o_orderdate)), '%Y-%m-%d %H:%M:%S') AS month_start
+    FROM orders
+    WHERE date_diff('day', o_orderdate, TIMESTAMP '2001-01-01 00:00:00') BETWEEN 0 AND 730
+    GROUP BY 1, 2, 3
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions (year/month/quarter/date_trunc/datediff);
+    timestamps emitted as formatted strings for oracle parity."""
+    o = load(spark, sf_dir).orders
+    return (
+        o.filter(
+            F.datediff(F.lit("2001-01-01").cast("timestamp"), F.col("o_orderdate")).between(
+                0, 730
+            )
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.date_format(
+                F.min(F.date_trunc("month", F.col("o_orderdate"))), "yyyy-MM-dd HH:mm:ss"
+            ).alias("month_start"),
+        )
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_linenumber,
+           round(sum(round(l_extendedprice, 0)), 2)      AS sum_rounded,
+           round(sum(floor(l_quantity)), 2)              AS sum_floor,
+           round(sum(ceil(l_discount * 100)), 2)         AS sum_ceil_disc,
+           round(sum(abs(l_quantity - 25.0)), 2)         AS sum_abs_dev,
+           round(sum(sqrt(l_quantity)), 4)               AS sum_sqrt,
+           round(sum(ln(l_extendedprice)), 4)            AS sum_ln,
+           round(sum(pow(l_discount, 2)), 6)             AS sum_disc_sq
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (round/floor/ceil/abs/sqrt/ln/pow)."""
+    li = load(spark, sf_dir).lineitem
+    return li.groupBy("l_linenumber").agg(
+        F.round(F.sum(F.round(F.col("l_extendedprice"), 0)), 2).alias("sum_rounded"),
+        F.round(F.sum(F.floor(F.col("l_quantity"))), 2).alias("sum_floor"),
+        F.round(F.sum(F.ceil(F.col("l_discount") * 100)), 2).alias("sum_ceil_disc"),
+        F.round(F.sum(F.abs(F.col("l_quantity") - 25.0)), 2).alias("sum_abs_dev"),
+        F.round(F.sum(F.sqrt(F.col("l_quantity"))), 4).alias("sum_sqrt"),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln"),
+        F.round(F.sum(F.pow(F.col("l_discount"), 2)), 6).alias("sum_disc_sq"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(CAST(props->>'$.k' AS INT)), 2) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS INT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props payload column."""
+    e = load(spark, sf_dir).events
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(k), 2).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+@register(
+    "case_when_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           count(*) AS n,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (reference's when/otherwise conditional
+    rewrite, stroke_predict.py:49-50)."""
+    o = load(spark, sf_dir).orders
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("tier")
+    )
+    return o.groupBy(tier).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "conditional_imputation",
+    oracle="""
+    WITH m AS (SELECT avg(value) AS mean_val FROM events WHERE event_type <> 'error')
+    SELECT event_type,
+           round(sum(CASE WHEN event_type = 'error' THEN m.mean_val ELSE value END), 2)
+             AS sum_imputed,
+           count(*) AS n
+    FROM events, m
+    GROUP BY event_type
+    """,
+)
+def conditional_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation via when/otherwise — the reference's bmi repair
+    (stroke_predict.py:46-53) re-expressed distributed: the mean comes
+    from a broadcast 1-row aggregate, not a driver .first() round-trip."""
+    e = load(spark, sf_dir).events
+    mean_df = e.filter(F.col("event_type") != "error").agg(
+        F.avg("value").alias("mean_val")
+    )
+    imputed = F.when(F.col("event_type") == "error", F.col("mean_val")).otherwise(
+        F.col("value")
+    )
+    return (
+        e.crossJoin(F.broadcast(mean_df))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(imputed), 2).alias("sum_imputed"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "null_profile",
+    oracle="""
+    SELECT count(*) - count(doc_id)  AS doc_id_nulls,
+           count(*) - count(text)    AS text_nulls,
+           count(*) - count(lang)    AS lang_nulls,
+           count(*) - count(source)  AS source_nulls,
+           count(*) - count(n_chars) AS n_chars_nulls
+    FROM documents
+    """,
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched per-column null-count profile in one aggregate job
+    (reference nb:cell2 idiom: sum(isNull.cast(int)) per column)."""
+    d = load(spark, sf_dir).documents
+    return d.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ]
+    )
+
+
+@register(
+    "type_casts",
+    oracle="""
+    SELECT CAST(floor(l_quantity) AS INT)                  AS qty_int,
+           count(*)                                        AS n,
+           round(CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS DOUBLE), 2)
+                                                           AS sum_price_int,
+           CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR)  AS first_ship_day
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type casting surface (reference: bmi string→double, int casts,
+    stroke_predict.py:52-53, nb-bal:cell1). double→int goes through
+    floor() because bare CAST truncates in Spark but rounds in DuckDB."""
+    li = load(spark, sf_dir).lineitem
+    return li.groupBy(F.floor("l_quantity").cast("int").alias("qty_int")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.floor("l_extendedprice").cast("bigint")).cast("double"), 2).alias(
+            "sum_price_int"
+        ),
+        F.min(F.col("l_shipdate")).cast("date").cast("string").alias("first_ship_day"),
+    )
+
+
+@register(
+    "top_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort materialized);
+    unique tiebreak key makes LIMIT deterministic across engines."""
+    o = load(spark, sf_dir).orders
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(25)
+    )

@@ -1,0 +1,244 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Three tiers, mirroring how an ANN stack scales:
+
+* **brute force** — exact top-k cosine for a small query set, broadcast
+  against the corpus. The corpus never shuffles; cost is a single
+  map-side pass + per-query top-k. This is the correctness baseline
+  and stays viable at 100 TB when the query set is small.
+* **hyperplane LSH** — 8 seeded random hyperplanes → 256 buckets;
+  search only the query's bucket. Deterministic (fixed projection
+  literals), so fully oracle-checkable — the scale path: bucket join
+  replaces the corpus scan per query.
+* **MLlib BucketedRandomProjectionLSH** — the built-in approx join,
+  rows-only checked (its hash family isn't reproducible in SQL).
+
+All dot products fold in double precision (functions/vectors.py) to
+match DuckDB's list_inner_product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.functions import vectors as V
+from data_warehouse_data_mining_spark.registry import register
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 5
+NEARDUP_COS = 0.4
+
+# Fixed random hyperplanes, rounded to 6 decimals so the identical
+# decimal literals parse to the identical doubles in Spark and DuckDB.
+_PLANES = np.round(np.random.RandomState(42).standard_normal((N_PLANES, DIM)), 6)
+
+
+def _plane_lit(p: int) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in _PLANES[p]])
+
+
+def _bucket_expr(vcol: F.Column) -> F.Column:
+    """LSH bucket id: sign bit of each hyperplane projection."""
+    bits = [
+        F.when(V.dot(vcol, _plane_lit(p)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sql_dot(vec_expr: str, p: int) -> str:
+    lits = ", ".join(repr(float(v)) for v in _PLANES[p])
+    return f"list_inner_product({vec_expr}, [{lits}]::DOUBLE[])"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_dot(vec_expr, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"({terms})"
+
+
+_ORACLE_E = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+_ORACLE_COS = (
+    "list_inner_product(q.qv, e.v) / "
+    "(sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v)))"
+)
+
+
+@register(
+    "knn_brute_force",
+    headline=True,
+    oracle=f"""
+    WITH {_ORACLE_E},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES})
+    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, rn FROM (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_ORACLE_COS} AS cos,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ) t WHERE rn <= 10
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors 0..4: broadcast
+    the tiny query set against the corpus — corpus-side no shuffle."""
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (
+        V.norm(F.col("qv")) * V.norm(F.col("v"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "ann_lsh_hyperplane",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM b
+          WHERE vec_id < {N_QUERIES})
+    SELECT q_id, neighbor_id, round(cos, 6) AS cosine, rn FROM (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_ORACLE_COS} AS cos,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+      FROM q JOIN b e ON e.bucket = q.qbucket AND e.vec_id <> q.q_id
+    ) t WHERE rn <= 5
+    """,
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via deterministic sign-random-projection LSH: candidates are
+    only the query's bucket (≈ corpus/256), then exact cosine re-rank.
+    The scale path: an equi-join on bucket id replaces per-query scans."""
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    b = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (V.norm(F.col("qv")) * V.norm(F.col("v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "cosine_neardup_blocked",
+    oracle=f"""
+    WITH {_ORACLE_E}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+          >= {NEARDUP_COS}
+    """,
+)
+def cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs with label blocking: pairwise work
+    is confined to blocks (here: label; at 100 TB: LSH bucket), never a
+    global crossJoin."""
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl_a"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl_b"), F.col("v").alias("vb")
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (V.norm(F.col("va")) * V.norm(F.col("vb")))
+    return (
+        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_stats",
+    oracle=f"""
+    WITH {_ORACLE_E}
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_inner_product(v, v))), 6) AS avg_norm,
+           round(min(v[1]), 6) AS min_c0,
+           round(max(v[1]), 6) AS max_c0
+    FROM e GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding profile (count, mean L2 norm, first-component
+    range) — all map-side expression work + one aggregate."""
+    e = load(spark, sf_dir).embeddings.select(
+        "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(V.norm(F.col("v"))), 6).alias("avg_norm"),
+        F.round(F.min(F.element_at("v", 1)), 6).alias("min_c0"),
+        F.round(F.max(F.element_at("v", 1)), 6).alias("max_c0"),
+    )
+
+
+@register("ann_lsh_mllib")
+def ann_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approx similarity self-join
+    (euclidean < 1.0), seeded. Rows-only: MLlib's hash family is not
+    reproducible in ANSI SQL."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", array_to_vector(V.as_double(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(e, e, 1.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 6).alias("euclidean"),
+        )
+    )

@@ -1,0 +1,258 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE.json
+north star: language-ID, quality scoring, token counting, document
+fingerprinting, TF-IDF).
+
+Everything is built-in expression work (split/filter/aggregate over
+arrays, md5) — zero Python UDFs in any hot path — and every query has
+an exact DuckDB oracle. Oracles operate on an exploded token CTE rather
+than list lambdas for maximum ANSI portability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+STOPWORDS = ("the", "a")
+
+# Deterministic keyword profiles for the heuristic language-ID.  On the
+# synthetic corpus these are arbitrary but exercise the real plumbing:
+# profile-score per language + argmax with a fixed tie-break order.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data"),
+    "es": ("row", "value"),
+    "de": ("join", "merge"),
+    "fr": ("filter", "sort"),
+    "zh": ("spark", "vector"),
+}
+
+_ORACLE_TOK = """
+    tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir).documents
+    return d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@register(
+    "text_token_stats",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + """
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(DISTINCT w) AS n_distinct,
+           CAST(sum(ceil(length(w) / 4.0)) AS BIGINT) AS n_subwords,
+           round(count(DISTINCT w) * 1.0 / count(*), 6) AS type_token_ratio
+    FROM tok GROUP BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, a BPE-ish
+    subword estimate (ceil(len/4) pieces per word), type-token ratio."""
+    tok = _tokens(spark, sf_dir)
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.sum(F.ceil(F.length("w") / 4.0)).cast("bigint").alias("n_subwords"),
+        F.round(F.countDistinct("w") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + f"""
+    , per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             avg(length(w)) AS avg_word_len,
+             sum(CASE WHEN w IN {_sql_in(STOPWORDS)} THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS stop_ratio
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(avg_word_len, 6) AS avg_word_len,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(ln(1 + n_tokens) * (1 - stop_ratio), 6) AS quality
+    FROM per_doc
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword-ratio heuristics composed into a
+    single score (the reference has no text surface; this is north-star)."""
+    tok = _tokens(spark, sf_dir)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.length("w")).alias("awl"),
+        (
+            F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("sr"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round("awl", 6).alias("avg_word_len"),
+        F.round("sr", 6).alias("stopword_ratio"),
+        F.round(F.log(1 + F.col("n_tokens")) * (1 - F.col("sr")), 6).alias("quality"),
+    )
+
+
+def _langid_case_sql(score: dict[str, str]) -> str:
+    """Fixed-order argmax: first language (in LANG_PROFILES order) whose
+    score is >= every later one wins."""
+    langs = list(LANG_PROFILES)
+    clauses = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{score[lg]} >= {score[o]}" for o in langs[i + 1 :])
+        clauses.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "text_langid_heuristic",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + ",\n    scores AS (SELECT doc_id, lang, "
+    + ", ".join(
+        f"sum(CASE WHEN w IN {_sql_in(ws)} THEN 1 ELSE 0 END) AS s_{lg}"
+        for lg, ws in LANG_PROFILES.items()
+    )
+    + " FROM tok GROUP BY doc_id, lang)\n"
+    + "    SELECT lang, "
+    + _langid_case_sql({lg: f"s_{lg}" for lg in LANG_PROFILES})
+    + """ AS predicted_lang,
+           count(*) AS n_docs
+    FROM scores GROUP BY 1, 2
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-profile language-ID: per-language token-hit scores →
+    fixed-tie-break argmax → confusion table against the labeled lang.
+    One explode + two aggregates; at 100 TB the profiles broadcast."""
+    tok = _tokens(spark, sf_dir)
+    scores = tok.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*ws), 1).otherwise(0)).alias(f"s_{lg}")
+            for lg, ws in LANG_PROFILES.items()
+        ]
+    )
+    langs = list(LANG_PROFILES)
+    pred = None
+    for i, lg in enumerate(langs[:-1]):
+        cond = None
+        for o in langs[i + 1 :]:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    pred = pred.otherwise(langs[-1])
+    return (
+        scores.withColumn("predicted_lang", pred)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint: md5 over the sorted distinct token
+    set — canonicalization-based dedup key (word order / repetition
+    insensitive)."""
+    d = load(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fingerprint"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    headline=True,
+    oracle="WITH "
+    + _ORACLE_TOK
+    + """
+    , tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, term, round(score, 6) AS tfidf, rank FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF, top-5 terms per document.
+
+    df is a broadcastable vocabulary aggregate; the doc-term matrix
+    never leaves its shuffle partitioning — the same plan is the
+    standard 100 TB TF-IDF shape.
+    """
+    tok = _tokens(spark, sf_dir).select("doc_id", "w")
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir).documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rank")
+    )
+
+
+@register(
+    "doc_stats_by_lang_source",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(sum(n_chars), 2) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus slicing by language × source (the per-slice accounting a
+    training-data pipeline runs before mixing)."""
+    d = load(spark, sf_dir).documents
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.sum("n_chars"), 2).alias("total_chars"),
+    )

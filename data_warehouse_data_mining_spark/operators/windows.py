@@ -1,0 +1,207 @@
+"""Window-function operators (SURVEY.md §2.2: rank/row_number, lag/lead,
+running & framed aggregates, top-k per group, ntile).
+
+All window orderings include a unique key (orderkey / event_id) so
+row_number/lag results are deterministic and hash-match the oracle.
+
+Scale note: a window partitioned by a real key (custkey, user_id,
+brand) shuffles once on that key and streams within partitions — fine
+at 100 TB. None of these use a global (empty-partition) window, which
+would serialize onto one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+
+@register(
+    "topk_per_group",
+    headline=True,
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical window top-k. One shuffle
+    on the partition key; no global sort."""
+    o = load(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+@register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate per customer over order history."""
+    o = load(spark, sf_dir).orders
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER w, 2)  AS delta_prev,
+           round(lead(value) OVER w - value, 2) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user event stream."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+@register(
+    "rank_in_brand",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank within brand (tie-stable: equal prices share a rank)."""
+    p = load(spark, sf_dir).part
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "moving_average",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+    FROM events
+    """,
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average over each user's event stream (ROWS frame)."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return e.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 6).alias("ma3")
+    )
+
+
+@register(
+    "ntile_quartiles",
+    oracle="""
+    SELECT q, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+      FROM orders
+    ) t
+    GROUP BY q
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile assignment then per-quartile stats.
+
+    Note: the inner window is global (empty partition) — acceptable for
+    a quantile report; the 100 TB path is approx_percentile
+    (median_exact / summary_stats show both)."""
+    o = load(spark, sf_dir).orders
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "first_last_order",
+    oracle="""
+    SELECT o_custkey,
+           min(o_orderkey) FILTER (WHERE rn_first = 1) AS first_orderkey,
+           min(o_orderkey) FILTER (WHERE rn_last = 1)  AS last_orderkey
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_first,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_last
+      FROM orders
+    ) t
+    GROUP BY o_custkey
+    """,
+)
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per key via dual row_number (the scalable
+    substitute for collecting per-key history)."""
+    o = load(spark, sf_dir).orders
+    w_first = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_last = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_first).alias("rn_first"),
+            F.row_number().over(w_last).alias("rn_last"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn_first") == 1, F.col("o_orderkey"))).alias(
+                "first_orderkey"
+            ),
+            F.min(F.when(F.col("rn_last") == 1, F.col("o_orderkey"))).alias(
+                "last_orderkey"
+            ),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Structured Streaming: the batch-mirrored builders run as real
+streaming queries (parquet-directory source → watermark → memory sink)
+and agree with their batch twins."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.streaming.windows import (
+    read_event_stream,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File streaming sources need a directory; stage one with a symlink
+    to the read-only events parquet."""
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(f"{SF_SMALL}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    agg = streaming_tumbling_counts(spark, events_dir, watermark="365 days")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+    }
+    batch = {tuple(r) for r in tumbling_counts(load(spark, SF_SMALL).events).collect()}
+    assert streamed == batch
+
+
+def test_streaming_dedup_with_watermark(spark, events_dir):
+    """Streaming exact-dedup: dropDuplicates over a watermarked stream
+    (the streaming face of dedup_exact)."""
+    ev = load(spark, SF_SMALL).events
+    stream = read_event_stream(spark, events_dir, watermark="1 hour").dropDuplicates(
+        ["event_id"]
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_stream = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0][0]
+    assert n_stream == ev.select("event_id").distinct().count()
