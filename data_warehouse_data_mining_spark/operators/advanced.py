@@ -1,0 +1,309 @@
+"""Advanced relational patterns: as-of joins, skew-salted aggregation,
+MERGE/SCD upsert emulation, regexp/array/struct functions, RANGE frames,
+remaining join flavors.
+
+These fill the SURVEY.md §2.2 gap rows that the core module doesn't
+cover, plus the classic OLAP patterns a warehouse engine is expected to
+ship (as-of join and MERGE emulation have no single Spark operator —
+they're compositions, which is exactly how Spark wants them expressed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT user_id, event_id, round(value, 2) AS click_value,
+           round(prev_raw, 2) AS prev_purchase_value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_raw
+      FROM events
+    ) t
+    WHERE event_type = 'click'
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.2): for every
+    click, the value of that user's most recent PRIOR purchase.
+
+    Expressed as last(...ignorenulls) over a ROWS UNBOUNDED..1-PRECEDING
+    frame — one shuffle on user_id, no range-join blowup; the same plan
+    shape merge_asof-style joins compile to at 100 TB.
+    """
+    e = load(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("prev_purchase_value", F.round(prev_purchase, 2))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("click_value"),
+            "prev_purchase_value",
+        )
+    )
+
+
+@register(
+    "salted_skew_aggregation",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: partial-aggregate on
+    (key, salt) — spreading one hot key over 16 reducers — then final-
+    aggregate on key. Result identical to a plain groupBy (the oracle);
+    the two-phase shape is what survives a hot key at 100 TB (AQE skew
+    handling covers joins; salting covers aggregation)."""
+    e = load(spark, sf_dir).events
+    partial = (
+        e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS price, 'v2' AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS price, 'v1' AS version
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = orders.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, price, version FROM updates
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (upsert without Delta/Iceberg): anti-join the
+    base against the update keys, union the updates — the CDC/SCD
+    pattern from SURVEY.md §2.2. One shuffle on the merge key."""
+    o = load(spark, sf_dir).orders
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        F.lit("v2").alias("version"),
+    )
+    base = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit("v1").alias("version"),
+    )
+    kept = base.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    return kept.unionByName(updates)
+
+
+@register(
+    "regexp_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([a-z]+)$', 1)              AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')         AS devoweled,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           CAST(regexp_matches(p_brand, '#1[0-9]$') AS BOOLEAN) AS brand_1x
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar surface: extract / replace-all / count / match."""
+    p = load(spark, sf_dir).part.filter(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+        F.col("p_brand").rlike("#1[0-9]$").alias("brand_1x"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT)            AS n_words,
+           string_split(text, ' ')[1]                           AS first_word,
+           array_to_string(string_split(text, ' ')[1:3], ' ')   AS first3,
+           list_contains(string_split(text, ' '), 'the')        AS has_the,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:2], ',')
+                                                                AS min2_words
+    FROM documents
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over tokenized text (size / element_at /
+    slice / contains / distinct+sort) — all codegen'd, no UDF."""
+    d = load(spark, sf_dir).documents
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.element_at(ws, 1).alias("first_word"),
+        F.concat_ws(" ", F.slice(ws, 1, 3)).alias("first3"),
+        F.array_contains(ws, "the").alias("has_the"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(ws)), 1, 2)).alias(
+            "min2_words"
+        ),
+    )
+
+
+@register(
+    "struct_json_access",
+    oracle="""
+    SELECT event_type, count(*) AS n_high
+    FROM events
+    WHERE CAST(props->>'$.k' AS INT) > 50
+    GROUP BY event_type
+    """,
+)
+def struct_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json into a struct column + field access
+    (vs json_extraction's string-path get_json_object)."""
+    e = load(spark, sf_dir).events
+    return (
+        e.withColumn("j", F.from_json("props", "k INT"))
+        .filter(F.col("j.k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)              AS dow,
+           CAST(weekofyear(o_orderdate) AS INT)                 AS week
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: add_months (end-of-month clamped in both
+    engines), last_day, day-of-week (Spark is 1=Sunday; DuckDB 0=Sunday,
+    adjusted in the oracle), ISO week."""
+    o = load(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias("next_month"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("week"),
+    )
+
+
+@register(
+    "range_frame_window",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY value
+                                  RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 2)
+             AS near_sum
+    FROM events
+    """,
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — sums all events of the user
+    within 10 units below the current value (peer rows included by
+    definition, so the frame is deterministic under ties)."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("value").rangeBetween(-10, W.currentRow)
+    return e.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("near_sum")
+    )
+
+
+@register(
+    "right_join_nations",
+    oracle="""
+    SELECT n_name, count(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def right_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (kept-side on the right): all nations, supplier
+    count possibly zero."""
+    t = load(spark, sf_dir)
+    return (
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "cross_join_dims",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Controlled cross join of two TINY dimensions (broadcast nested-
+    loop, never a shuffled cartesian) — the scaffold grid for coverage
+    reports."""
+    t = load(spark, sf_dir)
+    statuses = t.orders.select("o_orderstatus").distinct()
+    return t.region.select("r_name").crossJoin(F.broadcast(statuses))
+
+
+@register(
+    "union_distinct_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    UNION
+    SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def union_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with set semantics (vs union_all_tiers' bag semantics)."""
+    t = load(spark, sf_dir)
+    a = t.orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    b = t.customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@register("approx_quantiles_profile")
+def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile: percentile_approx + approx_count_distinct
+    per group — the 100 TB substitutes for exact percentile/distinct
+    (exact twins: median_exact, distinct_count_by_group). Rows-only:
+    sketch algorithms differ per engine by design."""
+    li = load(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias(
+            "approx_median_price"
+        ),
+        F.round(F.percentile_approx("l_extendedprice", 0.99, 10000), 2).alias(
+            "approx_p99_price"
+        ),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )

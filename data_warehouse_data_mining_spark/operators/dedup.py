@@ -35,8 +35,16 @@ JACCARD_THRESHOLD = 0.35
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-gram shingles per document."""
-    d = load(spark, sf_dir).documents
+    """(doc_id, shingle) — distinct word-3-gram shingles per document.
+
+    The scan is repartitioned to the session's parallelism first: text
+    corpora often arrive as few large unsplittable files (this one is a
+    single row group), and shingling+hashing is the CPU-heavy map stage
+    — without the cheap doc-level reshuffle it would run on one core.
+    """
+    d = load(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = th.words(F.col("text"))
     return (
         d.select("doc_id", F.explode(th.word_shingles(ws, SHINGLE_N)).alias("shingle"))
@@ -156,19 +164,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shingling/hashing are map-side; the band join shuffles
     (band, 32-byte sig); the Jaccard re-rank touches only candidate
-    pairs' shingles.  No n² stage exists anywhere.
+    pairs' shingles.  No n² stage exists anywhere.  The shingle table
+    feeds three consumers (signatures + both sides of the intersection
+    join), so it is persisted — on a cluster-scale corpus stage it to a
+    parquet temp table instead.
     """
-    sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*th.minhash_aggs("shingle", NUM_HASHES))
+    sh = _shingles(spark, sf_dir).persist()
+    # one aggregate pass: all 16 minhashes AND the set size together
+    sig = sh.groupBy("doc_id").agg(
+        *th.minhash_aggs("shingle", NUM_HASHES), F.count(F.lit(1)).alias("ns")
+    )
 
-    bands = None
-    for b in range(BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            th.band_signature(b, ROWS_PER_BAND).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # 4 band signatures in one projection + explode (no multi-branch
+    # union re-reading the signature table)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                th.band_signature(b, ROWS_PER_BAND).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig"))
 
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
@@ -191,7 +211,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    sizes = sig.select("doc_id", "ns")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -309,7 +329,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard via inverted index: pairs form ONLY by joining on
     shared shingles (no crossJoin). Rare-shingle corpora keep this
     near-linear; degenerate hot shingles are AQE-skew-join territory."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))

@@ -35,7 +35,11 @@ _ORACLE_TOK = """
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir).documents
+    # repartition: the corpus arrives as one unsplittable file; tokenize
+    # on all cores (see operators/dedup.py::_shingles)
+    d = load(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
 
 

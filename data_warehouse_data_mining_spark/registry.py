@@ -79,6 +79,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from data_warehouse_data_mining_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         multimodal,
         relational,

@@ -1,0 +1,102 @@
+"""Sources & sinks: sentinel CSV parsing, partitioned-parquet partition
+pruning, bucketed-join shuffle elimination, connector gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.plans import explain
+from data_warehouse_data_mining_spark.sources import connectors
+from data_warehouse_data_mining_spark.sources.csv import read_csv, write_parquet
+
+from .conftest import SF_SMALL
+
+
+def test_csv_sentinel_to_null(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,score\n1,N/A\n2,3.5\n")
+    df = read_csv(spark, str(p), schema="id INT, score DOUBLE", null_value="N/A")
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 3.5}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time — at 100 TB this is the difference between scanning one
+    partition and the whole table."""
+    out = str(tmp_path / "orders_by_status")
+    o = load(spark, SF_SMALL).orders
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = explain.formatted_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], "partition filter must appear in the scan"
+    assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key co-locate: the sort-merge
+    join needs no Exchange on either side — pre-shuffled at write time,
+    the bucketing contract that amortizes one shuffle across every
+    downstream join at scale."""
+    t = load(spark, SF_SMALL)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a previous crashed run may have left orphaned managed-table dirs
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for orphan in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{orphan}", ignore_errors=True)
+    (t.orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+     .write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("b_lineitem"))
+
+    # force the sort-merge path (at test scale AQE would broadcast the
+    # tiny side, which sidesteps bucketing; at 100 TB both sides are big
+    # and SMJ is what the planner picks)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = explain.formatted_plan(joined)
+        tree = plan.split("\n\n")[0].splitlines()
+        join_at = next(i for i, ln in enumerate(tree) if "SortMergeJoin" in ln)
+        below_join = "\n".join(tree[join_at + 1 :])
+        assert "Exchange" not in below_join, (
+            "bucketed join must not shuffle either input:\n" + plan
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # values still correct
+    expected = {
+        r.o_orderstatus: r.n
+        for r in t.orders.join(
+            t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r.o_orderstatus: r.n for r in joined.collect()}
+    assert got == expected
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_connectors_gate_cleanly(spark):
+    with pytest.raises(connectors.ConnectorUnavailable, match="Delta"):
+        connectors.read_delta(spark, "/tmp/nowhere")
+    with pytest.raises(connectors.ConnectorUnavailable, match="Iceberg"):
+        connectors.read_iceberg(spark, "nowhere.t")
+    with pytest.raises(connectors.ConnectorUnavailable, match="Kafka"):
+        connectors.read_kafka_stream(spark, "localhost:9092", "t")

@@ -65,3 +65,40 @@ def test_streaming_dedup_with_watermark(spark, events_dir):
         q.stop()
     n_stream = spark.sql("SELECT count(*) AS n FROM stream_dedup").collect()[0][0]
     assert n_stream == ev.select("event_id").distinct().count()
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState custom stateful operator: per-user running
+    totals match the batch aggregate after one pass of the stream."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.streaming.stateful import running_user_totals
+    from data_warehouse_data_mining_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, events_dir, watermark="365 days")
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_state").collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in load(spark, SF_SMALL)
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == expected
