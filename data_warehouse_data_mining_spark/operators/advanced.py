@@ -89,7 +89,7 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert",
     oracle="""
     WITH updates AS (
-      SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS price, 'v2' AS version
+      SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS price, 'v2' AS version
       FROM orders WHERE o_orderkey % 10 = 0
     )
     SELECT o_orderkey, round(o_totalprice, 2) AS price, 'v1' AS version
@@ -102,11 +102,15 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation (upsert without Delta/Iceberg): anti-join the
     base against the update keys, union the updates — the CDC/SCD
-    pattern from SURVEY.md §2.2. One shuffle on the merge key."""
+    pattern from SURVEY.md §2.2. One shuffle on the merge key.
+
+    The updated price is an ADDITIVE change: multiplying 2-decimal
+    doubles lands on exact .005 ties where Spark's BigDecimal HALF_UP
+    and DuckDB's multiply-round-divide disagree on the last cent."""
     o = load(spark, sf_dir).orders
     updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price"),
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("price"),
         F.lit("v2").alias("version"),
     )
     base = o.select(

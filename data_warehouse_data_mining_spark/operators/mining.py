@@ -1,0 +1,124 @@
+"""Behavioral-mining analytics over the event stream: funnels, sequence
+bigrams, cohort retention — the classic warehouse "data mining" query
+shapes (the course the reference comes from), expressed scale-first:
+every one is window functions + hash aggregation, no per-user collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_after
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.first_signup
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT count(s.user_id) AS n_signed_up,
+           count(p.user_id) AS n_converted,
+           round(count(p.user_id) * 1.0 / count(s.user_id), 6) AS conversion_rate
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: users who signed up, and of those, who purchased
+    AFTER their first signup. Two aggregates + one key-partitioned join."""
+    e = load(spark, sf_dir).events
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("first_signup")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s.select(F.col("user_id").alias("s_uid"), "first_signup"),
+              (F.col("user_id") == F.col("s_uid")) & (F.col("ts") > F.col("first_signup")))
+        .groupBy(F.col("user_id").alias("p_uid"))
+        .agg(F.min("ts").alias("first_purchase_after"))
+    )
+    return (
+        s.join(p, F.col("user_id") == F.col("p_uid"), "left")
+        .agg(
+            F.count("user_id").alias("n_signed_up"),
+            F.count("p_uid").alias("n_converted"),
+            F.round(F.count("p_uid") / F.count("user_id"), 6).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
+    "event_sequence_bigrams",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ) t
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_sequence_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining at bigram depth: consecutive event-type
+    transitions per user → global transition counts (the input to a
+    Markov-chain / next-event model). One shuffle on user_id, one agg."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+    SELECT strftime(cohort_week, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM aw JOIN fw USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each subsequent active week. Both inputs partition on
+    user_id, so the join is co-partitioned after the aggregates."""
+    e = load(spark, sf_dir).events
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    aw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        aw.join(fw, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", _FMT).alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
     from data_warehouse_data_mining_spark.operators import (  # noqa: F401
         advanced,
         dedup,
+        mining,
         multimodal,
         relational,
         similarity,
