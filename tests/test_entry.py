@@ -31,3 +31,15 @@ def test_queries_callable_signature(spark):
     name = sorted(qs)[0]
     df = qs[name](spark, "/root/testdata/sf0.001")
     assert df.columns
+
+
+def test_adhoc_sql_surface(spark):
+    from data_warehouse_data_mining_spark import sql as engine_sql
+
+    df = engine_sql.run(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+        "/root/testdata/sf0.001",
+    )
+    rows = {r.o_orderstatus: r.n for r in df.collect()}
+    assert sum(rows.values()) == 1500

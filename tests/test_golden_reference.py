@@ -76,3 +76,62 @@ def test_feature_vector_width_21(stroke):
     _, encoded = prep.fit_encode(df, cats, nums)
     vec = encoded.select("features").first()[0]
     assert vec.size == 21
+
+
+BALANCED_CSV = "/root/reference/hes_a_SMOTE_operator.csv"
+
+
+def test_balanced_pipeline_auc_parity(spark):
+    """End-to-end reproduction of the balanced notebook's study
+    (nb-bal:cell1-10): SMOTE CSV -> cast repair -> impute -> encode ->
+    seeded 70:30 split -> LogisticRegression + RandomForest -> AUC.
+    Reference outputs: LR 0.8652, RF 0.9036 (BASELINE.md §C). Tolerance
+    covers Spark-version jitter, not methodology drift."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_warehouse_data_mining_spark.ml import classify
+
+    if not os.path.exists(BALANCED_CSV):
+        _pytest.skip("balanced reference CSV not available")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.DoubleType()),
+            T.StructField("gender", T.StringType()),
+            T.StructField("age", T.DoubleType()),
+            T.StructField("hypertension", T.DoubleType()),
+            T.StructField("heart_disease", T.DoubleType()),
+            T.StructField("ever_married", T.StringType()),
+            T.StructField("work_type", T.StringType()),
+            T.StructField("Residence_type", T.StringType()),
+            T.StructField("avg_glucose_level", T.DoubleType()),
+            T.StructField("bmi", T.DoubleType()),
+            T.StructField("smoking_status", T.StringType()),
+            T.StructField("stroke", T.IntegerType()),
+        ]
+    )
+    from data_warehouse_data_mining_spark.sources.csv import read_csv
+
+    df = read_csv(spark, BALANCED_CSV, schema=schema, null_value="N/A")
+    # the balanced notebook's cell-1 repair: fractional SMOTE outputs
+    # cast back to integer flags (nb-bal:cell1)
+    df = df.withColumn("hypertension", F.col("hypertension").cast("integer")).withColumn(
+        "heart_disease", F.col("heart_disease").cast("integer")
+    )
+    assert df.count() == 9647  # BASELINE.md §A
+    df = prep.impute_mean(df, ["bmi"])
+
+    cats = ["gender", "ever_married", "work_type", "Residence_type", "smoking_status"]
+    nums = ["age", "avg_glucose_level", "bmi", "hypertension", "heart_disease"]
+    _, encoded = prep.fit_encode(df, cats, nums)
+    data = encoded.select("features", F.col("stroke").alias("label"))
+    train, test = data.randomSplit([0.7, 0.3], seed=42)
+
+    lr = classify.train_evaluate("logistic_regression", train, test, label_col="label")
+    rf = classify.train_evaluate("random_forest", train, test, label_col="label")
+    assert lr.auc == pytest.approx(0.8652, abs=0.03)  # nb-bal:cell10
+    assert rf.auc == pytest.approx(0.9036, abs=0.04)  # nb-bal:cell10

@@ -1,0 +1,72 @@
+"""Property-based checks (hypothesis) for the engine-portable hash
+primitives — pure Python mirrors of the SQL formulas, so they run
+without a SparkSession."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+VOCAB = ["the", "a", "data", "spark", "join", "merge", "row", "value",
+         "filter", "sort", "vector", "table", "scan", "hash", "key"]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _minhash_sig(shingles: set[str], k: int = 64) -> list[str]:
+    return [min(_md5(f"{j}:{s}") for s in shingles) for j in range(k)]
+
+
+def _true_jaccard(a: set[str], b: set[str]) -> float:
+    return len(a & b) / len(a | b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sets(st.sampled_from(VOCAB), min_size=3, max_size=12),
+    st.sets(st.sampled_from(VOCAB), min_size=3, max_size=12),
+)
+def test_minhash_estimates_jaccard(a, b):
+    """P(minhash_j(A) == minhash_j(B)) = J(A,B); with k=64 hashes the
+    estimate must land within a generous binomial bound."""
+    sig_a, sig_b = _minhash_sig(a), _minhash_sig(b)
+    est = sum(x == y for x, y in zip(sig_a, sig_b)) / len(sig_a)
+    true = _true_jaccard(a, b)
+    assert abs(est - true) <= 0.35  # ~5+ sigma for k=64
+    if true == 1.0:
+        assert est == 1.0  # identical sets always collide
+    if true == 0.0:
+        assert est <= 0.15
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sets(st.sampled_from(VOCAB), min_size=1, max_size=15))
+def test_minhash_identity(a):
+    assert _minhash_sig(a, 16) == _minhash_sig(set(a), 16)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.sampled_from(VOCAB), min_size=3, max_size=30),
+    st.integers(min_value=0, max_value=10),
+)
+def test_simhash_formula_is_order_invariant(words, rot):
+    """The simhash bit-vote formula (operators/dedup.py oracle) depends
+    only on token multiset, not order."""
+    def simhash(ws):
+        votes = [0] * 16
+        for w in ws:
+            h4 = _md5(w)[:4]
+            for p in range(4):
+                d = int(h4[p], 16)
+                for b in range(4):
+                    bit = (d >> (3 - b)) & 1
+                    votes[p * 4 + b] += 1 if bit else -1
+        return sum(1 << i for i, v in enumerate(votes) if v > 0)
+
+    rotated = words[rot % len(words):] + words[: rot % len(words)]
+    assert simhash(words) == simhash(rotated)
