@@ -1,18 +1,22 @@
-"""Deduplication operators over the ``documents`` table.
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram
+Jaccard) — generic over any DataFrame with an id column and a text (or
+arbitrary content) column; the registered queries instantiate them on
+the ``documents`` table with DuckDB oracle mirrors.
 
 LLM-training-data dedup at 100 TB is the design point (BASELINE.json
-north star). Three families, all shuffle-disciplined:
+north star). Shuffle discipline per family:
 
-* **exact** — md5 group-by; one shuffle on the 32-char digest, never on
+* **exact** — md5 group-by; one shuffle of 32-char digests, never of
   the full text.
-* **MinHash + LSH near-dup** — word-shingle → 16-way minhash (single
-  aggregate pass) → 4 bands × 4 rows → candidates via equi-join on
+* **MinHash + LSH near-dup** — word-shingle → k-way minhash (single
+  aggregate pass) → b bands × r rows → candidates via equi-join on
   (band, signature) → exact Jaccard re-rank of candidates only.  The
   candidate join is the only pairwise step and touches candidate pairs,
   not n² pairs.  Every hash is md5-based (functions/texthash.py) so the
   DuckDB oracle reproduces values bit-for-bit.
-* **SimHash** — 16-bit fingerprint via per-token hex-digit bit votes;
-  near-dup buckets = equal fingerprints.
+* **SimHash** — 16-bit fingerprint via per-token hex-digit bit votes.
+* **n-gram Jaccard** — inverted-index self-join on shared shingles
+  (exact, for when candidate recall must be 100%).
 
 The reference has only implicit exact-dedup surface (distinct,
 smote_sampling.py:9); everything else is north-star extension.
@@ -20,7 +24,7 @@ smote_sampling.py:9); everything else is north-star extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -33,27 +37,218 @@ ROWS_PER_BAND = 4
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.35
 
+# ---------------------------------------------------------------------------
+# Generic API (any DataFrame, any columns)
+# ---------------------------------------------------------------------------
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-gram shingles per document.
 
-    The scan is repartitioned to the session's parallelism first: text
-    corpora often arrive as few large unsplittable files (this one is a
-    single row group), and shingling+hashing is the CPU-heavy map stage
-    — without the cheap doc-level reshuffle it would run on one core.
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, shingle): distinct word-n-gram shingles per document.
+
+    The input is repartitioned to the session's parallelism first: text
+    corpora often arrive as few large unsplittable files, and
+    shingling+hashing is the CPU-heavy map stage — without the cheap
+    row-level reshuffle it would run on a handful of cores.
     """
-    d = load(spark, sf_dir).documents.repartition(
-        spark.sparkContext.defaultParallelism
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    ws = th.words(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(th.word_shingles(ws, n)).alias("shingle"),
+    ).distinct()
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Canonical representative (min id) per content hash — the 100 TB
+    shape: shuffle digests, not documents."""
+    return df.groupBy(F.md5(content_col).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
     )
-    ws = th.words(F.col("text"))
+
+
+def minhash_signatures_table(
+    shingles: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}, ns): the full signature AND the shingle-set size
+    in ONE aggregate pass."""
+    return shingles.groupBy("id").agg(
+        *th.minhash_aggs("shingle", num_hashes), F.count(F.lit(1)).alias("ns")
+    )
+
+
+def lsh_band_table(
+    signatures: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(id, band_id, sig): band signatures via one projection + explode
+    (no multi-branch union re-reading the signature table)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                th.band_signature(b, rows_per_band).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(id_a, id_b): distinct pairs sharing any (band, signature) — the
+    only pairwise step, and it is an equi-join, never a cross join."""
+    a = bands.select(
+        F.col("id").alias("id_a"),
+        F.col("band_id").alias("band_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"),
+        F.col("band_id").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
     return (
-        d.select("doc_id", F.explode(th.word_shingles(ws, SHINGLE_N)).alias("shingle"))
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
 
 
-# Oracle CTE fragments shared by the minhash queries (DuckDB dialect,
-# same formulas as the Spark builders).
+def _jaccard_rerank(
+    pairs: DataFrame, shingles: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs."""
+    sa = shingles.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = shingles.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b"))
+    jac = F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard re-rank —
+    (id_a, id_b, jaccard).
+
+    The shingle table feeds three consumers (signatures + both sides of
+    the intersection join), so it is persisted — on a cluster-scale
+    corpus stage it to a parquet temp table instead.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures_table(sh, num_hashes)
+    candidates = lsh_candidate_pairs(lsh_band_table(sig, bands, rows_per_band))
+    return _jaccard_rerank(candidates, sh, sig.select("id", "ns"), threshold)
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = SHINGLE_N,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted index: pairs form ONLY by
+    joining on shared shingles (no crossJoin). Rare-shingle corpora keep
+    this near-linear; degenerate hot shingles are AQE-skew-join
+    territory."""
+    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        sa.join(sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b"))
+    jac = F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 16-bit SimHash — per-token md5 hex digits vote on
+    each fingerprint bit, weighted by token count. Entirely map+agg —
+    two shuffles total, independent of corpus size per-row."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
+    )
+    wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = wc.withColumn("h4", F.substring(F.md5("w"), 1, 4))
+
+    # Expand each (doc, word) into 16 (bit_idx, bit_val) rows using only
+    # codegen'd expressions (no UDF): 4 hex digits × 4 bits.
+    bit_pairs = F.array(
+        *[
+            F.struct(
+                F.lit((p - 1) * 4 + b).alias("bit_idx"),
+                (
+                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
+                    % 2
+                ).alias("bit_val"),
+            )
+            for p in range(1, 5)
+            for b in range(0, 4)
+        ]
+    )
+    bits = wc.select("id", "cnt", F.explode(bit_pairs).alias("bv")).select(
+        "id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
+    )
+    votes = bits.groupBy("id", "bit_idx").agg(
+        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
+            "vote"
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).cast("bigint").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (documents-table instantiations with oracle mirrors)
+# ---------------------------------------------------------------------------
+
 _ORACLE_SHINGLES = f"""
     words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     shingles AS (
@@ -66,9 +261,7 @@ _ORACLE_SHINGLES = f"""
 
 _ORACLE_MINHASH = (
     "minhash AS (SELECT doc_id, "
-    + ", ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(NUM_HASHES)
-    )
+    + ", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(NUM_HASHES))
     + " FROM shingles GROUP BY doc_id)"
 )
 
@@ -85,13 +278,19 @@ def _oracle_bands() -> str:
     return "bands AS (" + " UNION ALL ".join(branches) + ")"
 
 
-_ORACLE_CANDIDATES = f"""
+_ORACLE_CANDIDATES = """
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
     )
 """
+
+
+def _as_doc_pairs(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
 
 
 @register(
@@ -105,12 +304,12 @@ _ORACLE_CANDIDATES = f"""
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: canonical representative (min doc_id) per content
-    hash. Shuffles 32-byte digests, not documents — the 100 TB shape."""
+    """Exact dedup over documents (generic: exact_duplicates)."""
     d = load(spark, sf_dir).documents
-    return d.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    return exact_duplicates(d, "doc_id", "text").select(
+        F.col("content_hash").alias("text_hash"),
+        F.col("keep_id").alias("keep_doc_id"),
+        "n_copies",
     )
 
 
@@ -125,9 +324,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature computation (spot-checking 3 of the 16 hashes):
     one explode + one aggregate pass, no per-hash jobs."""
-    sh = _shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(*th.minhash_aggs("shingle", NUM_HASHES))
-    return sig.select("doc_id", "h0", "h7", "h15")
+    sh = shingle_table(load(spark, sf_dir).documents, "doc_id", "text")
+    return minhash_signatures_table(sh).select(
+        F.col("id").alias("doc_id"), "h0", "h7", "h15"
+    )
 
 
 @register(
@@ -159,81 +359,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: MinHash-LSH candidates re-ranked by exact
-    shingle Jaccard.
-
-    Scale shape: shingling/hashing are map-side; the band join shuffles
-    (band, 32-byte sig); the Jaccard re-rank touches only candidate
-    pairs' shingles.  No n² stage exists anywhere.  The shingle table
-    feeds three consumers (signatures + both sides of the intersection
-    join), so it is persisted — on a cluster-scale corpus stage it to a
-    parquet temp table instead.
-    """
-    sh = _shingles(spark, sf_dir).persist()
-    # one aggregate pass: all 16 minhashes AND the set size together
-    sig = sh.groupBy("doc_id").agg(
-        *th.minhash_aggs("shingle", NUM_HASHES), F.count(F.lit(1)).alias("ns")
-    )
-
-    # 4 band signatures in one projection + explode (no multi-branch
-    # union re-reading the signature table)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                th.band_signature(b, ROWS_PER_BAND).alias("sig"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig"))
-
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("band_id").alias("band_a"),
-        F.col("sig").alias("sig_a"),
-    )
-    bnd = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("band_b"),
-        F.col("sig").alias("sig_b"),
-    )
-    candidates = (
-        a.join(
-            bnd,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("sig_a") == F.col("sig_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-
-    sizes = sig.select("doc_id", "ns")
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("sh_b"))
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("ns_b"))
-    jac = F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter"))
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    """Near-duplicate pairs on documents (generic: near_duplicate_pairs).
+    See the generic function for the shuffle-shape analysis."""
+    return _as_doc_pairs(
+        near_duplicate_pairs(load(spark, sf_dir).documents, "doc_id", "text")
     )
 
 
-def _oracle_simhash() -> str:
-    """DuckDB SQL for the 16-bit simhash (mirrors simhash_fingerprints)."""
-    return """
+@register("simhash_fingerprints", oracle="""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w
       FROM documents
@@ -258,50 +391,11 @@ def _oracle_simhash() -> str:
            CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit_idx ELSE 0 END) AS BIGINT)
              AS simhash
     FROM votes GROUP BY doc_id
-    """
-
-
-@register("simhash_fingerprints", oracle=_oracle_simhash())
+    """)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: per-token md5 hex digits vote on
-    each fingerprint bit, weighted by token count. Entirely map+agg —
-    two shuffles total (token counts, bit votes), independent of corpus
-    size per-row."""
-    d = load(spark, sf_dir).documents
-    tok = d.select("doc_id", F.explode(th.words(F.col("text"))).alias("w"))
-    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = wc.withColumn("h4", F.substring(F.md5("w"), 1, 4))
-
-    # Expand each (doc, word) into 16 (bit_idx, bit_val) rows using only
-    # codegen'd expressions (no UDF): 4 hex digits × 4 bits.
-    bit_pairs = F.array(
-        *[
-            F.struct(
-                F.lit((p - 1) * 4 + b).alias("bit_idx"),
-                (
-                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
-                    % 2
-                ).alias("bit_val"),
-            )
-            for p in range(1, 5)
-            for b in range(0, 4)
-        ]
-    )
-    bits = wc.select("doc_id", "cnt", F.explode(bit_pairs).alias("bv")).select(
-        "doc_id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
-    )
-    votes = bits.groupBy("doc_id", "bit_idx").agg(
-        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
-            "vote"
-        )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).cast("bigint").alias("simhash")
+    """SimHash fingerprints on documents (generic: simhash_table)."""
+    return simhash_table(load(spark, sf_dir).documents, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
     )
 
 
@@ -326,24 +420,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard via inverted index: pairs form ONLY by joining on
-    shared shingles (no crossJoin). Rare-shingle corpora keep this
-    near-linear; degenerate hot shingles are AQE-skew-join territory."""
-    sh = _shingles(spark, sf_dir).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        sa.join(sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("ns_b"))
-    jac = F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter"))
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    """Exact n-gram Jaccard pairs on documents (generic:
+    jaccard_pairs_exact)."""
+    return _as_doc_pairs(
+        jaccard_pairs_exact(load(spark, sf_dir).documents, "doc_id", "text")
     )

@@ -1,4 +1,6 @@
-"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+"""Similarity search over ``array<float>`` embedding columns — generic
+functions over any (id, vector) DataFrame; the registered queries
+instantiate them on the ``embeddings`` table (64-d) with oracle mirrors.
 
 Three tiers, mirroring how an ANN stack scales:
 
@@ -6,10 +8,10 @@ Three tiers, mirroring how an ANN stack scales:
   against the corpus. The corpus never shuffles; cost is a single
   map-side pass + per-query top-k. This is the correctness baseline
   and stays viable at 100 TB when the query set is small.
-* **hyperplane LSH** — 8 seeded random hyperplanes → 256 buckets;
-  search only the query's bucket. Deterministic (fixed projection
-  literals), so fully oracle-checkable — the scale path: bucket join
-  replaces the corpus scan per query.
+* **hyperplane LSH** — seeded random hyperplanes → 2^p buckets; search
+  only the query's bucket. Deterministic (fixed projection literals),
+  so fully oracle-checkable — the scale path: a bucket equi-join
+  replaces the per-query corpus scan.
 * **MLlib BucketedRandomProjectionLSH** — the built-in approx join,
   rows-only checked (its hash family isn't reproducible in SQL).
 
@@ -20,7 +22,7 @@ match DuckDB's list_inner_product.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -37,20 +39,124 @@ NEARDUP_COS = 0.4
 _PLANES = np.round(np.random.RandomState(42).standard_normal((N_PLANES, DIM)), 6)
 
 
-def _plane_lit(p: int) -> F.Column:
-    return F.array(*[F.lit(float(v)) for v in _PLANES[p]])
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    return np.round(np.random.RandomState(seed).standard_normal((n_planes, dim)), 6)
 
 
-def _bucket_expr(vcol: F.Column) -> F.Column:
-    """LSH bucket id: sign bit of each hyperplane projection."""
+def lsh_bucket_expr(vcol: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id (one bit per hyperplane)."""
     bits = [
-        F.when(V.dot(vcol, _plane_lit(p)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p in range(N_PLANES)
+        F.when(
+            V.dot(vcol, F.array(*[F.lit(float(x)) for x in planes[p]])) > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(planes.shape[0])
     ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic API
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "v",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: broadcast the (small)
+    query set against the corpus — corpus-side no shuffle. Returns
+    (q_id, neighbor_id, cosine, rn)."""
+    cos = V.dot(F.col(q_vec_col), F.col(vec_col)) / (
+        V.norm(F.col(q_vec_col)) * V.norm(F.col(vec_col))
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(queries), F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(id_col).alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_filter: Column,
+    planes: np.ndarray,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ANN top-k: bucket the corpus by sign-random-projection LSH, then
+    exact-rerank only within the query's bucket (candidates ≈ corpus /
+    2^planes). Returns (q_id, neighbor_id, cosine, rn)."""
+    b = corpus.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    q = b.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = V.dot(F.col("qv"), F.col(vec_col)) / (
+        V.norm(F.col("qv")) * V.norm(F.col(vec_col))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("q_id")),
+        )
+        .select("q_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding near-duplicate pairs with blocking: pairwise work is
+    confined to blocks (a label, an LSH bucket, a shard key), never a
+    global crossJoin. Returns (id_a, id_b, cosine)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("blk_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("blk_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (V.norm(F.col("va")) * V.norm(F.col("vb")))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (embeddings-table instantiations)
+# ---------------------------------------------------------------------------
 
 
 def _sql_dot(vec_expr: str, p: int) -> str:
@@ -73,6 +179,14 @@ _ORACLE_COS = (
 )
 
 
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir).embeddings.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        V.as_double(F.col("embedding")).alias("v"),
+    )
+
+
 @register(
     "knn_brute_force",
     headline=True,
@@ -89,25 +203,13 @@ _ORACLE_COS = (
     """,
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors for query vectors 0..4: broadcast
-    the tiny query set against the corpus — corpus-side no shuffle."""
-    e = load(spark, sf_dir).embeddings.select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    """Exact top-10 cosine neighbors for query vectors 0..4 (generic:
+    brute_force_topk)."""
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("id") < N_QUERIES).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    cos = V.dot(F.col("qv"), F.col("v")) / (
-        V.norm(F.col("qv")) * V.norm(F.col("v"))
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
-    )
+    return brute_force_topk(e, q, k=10)
 
 
 @register(
@@ -127,30 +229,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via deterministic sign-random-projection LSH: candidates are
-    only the query's bucket (≈ corpus/256), then exact cosine re-rank.
-    The scale path: an equi-join on bucket id replaces per-query scans."""
-    e = load(spark, sf_dir).embeddings.select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
-    )
-    b = e.withColumn("bucket", _bucket_expr(F.col("v")))
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-    )
-    cos = V.dot(F.col("qv"), F.col("v")) / (V.norm(F.col("qv")) * V.norm(F.col("v")))
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        b.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
-    )
+    """ANN via deterministic sign-random-projection LSH (generic:
+    lsh_topk)."""
+    return lsh_topk(_corpus(spark, sf_dir), F.col("id") < N_QUERIES, _PLANES, k=5)
 
 
 @register(
@@ -168,24 +249,12 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs with label blocking: pairwise work
-    is confined to blocks (here: label; at 100 TB: LSH bucket), never a
-    global crossJoin."""
-    e = load(spark, sf_dir).embeddings.select(
-        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("lbl_a"), F.col("v").alias("va")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lbl_b"), F.col("v").alias("vb")
-    )
-    cos = V.dot(F.col("va"), F.col("vb")) / (V.norm(F.col("va")) * V.norm(F.col("vb")))
-    return (
-        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= NEARDUP_COS)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    """Embedding near-dup pairs blocked by label (generic:
+    blocked_cosine_pairs; at 100 TB block on an LSH bucket instead)."""
+    return blocked_cosine_pairs(
+        _corpus(spark, sf_dir), "label", NEARDUP_COS
+    ).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
     )
 
 
@@ -203,9 +272,7 @@ def cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding profile (count, mean L2 norm, first-component
     range) — all map-side expression work + one aggregate."""
-    e = load(spark, sf_dir).embeddings.select(
-        "label", V.as_double(F.col("embedding")).alias("v")
-    )
+    e = _corpus(spark, sf_dir)
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(V.norm(F.col("v"))), 6).alias("avg_norm"),

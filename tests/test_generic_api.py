@@ -1,0 +1,71 @@
+"""The dedup/similarity operators are generic library functions — prove
+they work on arbitrary user DataFrames (not just the testdata tables),
+with planted ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.operators import dedup, similarity
+
+
+def test_exact_duplicates_generic(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "something else")],
+        "pk long, body string",
+    )
+    out = {r.keep_id: r.n_copies for r in
+           dedup.exact_duplicates(df, "pk", "body").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_near_duplicate_pairs_generic(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different text with no overlap whatsoever in any shingle run"
+    df = spark.createDataFrame(
+        [(10, base), (20, near), (30, far)], "pk long, body string"
+    )
+    pairs = dedup.near_duplicate_pairs(
+        df, "pk", "body", threshold=0.3, num_hashes=16, bands=8, rows_per_band=2
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(10, 20)]
+    assert 0.5 < pairs[0].jaccard < 1.0
+
+
+def test_simhash_generic_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta epsilon zeta")],
+        "pk long, body string",
+    )
+    hashes = {r.id: r.simhash for r in dedup.simhash_table(df, "pk", "body").collect()}
+    assert hashes[1] == hashes[2]  # order-invariant
+    assert hashes[1] != hashes[3]
+
+
+def test_brute_force_topk_generic(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = df.filter(F.col("id") == 0).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    out = similarity.brute_force_topk(df, q, k=3)
+    ranked = [r.neighbor_id for r in out.orderBy("rn").collect()]
+    assert ranked == [1, 2, 3]
+
+
+def test_blocked_cosine_pairs_generic(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.14]),   # same block, similar -> pair
+        (2, 1, [1.0, 0.0]),     # other block: never compared to 0
+        (3, 0, [0.0, 1.0]),     # same block, dissimilar
+    ]
+    df = spark.createDataFrame(rows, "id long, blk int, v array<double>")
+    pairs = similarity.blocked_cosine_pairs(df, "blk", 0.9).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
