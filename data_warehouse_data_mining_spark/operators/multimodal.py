@@ -58,6 +58,65 @@ def decode_image(payload: bytes) -> object:
     )
 
 
+RESIZED_SCHEMA = "doc_id bigint, mime string, payload binary, n_bytes int"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def resize_payloads(df_with_payload: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' operator: per-row payload → fixed-size payload.
+
+    The real implementation decodes + resamples (PIL/ffmpeg — absent in
+    this container); the stand-in truncates/pads bytes DETERMINISTICALLY
+    so the Spark contract — schema, batch shape, partition-preserving
+    map — is fully exercised and tested."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int32"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df_with_payload: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """'Frame sampling' operator: one payload row → n evenly-strided
+    frame rows (the video→frames fan-out shape: mapInPandas expanding
+    rows, output NOT 1:1 with input — the part worth testing).
+
+    The stand-in slices byte windows at even strides; a real decoder
+    would emit actual frames. Deterministic."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                stride = max(1, (len(b) - frame_bytes) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    start = min(i * stride, max(0, len(b) - frame_bytes))
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_frames.append(b[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return df_with_payload.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic byte-level featurizer (the fake 'decode' path).
 

@@ -219,8 +219,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard 100 TB TF-IDF shape.
     """
     tok = _tokens(spark, sf_dir).select("doc_id", "w")
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # tf has exactly one row per (doc, term), so df is a plain regroup of
+    # tf — no second tokenize+shuffle pass over the corpus
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load(spark, sf_dir).documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "w")

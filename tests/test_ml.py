@@ -123,3 +123,25 @@ def test_multimodal_feature_extract(spark):
     assert all(r.n_bytes > 0 and 0.0 <= r.printable_ratio <= 1.0 for r in rows)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from data_warehouse_data_mining_spark.operators.multimodal import (
+        resize_payloads,
+        sample_frames,
+        with_payload,
+    )
+
+    d = with_payload(load(spark, SF_SMALL).documents.limit(10))
+    resized = resize_payloads(d, target_bytes=32).collect()
+    assert len(resized) == 10
+    assert all(r.n_bytes == 32 and len(bytes(r.payload)) == 32 for r in resized)
+
+    frames = sample_frames(d, n_frames=4, frame_bytes=8).collect()
+    assert len(frames) == 40  # 1 row -> 4 frames
+    assert all(len(bytes(r.frame)) <= 8 for r in frames)
+    # deterministic: rerun yields identical bytes
+    frames2 = sample_frames(d, n_frames=4, frame_bytes=8).collect()
+    assert sorted((r.doc_id, r.frame_idx, bytes(r.frame)) for r in frames) == sorted(
+        (r.doc_id, r.frame_idx, bytes(r.frame)) for r in frames2
+    )

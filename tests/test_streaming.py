@@ -102,3 +102,27 @@ def test_stateful_running_totals(spark, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    """foreachBatch: the exactly-once custom-sink pattern — each
+    micro-batch written transactionally (here: parquet per epoch)."""
+    out = str(tmp_path / "sink")
+    from data_warehouse_data_mining_spark.streaming.windows import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(read_event_stream(spark, events_dir, watermark="365 days"))
+
+    def write_epoch(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(f"{out}/epoch=0")
+    batch = tumbling_counts(load(spark, SF_SMALL).events)
+    assert written.count() == batch.count()
