@@ -311,3 +311,32 @@ def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(map(['qty','price'], [l_quantity, l_extendedprice])['qty'][1]), 2)
+             AS sum_qty_via_map,
+           CAST(max(cardinality(map(['qty','price'], [l_quantity, l_extendedprice]))) AS INT)
+             AS map_size,
+           min(array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ','))
+             AS keys_csv
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface: create_map / element_at / size /
+    map_keys (DuckDB's map extraction yields a 1-element list, unwrapped
+    with [1] in the oracle)."""
+    li = load(spark, sf_dir).lineitem
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.element_at(m, "qty")), 2).alias("sum_qty_via_map"),
+        F.max(F.size(m)).alias("map_size"),
+        F.min(F.concat_ws(",", F.map_keys(m))).alias("keys_csv"),
+    )

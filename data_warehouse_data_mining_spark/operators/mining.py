@@ -122,3 +122,39 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "multires_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d %H:%M:%S') AS day,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(v), 2) AS total_value,
+           count(*) AS n_hours
+    FROM (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ) hourly
+    GROUP BY 1, 2
+    """,
+)
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is
+    REAGGREGATED from the hourly rollup, not recomputed from raw events
+    — the multi-resolution pattern that makes time-series dashboards
+    affordable at 100 TB (each resolution reads the previous one, ~24×
+    smaller)."""
+    e = load(spark, sf_dir).events
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("h")), _FMT).alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("v"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )

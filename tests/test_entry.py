@@ -43,3 +43,44 @@ def test_adhoc_sql_surface(spark):
     )
     rows = {r.o_orderstatus: r.n for r in df.collect()}
     assert sum(rows.values()) == 1500
+
+
+def test_approx_sketches_close_to_exact(spark):
+    """The sketch queries (rows-only) must stay within sane error of
+    their exact oracle-checked twins."""
+    from data_warehouse_data_mining_spark.operators.advanced import (
+        approx_quantiles_profile,
+    )
+    from data_warehouse_data_mining_spark.operators.relational import (
+        approx_distinct_parts,
+        distinct_count_by_group,
+        median_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    approx = approx_distinct_parts(spark, sf).collect()[0]
+    exact_parts = (
+        distinct_count_by_group(spark, sf)
+        .groupBy()
+        .sum("n_parts")
+        .collect()[0][0]
+    )
+    # n_parts summed over groups overcounts shared parts; just bound loosely
+    assert approx.approx_parts <= exact_parts
+    assert approx.approx_parts > 0
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+
+    exact_distinct = load(spark, sf).lineitem.select("l_partkey").distinct().count()
+    assert abs(approx.approx_parts - exact_distinct) / exact_distinct < 0.05
+
+    prof = {r.l_returnflag: r for r in approx_quantiles_profile(spark, sf).collect()}
+    exact_med = {
+        r.o_orderstatus: r.median_price for r in median_exact(spark, sf).collect()
+    }
+    li = load(spark, sf).lineitem
+    true_med = li.agg(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
+    for flag, row in prof.items():
+        assert abs(row.approx_median_price - true_med) / true_med < 0.25
