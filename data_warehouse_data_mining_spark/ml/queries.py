@@ -157,3 +157,39 @@ def class_weights_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("weight"), 6).alias("weight"),
     )
+
+
+@register("ml_weighted_logreg")
+def ml_weighted_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-weighted LogisticRegression (weightCol) — the zero-resample
+    rebalancing path (ml/balance.py::class_weights) feeding a weight-
+    aware estimator; compared against the unweighted AUC."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    data = _dataset(spark, sf_dir).withColumn(
+        "label", (F.col("label") == 1.0).cast("double")
+    )
+    # make it imbalanced: treat only a thin slice as positive
+    e = load(spark, sf_dir).embeddings
+    from pyspark.ml.functions import array_to_vector
+
+    imb = e.select(
+        "vec_id",
+        array_to_vector(V.as_double(F.col("embedding"))).alias("features"),
+        (F.col("label") >= 9).cast("double").alias("label"),
+    )
+    weighted = balance.class_weights(imb.withColumn("cls", F.col("label")), "cls").drop(
+        "cls"
+    )
+    train, test = weighted.randomSplit([0.7, 0.3], seed=SEED)
+    evaluator = BinaryClassificationEvaluator(labelCol="label")
+    plain = LogisticRegression(featuresCol="features", labelCol="label").fit(train)
+    wtd = LogisticRegression(
+        featuresCol="features", labelCol="label", weightCol="weight"
+    ).fit(train)
+    rows = [
+        ("unweighted", round(float(evaluator.evaluate(plain.transform(test))), 4)),
+        ("class_weighted", round(float(evaluator.evaluate(wtd.transform(test))), 4)),
+    ]
+    return spark.createDataFrame(rows, "variant string, auc double")

@@ -1,0 +1,128 @@
+"""Pandas-UDF surface: vectorized scalar UDFs, grouped-aggregate UDAFs,
+and an iterative DataFrame algorithm.
+
+The engine's position (SURVEY.md §4): hot paths stay UDF-free; when
+Python IS needed, it's Arrow-batched pandas UDFs, never row-at-a-time.
+These queries prove the full UDF/UDAF surface works — and that even a
+Python UDAF can stay oracle-checkable when its math has a SQL twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+
+@register(
+    "pandas_udaf_gmean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(1 + value))) - 1, 4) AS gmean_value,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pandas_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (vectorized UDAF): shifted geometric
+    mean of event values per type. The UDAF's math (expm1∘mean∘log1p)
+    has an exact SQL twin, so even the Python path is oracle-checked.
+    Arrow ships each group's column once; no Python-per-row cost."""
+
+    @F.pandas_udf("double")
+    def gmean(v: pd.Series) -> float:
+        return float(np.expm1(np.log1p(v.to_numpy()).mean()))
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # pandas UDAFs can't mix with built-in aggregates in one agg —
+        # the row count rides the same Arrow batch instead
+        return len(v)
+
+    e = load(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.round(gmean("value"), 4).alias("gmean_value"),
+        n_rows("value").alias("n"),
+    )
+
+
+@register(
+    "pandas_scalar_udf_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT avg(value) AS mu, stddev(value) AS sigma FROM events
+    )
+    SELECT event_type,
+           round(sum(abs((value - mu) / sigma)), 2) AS sum_abs_z,
+           count(*) FILTER (WHERE abs((value - mu) / sigma) > 1.5) AS n_outliers
+    FROM events, stats
+    GROUP BY event_type
+    """,
+)
+def pandas_scalar_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: z-score against broadcast global
+    stats, then outlier counting. (A built-in expression would do this
+    too — the point is the Arrow scalar-UDF path, oracle-checked.)"""
+    e = load(spark, sf_dir).events
+    stats = e.agg(F.avg("value").alias("mu"), F.stddev("value").alias("sigma"))
+
+    @F.pandas_udf("double")
+    def zscore(v: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (v - mu) / sigma
+
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .withColumn("z", zscore("value", "mu", "sigma"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.abs(F.col("z"))), 2).alias("sum_abs_z"),
+            F.count(F.when(F.abs(F.col("z")) > 1.5, 1)).alias("n_outliers"),
+        )
+    )
+
+
+@register("markov_stationary_distribution")
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative DataFrame algorithm (rows-only: fixed-point loops are
+    not single-statement SQL): power iteration on the event-type
+    transition matrix from event_sequence_bigrams → the stationary
+    distribution of the user-behavior Markov chain.
+
+    Each iteration is one broadcast join + aggregate on a k×k matrix
+    (k = #event types) — driver only orchestrates; at 100 TB the
+    transition matrix is still tiny, the expensive part (bigram
+    extraction) runs once."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        event_sequence_bigrams,
+    )
+
+    bigrams = event_sequence_bigrams(spark, sf_dir)
+    totals = bigrams.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    trans = (
+        bigrams.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            (F.col("n") / F.col("total")).alias("p"),
+        )
+    ).cache()
+
+    states = trans.select(F.col("prev_type").alias("state")).distinct()
+    n_states = states.count()
+    rank = states.withColumn("prob", F.lit(1.0 / n_states))
+
+    for _ in range(12):
+        rank = (
+            trans.join(
+                F.broadcast(rank), F.col("prev_type") == F.col("state")
+            )
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("prob")).alias("prob"))
+        )
+
+    return rank.select("state", F.round("prob", 6).alias("stationary_prob"))

@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        udfs,
         windows,
     )
     from data_warehouse_data_mining_spark.streaming import windows as stream_windows  # noqa: F401
