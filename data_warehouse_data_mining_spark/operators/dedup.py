@@ -425,3 +425,106 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_doc_pairs(
         jaccard_pairs_exact(load(spark, sf_dir).documents, "doc_id", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (node, component) where component = min node id reachable.
+
+    Each iteration is one shuffle join + aggregate; the loop stops as
+    soon as labels are stable. Dedup pair-graphs are shallow (clusters
+    of copies), so convergence is fast; ``max_iters`` bounds adversarial
+    chains. The classic alternating big-star/small-star optimization
+    drops in here if components get deep at 100 TB.
+    """
+    bi = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        bi.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            bi.join(labels, bi["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+@register(
+    "neardup_clusters",
+    oracle="WITH RECURSIVE "
+    + _ORACLE_SHINGLES
+    + ", "
+    + _ORACLE_MINHASH
+    + ", "
+    + _oracle_bands()
+    + ", "
+    + _ORACLE_CANDIDATES
+    + f""",
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph (generic: connected_components). The oracle mirrors the
+    iterative Spark loop with a recursive CTE — same fixpoint, so the
+    results hash-match. Output: (doc_id, cluster_id) for every doc in a
+    near-dup cluster of size ≥ 2."""
+    pairs = near_duplicate_pairs(load(spark, sf_dir).documents, "doc_id", "text")
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

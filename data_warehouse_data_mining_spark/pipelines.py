@@ -1,0 +1,138 @@
+"""End-to-end LLM training-corpus pipeline: the north-star operators
+composed into one flow —
+
+    ingest → quality score → quality filter → exact dedup →
+    near-dup removal (MinHash-LSH) → per-slice accounting
+
+Every stage is one of the engine's tested operators (operators/text.py
+formulas, operators/dedup.py dedup family), so the COMPOSITION is also
+fully deterministic and oracle-checkable — the registered query's DuckDB
+mirror rebuilds the identical pipeline in SQL.
+
+At 100 TB each stage is the documented scale shape of its operator; the
+pipeline adds no new shuffles beyond them, and intermediate corpora
+would be staged to parquet between phases (here the optimizer pipelines
+them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.operators import dedup
+from data_warehouse_data_mining_spark.registry import register
+
+QUALITY_MIN = 3.0
+STOPWORDS = ("the", "a")
+
+
+def quality_scored(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Attach n_tokens / stopword_ratio / quality (same formula as
+    operators/text.py::text_quality_scores) to each row."""
+    tok = df.select(
+        F.col(id_col).alias("qid"), F.explode(F.split(text_col, " ")).alias("w")
+    )
+    per_doc = tok.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("stop_ratio"),
+    )
+    per_doc = per_doc.withColumn(
+        "quality", F.log(1 + F.col("n_tokens")) * (1 - F.col("stop_ratio"))
+    )
+    return df.join(per_doc, df[id_col] == per_doc["qid"]).drop("qid")
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = QUALITY_MIN,
+    neardup_threshold: float = dedup.JACCARD_THRESHOLD,
+) -> DataFrame:
+    """The cleaned corpus: quality-filtered, exact-deduped (keep min id),
+    near-dup-removed (keep the lower id of each near-dup pair)."""
+    scored = quality_scored(df, id_col, text_col)
+    good = scored.filter(F.col("quality") >= quality_min)
+
+    keepers = dedup.exact_duplicates(good, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact_kept = good.join(keepers, id_col)
+
+    near = dedup.near_duplicate_pairs(
+        exact_kept, id_col, text_col, threshold=neardup_threshold
+    )
+    drop = near.select(F.col("id_b").alias(id_col)).distinct()
+    return exact_kept.join(drop, id_col, "left_anti")
+
+
+@register(
+    "llm_corpus_clean",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS stop_ratio
+      FROM tok GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.*, p.n_tokens,
+             ln(1 + p.n_tokens) * (1 - p.stop_ratio) AS quality
+      FROM documents d JOIN per_doc p USING (doc_id)
+    ),
+    good AS (SELECT * FROM scored WHERE quality >= {QUALITY_MIN}),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+    exact_kept AS (SELECT g.* FROM good g JOIN keepers USING (doc_id)),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM exact_kept),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2] AS shingle
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos
+            FROM words WHERE len(ws) >= 3)
+    ),
+    {dedup._ORACLE_MINHASH},
+    {dedup._oracle_bands()},
+    {dedup._ORACLE_CANDIDATES},
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    removed AS (
+      SELECT DISTINCT i.doc_b AS doc_id
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter) >= {dedup.JACCARD_THRESHOLD}
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+    GROUP BY lang, source
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus pipeline on documents, reported per
+    (lang, source) slice — quality filter + exact dedup + MinHash-LSH
+    near-dup removal composed; the oracle rebuilds the identical
+    pipeline in SQL, so the entire composition is hash-checked."""
+    cleaned = clean_corpus(load(spark, sf_dir).documents)
+    return cleaned.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
