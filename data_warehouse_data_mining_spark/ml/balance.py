@@ -25,8 +25,6 @@ pandas batch; buckets bound the n² inside each task.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame

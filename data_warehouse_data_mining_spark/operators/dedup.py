@@ -24,7 +24,7 @@ smote_sampling.py:9); everything else is north-star extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load

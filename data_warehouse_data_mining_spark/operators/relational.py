@@ -958,3 +958,46 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
         .limit(25)
     )
+
+
+@register(
+    "boolean_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0)      AS all_positive_qty,
+           bool_or(l_discount > 0.09)    AS any_high_discount,
+           count_if(l_tax = 0)           AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and / bool_or / count_if."""
+    li = load(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+@register(
+    "string_agg_per_group",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses_csv,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): deterministic via sorted
+    distinct collection."""
+    o = load(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses_csv"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )

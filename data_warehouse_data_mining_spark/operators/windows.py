@@ -205,3 +205,33 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank / cume_dist /
+    nth_value (unique ordering keys keep all three deterministic)."""
+    o = load(spark, sf_dir).orders
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("second_cheapest"),
+    )
