@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 from data_warehouse_data_mining_spark.catalog import load
 from data_warehouse_data_mining_spark.registry import register
 
+
+def money_sum(expr: F.Column, scale: int = 4, round_to: int = 2) -> F.Column:
+    """Exact money aggregation: route the sum through DECIMAL.
+
+    Revenue expressions like price*(1-discount) are exact 4-decimal
+    rationals; summing them as doubles then round(·, 2) hits exact .xx5
+    ties ~1% of the time, where double tie-breaking diverges between
+    engines. Casting each term to DECIMAL(28,scale) recovers the exact
+    rational (double error ≪ half-tick), the decimal sum is exact, and
+    both Spark and DuckDB round decimal ties half-away-from-zero — so
+    the rounded result is bit-identical. Final cast back to DOUBLE for a
+    stable output schema. Oracle twin:
+    ``CAST(round(sum(CAST(expr AS DECIMAL(28,s))), 2) AS DOUBLE)``.
+    """
+    return (
+        F.round(F.sum(expr.cast(f"decimal(28,{scale})")), round_to)
+        .cast("double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -36,8 +56,10 @@ from data_warehouse_data_mining_spark.registry import register
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
+                AS DOUBLE)                                                  AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(28,6))), 2) AS DOUBLE)             AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
            round(avg(l_extendedprice), 6)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -61,8 +83,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(disc_price, 4).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -74,7 +96,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_forecast",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -92,7 +115,7 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.04, 0.08))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
     )
 
 
@@ -280,7 +303,8 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -315,7 +339,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -1000,4 +1024,161 @@ def string_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses_csv"
         ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: top unshipped-revenue orders for
+    one segment — join + agg + deterministic top-k (unique tiebreak)."""
+    t = load(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t.orders.filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    li = t.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promo revenue share: LIKE predicate inside a
+    conditional aggregate over a broadcast dimension join."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(t.part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_custkey, count(DISTINCT o_orderkey) AS n_big_orders,
+           round(sum(big.qty), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 180) big
+      ON big.l_orderkey = o_orderkey
+    GROUP BY c_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume customers: HAVING-filtered aggregate
+    subquery joined back to the customer axis."""
+    t = load(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 180)
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_big_orders"),
+            F.round(F.sum("qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
+                AS DOUBLE) AS lost_revenue,
+           count(*) AS n_returned_lines
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_mktsegment
+    HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) > 100000
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item report: revenue lost to returns per
+    customer, HAVING-thresholded."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t.lineitem.filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(rev.cast("decimal(28,4)")).alias("raw_rev"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .filter(F.col("raw_rev") > 100000)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("raw_rev", 2).cast("double").alias("lost_revenue"),
+            "n_returned_lines",
+        )
     )
