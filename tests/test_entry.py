@@ -84,3 +84,24 @@ def test_approx_sketches_close_to_exact(spark):
     true_med = li.agg(F.percentile("l_extendedprice", F.lit(0.5))).collect()[0][0]
     for flag, row in prof.items():
         assert abs(row.approx_median_price - true_med) / true_med < 0.25
+
+
+def test_money_sum_paths_agree(spark):
+    """The fast fixed-point money sum and the decimal money sum must
+    produce identical rounded values (both exact by construction)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.relational import (
+        money_sum,
+        money_sum_fast,
+    )
+
+    li = load(spark, "/root/testdata/sf0.001").lineitem
+    expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = li.groupBy("l_returnflag").agg(
+        money_sum(expr, 4).alias("dec"),
+        money_sum_fast(expr, 4).alias("fast"),
+    )
+    rows = out.collect()
+    assert rows and all(r.dec == r.fast for r in rows)
