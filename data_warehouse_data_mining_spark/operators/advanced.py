@@ -340,3 +340,78 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.size(m)).alias("map_size"),
         F.min(F.concat_ws(",", F.map_keys(m))).alias("keys_csv"),
     )
+
+
+@register(
+    "scalar_subquery_sql",
+    oracle="""
+    SELECT o_orderkey,
+           strftime((SELECT max(l_shipdate) FROM lineitem
+                     WHERE l_orderkey = o_orderkey), '%Y-%m-%d %H:%M:%S')
+             AS last_ship,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries (Catalyst rewrites each into a left
+    outer aggregate join — the de-correlation rule the optimizer owes a
+    warehouse workload)."""
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               date_format((SELECT max(l_shipdate) FROM lineitem
+                            WHERE l_orderkey = o_orderkey), 'yyyy-MM-dd HH:mm:ss')
+                 AS last_ship,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+        FROM orders
+        WHERE o_orderkey <= 2000
+        """
+    )
+
+
+@register(
+    "lateral_topn_per_nation",
+    oracle="""
+    SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+    FROM nation,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+    """,
+)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table) join: top-2 customers per nation by
+    balance — the per-row-subquery surface (Catalyst plans it as a
+    ranked window join, same as topk_per_group)."""
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
+        FROM nation,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        """
+    )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — duplicate multiplicity is
+    min(left, right), unlike the distinct set_intersect)."""
+    o = load(spark, sf_dir).orders
+    a = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)

@@ -126,3 +126,72 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
     written = spark.read.parquet(f"{out}/epoch=0")
     batch = tumbling_counts(load(spark, SF_SMALL).events)
     assert written.count() == batch.count()
+
+
+def test_streaming_session_windows_finalize(spark, tmp_path):
+    """Session windows in a REAL watermarked stream: two micro-batches
+    (maxFilesPerTrigger=1); the second batch advances the watermark past
+    the first batch's sessions, which are then finalized and emitted in
+    append mode — and must equal the batch sessionization of batch-1."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.streaming.windows import session_windows
+
+    ev = load(spark, SF_SMALL).events
+    t_split = "2024-01-05 00:00:00"
+    t_resume = "2024-01-20 00:00:00"
+    batch1 = ev.filter(F.col("ts") < F.lit(t_split).cast("timestamp"))
+    batch2 = ev.filter(F.col("ts") >= F.lit(t_resume).cast("timestamp"))
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for i, b in enumerate([batch1, batch2]):
+        tmp_out = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        shutil.copy(part, staged / f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(str(staged)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        session_windows(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    batch1_sessions = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in session_windows(batch1).collect()
+    }
+    batch2_sessions = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in session_windows(batch2).collect()
+    }
+    # batch-1 sessions MUST all be finalized (the batch-2 watermark jump
+    # passed them); emitted sessions can only come from real per-batch
+    # sessionizations; the only sessions allowed to be missing are
+    # batch-2 sessions still open near the stream's end (inside the
+    # watermark delay).
+    assert batch1_sessions <= emitted
+    assert emitted <= batch1_sessions | batch2_sessions
+    still_open = (batch1_sessions | batch2_sessions) - emitted
+    max_ts = max(s[3] for s in batch2_sessions)
+    assert all(s[3] >= "2024-01-29" for s in still_open), still_open
+    assert len(emitted) > 0 and max_ts >= "2024-01-29"
