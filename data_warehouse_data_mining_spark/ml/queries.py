@@ -193,3 +193,70 @@ def ml_weighted_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("class_weighted", round(float(evaluator.evaluate(wtd.transform(test))), 4)),
     ]
     return spark.createDataFrame(rows, "variant string, auc double")
+
+
+@register("ml_kmeans_clusters")
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded KMeans over the embeddings (the coarse quantizer behind
+    ann_ivf_kmeans, surfaced as a first-class clustering op): per-cluster
+    size and within-cluster mean distance. Rows-only (iterative fit)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    ).withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=8, seed=SEED, featuresCol="features", predictionCol="cluster").fit(e)
+    assigned = model.transform(e)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, center array<double>",
+    )
+    diff = F.zip_with("v", "center", lambda a, b: a - b)
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        assigned.join(F.broadcast(centers), "cluster")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(dist), 4).alias("avg_center_dist"),
+        )
+    )
+
+
+@register("ml_smote_then_train")
+def ml_smote_then_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full balancing study end-to-end, distributed:
+    imbalanced data -> distributed SMOTE -> train LR -> AUC, compared to
+    training on the raw imbalance (reference: stroke_predict.py:116-157,
+    where the SMOTE call was broken and never actually ran — here it
+    does)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings
+    data = e.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("varr"),
+        (F.col("label") >= 9).cast("int").alias("cls"),
+    )
+    train_raw, test_raw = data.randomSplit([0.7, 0.3], seed=SEED)
+    balanced_train = balance.smote(
+        train_raw, id_col="vec_id", features_col="varr", label_col="cls",
+        minority_label=1, k=5, oversample_ratio=4,
+    )
+
+    def prep(df):
+        return df.select(
+            array_to_vector("varr").alias("features"),
+            F.col("cls").cast("double").alias("label"),
+        )
+
+    evaluator = BinaryClassificationEvaluator(labelCol="label")
+    test = prep(test_raw)
+    rows = []
+    for variant, tr in [("imbalanced", prep(train_raw)), ("smote_balanced", prep(balanced_train))]:
+        model = LogisticRegression(featuresCol="features", labelCol="label").fit(tr)
+        rows.append((variant, round(float(evaluator.evaluate(model.transform(test))), 4)))
+    return spark.createDataFrame(rows, "variant string, auc double")

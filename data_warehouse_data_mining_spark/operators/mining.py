@@ -158,3 +158,53 @@ def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 2).alias("total_value"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+             round(sum(value), 2) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           coalesce(n, 0) AS n,
+           coalesce(total, 0.0) AS total
+    FROM hours LEFT JOIN actual ON actual.h = hours.hour_start
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series from sparse events: generate the full hourly
+    spine (sequence + explode) and left-join the actual aggregates, so
+    silent gaps become explicit zeros — the prerequisite for any
+    window/forecast model over event data. The spine generation is one
+    row → N, driver-free."""
+    e = load(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    actual = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.round(F.sum("value"), 2).alias("total_raw"),
+    )
+    return (
+        hours.join(actual, F.col("hour_start") == F.col("h"), "left")
+        .select(
+            F.date_format("hour_start", _FMT).alias("hour_start"),
+            F.coalesce(F.col("n_raw"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total_raw"), F.lit(0.0)).alias("total"),
+        )
+    )

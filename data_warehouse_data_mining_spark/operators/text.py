@@ -1,16 +1,17 @@
-"""Text-analysis operators over the ``documents`` table (BASELINE.json
-north star: language-ID, quality scoring, token counting, document
-fingerprinting, TF-IDF).
+"""Text-analysis operators (BASELINE.json north star: language-ID,
+quality scoring, token counting, document fingerprinting, TF-IDF) —
+generic over any (id, text) DataFrame; the registered queries
+instantiate them on ``documents`` with exact DuckDB oracles.
 
 Everything is built-in expression work (split/filter/aggregate over
-arrays, md5) — zero Python UDFs in any hot path — and every query has
-an exact DuckDB oracle. Oracles operate on an exploded token CTE rather
-than list lambdas for maximum ANSI portability.
+arrays, md5) — zero Python UDFs in any hot path. Oracles operate on an
+exploded token CTE rather than list lambdas for maximum ANSI
+portability.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -29,18 +30,132 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "zh": ("spark", "vector"),
 }
 
+# ---------------------------------------------------------------------------
+# Generic API (any DataFrame, any columns)
+# ---------------------------------------------------------------------------
+
+
+def token_table(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, [extra...], w): exploded whitespace tokens; the input is
+    repartitioned off coarse files so tokenization uses all cores (see
+    operators/dedup.py::shingle_table)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.explode(F.split(text_col, " ")).alias("w"),
+    )
+
+
+def token_stats(tokens: DataFrame) -> DataFrame:
+    """(id, n_tokens, n_distinct, n_subwords, type_token_ratio) — BPE-ish
+    subword estimate = ceil(len/4) pieces per word."""
+    return tokens.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.sum(F.ceil(F.length("w") / 4.0)).cast("bigint").alias("n_subwords"),
+        F.round(F.countDistinct("w") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
+    )
+
+
+def quality_scores(
+    tokens: DataFrame, stopwords: tuple[str, ...] = STOPWORDS
+) -> DataFrame:
+    """(id, n_tokens, avg_word_len, stopword_ratio, quality) with
+    quality = ln(1+n_tokens)·(1−stopword_ratio)."""
+    per_doc = tokens.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.length("w")).alias("awl"),
+        (
+            F.sum(F.when(F.col("w").isin(*stopwords), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("sr"),
+    )
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        F.round("awl", 6).alias("avg_word_len"),
+        F.round("sr", 6).alias("stopword_ratio"),
+        F.round(F.log(1 + F.col("n_tokens")) * (1 - F.col("sr")), 6).alias("quality"),
+    )
+
+
+def langid_scores(
+    tokens: DataFrame, profiles: dict[str, tuple[str, ...]] = LANG_PROFILES
+) -> DataFrame:
+    """(id, [extra...], predicted_lang): keyword-profile scores → argmax
+    with the profile-dict order as a fixed tie-break. Profiles broadcast
+    implicitly (they are literals inside the plan)."""
+    extra = [c for c in tokens.columns if c not in ("id", "w")]
+    scores = tokens.groupBy("id", *extra).agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*ws), 1).otherwise(0)).alias(f"s_{lg}")
+            for lg, ws in profiles.items()
+        ]
+    )
+    langs = list(profiles)
+    pred = None
+    for i, lg in enumerate(langs[:-1]):
+        cond = None
+        for o in langs[i + 1 :]:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    pred = pred.otherwise(langs[-1])
+    return scores.withColumn("predicted_lang", pred).drop(
+        *[f"s_{lg}" for lg in langs]
+    )
+
+
+def fingerprint_expr(text_col: Column) -> Column:
+    """Canonicalization fingerprint: md5 over the sorted distinct token
+    set — word-order / repetition insensitive dedup key."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(text_col, " "))), " "))
+
+
+def tfidf_top_terms_table(
+    tokens: DataFrame, n_docs: DataFrame, top_k: int = 5
+) -> DataFrame:
+    """(id, term, tfidf, rank): smoothed-IDF TF-IDF, top-k per document.
+
+    df is a plain regroup of the tf table (one row per (doc, term)), so
+    the corpus is tokenized exactly once; tf persists across its two
+    consumers — the standard 100 TB TF-IDF shape.
+    """
+    tf = tokens.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            F.col("w").alias("term"),
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "term", F.round("score", 6).alias("tfidf"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (documents-table instantiations)
+# ---------------------------------------------------------------------------
+
 _ORACLE_TOK = """
     tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
 """
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition: the corpus arrives as one unsplittable file; tokenize
-    # on all cores (see operators/dedup.py::_shingles)
-    d = load(spark, sf_dir).documents.repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_table(load(spark, sf_dir).documents, "doc_id", "text", ["lang"])
 
 
 def _sql_in(words: tuple[str, ...]) -> str:
@@ -61,15 +176,8 @@ def _sql_in(words: tuple[str, ...]) -> str:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct types, a BPE-ish
-    subword estimate (ceil(len/4) pieces per word), type-token ratio."""
-    tok = _tokens(spark, sf_dir)
-    return tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("w").alias("n_distinct"),
-        F.sum(F.ceil(F.length("w") / 4.0)).cast("bigint").alias("n_subwords"),
-        F.round(F.countDistinct("w") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
-    )
+    """Token counting on documents (generic: token_stats)."""
+    return token_stats(_doc_tokens(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
 
 @register(
@@ -94,23 +202,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/stopword-ratio heuristics composed into a
-    single score (the reference has no text surface; this is north-star)."""
-    tok = _tokens(spark, sf_dir)
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.avg(F.length("w")).alias("awl"),
-        (
-            F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0)) / F.count(F.lit(1))
-        ).alias("sr"),
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        F.round("awl", 6).alias("avg_word_len"),
-        F.round("sr", 6).alias("stopword_ratio"),
-        F.round(F.log(1 + F.col("n_tokens")) * (1 - F.col("sr")), 6).alias("quality"),
-    )
+    """Quality scoring on documents (generic: quality_scores)."""
+    return quality_scores(_doc_tokens(spark, sf_dir)).withColumnRenamed("id", "doc_id")
 
 
 def _langid_case_sql(score: dict[str, str]) -> str:
@@ -142,27 +235,10 @@ def _langid_case_sql(score: dict[str, str]) -> str:
     """,
 )
 def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword-profile language-ID: per-language token-hit scores →
-    fixed-tie-break argmax → confusion table against the labeled lang.
-    One explode + two aggregates; at 100 TB the profiles broadcast."""
-    tok = _tokens(spark, sf_dir)
-    scores = tok.groupBy("doc_id", "lang").agg(
-        *[
-            F.sum(F.when(F.col("w").isin(*ws), 1).otherwise(0)).alias(f"s_{lg}")
-            for lg, ws in LANG_PROFILES.items()
-        ]
-    )
-    langs = list(LANG_PROFILES)
-    pred = None
-    for i, lg in enumerate(langs[:-1]):
-        cond = None
-        for o in langs[i + 1 :]:
-            c = F.col(f"s_{lg}") >= F.col(f"s_{o}")
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
-    pred = pred.otherwise(langs[-1])
+    """Language-ID on documents (generic: langid_scores), reported as a
+    confusion table against the labeled lang column."""
     return (
-        scores.withColumn("predicted_lang", pred)
+        langid_scores(_doc_tokens(spark, sf_dir))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -178,16 +254,10 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Key-collision fingerprint: md5 over the sorted distinct token
-    set — canonicalization-based dedup key (word order / repetition
-    insensitive)."""
+    """Canonicalization fingerprints on documents (generic:
+    fingerprint_expr)."""
     d = load(spark, sf_dir).documents
-    return d.select(
-        "doc_id",
-        F.md5(
-            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
-        ).alias("fingerprint"),
-    )
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
 @register(
@@ -212,34 +282,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF with smoothed IDF, top-5 terms per document.
-
-    df is a broadcastable vocabulary aggregate; the doc-term matrix
-    never leaves its shuffle partitioning — the same plan is the
-    standard 100 TB TF-IDF shape.
-    """
-    tok = _tokens(spark, sf_dir).select("doc_id", "w")
-    # tf has exactly one row per (doc, term), so df is a plain regroup of
-    # tf — no second tokenize+shuffle pass over the corpus
-    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
-    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    """TF-IDF top-5 terms per document (generic: tfidf_top_terms_table)."""
+    tokens = _doc_tokens(spark, sf_dir).select("id", "w")
     n_docs = load(spark, sf_dir).documents.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "w")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            F.col("w").alias("term"),
-            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias(
-                "score"
-            ),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rank")
+    return tfidf_top_terms_table(tokens, n_docs, top_k=5).withColumnRenamed(
+        "id", "doc_id"
     )
 
 

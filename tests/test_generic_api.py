@@ -69,3 +69,30 @@ def test_blocked_cosine_pairs_generic(spark):
     df = spark.createDataFrame(rows, "id long, blk int, v array<double>")
     pairs = similarity.blocked_cosine_pairs(df, "blk", 0.9).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_text_generic_api(spark):
+    from data_warehouse_data_mining_spark.operators.text import (
+        fingerprint_expr,
+        quality_scores,
+        token_stats,
+        token_table,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "the the the gamma")],
+        "pk long, body string",
+    )
+    toks = token_table(df, "pk", "body")
+    stats = {r.id: (r.n_tokens, r.n_distinct) for r in token_stats(toks).collect()}
+    assert stats == {1: (3, 2), 2: (4, 2)}
+
+    q = {r.id: r.stopword_ratio for r in quality_scores(toks).collect()}
+    assert q[2] == 0.75  # three 'the' of four tokens
+
+    fp = {r.pk: r.f for r in df.select("pk", fingerprint_expr(F.col("body")).alias("f")).collect()}
+    # same token set ignoring order/repetition -> same fingerprint
+    df2 = spark.createDataFrame([(3, "beta alpha")], "pk long, body string")
+    fp3 = df2.select(fingerprint_expr(F.col("body")).alias("f")).collect()[0].f
+    assert fp[1] == fp3
