@@ -1,0 +1,186 @@
+"""Data-quality / validation operators: the constraint checks a
+warehouse runs before trusting a load — referential integrity,
+key uniqueness, domain ranges, arrival-order auditing, fuzzy key
+matching. All single-pass or single-join shapes, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS fk, count(*) AS n_orphans
+    FROM orders WHERE NOT EXISTS
+      (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders', count(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part', count(*)
+    FROM lineitem WHERE NOT EXISTS
+      (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan counts via anti-joins (dimension side
+    broadcastable; the fact side never moves more than once)."""
+    t = load(spark, sf_dir)
+    checks = [
+        ("orders.o_custkey -> customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ("lineitem.l_orderkey -> orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem.l_partkey -> part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+    ]
+    out = None
+    for label, fact, fk, dim, pk in checks:
+        orphans = (
+            fact.join(dim.select(pk), fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
+
+
+@register(
+    "dq_key_uniqueness",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_col,
+           count(*) - count(DISTINCT o_orderkey) AS n_duplicate_rows
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber)
+    FROM lineitem
+    UNION ALL
+    SELECT 'documents.doc_id', count(*) - count(DISTINCT doc_id) FROM documents
+    """,
+)
+def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness: duplicate-row counts per declared key
+    (composite keys via an injective encoding)."""
+    t = load(spark, sf_dir)
+    rows = [
+        ("orders.o_orderkey",
+         t.orders.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("d"))),
+        ("lineitem.(l_orderkey,l_linenumber)",
+         t.lineitem.agg((F.count(F.lit(1)) - F.countDistinct(
+             F.col("l_orderkey") * 100 + F.col("l_linenumber"))).alias("d"))),
+        ("documents.doc_id",
+         t.documents.agg((F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("d"))),
+    ]
+    out = None
+    for label, agg in rows:
+        part = agg.select(F.lit(label).alias("key_col"), F.col("d").alias("n_duplicate_rows"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "dq_domain_ranges",
+    oracle="""
+    SELECT count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS bad_discount,
+           count(*) FILTER (WHERE l_quantity <= 0)                    AS bad_quantity,
+           count(*) FILTER (WHERE l_tax < 0)                          AS bad_tax,
+           count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+                               OR l_shipdate > TIMESTAMP '2030-01-01 00:00:00')
+                                                                      AS bad_shipdate
+    FROM lineitem
+    """,
+)
+def dq_domain_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/range constraint violations in ONE scan (batched
+    conditional counts — never one job per rule)."""
+    li = load(spark, sf_dir).lineitem
+    return li.agg(
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)).alias(
+            "bad_discount"
+        ),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_quantity"),
+        F.count(F.when(F.col("l_tax") < 0, 1)).alias("bad_tax"),
+        F.count(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("bad_shipdate"),
+    )
+
+
+@register(
+    "out_of_order_events",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE ts < max_prior_ts) AS n_out_of_order
+    FROM (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prior_ts
+      FROM events
+    ) t
+    GROUP BY user_id
+    """,
+)
+def out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order audit: events whose event time precedes an earlier
+    arrival (event_id = arrival order) — the lateness profile that sizes
+    streaming watermarks."""
+    e = load(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn("max_prior_ts", F.max("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("ts") < F.col("max_prior_ts"), 1)).alias(
+                "n_out_of_order"
+            ),
+        )
+    )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching: Levenshtein-close name pairs, blocked by
+    brand so the pairwise work stays within blocks (the edit-distance
+    cousin of the dedup family)."""
+    p = load(spark, sf_dir).part
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("brand_a") == F.col("brand_b")) & (F.col("part_a") < F.col("part_b")))
+        .filter(dist <= 2)
+        .select("part_a", "part_b", dist.alias("edit_distance"))
+    )

@@ -309,3 +309,41 @@ def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.round(F.sum("n_chars"), 2).alias("total_chars"),
     )
+
+
+@register(
+    "rolling_hash_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS rhash
+    FROM documents
+    """,
+)
+def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp base-31 mod 1e9+7) over the
+    raw character stream — the content-defined fingerprint family
+    (md5-based fingerprints hash the SET; this hashes the SEQUENCE).
+    Pure fold expressions on both engines: Spark aggregate() mirrors
+    DuckDB list_reduce's first-element-seeded fold exactly."""
+    d = load(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              slice(transform(sequence(1, length(text)),
+                              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                    2, greatest(length(text) - 1, 0)),
+              element_at(transform(sequence(1, length(text)),
+                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), 1),
+              (a, b) -> (a * 31 + b) % 1000000007
+            )
+            """
+        ).alias("rhash"),
+    )

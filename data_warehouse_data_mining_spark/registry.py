@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         dedup,
         mining,
         multimodal,
+        quality,
         relational,
         similarity,
         text,
