@@ -51,3 +51,38 @@ def test_no_cartesian_in_registry(spark):
             continue  # model fitting plans are MLlib-internal
         plan = explain.formatted_plan(q.builder(spark, SF_SMALL))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_similarity_broadcasts_query_side(spark):
+    """ANN/kNN must broadcast the tiny query set — the corpus side may
+    never shuffle for the join."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        ann_lsh_hyperplane,
+        knn_brute_force,
+    )
+
+    for df in (knn_brute_force(spark, SF_SMALL), ann_lsh_hyperplane(spark, SF_SMALL)):
+        plan = explain.formatted_plan(df)
+        assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or \
+               "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins, not materialized
+    subqueries."""
+    from data_warehouse_data_mining_spark.operators.relational import (
+        anti_join_customers,
+        semi_join_customers,
+    )
+
+    assert "LeftSemi" in explain.formatted_plan(semi_join_customers(spark, SF_SMALL))
+    assert "LeftAnti" in explain.formatted_plan(anti_join_customers(spark, SF_SMALL))
+
+
+def test_partial_aggregation_present(spark):
+    """groupBy aggregates must have a map-side partial phase (the
+    partial+final split that bounds shuffle volume at 100 TB)."""
+    from data_warehouse_data_mining_spark.operators.relational import value_counts
+
+    plan = explain.formatted_plan(value_counts(spark, SF_SMALL))
+    assert "partial_count" in plan or "partial_" in plan
