@@ -5,13 +5,16 @@ ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect cost, no result materialization skew).
+no driver collect cost, no result materialization skew) and timed as
+the MEDIAN of 3 runs after a warm-up pass, so GC/scheduler jitter
+doesn't masquerade as a regression between rounds.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +25,7 @@ from data_warehouse_data_mining_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _force(df) -> None:
@@ -41,9 +45,12 @@ def main() -> None:
 
     total = 0.0
     for name in sorted(qs):
-        t0 = time.perf_counter()
-        _force(qs[name].builder(spark, SF_DIR))
-        dt = time.perf_counter() - t0
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _force(qs[name].builder(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        dt = statistics.median(samples)
         timings[name] = round(dt, 3)
         total += dt
 

@@ -415,3 +415,82 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.intersectAll(b)
+
+
+@register(
+    "null_ordering_window",
+    oracle="""
+    SELECT user_id, event_id, rnk FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY prev_value DESC NULLS LAST, event_id) AS rnk
+      FROM (
+        SELECT user_id, event_id,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+      ) t
+    ) r WHERE rnk <= 3
+    """,
+)
+def null_ordering_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering in window sorts: rank by a NULLABLE lag
+    column with NULLS LAST spelled out — Spark defaults nulls FIRST
+    (ascending) while DuckDB defaults NULLS LAST, so implicit null
+    placement is a silent cross-engine divergence; every nullable sort
+    key in this codebase states its null position."""
+    e = load(spark, sf_dir).events
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = W.partitionBy("user_id").orderBy(
+        F.col("prev_value").desc_nulls_last(), F.col("event_id")
+    )
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w_lag))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    WITH agg_old AS (
+      SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o_orderstatus
+    ),
+    agg_delta AS (
+      SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(total), 2) AS total
+    FROM (SELECT * FROM agg_old UNION ALL SELECT * FROM agg_delta) u
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored pre-1999 aggregate is
+    MERGED with the new partition's aggregate by reaggregation — the ETL
+    pattern that avoids recomputing history on every load (result equals
+    the direct full-table aggregate)."""
+    o = load(spark, sf_dir).orders
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+
+    def agg_part(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+        )
+
+    agg_old = agg_part(o.filter(F.col("o_orderdate") < cutoff))
+    agg_delta = agg_part(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        agg_old.unionByName(agg_delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total"), 2).alias("total"),
+        )
+    )

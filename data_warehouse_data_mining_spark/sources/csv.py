@@ -67,3 +67,19 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark, src_dir: str, dst_dir: str, target_files: int, sort_by: list[str] | None = None
+) -> None:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files, optionally sorted for min/max row-group
+    pruning. The small-files problem is the top operational issue of
+    long-running ingestion at scale — every downstream scan pays per-file
+    open cost until someone compacts."""
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(dst_dir)

@@ -100,3 +100,19 @@ def test_connectors_gate_cleanly(spark):
         connectors.read_iceberg(spark, "nowhere.t")
     with pytest.raises(connectors.ConnectorUnavailable, match="Kafka"):
         connectors.read_kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_compact_parquet(spark, tmp_path):
+    from data_warehouse_data_mining_spark.sources.csv import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    o = load(spark, SF_SMALL).orders
+    o.repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 32
+
+    dst = str(tmp_path / "compacted")
+    compact_parquet(spark, src, dst, target_files=2, sort_by=["o_orderdate"])
+    assert len(glob.glob(f"{dst}/part-*")) == 2
+    assert spark.read.parquet(dst).count() == o.count()
