@@ -145,3 +145,22 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert sorted((r.doc_id, r.frame_idx, bytes(r.frame)) for r in frames) == sorted(
         (r.doc_id, r.frame_idx, bytes(r.frame)) for r in frames2
     )
+
+
+def test_reference_cv_grids_verbatim(spark):
+    """The CV grids must match the reference's exactly
+    (stroke_predict.py:183-208): NB 3, DT 3x3, RF 3x3, LR/SVC 3x3."""
+    from data_warehouse_data_mining_spark.ml.classify import make_classifier, param_grid
+
+    sizes = {}
+    for name in ["naive_bayes", "decision_tree", "random_forest",
+                 "logistic_regression", "linear_svc"]:
+        clf = make_classifier(name)
+        sizes[name] = len(param_grid(name, clf))
+    assert sizes == {
+        "naive_bayes": 3,
+        "decision_tree": 9,
+        "random_forest": 9,
+        "logistic_regression": 9,
+        "linear_svc": 9,
+    }

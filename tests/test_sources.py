@@ -116,3 +116,15 @@ def test_compact_parquet(spark, tmp_path):
     compact_parquet(spark, src, dst, target_files=2, sort_by=["o_orderdate"])
     assert len(glob.glob(f"{dst}/part-*")) == 2
     assert spark.read.parquet(dst).count() == o.count()
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    """JSON-lines source with explicit schema (no inference pass)."""
+    out = str(tmp_path / "docs_json")
+    d = load(spark, SF_SMALL).documents
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(d.schema).json(out)
+    assert back.count() == d.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in d.select("doc_id").collect()
+    }
