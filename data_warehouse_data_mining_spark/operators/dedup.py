@@ -51,13 +51,18 @@ def shingle_table(
     corpora often arrive as few large unsplittable files, and
     shingling+hashing is the CPU-heavy map stage — without the cheap
     row-level reshuffle it would run on a handful of cores.
+
+    Per-document dedup happens MAP-SIDE via array_distinct before the
+    explode — a global .distinct() here would add a full shuffle of the
+    exploded shingle table for a set that is already unique per (id,
+    shingle) after the array-level dedup.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     ws = th.words(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(th.word_shingles(ws, n)).alias("shingle"),
-    ).distinct()
+        F.explode(F.array_distinct(th.word_shingles(ws, n))).alias("shingle"),
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
