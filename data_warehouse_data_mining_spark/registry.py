@@ -80,6 +80,7 @@ def _ensure_loaded() -> None:
         return
     from data_warehouse_data_mining_spark.operators import (  # noqa: F401
         advanced,
+        association,
         dedup,
         mining,
         multimodal,
