@@ -19,8 +19,15 @@ OWN k nearest neighbors):
    seeded per input row id — deterministic re-runs;
 3. union with the original rows, optional majority undersampling.
 
-At 100 TB the minority class of any real imbalance fits a per-bucket
-pandas batch; buckets bound the n² inside each task.
+Bucket sizes are bounded (``bucket_cap``) by adaptive refinement: every
+row carries a ``max_planes``-bit LSH code, and picks the SHALLOWEST
+prefix level whose bucket is under the cap — dense regions get more
+planes, sparse regions keep enough rows for good neighbors. A bucket
+that cannot split geometrically (identical sign pattern at full depth,
+e.g. colinear points) falls back to an exact in-bucket row-number
+split, so
+the per-task n² work is bounded no matter how skewed the embedding
+distribution — the property that keeps this runnable at 100 TB.
 """
 
 from __future__ import annotations
@@ -47,6 +54,52 @@ def _lsh_bucket(vcol, planes: np.ndarray):
     return out
 
 
+def _refine_buckets(
+    minority: DataFrame, planes: np.ndarray, bucket_cap: int, seed: int
+) -> DataFrame:
+    """Assign each row the shallowest LSH-prefix bucket under the cap.
+
+    One ``max_planes``-bit code per row, then a per-level count
+    (aggregates over the minority class only — tiny next to the fact
+    data) broadcast back; a chained CASE picks the first level whose
+    bucket fits. Buckets still over the cap at full depth cannot be
+    split by geometry (identical sign patterns), so they are split by
+    in-bucket row number (deterministic: ordered by id) into exact
+    cap-sized slices — locality is already exhausted there, and the
+    cap must hold; the extra window shuffle touches only the minority
+    class.
+    """
+    max_planes = planes.shape[0]
+    coded = minority.withColumn("code", _lsh_bucket(F.col("v"), planes))
+    levels = list(range(N_PLANES, max_planes + 1, 2))
+    for lv in levels:
+        mask = (1 << lv) - 1
+        counts = (
+            coded.groupBy((F.col("code").bitwiseAND(mask)).alias(f"p{lv}"))
+            .agg(F.count(F.lit(1)).alias(f"n{lv}"))
+        )
+        coded = coded.withColumn(f"p{lv}", F.col("code").bitwiseAND(mask)).join(
+            F.broadcast(counts), f"p{lv}"
+        )
+    # first (shallowest) level under the cap wins; level tag keeps
+    # prefixes from different depths in distinct buckets
+    bucket = None
+    for lv in levels:
+        fits = F.col(f"n{lv}") <= bucket_cap
+        tagged = F.col(f"p{lv}") + F.lit(lv << 24)
+        bucket = F.when(fits, tagged) if bucket is None else bucket.when(fits, tagged)
+    deepest = levels[-1]
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy(f"p{deepest}").orderBy("id"))
+    salt = ((rn - 1) / F.lit(bucket_cap)).cast("long")
+    bucket = bucket.otherwise(
+        F.col(f"p{deepest}") + F.lit((deepest + 1) << 24) + salt * F.lit(1 << 16)
+    )
+    keep = ["id", "v"]
+    return coded.select(*keep, bucket.alias("bucket"))
+
+
 def smote(
     df: DataFrame,
     id_col: str,
@@ -56,6 +109,8 @@ def smote(
     k: int = 5,
     oversample_ratio: int = 2,
     seed: int = SEED,
+    bucket_cap: int = 4096,
+    max_planes: int = 12,
 ) -> DataFrame:
     """Return ``df`` plus ``oversample_ratio`` synthetic minority rows
     per minority row. ``features_col`` must be array<double>.
@@ -65,14 +120,14 @@ def smote(
     """
     dim = len(df.select(features_col).first()[0])
     planes = np.round(
-        np.random.RandomState(seed).standard_normal((N_PLANES, dim)), 6
+        np.random.RandomState(seed).standard_normal((max_planes, dim)), 6
     )
 
     minority = df.filter(F.col(label_col) == minority_label).select(
         F.col(id_col).alias("id"),
         F.col(features_col).alias("v"),
     )
-    bucketed = minority.withColumn("bucket", _lsh_bucket(F.col("v"), planes))
+    bucketed = _refine_buckets(minority, planes, bucket_cap, seed)
 
     out_schema = f"id bigint, v array<double>, label_out string"
 

@@ -224,6 +224,72 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_regression_family")
+def ml_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression estimators over the embeddings (label 0-9 treated as a
+    continuous target): LinearRegression and GBTRegressor on the same
+    seeded split, scored by RMSE and R². Extends the reference's
+    classification-only surface to the regression family (rows-only —
+    iterative fits)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+    e = load(spark, sf_dir).embeddings
+    data = e.select(
+        "vec_id",
+        array_to_vector(V.as_double(F.col("embedding"))).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+    rmse = RegressionEvaluator(labelCol="label", metricName="rmse")
+    r2 = RegressionEvaluator(labelCol="label", metricName="r2")
+    rows = []
+    for name, est in [
+        ("linear_regression", LinearRegression(featuresCol="features", labelCol="label")),
+        (
+            "gbt_regressor",
+            GBTRegressor(featuresCol="features", labelCol="label", maxIter=10, seed=SEED),
+        ),
+    ]:
+        pred = est.fit(train).transform(test)
+        rows.append(
+            (name, round(float(rmse.evaluate(pred)), 4), round(float(r2.evaluate(pred)), 4))
+        )
+    return spark.createDataFrame(rows, "model string, rmse double, r2 double")
+
+
+@register("ml_one_vs_rest")
+def ml_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneVsRest multiclass reduction (LogisticRegression base) over the
+    full 10-class label — per-class support and recall from the same
+    distributed groupBy pivot the binary metrics use (no sklearn, no
+    driver-side collect)."""
+    from pyspark.ml.classification import LogisticRegression, OneVsRest
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir).embeddings
+    data = e.select(
+        "vec_id",
+        array_to_vector(V.as_double(F.col("embedding"))).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+    ovr = OneVsRest(
+        classifier=LogisticRegression(featuresCol="features", labelCol="label"),
+        featuresCol="features",
+        labelCol="label",
+    )
+    pred = ovr.fit(train).transform(test)
+    per_class = pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.round(
+            F.avg((F.col("prediction") == F.col("label")).cast("double")), 4
+        ).alias("recall"),
+    )
+    return per_class.orderBy("label")
+
+
 @register("ml_smote_then_train")
 def ml_smote_then_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full balancing study end-to-end, distributed:

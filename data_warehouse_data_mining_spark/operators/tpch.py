@@ -1,0 +1,427 @@
+"""Classic TPC-H query shapes adapted to the testdata star schema.
+
+The core/relational module already covers Q1/Q3/Q10/Q14/Q18 shapes;
+this module adds the remaining join/agg archetypes (Q4 EXISTS-count,
+Q5 multi-way local-volume join, Q7 bi-nation volume, Q8 market share,
+Q13 outer-join distribution, Q16 supplier variety, Q17 correlated-avg
+threshold, Q22 anti-join opportunity), adapted where the testdata lacks
+a TPC-H column (no partsupp, no l_commitdate/l_receiptdate/l_shipmode —
+substitutions noted per query).
+
+Scale notes: every query keeps dimensions broadcast (region, nation,
+supplier, part projections are tiny relative to the fact tables), lets
+the fact-side filters push to the parquet scan, and aggregates partial
+before shuffling. The Q17-shape per-part average is a pre-aggregation
+joined back (no correlated re-scan); the Q13-shape distribution counts
+before it distributes — both are the formulations that survive a 100×
+fact-table scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.operators.relational import money_sum
+from data_warehouse_data_mining_spark.registry import register
+
+
+@register(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style order-priority check: EXISTS on a late lineitem.
+
+    Adaptation: the testdata has no l_commitdate/l_receiptdate, so
+    "late" = shipped more than 60 days after the order date. Expressed
+    as a left-semi join (Spark's EXISTS), which needs only one shuffle
+    of the date-filtered orders slice.
+    """
+    t = load(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style local-supplier volume: six-table join keeping only
+    orders where customer and supplier share a nation in one region.
+
+    The three dimension sides (supplier, nation, region — and customer's
+    key projection) are broadcast; only orders⋈lineitem shuffles.
+    """
+    t = load(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    nation_in_region = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = t.supplier.join(
+        F.broadcast(nation_in_region), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = t.customer.select("c_custkey", "c_nationkey")
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "bi_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS yr,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE ((ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_7')
+          OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_2'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+)
+def bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style volume shipping between two nations, per direction
+    and ship year. Both nation lookups broadcast; the OR-pair predicate
+    lands after the broadcast joins so the fact scan stays one pass.
+    """
+    t = load(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    supp = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+    )
+    return (
+        li.join(t.orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "national_market_share",
+    oracle="""
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_12' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style market share: one supplier nation's slice of a
+    region's customer volume per order year (conditional-sum ratio).
+
+    Adaptation: no part table filter (testdata p_type plays that role in
+    promo_revenue_pct already); the share ratio rounds to 6 like the
+    other ratio queries.
+    """
+    t = load(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust_in_region = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_12", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution: LEFT join so
+    zero-order customers appear, count per customer, then histogram the
+    counts. Two aggregations; the second input is one row per customer,
+    already tiny relative to the fact table.
+    """
+    t = load(spark, sf_dir)
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+@register(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier variety per brand/type.
+
+    Adaptation: no partsupp table, so supplier-part relationships come
+    from observed lineitem shipments. Distinct-count after a broadcast
+    dimension join; the size filter prunes the broadcast side before it
+    ships.
+    """
+    t = load(spark, sf_dir)
+    p = t.part.filter(F.col("p_size").isin(5, 10, 15, 20)).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+@register(
+    "small_qty_avg_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t
+      ON l_partkey = t_partkey
+    WHERE p_brand = 'BRAND_1'
+      AND l_quantity < qty_threshold
+    """,
+)
+def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity revenue: revenue from lines below
+    half the part's average quantity, annualized over the 7-year data
+    window. The correlated AVG subquery is decorrelated into a per-part
+    pre-aggregation joined back — one extra shuffle instead of a
+    per-row re-scan, the only formulation that scales.
+
+    DECIMAL sum / 7.0 keeps an exact quotient of an exact sum, so both
+    engines round the same tie the same way.
+    """
+    t = load(spark, sf_dir)
+    brand_parts = t.part.filter(F.col("p_brand") == "BRAND_1").select("p_partkey")
+    brand_lines = (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    # Per-part averages restricted to the brand slice are identical to the
+    # global per-part averages (the filter is on the group key), so the
+    # threshold aggregate only scans the already-filtered lines.
+    thresholds = (
+        brand_lines.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        brand_lines
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,4)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,2))), 2) AS DOUBLE)
+             AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style sales opportunity: above-average-balance
+    customers with no orders, grouped by market segment (the testdata
+    has no phone column, so segment replaces the country-code slice).
+    Uncorrelated scalar subquery → literal broadcast; NOT EXISTS →
+    left-anti join.
+    """
+    t = load(spark, sf_dir)
+    avg_bal = (
+        t.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t.orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(28,2)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        tpch,
         udfs,
         windows,
     )

@@ -101,6 +101,28 @@ def test_smote_deterministic_and_balanced(spark):
     assert s1 == s2
 
 
+def test_smote_bucket_cap_enforced(spark):
+    """Adaptive refinement must bound every k-NN task, including the
+    geometric worst case: identical vectors share one LSH sign pattern
+    at every depth, so only the hash-salt fallback can split them."""
+    import pandas as pd
+
+    rows = [(i, [1.0, 2.0, 3.0], 1) for i in range(500)]  # all identical
+    data = spark.createDataFrame(rows, "vec_id long, v array<double>, cls int")
+    planes = __import__("numpy").random.RandomState(42).standard_normal((12, 3))
+    bucketed = balance._refine_buckets(
+        data.selectExpr("vec_id as id", "v"), planes, bucket_cap=64, seed=42
+    )
+    sizes = [r.n for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 2 and max(sizes) <= 64
+
+    # and the full operator still balances + stays deterministic with a cap
+    out = balance.smote(
+        data, "vec_id", "v", "cls", minority_label=1, oversample_ratio=1, bucket_cap=64
+    )
+    assert out.filter(F.col("vec_id") < 0).count() == 500
+
+
 def test_class_weights_inverse_frequency(spark):
     df = spark.createDataFrame([(0,)] * 8 + [(1,)] * 2, "cls int")
     w = balance.class_weights(df, "cls")
