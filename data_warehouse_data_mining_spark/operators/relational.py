@@ -752,6 +752,24 @@ def bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stratified_sample_counts")
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (``sampleBy``): different keep-rates
+    per market segment — the per-stratum generalization of the
+    reference's majority-class undersampling. Rows-only: sampling RNGs
+    differ per engine; the check pins per-stratum counts stay within
+    the expected band via the returned rates."""
+    c = load(spark, sf_dir).customer
+    fractions = {"AUTOMOBILE": 0.5, "BUILDING": 0.2, "FURNITURE": 0.1,
+                 "HOUSEHOLD": 0.05, "MACHINERY": 1.0}
+    sampled = c.sampleBy("c_mktsegment", fractions=fractions, seed=42)
+    return (
+        sampled.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("c_mktsegment")
+    )
+
+
 @register("random_split_sizes")
 def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded 70:30 randomSplit (reference: stroke_predict.py:152).

@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         udfs,
         windows,
     )
+    from data_warehouse_data_mining_spark.streaming import joins as stream_joins  # noqa: F401
     from data_warehouse_data_mining_spark.streaming import windows as stream_windows  # noqa: F401
     from data_warehouse_data_mining_spark.ml import queries as ml_queries  # noqa: F401
     from data_warehouse_data_mining_spark import pipelines  # noqa: F401

@@ -79,6 +79,29 @@ def test_semi_anti_join_shapes(spark):
     assert "LeftAnti" in explain.formatted_plan(anti_join_customers(spark, SF_SMALL))
 
 
+def test_tpch_plan_shapes(spark):
+    """The TPC-H archetype queries must keep their scale contracts:
+    dimension sides broadcast, EXISTS as a semi join, selective
+    dimension filters pushed to the scan."""
+    from data_warehouse_data_mining_spark.operators import tpch
+
+    p5 = explain.formatted_plan(tpch.regional_supplier_volume(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p5, "Q5 dims must broadcast"
+    assert "SortMergeJoin" not in p5 or p5.count("SortMergeJoin") <= 1, (
+        "only orders⋈lineitem may shuffle"
+    )
+
+    p4 = explain.formatted_plan(tpch.order_priority_exists(spark, SF_SMALL))
+    assert "LeftSemi" in p4, "EXISTS must plan as a left-semi join"
+
+    p16 = tpch.supplier_part_variety(spark, SF_SMALL)
+    assert explain.has_pushed_filters(p16), "p_size IN-list must reach the part scan"
+    assert explain.has_broadcast_join(p16)
+
+    p22 = explain.formatted_plan(tpch.dormant_rich_customers(spark, SF_SMALL))
+    assert "LeftAnti" in p22, "NOT EXISTS must plan as a left-anti join"
+
+
 def test_partial_aggregation_present(spark):
     """groupBy aggregates must have a map-side partial phase (the
     partial+final split that bounds shuffle volume at 100 TB)."""

@@ -67,6 +67,41 @@ def test_streaming_dedup_with_watermark(spark, events_dir):
     assert n_stream == ev.select("event_id").distinct().count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (click→purchase attribution) must
+    produce exactly the batch join's pairs once all input is processed."""
+    from data_warehouse_data_mining_spark.streaming.joins import (
+        attributed_pairs,
+        streaming_attributed_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    joined = streaming_attributed_pairs(spark, events_dir, watermark="365 days")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT click_id, purchase_id FROM stream_attr").collect()
+    }
+    ev = load(spark, SF_SMALL).events
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in attributed_pairs(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stateful_running_totals(spark, events_dir):
     """applyInPandasWithState custom stateful operator: per-user running
     totals match the batch aggregate after one pass of the stream."""
