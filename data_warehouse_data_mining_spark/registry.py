@@ -87,6 +87,7 @@ def _ensure_loaded() -> None:
         quality,
         relational,
         similarity,
+        sketches,
         text,
         tpch,
         udfs,

@@ -96,3 +96,23 @@ def test_text_generic_api(spark):
     df2 = spark.createDataFrame([(3, "beta alpha")], "pk long, body string")
     fp3 = df2.select(fingerprint_expr(F.col("body")).alias("f")).collect()[0].f
     assert fp[1] == fp3
+
+
+def test_misra_gries_heavy_hitter_guarantee(spark):
+    """Every key with true frequency > n/capacity must survive the
+    sketch, and every estimate must be a lower bound on the true count
+    within n/capacity — the Misra-Gries contract, on skewed data."""
+    from data_warehouse_data_mining_spark.operators.sketches import misra_gries
+
+    rows = [(k,) for k in ["hot"] * 500 + ["warm"] * 200 +
+            [f"cold{i}" for i in range(300)]]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    n, capacity = 1000, 16
+    est = {r.key: r.est_count for r in misra_gries(df, "k", capacity).collect()}
+    exact = {r.k: r.n for r in
+             df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    bound = n / capacity  # global error bound: undercount <= n/capacity
+    for key in ("hot", "warm"):  # true count > bound -> must survive
+        assert key in est
+    for key, e in est.items():
+        assert e <= exact[key] and exact[key] - e <= bound
