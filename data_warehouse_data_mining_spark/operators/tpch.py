@@ -65,6 +65,7 @@ def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regional_supplier_volume",
+    headline=True,
     oracle="""
     SELECT n_name,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)
