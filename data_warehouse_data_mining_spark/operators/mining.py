@@ -208,3 +208,47 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("total_raw"), F.lit(0.0)).alias("total"),
         )
     )
+
+
+@register(
+    "rolling_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           count(DISTINCT daily.user_id) AS users_7d
+    FROM days
+    JOIN daily ON daily.d <= days.d
+              AND daily.d >  days.d - INTERVAL 7 DAY
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    COUNT(DISTINCT) a RANGE window cannot express distributively.
+
+    Scale-right formulation: dedupe to (day, user) pairs first (one
+    hash aggregate — the only pass over the raw events), then re-join
+    the tiny day spine (broadcast) against the pairs with the trailing
+    range predicate and re-count. No global single-partition window,
+    no per-user state; the join fan-out is bounded at 7 pairs per
+    (day, user)."""
+    ev = load(spark, sf_dir).events
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = daily.select(F.col("d").alias("spine_d")).distinct()
+    return (
+        daily.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("spine_d"))
+            & (F.col("d") > F.col("spine_d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("spine_d", "yyyy-MM-dd").alias("day"), "users_7d")
+        .orderBy("day")
+    )
