@@ -128,3 +128,17 @@ def test_json_lines_roundtrip(spark, tmp_path):
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in d.select("doc_id").collect()
     }
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink (second columnar format, JVM-native path —
+    schema, values, and pushdown-capable reads survive a round trip)."""
+    out = str(tmp_path / "orders_orc")
+    o = load(spark, SF_SMALL).orders
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == o.schema
+    assert back.count() == o.count()
+    assert back.filter("o_totalprice > 1000").count() == o.filter(
+        "o_totalprice > 1000"
+    ).count()

@@ -230,3 +230,43 @@ def test_streaming_session_windows_finalize(spark, tmp_path):
     max_ts = max(s[3] for s in batch2_sessions)
     assert all(s[3] >= "2024-01-29" for s in still_open), still_open
     assert len(emitted) > 0 and max_ts >= "2024-01-29"
+
+
+def test_stream_static_enrichment_join(spark, events_dir):
+    """Stream-static join: a streaming fact enriched by a broadcast
+    static dimension (per-microbatch lookup, no stream-side state)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement"),
+         ("signup", "acquisition"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_event_stream(spark, events_dir, watermark="365 days")
+    enriched = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_enriched")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.category, r.n) for r in spark.sql("SELECT * FROM stream_enriched").collect()
+    }
+    ev = load(spark, SF_SMALL).events
+    batch = {
+        (r.category, r.n)
+        for r in ev.join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) == 4
