@@ -252,3 +252,55 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("spine_d", "yyyy-MM-dd").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(28,9)) * (t_next - t)) AS DOUBLE)
+                 / (max(t_next) - min(t)), 6) AS twa_value,
+           count(*) AS n_segments
+    FROM pts
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series (hypertable-
+    style op for irregularly sampled series): each reading is held until
+    the next one, weighted by its holding duration (last-observation-
+    carried-forward integration). A plain arithmetic mean over-weights
+    bursts; the TWA is the honest summary. One window pass + one hash
+    aggregate, both partitioned by user — no global window. Durations
+    are exact integer MICROSECONDS on both sides (DuckDB epoch() is
+    fractional-seconds, Spark unix_timestamp() truncates — both traps);
+    per-term DECIMAL keeps the weighted sum exact, so both engines
+    round alike."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = load(spark, sf_dir).events.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,9)") * (F.col("t_next") - F.col("t")))
+                .cast("double")
+                / (F.max("t_next") - F.min("t")),
+                6,
+            ).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )

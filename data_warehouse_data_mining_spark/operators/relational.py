@@ -1235,3 +1235,38 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returned_lines",
         )
     )
+
+
+@register(
+    "correlation_matrix",
+    oracle="""
+    SELECT 'quantity_vs_price' AS pair,
+           round(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_vs_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'quantity_vs_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+    ORDER BY pair
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across lineitem numerics — the
+    profiling statistic describe() lacks. All three pairs compute in ONE
+    aggregation pass (Spark evaluates the corr aggregates side by side;
+    the unpivot to rows is free) — not one scan per pair."""
+    li = load(spark, sf_dir).lineitem
+    wide = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("quantity_vs_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("discount_vs_tax"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("quantity_vs_discount"),
+    )
+    pairs = ["discount_vs_tax", "quantity_vs_discount", "quantity_vs_price"]
+    return wide.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(p) for p in pairs]),
+                F.array(*[F.col(p) for p in pairs]),
+            )
+        ).alias("pair", "r")
+    )
