@@ -184,3 +184,53 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("part_a", "part_b", dist.alias("edit_distance"))
     )
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(
+             concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+               o_orderpriority)), 1, 15) AS BIGINT)) AS checksum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group table fingerprint: XOR of per-row
+    md5-derived 60-bit integers over a canonical row rendering.
+
+    The migration/replication validation primitive at 100 TB — compare
+    per-partition checksums across two systems without moving rows.
+    XOR (not SUM) so the aggregate cannot overflow and any row order /
+    partitioning gives the same value; md5 + integer rendering because
+    both engines produce bit-identical canonical strings (doubles are
+    rendered as scaled BIGINTs — raw double formatting diverges between
+    engines, e.g. Spark's scientific notation above 1e7)."""
+    o = load(spark, sf_dir).orders
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(row_hash).alias("checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
