@@ -109,3 +109,39 @@ def test_partial_aggregation_present(spark):
 
     plan = explain.formatted_plan(value_counts(spark, SF_SMALL))
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_runtime_bloom_filter_join(spark):
+    """Runtime bloom-filter pruning: a selective dimension-side filter
+    must inject a might_contain() runtime filter on the fact side of a
+    shuffle join — at 100 TB this is what keeps the fact scan from
+    shuffling rows the join will drop. (Thresholds are lowered to make
+    the local[32]-scale plan show the same shape a cluster plan would.)"""
+    from data_warehouse_data_mining_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load(spark, SF_SMALL)
+        big_orders = t.orders.filter(F.col("o_totalprice") > 450000)
+        j = (
+            t.lineitem.join(big_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = explain.formatted_plan(j)
+        assert "might_contain" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
