@@ -47,6 +47,11 @@ class Catalog:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
+            # events.parquet carries INT64 TIMESTAMP(NANOS); Spark rejects it
+            # unless nanosAsLong is on. The conf is runtime-settable, and the
+            # catalog may be handed an externally built SparkSession that
+            # lacks it, so set it here rather than relying on session.py.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(
                 os.path.join(self.sf_dir, f"{name}.parquet")
             )

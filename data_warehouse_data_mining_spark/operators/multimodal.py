@@ -171,10 +171,34 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract")
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), b AS (
+      SELECT doc_id, nb, hx,
+         list_transform(range(1, nb + 1),
+            i -> (strpos('0123456789ABCDEF', substring(hx, (i-1)*2+1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substring(hx, (i-1)*2+2, 1)) - 1)) AS bytes
+      FROM h
+    )
+    SELECT doc_id, 'text/plain' AS mime, CAST(nb AS INT) AS n_bytes,
+           lower(substring(hx, 1, 16)) AS head_hex,
+           coalesce(round(list_aggregate(
+               list_transform(bytes, x -> CAST(x AS DOUBLE)), 'avg'), 6), 0.0) AS byte_mean,
+           coalesce(round(list_aggregate(
+               list_transform(bytes, x -> CASE WHEN x >= 32 AND x < 127 THEN 1.0 ELSE 0.0 END),
+               'avg'), 6), 0.0) AS printable_ratio
+    FROM b
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas featurization of binary payloads
-    (rows-only: the featurizer is Python-side by design). Deterministic:
-    byte stats + head hex per payload."""
+    """Arrow-batched mapInPandas featurization of binary payloads.
+    Deterministic byte stats + head hex per payload; the DuckDB oracle
+    re-derives every feature from hex(encode(text)) via list_transform,
+    so the Python featurizer is value-checked end-to-end, not rows-only."""
     d = with_payload(load(spark, sf_dir).documents)
     return extract_features(d)

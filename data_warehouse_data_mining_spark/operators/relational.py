@@ -293,12 +293,107 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (approx twin exists for
-    the 100 TB path: percentile_approx)."""
-    o = load(spark, sf_dir).orders
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    """Exact interpolated percentiles per group via sketch-bracketed
+    selection — no per-group whole-column buffer.
+
+    ``F.percentile`` holds every group value in one agg buffer (a
+    driver-style bottleneck at large SF). Instead: (1) one sketch pass
+    gets per-group counts plus approx brackets [p-EPS, p+EPS] around
+    each target percentile; (2) one counting pass finds how many values
+    fall strictly below each bracket; (3) only the ~2·EPS fraction of
+    rows inside a bracket is ranked with a per-(group, percentile)
+    window, from which the exact percentile_cont interpolation is read
+    off. Every pass is a map-side-partial aggregate or a window over a
+    bracket whose size EPS dials; groups under SMALL_N rows skip the
+    bracket (they are ranked whole, which is exact and tiny).
+    """
+    from pyspark.sql import Window as W
+
+    PS = [0.5, 0.9]
+    EPS = 0.01       # bracket half-width in rank space
+    ACC = 10_000     # sketch accuracy: rank error <= n/ACC << EPS*n
+    SMALL_N = 1_000  # below this, rank the whole group (exact, cheap)
+
+    o = load(spark, sf_dir).orders.select(
+        "o_orderstatus", F.col("o_totalprice").alias("v")
+    )
+    stats = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("v", [p - EPS for p in PS], ACC).alias("blo"),
+        F.percentile_approx("v", [p + EPS for p in PS], ACC).alias("bhi"),
+    )
+    # stats is one row per group — AQE broadcasts this join at any SF
+    j = o.join(stats, "o_orderstatus")
+    small = F.col("n") < SMALL_N
+
+    below = j.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(
+                F.when(~small & (F.col("v") < F.col("blo")[i]), 1).otherwise(0)
+            ).alias(f"c_below_{i}")
+            for i in range(len(PS))
+        ]
+    )
+    # tag each row with every percentile whose bracket contains it
+    tagged = j.select(
+        "o_orderstatus",
+        "v",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.when(
+                        small
+                        | (
+                            (F.col("v") >= F.col("blo")[i])
+                            & (F.col("v") <= F.col("bhi")[i])
+                        ),
+                        F.lit(i),
+                    )
+                    for i in range(len(PS))
+                ]
+            )
+        ).alias("pid"),
+    ).filter(F.col("pid").isNotNull())
+
+    w = W.partitionBy("o_orderstatus", "pid").orderBy("v")
+    p_col = F.when(F.col("pid") == 0, F.lit(PS[0])).otherwise(F.lit(PS[1]))
+    rk = (F.col("n") - 1) * p_col  # 0-based fractional target rank
+    r1 = F.floor(rk) + 1  # 1-based rank of the lower bracket value
+    c_below = F.when(small, F.lit(0)).otherwise(
+        F.when(F.col("pid") == 0, F.col("c_below_0")).otherwise(F.col("c_below_1"))
+    )
+    ranked = (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .join(below, "o_orderstatus")
+        .withColumn("rank", c_below + F.col("rn"))
+        .filter((F.col("rank") == r1) | (F.col("rank") == r1 + 1))
+    )
+    # interpolate: v1 + frac * (v2 - v1), percentile_cont semantics
+    frac = rk - F.floor(rk)
+    per_p = ranked.groupBy("o_orderstatus", "pid").agg(
+        F.round(
+            F.min(F.when(F.col("rank") == r1, F.col("v")))
+            + F.first(frac)
+            * (
+                F.coalesce(
+                    F.min(F.when(F.col("rank") == r1 + 1, F.col("v"))),
+                    F.min(F.when(F.col("rank") == r1, F.col("v"))),
+                )
+                - F.min(F.when(F.col("rank") == r1, F.col("v")))
+            ),
+            6,
+        ).alias("val")
+    )
+    return (
+        per_p.groupBy("o_orderstatus")
+        .pivot("pid", [0, 1])
+        .agg(F.first("val"))
+        .select(
+            "o_orderstatus",
+            F.col("0").alias("median_price"),
+            F.col("1").alias("p90_price"),
+        )
     )
 
 
@@ -876,8 +971,10 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir).lineitem
     return li.groupBy("l_linenumber").agg(
         F.round(F.sum(F.round(F.col("l_extendedprice"), 0)), 2).alias("sum_rounded"),
-        F.round(F.sum(F.floor(F.col("l_quantity"))), 2).alias("sum_floor"),
-        F.round(F.sum(F.ceil(F.col("l_discount") * 100)), 2).alias("sum_ceil_disc"),
+        # Spark floor/ceil return LONG while DuckDB's return DOUBLE —
+        # cast so the compared value spaces match
+        F.round(F.sum(F.floor(F.col("l_quantity"))), 2).cast("double").alias("sum_floor"),
+        F.round(F.sum(F.ceil(F.col("l_discount") * 100)), 2).cast("double").alias("sum_ceil_disc"),
         F.round(F.sum(F.abs(F.col("l_quantity") - 25.0)), 2).alias("sum_abs_dev"),
         F.round(F.sum(F.sqrt(F.col("l_quantity"))), 4).alias("sum_sqrt"),
         F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln"),
@@ -902,7 +999,8 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(k), 2).alias("sum_k"),
+        # Spark sum(int) is LONG, DuckDB round(sum(INT),2) is DOUBLE
+        F.round(F.sum(k), 2).cast("double").alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
 

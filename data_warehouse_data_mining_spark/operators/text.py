@@ -126,8 +126,11 @@ def tfidf_top_terms_table(
     """
     tf = tokens.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df is vocabulary-sized (grows with the corpus), so no broadcast hint:
+    # a plain shuffle join on `w` lets AQE broadcast only when df actually
+    # fits. Only the 1-row n_docs crossJoin is a safe forced broadcast.
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
@@ -307,7 +310,8 @@ def doc_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.sum("n_chars"), 2).alias("total_chars"),
+        # DuckDB round(sum(INT),2) is DOUBLE; match the value space
+        F.round(F.sum("n_chars"), 2).cast("double").alias("total_chars"),
     )
 
 

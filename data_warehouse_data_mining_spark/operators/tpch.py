@@ -88,8 +88,11 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style local-supplier volume: six-table join keeping only
     orders where customer and supplier share a nation in one region.
 
-    The three dimension sides (supplier, nation, region — and customer's
-    key projection) are broadcast; only orders⋈lineitem shuffles.
+    The truly bounded dimension sides (supplier-in-region, nation,
+    region) are broadcast. Customer is SF-proportional (150k rows × SF),
+    so it carries NO broadcast hint — AQE broadcasts it at test scale and
+    falls back to a shuffle join when it outgrows the threshold, exactly
+    like revenue_by_nation (relational.py).
     """
     t = load(spark, sf_dir)
     o = t.orders.filter(
@@ -110,7 +113,7 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -149,8 +152,10 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-style volume shipping between two nations, per direction
-    and ship year. Both nation lookups broadcast; the OR-pair predicate
-    lands after the broadcast joins so the fact scan stays one pass.
+    and ship year. Only the bounded nation lookups carry broadcast hints;
+    the SF-proportional customer/supplier projections are left to AQE.
+    The OR-pair predicate lands after the joins so the fact scan stays
+    one pass.
     """
     t = load(spark, sf_dir)
     li = t.lineitem.filter(
@@ -176,8 +181,8 @@ def bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(t.orders.select("o_orderkey", "o_custkey"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -251,8 +256,10 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer and supplier projections are SF-proportional — no
+        # forced broadcast; AQE picks broadcast at small SF, shuffle at scale
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
         .agg(
             F.round(

@@ -22,16 +22,23 @@ from data_warehouse_data_mining_spark.registry import all_queries
 
 
 def canon(v):
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Floats and ints canonicalize to DISTINCT strings (repr(44036.0) !=
+    str(44036)): the external driver hashes stringified values, so a
+    Spark LONG against a DuckDB DOUBLE must fail here too, not be
+    masked by Python's 44036 == 44036.0."""
     if isinstance(v, Decimal):
-        return float(v)
+        v = float(v)
     if isinstance(v, bool):
-        return int(v)
+        return str(int(v))
     if isinstance(v, float):
-        return 0.0 if v == 0.0 else v  # -0.0 == 0.0
+        return repr(0.0 if v == 0.0 else v)  # -0.0 == 0.0
     if isinstance(v, (datetime, date)):
         return str(v)
-    return v
+    if isinstance(v, list):
+        return "[" + ",".join(str(canon(x)) for x in v) + "]"
+    return str(v)
 
 
 def _canon_rows(rows, columns, order):

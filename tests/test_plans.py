@@ -102,6 +102,43 @@ def test_tpch_plan_shapes(spark):
     assert "LeftAnti" in p22, "NOT EXISTS must plan as a left-anti join"
 
 
+def test_no_forced_broadcast_of_fact_side_tables(spark):
+    """SF-proportional tables (customer, orders, lineitem, events,
+    documents, embeddings-as-corpus) must never carry a mandatory
+    broadcast hint: a forced broadcast OOMs every executor at the 100 TB
+    design point. Bounded dims (region/nation, supplier-in-region,
+    per-group summaries, tiny query sets) may hint. We assert on the
+    ANALYZED plan: an F.broadcast() hint survives analysis as a
+    ResolvedHint node, and any hint subtree that scans a fact table is a
+    bug — AQE must be free to pick the strategy there."""
+    import re
+
+    from data_warehouse_data_mining_spark.operators import tpch
+    from data_warehouse_data_mining_spark.operators.text import tfidf_top_terms
+    from data_warehouse_data_mining_spark.operators.relational import revenue_by_nation
+
+    fact_rels = ("customer.parquet", "orders.parquet", "lineitem.parquet",
+                 "events.parquet", "documents.parquet")
+    for fn in (tpch.regional_supplier_volume, tpch.bi_nation_trade_volume,
+               tpch.national_market_share, tfidf_top_terms, revenue_by_nation):
+        df = fn(spark, SF_SMALL)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        # walk each ResolvedHint subtree: until tree depth returns to the
+        # hint's level, no fact-table relation may appear under it
+        lines = analyzed.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            depth = len(re.match(r"[\s:+-]*", line).group(0))
+            for sub in lines[i + 1:]:
+                sub_depth = len(re.match(r"[\s:+-]*", sub).group(0))
+                if sub_depth <= depth:
+                    break
+                assert not any(t in sub for t in fact_rels), (
+                    f"{fn.__name__}: forced broadcast hint over fact table: {sub.strip()[:120]}"
+                )
+
+
 def test_partial_aggregation_present(spark):
     """groupBy aggregates must have a map-side partial phase (the
     partial+final split that bounds shuffle volume at 100 TB)."""

@@ -1,0 +1,138 @@
+"""Driver-style correctness sweep: run EVERY registered query on Spark
+and its DuckDB oracle side-by-side at a given SF, compare rows/schema/
+values with the driver's canon (sort columns by name, sort rows
+stringified, Decimal->float, timestamps->str, -0.0->0.0).
+
+Usage: python tools/driver_sweep.py [sf_dir] [--only name1,name2]
+Prints one status line per query and a final summary; exit 1 on any
+mismatch/error.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def canon_cell(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["\x00".join(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    results = {}
+    n_pass = n_rowsonly = n_fail = n_err = 0
+    t_start = time.time()
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n_rowsonly += 1
+                results[name] = "rows_only"
+                print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+                continue
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            ok_schema = sorted(scols) == sorted(ocols)
+            ok_rows = len(srows) == len(orows)
+            ok_hash = canon_rows(scols, srows) == canon_rows(ocols, orows)
+            if ok_schema and ok_rows and ok_hash:
+                n_pass += 1
+                results[name] = "pass"
+                print(f"PASS      {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            else:
+                n_fail += 1
+                results[name] = "FAIL"
+                print(f"FAIL      {name}: schema={ok_schema} rows={ok_rows} ({len(srows)} vs {len(orows)}) hash={ok_hash}")
+                if ok_schema and ok_rows:
+                    a = canon_rows(scols, srows)
+                    b = canon_rows(ocols, orows)
+                    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    for x, y in diffs:
+                        print(f"   spark:  {x[:200]}")
+                        print(f"   oracle: {y[:200]}")
+        except Exception:
+            n_err += 1
+            results[name] = "ERROR"
+            print(f"ERROR     {name}")
+            traceback.print_exc(limit=3)
+    total = n_pass + n_rowsonly + n_fail + n_err
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "total": total,
+                "pass": n_pass,
+                "rows_only": n_rowsonly,
+                "fail": n_fail,
+                "error": n_err,
+                "sec": round(time.time() - t_start, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 1 if (n_fail or n_err) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
