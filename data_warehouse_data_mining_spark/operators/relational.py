@@ -840,10 +840,70 @@ def union_all_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("bernoulli_sample")
 def bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (reference: dataInput_maj.sample(...),
-    smote_sampling.py:53). Rows-only: sampling RNGs differ per engine."""
+    smote_sampling.py:53). Rows-only: sampling RNGs differ per engine;
+    deterministic_hash_sample is the oracle-checked, engine-portable
+    twin."""
     o = load(spark, sf_dir).orders
     return o.sample(withReplacement=False, fraction=0.1, seed=42).select(
         "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "deterministic_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash Bernoulli sample: keep a row iff the md5 of its key
+    falls under a hex threshold (0x1999/0x10000 ≈ 10%).
+
+    This is the reproducible-sampling shape a 100 TB pipeline actually
+    needs: membership depends only on the key, not on an RNG stream, so
+    the sample is stable across engines, re-runs, partitionings, and
+    incremental loads — and therefore exactly oracle-checkable (hex
+    digits compare lexicographically as numbers). Pure map-side filter,
+    no shuffle."""
+    o = load(spark, sf_dir).orders
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "1999"
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "deterministic_hash_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 80/20 train/test assignment (0xcccc/0x10000 = 80%):
+    the engine-portable twin of randomSplit (random_split_sizes). Split
+    membership is a pure function of the key, so the assignment survives
+    re-runs and data growth — rows never migrate between splits when new
+    data arrives, which RNG-based splits cannot guarantee."""
+    o = load(spark, sf_dir).orders
+    split = F.when(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "cccc",
+        "train",
+    ).otherwise("test")
+    return (
+        o.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("split")
     )
 
 

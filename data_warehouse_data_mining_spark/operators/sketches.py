@@ -35,22 +35,33 @@ def misra_gries(df: DataFrame, key_col: str, capacity: int = 64) -> DataFrame:
     true - est <= n_total / capacity. One narrow pass + one tiny agg."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Weighted Misra-Gries: each Arrow batch is pre-counted with
+        # value_counts (bounded by batch size, not vocabulary) and the
+        # sketch consumes (key, weight) items. A weighted decrement step
+        # removes d=min(w, min_counter) from every counter AND from the
+        # incoming weight, which preserves the classic bound: total
+        # decremented weight <= total_weight / capacity, so any key with
+        # true weight above that bound survives. ~10x fewer Python-loop
+        # iterations than per-token updates.
         counters: dict = {}
         for pdf in batches:
-            for k in pdf[key_col]:
+            for k, w in pdf[key_col].value_counts().items():
+                w = int(w)
                 if k in counters:
-                    counters[k] += 1
-                elif len(counters) < capacity:
-                    counters[k] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
+                    counters[k] += w
+                    continue
+                while w > 0 and len(counters) >= capacity:
+                    d = min(min(counters.values()), w)
                     dead = []
                     for kk in counters:
-                        counters[kk] -= 1
+                        counters[kk] -= d
                         if counters[kk] == 0:
                             dead.append(kk)
                     for kk in dead:
                         del counters[kk]
+                    w -= d
+                if w > 0:
+                    counters[k] = w
         if counters:
             yield pd.DataFrame(
                 {"key": list(counters), "partial": list(counters.values())}
@@ -63,25 +74,47 @@ def misra_gries(df: DataFrame, key_col: str, capacity: int = 64) -> DataFrame:
     return summaries.groupBy("key").agg(F.sum("partial").alias("est_count"))
 
 
-@register("heavy_hitters_sketch")
+@register(
+    "heavy_hitters_sketch",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         tot AS (SELECT count(*) AS n FROM tok)
+    SELECT w AS key, count(*) AS exact_count
+    FROM tok, tot
+    GROUP BY w, tot.n
+    HAVING count(*) > n / 256.0
+    ORDER BY exact_count DESC, key
+    LIMIT 20
+    """,
+)
 def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most frequent corpus tokens by Misra-Gries sketch (capacity 256)
-    with the exact count joined on for the accuracy dial — token
-    frequencies are the Zipf-skewed case the sketch exists for, and the
-    LLM-pipeline question it answers ("which tokens dominate this
-    corpus") over data whose vocabulary would not fit a groupBy state.
-    Rows-only: the estimate depends on partition order; the containment
-    guarantee is pinned by tests/test_generic_api.py instead."""
+    """Two-pass heavy hitters: Misra-Gries sketch (capacity 256) finds
+    candidates, then ONLY candidate keys are recounted exactly and
+    filtered by the n/capacity threshold.
+
+    MG guarantees every key with true count > n/capacity survives the
+    sketch, so the output is EXACTLY the set of true heavy hitters with
+    exact counts — deterministic, hence DuckDB-checkable — while
+    per-executor state stays bounded by the sketch capacity: the exact
+    recount semi-joins tokens to the <=capacity×partitions candidates
+    first, so no vocabulary-sized groupBy state ever exists. This is the
+    'which tokens dominate this corpus' shape for data whose vocabulary
+    would not fit an exact groupBy."""
     from data_warehouse_data_mining_spark.operators.text import token_table
 
-    tokens = token_table(load(spark, sf_dir).documents, "doc_id", "text")
-    sketch = misra_gries(tokens, "w", capacity=256)
-    exact = tokens.groupBy(F.col("w").alias("key")).agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
+    capacity = 256
+    tokens = token_table(load(spark, sf_dir).documents, "doc_id", "text").persist()
+    candidates = misra_gries(tokens, "w", capacity=capacity).select("key")
+    total = tokens.agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
-        sketch.join(exact, "key")
+        tokens.join(
+            F.broadcast(candidates), tokens["w"] == candidates["key"], "left_semi"
+        )
+        .groupBy(F.col("w").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") > F.col("n_tokens") / capacity)
         .orderBy(F.col("exact_count").desc(), F.col("key"))
         .limit(20)
-        .select("key", "est_count", "exact_count")
+        .select("key", "exact_count")
     )
