@@ -145,7 +145,17 @@ def smote_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before.unionByName(after)
 
 
-@register("class_weights_profile")
+@register(
+    "class_weights_profile",
+    oracle="""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS cls FROM embeddings),
+         c AS (SELECT cls, count(*) AS n FROM e GROUP BY cls)
+    SELECT cls, n,
+           round((SELECT count(*) FROM e) * 1.0
+                 / ((SELECT count(*) FROM c) * n), 6) AS weight
+    FROM c
+    """,
+)
 def class_weights_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-frequency class-weight column (the zero-data-movement
     alternative to SMOTE): per-class weight summary."""

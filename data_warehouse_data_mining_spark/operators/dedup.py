@@ -47,17 +47,22 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle): distinct word-n-gram shingles per document.
 
-    The input is repartitioned to the session's parallelism first: text
-    corpora often arrive as few large unsplittable files, and
-    shingling+hashing is the CPU-heavy map stage — without the cheap
-    row-level reshuffle it would run on a handful of cores.
+    If the input arrives in fewer partitions than the session's
+    parallelism (small corpora, few unsplittable files), it is
+    repartitioned so the CPU-heavy shingling+hashing map stage uses
+    every core. When the input is already wide — the 100 TB case, where
+    a parquet corpus scans as thousands of splits — no reshuffle
+    happens: repartitioning the full text there would be a pure extra
+    shuffle of the largest column in the pipeline.
 
     Per-document dedup happens MAP-SIDE via array_distinct before the
     explode — a global .distinct() here would add a full shuffle of the
     exploded shingle table for a set that is already unique per (id,
     shingle) after the array-level dedup.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     ws = th.words(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),

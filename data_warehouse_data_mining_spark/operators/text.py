@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.functions import texthash as th
 from data_warehouse_data_mining_spark.registry import register
 
 STOPWORDS = ("the", "a")
@@ -350,4 +351,161 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             """
         ).alias("rhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: chunking, repetition, decontamination
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+REP_NGRAM = 3
+CONTAM_NGRAM = 5
+BENCHMARK_SOURCE = "src0"
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         s AS (SELECT doc_id, ws,
+                      unnest(range(0, greatest(len(ws), 1), {CHUNK_STRIDE})) AS start
+               FROM t)
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(ws[start + 1 : start + {CHUNK_SIZE}]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(ws[start + 1 : start + {CHUNK_SIZE}], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed {size}-token chunks at
+    stride {stride} (overlap {size}-{stride}) — how a pretraining
+    pipeline splits long documents into training sequences.
+
+    Pure JVM expressions (split → sequence of starts → explode → slice);
+    one map pass, no shuffle, linear output in corpus size. Chunk text
+    is emitted as an md5 so the result stays narrow; swap the hash for
+    the array_join to materialize real chunks.
+    """
+    d = load(spark, sf_dir).documents
+    ws = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, CHUNK_SIZE)
+    return (
+        d.select("doc_id", ws.alias("ws"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                      CASE WHEN len(ws) >= {REP_NGRAM}
+                           THEN list_transform(range(1, len(ws) - {REP_NGRAM} + 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                           ELSE [] END AS grams
+               FROM t)
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram ratio per document — the Gopher/RefinedWeb-style
+    repetition quality signal (1 - distinct_ngrams/total_ngrams; high
+    values flag loops and boilerplate for filtering).
+
+    Entirely map-side array expressions inside whole-stage codegen: the
+    n-gram list never explodes into rows, so the operator adds zero
+    shuffle regardless of corpus size."""
+    d = load(spark, sf_dir).documents
+    grams = th.word_shingles(th.words(F.col("text")), REP_NGRAM)
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.round(1.0 - nd * F.lit(1.0) / n, 6))
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               CASE WHEN len(ws) >= {CONTAM_NGRAM}
+                    THEN list_transform(range(1, len(ws) - {CONTAM_NGRAM} + 2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4])
+                    ELSE [] END)) AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = '{BENCHMARK_SOURCE}'),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id, g.source
+      FROM g JOIN bench USING (gram)
+      WHERE g.source <> '{BENCHMARK_SOURCE}'
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(c.doc_id) AS n_contaminated,
+           round(count(c.doc_id) * 1.0 / count(*), 6) AS contam_ratio
+    FROM documents d
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.source <> '{BENCHMARK_SOURCE}'
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: which corpus documents share any
+    {n}-gram with the held-out benchmark slice (source='src0') — the
+    eval-leakage check every pretraining corpus needs.
+
+    Shape at 100 TB: both sides reduce to DISTINCT n-gram tables
+    (map-side array dedup before explode), the overlap is a shingle
+    equi-join (never doc×doc), and the verdict re-aggregates per source.
+    The benchmark side is corpus-scale so it is NOT broadcast-hinted;
+    AQE decides."""
+    d = load(spark, sf_dir).documents
+    grams = F.array_distinct(th.word_shingles(th.words(F.col("text")), CONTAM_NGRAM))
+    g = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = g.filter(F.col("source") == BENCHMARK_SOURCE).select("gram").distinct()
+    corpus = g.filter(F.col("source") != BENCHMARK_SOURCE)
+    contaminated = (
+        corpus.join(bench, "gram", "left_semi").select("doc_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.filter(F.col("source") != BENCHMARK_SOURCE)
+        .select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "contam_ratio"
+            ),
+        )
+        .orderBy("source")
     )

@@ -86,12 +86,52 @@ def pandas_scalar_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("markov_stationary_distribution")
+_MARKOV_ITERS = 12
+
+# Fixed-iteration power iteration IS SQL-expressible by unrolling: one
+# CTE per iteration (aggregates are not allowed in recursive-CTE terms,
+# so unrolling beats recursion here). Must mirror the Spark loop exactly:
+# same bigram table, same row-normalized transition probabilities, same
+# uniform start vector, same iteration count.
+_MARKOV_ORACLE = (
+    """
+    WITH big AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+      ) t
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    trans AS (
+      SELECT prev_type, next_type,
+             n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM big
+    ),
+    r0 AS (
+      SELECT prev_type AS state,
+             1.0 / (SELECT count(DISTINCT prev_type) FROM trans) AS prob
+      FROM (SELECT DISTINCT prev_type FROM trans)
+    )
+    """
+    + "".join(
+        f", r{i + 1} AS (SELECT t.next_type AS state, sum(t.p * r.prob) AS prob"
+        f" FROM r{i} r JOIN trans t ON t.prev_type = r.state GROUP BY t.next_type)"
+        for i in range(_MARKOV_ITERS)
+    )
+    + f" SELECT state, round(prob, 6) AS stationary_prob FROM r{_MARKOV_ITERS}"
+)
+
+
+@register("markov_stationary_distribution", oracle=_MARKOV_ORACLE)
 def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative DataFrame algorithm (rows-only: fixed-point loops are
-    not single-statement SQL): power iteration on the event-type
+    """Iterative DataFrame algorithm: power iteration on the event-type
     transition matrix from event_sequence_bigrams → the stationary
-    distribution of the user-behavior Markov chain.
+    distribution of the user-behavior Markov chain. The DuckDB oracle
+    unrolls the same 12 iterations as chained CTEs.
 
     Each iteration is one broadcast join + aggregate on a k×k matrix
     (k = #event types) — driver only orchestrates; at 100 TB the
@@ -116,7 +156,7 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     n_states = states.count()
     rank = states.withColumn("prob", F.lit(1.0 / n_states))
 
-    for _ in range(12):
+    for _ in range(_MARKOV_ITERS):
         rank = (
             trans.join(
                 F.broadcast(rank), F.col("prev_type") == F.col("state")
