@@ -83,9 +83,16 @@ def minhash_signatures_table(
     shingles: DataFrame, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
     """(id, h0..h{k-1}, ns): the full signature AND the shingle-set size
-    in ONE aggregate pass."""
-    return shingles.groupBy("id").agg(
-        *th.minhash_aggs("shingle", num_hashes), F.count(F.lit(1)).alias("ns")
+    in ONE aggregate pass. One md5 per shingle seeds the whole affine
+    hash family (texthash.md5_word) — the b1/b2 projection guarantees a
+    single hash evaluation regardless of k."""
+    base = shingles.select(
+        "id",
+        th.md5_word(F.col("shingle"), 1).alias("b1"),
+        th.md5_word(F.col("shingle"), 9).alias("b2"),
+    )
+    return base.groupBy("id").agg(
+        *th.affine_minhash_aggs(num_hashes), F.count(F.lit(1)).alias("ns")
     )
 
 
@@ -269,10 +276,28 @@ _ORACLE_SHINGLES = f"""
     )
 """
 
+def _oracle_hexword(lo: int) -> str:
+    """Base-16 fold of md5 hex digits [lo, lo+8) — DuckDB twin of
+    texthash.md5_word."""
+    return (
+        f"list_reduce(list_transform(range({lo}, {lo + 8}), "
+        "i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1)) - 1"
+        " AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
 _ORACLE_MINHASH = (
+    "mhbase AS (SELECT doc_id, "
+    + _oracle_hexword(1)
+    + " AS b1, "
+    + _oracle_hexword(9)
+    + " AS b2 FROM (SELECT doc_id, md5(shingle) AS m FROM shingles)), "
     "minhash AS (SELECT doc_id, "
-    + ", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(NUM_HASHES))
-    + " FROM shingles GROUP BY doc_id)"
+    + ", ".join(
+        f"min((b1 + {j} * b2) % {th.MINHASH_PRIME}) AS h{j}"
+        for j in range(NUM_HASHES)
+    )
+    + " FROM mhbase GROUP BY doc_id)"
 )
 
 

@@ -17,8 +17,16 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
-def _minhash_sig(shingles: set[str], k: int = 64) -> list[str]:
-    return [min(_md5(f"{j}:{s}") for s in shingles) for j in range(k)]
+_MINHASH_PRIME = 4294967291
+
+
+def _minhash_sig(shingles: set[str], k: int = 64) -> list[int]:
+    """Pure-Python mirror of texthash.md5_word + affine_minhash_aggs:
+    h_j = (b1 + j*b2) mod p over the two 32-bit words of one md5."""
+    bases = [(int(_md5(s)[:8], 16), int(_md5(s)[8:16], 16)) for s in shingles]
+    return [
+        min((b1 + j * b2) % _MINHASH_PRIME for b1, b2 in bases) for j in range(k)
+    ]
 
 
 def _true_jaccard(a: set[str], b: set[str]) -> float:

@@ -31,6 +31,8 @@ KEY_SHIFTS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 OFFSET = 100_000_000
 
@@ -48,6 +50,16 @@ def stage(spark, replicas: int) -> str:
                 rep = src
                 for col in KEY_SHIFTS[name]:
                     rep = rep.withColumn(col, F.col(col) + F.lit(r * OFFSET))
+                if name == "documents" and r > 0:
+                    # suffix every token per replica so shingle spaces are
+                    # DISJOINT across replicas: duplicate density per
+                    # replica stays what it was at 1x (otherwise each doc
+                    # gains r near-identical clones and candidate pairs
+                    # grow r^2, measuring pair blow-up instead of scan
+                    # scale-up)
+                    rep = rep.withColumn(
+                        "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{r}")
+                    )
                 parts.append(rep)
             df = parts[0]
             for p in parts[1:]:
