@@ -17,6 +17,66 @@ from data_warehouse_data_mining_spark.catalog import load
 from data_warehouse_data_mining_spark.registry import register
 
 
+_RANGE_BAND_US = 300_000_000  # 5 minutes in microseconds
+
+
+@register(
+    "range_join_bucketized",
+    oracle="""
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT ts AS cts FROM events WHERE event_type = 'click'),
+         counts AS (
+           SELECT p.event_id, count(c.cts) AS n_nearby
+           FROM p LEFT JOIN c
+             ON c.cts >= p.ts - INTERVAL 5 MINUTE
+            AND c.cts <= p.ts + INTERVAL 5 MINUTE
+           GROUP BY p.event_id
+         )
+    SELECT n_nearby, count(*) AS n_purchases
+    FROM counts GROUP BY n_nearby
+    ORDER BY n_nearby
+    """,
+)
+def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large GLOBAL range join (no equi key): for every purchase,
+    how many clicks — from ANY user — happened within ±5 minutes;
+    reported as a histogram of nearby-click counts.
+
+    A naive plan is a nested-loop O(purchases × clicks). The scale shape
+    is bucketize-and-explode: both sides bucket time by the band width,
+    the PROBE side explodes to its 3 adjacent buckets, the join becomes
+    a plain bucket equi-join, and the exact ±band predicate filters the
+    3-bucket superset. Work is O(pairs within ±2 bands) — the same trick
+    range-join optimizers apply internally. The oracle states the naive
+    inequality join directly."""
+    e = load(spark, sf_dir).events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_micros("ts").alias("pus")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("cus")
+    )
+    bucket = lambda col: F.floor(col / F.lit(_RANGE_BAND_US))  # noqa: E731
+    pb = p.withColumn(
+        "bucket",
+        F.explode(F.array(bucket(F.col("pus")) - 1, bucket(F.col("pus")), bucket(F.col("pus")) + 1)),
+    )
+    cb = c.withColumn("bucket", bucket(F.col("cus")))
+    per_purchase = (
+        pb.join(cb, "bucket")
+        .filter(F.abs(F.col("cus") - F.col("pus")) <= _RANGE_BAND_US)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+    return (
+        p.join(per_purchase, "event_id", "left")
+        .select(F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"))
+        .groupBy("n_nearby")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("n_nearby")
+    )
+
+
 @register(
     "asof_join_events",
     oracle="""

@@ -479,13 +479,22 @@ def connected_components(
     chains. The classic alternating big-star/small-star optimization
     drops in here if components get deep at 100 TB.
     """
-    bi = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # The edge table is consumed once per iteration and everything
+    # upstream (the whole LSH candidate pipeline) would otherwise be
+    # recomputed each time — persist it, and persist each iteration's
+    # labels before the convergence count so an iteration is ONE
+    # materialized shuffle join, not a replay of the full lineage (which
+    # grows per iteration and OOMs the driver's plan/stage state).
+    bi = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
     )
     labels = (
         bi.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
+        .persist()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -501,6 +510,7 @@ def connected_components(
                     "lbl"
                 ),
             )
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -508,9 +518,11 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    bi.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
 

@@ -117,6 +117,17 @@ def sample_frames(
     return df_with_payload.mapInPandas(_sample, schema=FRAMES_SCHEMA)
 
 
+def _round6_half_away(x: float) -> float:
+    """round(x, 6) with halves away from zero — SQL semantics.
+
+    Python/pandas round() is banker's (half-to-even); byte means over
+    power-of-two lengths are EXACT dyadic .xxxxxx5 ties (e.g. sum/128),
+    where the two conventions diverge. Values here are non-negative."""
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
 def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic byte-level featurizer (the fake 'decode' path).
 
@@ -133,10 +144,14 @@ def _featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "n_bytes": n_bytes.astype("int32"),
                 "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
                 "byte_mean": payloads.map(
-                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                ).round(6),
+                    lambda b: _round6_half_away(float(sum(b)) / len(b))
+                    if len(b)
+                    else 0.0
+                ),
                 "printable_ratio": payloads.map(
-                    lambda b: round(sum(32 <= x < 127 for x in b) / len(b), 6)
+                    lambda b: _round6_half_away(
+                        sum(32 <= x < 127 for x in b) / len(b)
+                    )
                     if len(b)
                     else 0.0
                 ),

@@ -40,10 +40,20 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
 
 
 def sliding_counts(events: DataFrame) -> DataFrame:
-    """1-hour window sliding every 30 minutes."""
+    """1-hour window sliding every 30 minutes.
+
+    The mean routes through an exact DECIMAL sum (value is a 6-decimal
+    rational): plain avg(double) accumulates in partition order, and at
+    larger SF a last-ulp difference vs the oracle's own order lands on a
+    round(6) boundary. Exact sum → one double division → identical."""
+    avg_exact = F.round(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), avg_exact.alias("avg_value"))
         .select(F.date_format("win.start", _FMT).alias("window_start"), "n", "avg_value")
     )
 
@@ -93,7 +103,8 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS avg_value
     FROM starts GROUP BY 1
     """,
 )
