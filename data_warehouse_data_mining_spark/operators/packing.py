@@ -1,0 +1,126 @@
+"""Sequence packing for LLM pre-training data layout.
+
+Pre-training consumes fixed-length token blocks: documents are
+concatenated in a deterministic stream order and the stream is cut
+every ``block_tokens`` tokens (documents straddle cuts). These
+operators compute, entirely with window cumsums — no Python, no
+collect — which block each document starts in and how full each
+shard's stream is.
+
+Scale shape: the only ordering is a window PARTITIONED by the shard
+columns (here lang × source), so each task sorts one shard locally —
+there is no global sort or single-partition window. At 100 TB the
+caller passes finer shard keys (e.g. date × source × bucket) so every
+shard fits a task; the assignment is then one shuffle by shard key.
+The reference has no packing surface; semantics follow the standard
+GPT-style concat-and-cut layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+BLOCK_TOKENS = 256
+
+
+def pack_assignments(
+    docs: DataFrame,
+    shard_cols: list[str],
+    order_col: str,
+    text_col: str = "text",
+    block_tokens: int = BLOCK_TOKENS,
+) -> DataFrame:
+    """Per-document packing coordinates: tokens are whitespace pieces
+    (matching text.token_table), ``stream_offset`` is the exclusive
+    cumsum of tokens within the shard stream, ``block_id`` the
+    fixed-size block the document starts in."""
+    w = W.partitionBy(*shard_cols).orderBy(order_col)
+    n = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.select(*shard_cols, order_col, n.alias("n_tokens"))
+        .withColumn(
+            "stream_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("block_id", F.floor(F.col("stream_offset") / block_tokens))
+        .withColumn(
+            "offset_in_block", F.col("stream_offset") % block_tokens
+        )
+    )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    SELECT lang, source, doc_id, n_tokens, stream_offset,
+           CAST(floor(stream_offset / {BLOCK_TOKENS}) AS BIGINT) AS block_id,
+           stream_offset % {BLOCK_TOKENS} AS offset_in_block
+    FROM (
+      SELECT lang, source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+      FROM documents
+    )
+    ORDER BY lang, source, doc_id
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut packing of the documents corpus into
+    256-token training blocks, sharded by lang × source with doc_id as
+    the deterministic stream order. Returns each document's block id
+    and offset — the metadata a downstream tokenizer-writer needs to
+    emit fixed-length sequences without materializing the concatenated
+    text."""
+    d = load(spark, sf_dir).documents
+    out = pack_assignments(d, ["lang", "source"], "doc_id")
+    return out.select(
+        "lang", "source", "doc_id", "n_tokens", "stream_offset",
+        "block_id", "offset_in_block",
+    ).orderBy("lang", "source", "doc_id")
+
+
+@register(
+    "pack_shard_summary",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tokens) / {BLOCK_TOKENS}.0) AS BIGINT) AS n_blocks,
+           CAST(ceil(sum(n_tokens) / {BLOCK_TOKENS}.0) * {BLOCK_TOKENS}
+                - sum(n_tokens) AS BIGINT) AS tail_padding
+    FROM (SELECT lang, source, len(string_split(text, ' ')) AS n_tokens
+          FROM documents)
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def pack_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level packing plan: token totals, full 256-token block
+    count, and tail padding per lang × source shard — the numbers a
+    scheduler uses to balance shards before the (heavier) tokenize
+    stage. One scan, one hash aggregation; no window needed."""
+    d = load(spark, sf_dir).documents
+    n = F.size(F.split("text", " "))
+    return (
+        d.select("lang", "source", n.alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / float(BLOCK_TOKENS)).alias("n_blocks"),
+            (
+                F.ceil(F.sum("n_tokens") / float(BLOCK_TOKENS)) * BLOCK_TOKENS
+                - F.sum("n_tokens")
+            ).alias("tail_padding"),
+        )
+        .orderBy("lang", "source")
+    )

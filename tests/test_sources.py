@@ -142,3 +142,44 @@ def test_orc_roundtrip(spark, tmp_path):
     assert back.filter("o_totalprice > 1000").count() == o.filter(
         "o_totalprice > 1000"
     ).count()
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: malformed lines land in _corrupt_record
+    and split_corrupt separates them from clean rows in one parse —
+    the quarantine pattern a 100 TB corpus ingest needs (a handful of
+    bad dump lines must not kill a 1000-executor job)."""
+    from data_warehouse_data_mining_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        "{this is not json}\n"
+        '{"doc_id": 2, "text": "gamma"}\n'
+        '{"doc_id": "not_an_int", "text": "delta"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING")
+    clean, rejects = split_corrupt(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    assert "_corrupt_record" not in clean.columns
+    rej = [r._corrupt_record for r in rejects.collect()]
+    assert len(rej) == 2 and "{this is not json}" in rej
+
+
+def test_jsonl_dropmalformed_and_failfast(spark, tmp_path):
+    """DROPMALFORMED silently keeps only parseable rows; FAILFAST
+    raises on the first bad line."""
+    from data_warehouse_data_mining_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1}\nnot json at all\n{"doc_id": 2}\n')
+    dropped = read_jsonl(spark, str(p), "doc_id BIGINT", mode="DROPMALFORMED")
+    assert {r.doc_id for r in dropped.collect()} == {1, 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_jsonl(spark, str(p), "doc_id BIGINT", mode="FAILFAST").collect()
