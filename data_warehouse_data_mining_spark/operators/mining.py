@@ -304,3 +304,58 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 14400000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(session_n AS INT) AS session_n,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_n
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment (a new
+    session starts after >4 h of inactivity), the batch twin of the
+    streaming session window (streaming/windows.py). The boundary lag,
+    the session-numbering cumulative sum, and the per-session aggregate
+    all partition on user_id — Catalyst plans ONE shuffle and one sort
+    for the whole query, which is the shape that survives 100 TB of
+    events. Gaps compare as exact integer microseconds on both engines
+    (see time_weighted_average's trap notes)."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    numbered = e.withColumn(
+        "session_n",
+        F.sum(
+            F.when(gap.isNull() | (gap > 14_400_000_000), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int"),
+    )
+    return numbered.groupBy("user_id", "session_n").agg(
+        F.date_format(F.min("ts"), _FMT).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )

@@ -509,3 +509,65 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Target mixture for corpus_mixture_sample: per-language keep rates as
+# exact 16-bit hex thresholds (rate = threshold / 0x10000), so the
+# md5-prefix comparison is bit-identical across engines. English is
+# downsampled hardest (it dominates raw crawls), mid-resource languages
+# kept in full — the standard pretraining data-mixing shape.
+MIXTURE_THRESHOLDS = {
+    "en": "8000",  # 50%
+    "de": "4000",  # 25%
+    "zh": "4000",  # 25%
+    "fr": "ffff",  # ~100%
+    "es": "ffff",  # ~100%
+}
+
+
+def _mixture_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{thr}'" for lang, thr in MIXTURE_THRESHOLDS.items()
+    )
+    return f"CASE lang {whens} ELSE '0000' END"
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_mixture_case_sql()}
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture resampling: downsample each language to
+    a target mixture rate with a CONTENT-keyed Bernoulli filter (md5 of
+    doc_id under a per-language hex threshold) — the data-mixing step
+    of a pretraining pipeline, made reproducible: membership depends
+    only on the key, so the mixture is stable across re-runs, engines,
+    partitionings, and incremental corpus loads (same property as
+    deterministic_hash_sample, operators/relational.py). Pure map-side
+    filter + one hash aggregate; nothing shuffles except the final
+    per-language rollup."""
+    d = load(spark, sf_dir).documents
+    thr = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(t))
+            for lang, t in MIXTURE_THRESHOLDS.items()
+        ],
+        F.lit("0000"),
+    )
+    return (
+        d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

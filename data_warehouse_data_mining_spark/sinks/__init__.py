@@ -1,0 +1,11 @@
+from data_warehouse_data_mining_spark.sinks.writers import (
+    write_bucketed_table,
+    write_partitioned,
+    write_sorted_for_skipping,
+)
+
+__all__ = [
+    "write_bucketed_table",
+    "write_partitioned",
+    "write_sorted_for_skipping",
+]

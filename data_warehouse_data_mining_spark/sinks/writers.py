@@ -1,0 +1,94 @@
+"""Write-path operators: the sink half of a 100 TB pipeline.
+
+The reference only ever prints results (stroke_predict.py show()/
+collect() edges); a real warehouse has to WRITE, and at scale the
+write layout decides every downstream read's cost. Three layouts:
+
+* ``write_partitioned`` — hive-style ``partitionBy`` with small-file
+  control. The naive ``df.write.partitionBy(c)`` writes one file per
+  (task, partition-value) pair — at 1000 executors × 1000 values that
+  is a million tiny files, the classic small-files failure. Shuffling
+  on the partition columns first makes each dynamic partition the
+  output of as few tasks as possible; ``maxRecordsPerFile`` re-splits
+  only where a partition is genuinely large.
+
+* ``write_sorted_for_skipping`` — sort rows WITHIN files on the
+  columns future queries filter by, so parquet row-group min/max
+  stats actually prune. An unsorted file has every row group spanning
+  the full value range (no skipping); a sorted one localizes each
+  predicate to a few row groups.
+
+* ``write_bucketed_table`` — ``bucketBy(n, key)`` + in-bucket sort,
+  the co-located-join layout: two tables bucketed the same way join
+  with ZERO exchange (tests/test_sinks.py pins that plan). This is
+  the standing answer to "this join shuffles 100 TB every night".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write with bounded file counts: one
+    shuffle on the partition columns co-locates each dynamic partition
+    into one task (AQE coalesces small ones), and maxRecordsPerFile
+    splits the genuinely large partitions instead of letting every
+    task contribute a shard to every partition value."""
+    (
+        df.repartition(*[df[c] for c in partition_cols])
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_sorted_for_skipping(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet sorted on the expected filter columns so row-group
+    min/max statistics prune reads. ``repartitionByRange`` gives
+    globally range-partitioned files (file-level skipping via
+    footers); ``sortWithinPartitions`` orders rows inside each file
+    (row-group-level skipping)."""
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and in-bucket sorted) managed table.
+
+    Both sides of a frequent join written with the SAME bucket spec
+    join exchange-free: each task reads matching bucket files from
+    both tables — at 100 TB that turns a nightly full-shuffle join
+    into a local merge. Requires saveAsTable (bucket metadata lives in
+    the catalog, not in parquet footers)."""
+    w = df.write.mode(mode).option("path", path) if path else df.write.mode(mode)
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.format("parquet").saveAsTable(table)

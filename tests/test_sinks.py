@@ -1,0 +1,95 @@
+"""Write-path tests: round-trip fidelity, partition pruning on read,
+small-file bounds, row-group skipping layout, and the flagship claim —
+a bucketed self-join planning with ZERO exchange."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.plans import explain
+from data_warehouse_data_mining_spark.sinks import (
+    write_bucketed_table,
+    write_partitioned,
+    write_sorted_for_skipping,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
+    e = load(spark, SF_SMALL).events
+    out = str(tmp_path / "events_part")
+    write_partitioned(e, out, ["event_type"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == e.count()
+    # hive layout: one directory per value
+    vals = {r["event_type"] for r in e.select("event_type").distinct().collect()}
+    dirs = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(os.path.join(out, "event_type=*"))
+    }
+    assert dirs == vals
+
+    # a filter on the partition column must prune at planning time
+    plan = explain.formatted_plan(back.filter(F.col("event_type") == "purchase"))
+    assert "PartitionFilters" in plan and "purchase" in plan
+
+    # small-file bound: repartition-first means ≤ a few files per value
+    for v in dirs:
+        files = glob.glob(os.path.join(out, f"event_type={v}", "*.parquet"))
+        assert 1 <= len(files) <= 4, f"{v}: {len(files)} files"
+
+
+def test_sorted_write_localizes_ranges(spark, tmp_path):
+    o = load(spark, SF_SMALL).orders
+    out = str(tmp_path / "orders_sorted")
+    write_sorted_for_skipping(o, out, ["o_orderdate"], n_files=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    # range partitioning: per-file [min,max] spans must not all overlap —
+    # compare each file's span against the global span
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) == 4
+    spans = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderdate"), F.max("o_orderdate"))
+            .collect()[0]
+        )
+        spans.append((row[0], row[1]))
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo, "range files must not interleave"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    o = load(spark, SF_SMALL).orders
+    warehouse_tbl = "orders_bucketed_test"
+    write_bucketed_table(
+        o,
+        warehouse_tbl,
+        ["o_custkey"],
+        n_buckets=4,
+        path=str(tmp_path / "orders_bucketed"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # At test scale AQE would broadcast and hide the layout; force the
+        # sort-merge path bucketing exists for (at 100 TB neither side fits
+        # a broadcast, so SMJ-without-exchange IS the production plan).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table(warehouse_tbl)
+        agg = t.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        joined = t.join(agg, "o_custkey")
+        plan = explain.formatted_plan(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {warehouse_tbl}")
