@@ -718,6 +718,42 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_mixed",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+           round(sum(l_extendedprice), 2) AS total_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a non-hierarchical mix — the
+    (l_linestatus)-only subtotal is reachable by neither ROLLUP nor
+    CUBE of this column order, which is exactly what the explicit form
+    is for. Uses the native DataFrame ``groupingSets`` API (Spark 4.0+)
+    — one Expand + one hash aggregate, same single-shuffle plan shape
+    as rollup/cube."""
+    li = load(spark, sf_dir).lineitem
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")).alias(
+                "gid"
+            ),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "total_price", "n")
+    )
+
+
+@register(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,

@@ -433,3 +433,238 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity
+                               AS DECIMAL(28,4))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product profit by supplier nation and order year.
+
+    Adaptation: the testdata has no partsupp, so supply cost is proxied
+    as 60% of p_retailprice (noted in the module docstring pattern).
+    The part filter (`p_name LIKE '%red%'`) prunes the fact rows via
+    the broadcast part projection before the orders join; nation and
+    supplier are bounded dims (broadcast), orders is SF-proportional so
+    it joins hint-free under AQE. Profit per line is an exact 4-decimal
+    rational, so the sum routes through DECIMAL (money_sum) for
+    engine-identical rounding.
+    """
+    t = load(spark, sf_dir)
+    red_parts = t.part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(money_sum(profit, 4).alias("profit"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: a revenue CTE reused twice — once
+    per-supplier, once for its global max — keeping every supplier that
+    ties the maximum.
+
+    The revenue aggregate is computed ONCE and persisted implicitly by
+    reuse (Catalyst plans the scalar max as a 1-row broadcast against
+    the same shuffle output); comparing on the DECIMAL-rounded revenue
+    makes the tie test engine-exact. Scale: one shuffle of the
+    date-pruned lineitem slice keyed by supplier; the max side is one
+    row.
+    """
+    t = load(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t.supplier.select("s_suppkey", "s_name")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive-predicate revenue (no l_shipmode/
+    l_shipinstruct in the testdata, so the three arms keep only the
+    brand/size/quantity brackets).
+
+    The OR-of-ANDs predicate straddles the join: Catalyst pushes the
+    part-only disjuncts (brand/size) below the join into the part scan
+    and derives `l_quantity <= 30`-style bounds for the lineitem scan
+    (constraint propagation), so each arm prunes BEFORE the join — the
+    reason this archetype is in the suite.
+    """
+    t = load(spark, sf_dir)
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(
+            arm("Brand#11", 5, 1, 11)
+            | arm("Brand#22", 10, 10, 20)
+            | arm("Brand#33", 15, 20, 30)
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "waiting_supplier_faults",
+    oracle="""
+    WITH r_items AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    ),
+    all_items AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM r_items t1 JOIN supplier ON s_suppkey = t1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM all_items t2
+                  WHERE t2.l_orderkey = t1.l_orderkey
+                    AND t2.l_suppkey <> t1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM r_items t3
+                      WHERE t3.l_orderkey = t1.l_orderkey
+                        AND t3.l_suppkey <> t1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def waiting_supplier_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style sole-fault supplier count: per supplier, the
+    multi-supplier orders where it is the ONLY supplier with returned
+    ('R') items. (The testdata lacks commit/receipt dates, so "kept
+    waiting" = returned lines.)
+
+    The EXISTS arm is a left-semi self-join (same order, different
+    supplier), the NOT-EXISTS arm a left-anti self-join against the
+    R-only slice — both on the ORDER key with the supplier inequality
+    as a residual predicate, so each is one equi-shuffle of a distinct
+    (orderkey, suppkey) projection, never a cross product. Q21 is the
+    canonical "two correlated subqueries on the same fact table" shape.
+    """
+    t = load(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    r_items = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_items = li.select("l_orderkey", "l_suppkey").distinct()
+    t2 = all_items.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    t3 = r_items.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    faults = (
+        r_items.join(
+            t2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            t3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        faults.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
