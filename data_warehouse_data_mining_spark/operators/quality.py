@@ -234,3 +234,73 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    old_snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice <> n.o_totalprice
+                       OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    ) GROUP BY change_type ORDER BY change_type
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key of two table versions
+    as added / removed / changed / unchanged — the audit step between
+    any two loads of the same table (and the generic form of
+    table_checksum's yes/no answer).
+
+    The "new" snapshot is derived deterministically from orders (every
+    97th key dropped, open orders repriced) so the diff is
+    oracle-checkable. One full outer join on the key — a single
+    co-partitioned shuffle; the value comparison is a residual
+    projection, so the plan is the same at any number of columns (hash
+    the concatenated values for very wide tables, as table_checksum
+    does)."""
+    o = load(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "O", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("n_totalprice"),
+        F.col("o_orderstatus").alias("n_orderstatus"),
+    )
+    joined = o.withColumnRenamed("o_orderkey", "key").join(
+        new_snap.withColumnRenamed("o_orderkey", "key"), "key", "full_outer"
+    )
+    return (
+        joined.select(
+            F.when(F.col("o_totalprice").isNull(), "added")
+            .when(F.col("n_totalprice").isNull(), "removed")
+            .when(
+                (F.col("o_totalprice") != F.col("n_totalprice"))
+                | (F.col("o_orderstatus") != F.col("n_orderstatus")),
+                "changed",
+            )
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )

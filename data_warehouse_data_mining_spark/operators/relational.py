@@ -1253,6 +1253,48 @@ def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "argmax_per_group",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           arg_max(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000
+                            + c_custkey) AS richest_customer,
+           arg_min(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000000
+                            + c_custkey) AS poorest_customer,
+           round(max(c_acctbal), 2) AS max_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_nationkey
+    """,
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by / min_by): the row-valued
+    companion to max() that otherwise costs a window + filter pass.
+
+    One hash aggregate — no sort, no window, no self-join. The ordering
+    value packs (acctbal-in-cents, custkey) into one BIGINT so
+    exact-balance ties break deterministically by key with a scalar
+    comparator both engines support (DuckDB's arg_max takes no struct
+    ordering value)."""
+    t = load(spark, sf_dir)
+    tie_key = (
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint") * F.lit(1_000_000_000)
+        + F.col("c_custkey")
+    )
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.max_by(F.col("c_name"), tie_key).alias("richest_customer"),
+            F.min_by(F.col("c_name"), tie_key).alias("poorest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "string_agg_per_group",
     oracle="""
     SELECT o_orderpriority,

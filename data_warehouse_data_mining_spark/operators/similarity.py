@@ -406,3 +406,35 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = exact.count()
         results.append((variant, round(hits / total, 4) if total else 0.0))
     return spark.createDataFrame(results, "variant string, recall_at_5 double")
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+    SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS mean_v
+    FROM (SELECT label,
+                 unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding column, long format
+    (label, dimension, mean) — the building block of IVF training,
+    nearest-centroid classification, and class-prototype dedup.
+
+    posexplode + one hash aggregate: the per-(label, dim) partial means
+    combine map-side, so the shuffle carries at most
+    |labels| × dim × partitions rows regardless of corpus size — the
+    vector mean that survives 100 TB. Rounded to 6 decimals because
+    double accumulation order differs between engines (~1e-13 jitter on
+    unit-scale floats; same canon as correlation_matrix)."""
+    e = load(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+        .orderBy("label", "pos")
+    )
