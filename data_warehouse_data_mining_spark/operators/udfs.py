@@ -166,3 +166,47 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return rank.select("state", F.round("prob", 6).alias("stationary_prob"))
+
+
+@register(
+    "udtf_word_trigrams",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    trigrams AS (
+      SELECT doc_id, ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2] AS ngram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos
+            FROM words WHERE len(ws) >= 3)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           min(ngram) AS min_trigram
+    FROM trigrams GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def udtf_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+/4.x UDTF surface):
+    one input row → many output rows, consumed via LATERAL join.
+
+    The UDTF mirrors texthash.word_shingles (which does the same thing
+    in pure whole-stage-codegen SQL — the PREFERRED hot path, see module
+    docstring); this registers the table-function API itself, with the
+    same exact oracle as the expression twin. Lateral row expansion is
+    partition-local: no shuffle until the per-doc aggregate."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class WordTrigrams:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            ws = (text or "").split(" ")
+            for i in range(len(ws) - 2):
+                yield i, " ".join(ws[i : i + 3])
+
+    spark.udtf.register("word_trigrams", WordTrigrams)
+    cat = load(spark, sf_dir)
+    cat.table("documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, count(*) AS n_trigrams, min(ngram) AS min_trigram
+        FROM documents, LATERAL word_trigrams(text)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )

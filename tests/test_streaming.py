@@ -67,6 +67,32 @@ def test_streaming_dedup_with_watermark(spark, events_dir):
     assert n_stream == ev.select("event_id").distinct().count()
 
 
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    evicts per-key state once the key's event time falls behind the
+    watermark — the variant that holds at 100 TB, where plain
+    dropDuplicates accumulates one state row per key forever. The
+    testdata has no cross-watermark duplicate event_ids, so the result
+    matches exact distinct here; the point under test is the operator
+    running with eviction enabled."""
+    ev = load(spark, SF_SMALL).events
+    stream = read_event_stream(
+        spark, events_dir, watermark="1 hour"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_wm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_stream = spark.sql("SELECT count(*) AS n FROM stream_dedup_wm").collect()[0][0]
+    assert n_stream == ev.select("event_id").distinct().count()
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Stream-stream interval join (click→purchase attribution) must
     produce exactly the batch join's pairs once all input is processed."""
