@@ -18,10 +18,11 @@ Scale design notes (applies to all queries here):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.functions import texthash as th
 from data_warehouse_data_mining_spark.registry import register
 
 
@@ -940,6 +941,91 @@ def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("total_price"),
         )
         .orderBy("split")
+    )
+
+
+@register(
+    "weighted_sample_per_lang",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln(CAST(list_reduce(list_transform(range(1, 9),
+                  i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))
+                       - 1 AS BIGINT)), (a, b) -> a * 16 + b) + 1 AS DOUBLE)
+                / 4294967296.0) / n_chars AS wkey
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id)
+               AS rn
+      FROM keyed
+    ) WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis-Spirtsis
+    A-Res): per language, the 20 documents drawn with probability
+    proportional to length — the quality/size-weighted subsample step
+    of training-data selection, reproducible across engines and re-runs.
+
+    Each doc's sort key is ln(u)/w with u a 32-bit md5-derived uniform
+    and w = n_chars; top-k by key IS a weighted sample without
+    replacement. The md5→uniform fold is bit-identical across engines
+    (texthash canon); ln() may differ in the last ulp, but membership
+    only flips if two keys collide within ~1e-15 relative — vanishing
+    for continuous weights — and the OUTPUT carries no float, so the
+    hash compare is ulp-robust. One map pass + one top-k-per-group
+    window on the lang shuffle; at 100 TB use the partial-top-k
+    pre-aggregation (topk_per_group's note) before the final window."""
+    d = load(spark, sf_dir).documents
+    u = (th.md5_word(F.col("doc_id").cast("string"), 1) + 1) / F.lit(4294967296.0)
+    wkey = F.log(u) / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", wkey.alias("wkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH l AS (SELECT NULLIF(o_orderstatus, 'P') AS k, o_totalprice FROM orders),
+         r AS (SELECT NULLIF(o_orderstatus, 'P') AS k,
+                      count(*) AS n_status
+               FROM orders GROUP BY 1)
+    SELECT l.k, CAST(count(*) AS BIGINT) AS n_rows, min(r.n_status) AS n_status
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k ORDER BY l.k NULLS FIRST
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``eqNullSafe`` / SQL ``<=>``): NULL keys
+    match NULL keys instead of silently dropping — the semantics data
+    reconciliation needs when the join key is itself nullable. Still
+    plans as a hash join (null-safe equality is an equi-key), not a
+    nested loop."""
+    o = load(spark, sf_dir).orders
+    k = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    left = o.select(k.alias("k"), "o_totalprice")
+    right = (
+        o.select(k.alias("rk"))
+        .groupBy("rk")
+        .agg(F.count(F.lit(1)).alias("n_status"))
+    )
+    return (
+        left.join(F.broadcast(right), F.col("k").eqNullSafe(F.col("rk")))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_status").alias("n_status"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
     )
 
 
