@@ -27,6 +27,7 @@ write layout decides every downstream read's cost. Three layouts:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 
@@ -92,3 +93,27 @@ def write_bucketed_table(
     w = w.bucketBy(n_buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.format("parquet").saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and return the file count.
+
+    The daily maintenance job of every streaming/incremental sink — a
+    micro-batch writer leaves one file per trigger per partition, and a
+    year of 30-second triggers is a million tiny files whose footer
+    reads dominate scan time. Sizing from the ACTUAL byte size (not a
+    guessed partition count) and using ``coalesce`` (a scan-side
+    partition merge, NO shuffle) keeps the rewrite one pass over the
+    data. Writes to a new directory: swap-on-success beats in-place
+    rewrites that can destroy data on failure."""
+    total = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
+    return n_files

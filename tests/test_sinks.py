@@ -93,3 +93,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {warehouse_tbl}")
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from data_warehouse_data_mining_spark.sinks import compact_files
+
+    e = load(spark, SF_SMALL).events
+    fragmented = str(tmp_path / "fragmented")
+    e.repartition(32).write.parquet(fragmented)
+    assert len(glob.glob(os.path.join(fragmented, "*.parquet"))) == 32
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_files(spark, fragmented, compacted, target_file_bytes=64 * 1024**2)
+    files = glob.glob(os.path.join(compacted, "*.parquet"))
+    assert len(files) == n
+    assert len(files) < 32
+    back = spark.read.parquet(compacted)
+    assert back.count() == e.count()
