@@ -1,0 +1,57 @@
+"""Modern Spark API coverage: observe() single-pass metrics, the AQE
+REBALANCE hint, and parameterized spark.sql — each pinned by plan or
+value so the surface stays working."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.plans.explain import formatted_plan
+from tests.conftest import SF_SMALL
+
+
+def test_observe_metrics_single_pass(spark):
+    """df.observe attaches aggregate metrics to a job WITHOUT a second
+    scan — the way a 100 TB pipeline reports rows-kept/rows-dropped
+    instead of running count() twice."""
+    from pyspark.sql import Observation
+
+    o = load(spark, SF_SMALL).orders
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_kept"),
+    )
+    kept = observed.filter(F.col("o_totalprice") > 100000)
+    n_kept_action = kept.count()
+    assert obs.get["n_total"] == o.count()
+    assert obs.get["n_kept"] == n_kept_action
+
+
+def test_rebalance_hint_in_plan(spark):
+    """The REBALANCE hint asks AQE to split skewed / coalesce small
+    output partitions — the skew-proof pre-write shuffle. Pin that the
+    hint survives into the optimized plan."""
+    li = load(spark, SF_SMALL).lineitem
+    df = li.hint("rebalance", "l_returnflag")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan
+    # and it executes
+    assert df.count() == li.count()
+
+
+def test_parameterized_sql(spark):
+    """spark.sql named parameters (Spark 3.4+): literal injection without
+    string formatting — plan-cache-friendly and injection-safe."""
+    cat = load(spark, SF_SMALL)
+    cat.table("orders").createOrReplaceTempView("orders")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :status",
+        args={"status": "O"},
+    ).collect()[0]["n"]
+    want = (
+        cat.table("orders").filter(F.col("o_orderstatus") == "O").count()
+    )
+    assert got == want
