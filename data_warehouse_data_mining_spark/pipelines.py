@@ -136,3 +136,103 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "corpus_training_shards",
+    oracle=f"""
+    WITH mixture AS (
+      SELECT * FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000'
+                      WHEN 'zh' THEN '4000' WHEN 'fr' THEN 'ffff'
+                      WHEN 'es' THEN 'ffff' ELSE '0000' END
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM mixture
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) * 1.0 / count(*)
+               AS stop_ratio
+      FROM tok GROUP BY doc_id
+    ),
+    good AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, p.n_tokens
+      FROM mixture d JOIN per_doc p USING (doc_id)
+      WHERE ln(1 + p.n_tokens) * (1 - p.stop_ratio) >= {QUALITY_MIN}
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+    kept AS (SELECT g.* FROM good g JOIN keepers USING (doc_id)),
+    packed AS (
+      SELECT lang, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS stream_offset
+      FROM kept
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(stream_offset // 256) + 1 AS BIGINT) AS n_blocks,
+           CAST(count(*) FILTER (WHERE stream_offset % 256 = 0) AS BIGINT)
+             AS n_block_aligned
+    FROM packed
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data path, stage-composed:
+
+        language-mixture resample (deterministic md5 thresholds,
+        operators/text.py::corpus_mixture_sample)
+      → quality score + filter (this module's quality_scored)
+      → exact dedup, keep min doc_id (operators/dedup.py)
+      → concat-and-cut sequence packing (operators/packing.py)
+      → per-shard block accounting
+
+    Every stage is deterministic, so the WHOLE composition hash-checks
+    against a single SQL mirror — the engine's answer to "can the
+    pieces actually be chained?". Scale: mixture + quality + dedup add
+    map filters and two digest-keyed shuffles before packing's one
+    shard-partitioned window; no stage widens a shuffle beyond its
+    standalone shape."""
+    from data_warehouse_data_mining_spark.operators.packing import (
+        pack_assignments,
+    )
+    from data_warehouse_data_mining_spark.operators.text import (
+        MIXTURE_THRESHOLDS,
+    )
+
+    d = load(spark, sf_dir).documents
+    thr = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(t))
+            for lang, t in MIXTURE_THRESHOLDS.items()
+        ],
+        F.lit("0000"),
+    )
+    mixture = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    )
+    scored = quality_scored(mixture, "doc_id", "text")
+    good = scored.filter(F.col("quality") >= QUALITY_MIN)
+    keepers = dedup.exact_duplicates(good, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = good.join(keepers, "doc_id")
+    packed = pack_assignments(kept, ["lang", "source"], "doc_id")
+    return (
+        packed.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.max("block_id") + 1).cast("bigint").alias("n_blocks"),
+            F.count_if(F.col("offset_in_block") == 0)
+            .cast("bigint")
+            .alias("n_block_aligned"),
+        )
+        .orderBy("lang", "source")
+    )
