@@ -359,3 +359,74 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_us"
         ),
     )
+
+
+@register(
+    "ewma_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    acc AS (
+      SELECT user_id, rn,
+             power(0.8, rn) * sum(
+               (CASE WHEN rn = 1 THEN 1.0 ELSE 0.2 END)
+               * value / power(0.8, rn))
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS ewma,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM seq
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(ewma, 6) AS ewma_value
+    FROM acc WHERE rn = n ORDER BY user_id
+    """,
+)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.2) of each
+    user's event values — the standard online smoother, which is
+    RECURSIVE (s_i = a*x_i + (1-a)*s_{i-1}) and so looks
+    window-inexpressible. The closed form
+    s_n = (1-a)^n * sum_i(w_i * x_i / (1-a)^i), w_1 = 1, w_i = a,
+    turns it into one cumulative-sum window — no recursion, no UDF, one
+    shuffle on user_id shared by the row-number and the cumsum.
+
+    Numerics: (1-a)^-i grows exponentially; doubles overflow past
+    ~6700 events per user at a=0.2 — beyond that, chunk the series and
+    chain chunk-final states (the same recursion, applied per chunk).
+    Rounded to 6 decimals: libm pow differs from JVM pow by ulps
+    (correlation_matrix canon)."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn"),
+    )
+    decay = F.pow(F.lit(0.8), F.col("rn"))
+    term = (
+        F.when(F.col("rn") == 1, 1.0).otherwise(0.2) * F.col("value") / decay
+    )
+    acc = seq.select(
+        "user_id",
+        "rn",
+        (
+            decay
+            * F.sum(term).over(
+                w.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+        ).alias("ewma"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        acc.filter(F.col("rn") == F.col("n"))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("ewma", 6).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
