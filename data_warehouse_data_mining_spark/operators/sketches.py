@@ -118,3 +118,31 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("key", "exact_count")
     )
+
+
+@register("hll_mergeable_counts")
+def hll_mergeable_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): per-day user sketches built ONCE, then unioned per
+    event type — the pre-aggregation pattern that makes "distinct users
+    last N days" a sketch merge instead of a re-scan of N days of raw
+    events. At 100 TB the daily sketch table is megabytes; any window
+    of days is answerable from it with hll_union_agg.
+
+    Rows-only: the estimate depends on the sketch algorithm, which the
+    DuckDB oracle doesn't share; tests/test_generic_api.py pins the
+    estimate within 5% of the exact distinct count."""
+    e = load(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -116,3 +116,29 @@ def test_misra_gries_heavy_hitter_guarantee(spark):
         assert key in est
     for key, e in est.items():
         assert e <= exact[key] and exact[key] - e <= bound
+
+
+def test_hll_mergeable_estimate_accuracy(spark):
+    """Unioned per-day HLL sketches must estimate distinct users within
+    5% of exact — the bound that makes the mergeable pre-aggregation
+    usable as a serving table."""
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.sketches import (
+        hll_mergeable_counts,
+    )
+    from tests.conftest import SF_SMALL
+
+    est = {
+        r.event_type: r.approx_users
+        for r in hll_mergeable_counts(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, SF_SMALL)
+        .events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
