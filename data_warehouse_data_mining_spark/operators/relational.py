@@ -1592,3 +1592,38 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair", "r")
     )
+
+
+@register(
+    "histogram_equidepth",
+    oracle="""
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+          FROM orders)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 equal-count buckets) — the optimizer's
+    histogram shape, complementing histogram_fixed_bins' equal-width
+    twin. ntile orders by (value, key) so ties split deterministically
+    and both engines bucket identically. The global sort is the
+    operator's semantics; at scale swap the exact ntile for
+    percentile_approx bucket BOUNDARIES (approx_quantiles_profile) and
+    assign buckets map-side by comparison, which needs no global sort."""
+    o = load(spark, sf_dir).orders
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
