@@ -47,11 +47,16 @@ class Catalog:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
-            # events.parquet carries INT64 TIMESTAMP(NANOS); Spark rejects it
-            # unless nanosAsLong is on. The conf is runtime-settable, and the
-            # catalog may be handed an externally built SparkSession that
-            # lacks it, so set it here rather than relying on session.py.
+            # events.parquet has carried INT64 TIMESTAMP(NANOS) in some
+            # testdata generations; Spark rejects that unless nanosAsLong is
+            # on. Both confs are runtime-settable, and the catalog may be
+            # handed an externally built SparkSession that lacks them, so set
+            # them here rather than relying on session.py. The UTC pin also
+            # guarantees the oracle contract (timestamps compared against
+            # DuckDB's naive-UTC semantics) regardless of the host session's
+            # timezone.
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = self.spark.read.parquet(
                 os.path.join(self.sf_dir, f"{name}.parquet")
             )
@@ -72,13 +77,20 @@ class Catalog:
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts arrives as a raw nanosecond long (see session.py's
-    nanosAsLong); floor-divide to microseconds — exactly how DuckDB
-    truncates ns → its us-precision TIMESTAMP — and materialize a real
-    timestamp column. Applied by both the batch catalog and the
-    streaming readers."""
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    """Normalize events.ts to a UTC TIMESTAMP (LTZ) whatever the file
+    carries. Testdata generations differ: TIMESTAMP(NANOS) arrives as a
+    raw ns long under nanosAsLong (floor-divide to µs — exactly how
+    DuckDB truncates ns to its µs-precision TIMESTAMP), while
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    (cast to LTZ — identity under the catalog's UTC session pin). A
+    single arrival type keeps every downstream operator (window(),
+    unix_micros, watermarks) on one code path. Applied by both the
+    batch catalog and the streaming readers."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

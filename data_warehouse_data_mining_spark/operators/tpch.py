@@ -1,12 +1,16 @@
 """Classic TPC-H query shapes adapted to the testdata star schema.
 
-The core/relational module already covers Q1/Q3/Q10/Q14/Q18 shapes;
-this module adds the remaining join/agg archetypes (Q4 EXISTS-count,
-Q5 multi-way local-volume join, Q7 bi-nation volume, Q8 market share,
-Q13 outer-join distribution, Q16 supplier variety, Q17 correlated-avg
-threshold, Q22 anti-join opportunity), adapted where the testdata lacks
-a TPC-H column (no partsupp, no l_commitdate/l_receiptdate/l_shipmode —
-substitutions noted per query).
+The core/relational module already covers Q1/Q3/Q6/Q10/Q14/Q18 shapes;
+this module adds every remaining join/agg archetype, completing all 22
+TPC-H query shapes (Q2 correlated-min supplier, Q4 EXISTS-count, Q5
+multi-way local-volume join, Q7 bi-nation volume, Q8 market share, Q9
+profit, Q11 global-threshold scalar subquery, Q12 conditional-agg
+matrix, Q13 outer-join distribution, Q15 CTE max-tie, Q16 supplier
+variety, Q17 correlated-avg threshold, Q19 disjunctive predicates, Q20
+nested-IN dominance, Q21 EXISTS/NOT-EXISTS decorrelation, Q22 anti-join
+opportunity), adapted where the testdata lacks a TPC-H column (no
+partsupp, no l_commitdate/l_receiptdate/l_shipmode — substitutions
+noted per query).
 
 Scale notes: every query keeps dimensions broadcast (region, nation,
 supplier, part projections are tiny relative to the fact tables), lets
@@ -659,4 +663,276 @@ def waiting_supplier_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    regional AS (
+      SELECT c.l_partkey, c.cost, s.s_name, s.s_acctbal, s.n_name
+      FROM costs c JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(cost) AS best_cost
+      FROM regional GROUP BY l_partkey
+    )
+    SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey,
+           round(r.cost, 6) AS unit_cost
+    FROM regional r
+    JOIN best b ON r.l_partkey = b.l_partkey AND r.cost = b.best_cost
+    JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ORDER BY r.s_acctbal DESC, r.n_name, r.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier: for each qualifying part,
+    the European supplier(s) offering it at the lowest unit cost.
+
+    Adaptation: the testdata has no partsupp, so unit cost per
+    (part, supplier) is derived as min(l_extendedprice / l_quantity)
+    over lineitem — the same correlated-min archetype. The correlated
+    scalar subquery is decorrelated into a per-part min pre-aggregation
+    joined back on (partkey, cost); cost equality is on untouched IEEE
+    doubles (both engines divide the same parquet doubles), so the tie
+    test is exact. Scale: one lineitem shuffle keyed by (part, supp);
+    supplier/nation/region and the qualifying-part slice broadcast.
+    """
+    t = load(spark, sf_dir)
+    costs = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eu_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    eu_supp = t.supplier.join(
+        F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    regional = costs.join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
+    best = regional.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    qual_parts = t.part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    return (
+        regional.join(
+            best.withColumnRenamed("l_partkey", "b_partkey"),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(qual_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "important_part_values",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,4))), 2) AS DOUBLE) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,2)))
+                                    AS DOUBLE) * 0.001 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important stock: parts whose supply value from
+    one nation's suppliers exceeds a fixed fraction of that nation's
+    total supply value.
+
+    Adaptation (no partsupp): supply value = shipped revenue per part
+    from NATION_7 suppliers. The global-threshold scalar subquery is a
+    1-row broadcast against the SAME per-part aggregate (computed
+    once). Numeric hygiene: the per-part values go through DECIMAL
+    (money_sum) and the grand total re-sums those already-rounded
+    values through DECIMAL again, so the threshold is order-independent
+    and engine-identical — a double sum here would let accumulation
+    order flip borderline parts. Scale: one lineitem shuffle keyed by
+    partkey; supplier-in-nation broadcast; threshold side is one row.
+    """
+    t = load(spark, sf_dir)
+    nat_supp = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    pv = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "part_value"
+            )
+        )
+    )
+    threshold = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(18,2)")).cast("double") * F.lit(0.001)).alias(
+            "cutoff"
+        )
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "shipping_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 90 THEN 'SLOW'
+                WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 30 THEN 'MEDIUM'
+                ELSE 'FAST' END AS ship_speed,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY ship_speed
+    ORDER BY ship_speed
+    """,
+)
+def shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style shipmode/priority matrix: line counts of
+    high- vs low-priority orders bucketed by shipping speed.
+
+    Adaptation: the testdata has no l_shipmode, so the grouping key is
+    a ship-delay bucket (days between order and ship date). The
+    conditional-aggregation archetype is the point: both counts come
+    out of ONE join + ONE aggregation pass (no per-priority re-scan).
+    Scale: the join shuffles on orderkey; the 3-row aggregate is
+    map-side partial first.
+    """
+    t = load(spark, sf_dir)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+            t.lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.when(delay > 90, "SLOW")
+            .when(delay > 30, "MEDIUM")
+            .otherwise("FAST")
+            .alias("ship_speed"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT s.l_suppkey FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
+      WHERE s.qty > 0.5 * t.total_qty
+    )
+    ORDER BY s_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style potential-promotion suppliers: suppliers who
+    shipped more than half of 1997's volume of some 'red' part.
+
+    Adaptation (no partsupp availqty): "excess" = supplying > 50% of a
+    part's annual shipped quantity. Q20's nested IN subqueries become a
+    pre-aggregation (per part×supplier qty), a per-part total joined
+    back on the SAME partkey shuffle key, and a left-semi join into
+    supplier. Quantities are integral doubles, so sums and the 0.5×
+    threshold are exact in both engines. Scale: two aggregations over
+    one shuffle of the filtered slice, then a semi-join against the
+    small supplier dim.
+    """
+    t = load(spark, sf_dir)
+    red_parts = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
     )

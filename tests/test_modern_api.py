@@ -14,9 +14,15 @@ from tests.conftest import SF_SMALL
 def test_observe_metrics_single_pass(spark):
     """df.observe attaches aggregate metrics to a job WITHOUT a second
     scan — the way a 100 TB pipeline reports rows-kept/rows-dropped
-    instead of running count() twice."""
+    instead of running count() twice.
+
+    Runs in a child session: in Spark 4.1, once a session has hosted an
+    Observation its ObservationManager gets captured by later RDD task
+    closures (MLlib evaluators) and fails serialization — observing in
+    a newSession() keeps the shared fixture session clean."""
     from pyspark.sql import Observation
 
+    spark = spark.newSession()
     o = load(spark, SF_SMALL).orders
     obs = Observation("quality")
     observed = o.observe(
