@@ -554,3 +554,48 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("total"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_total,
+           CAST(max(CAST(props->>'$.k' AS INT)) AS INT)    AS k_max,
+           count(*) AS n
+    FROM events
+    WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once into a binary-encoded variant, then typed
+    variant_get path extraction — the modern engine-native route for
+    schema-flexible JSON columns.
+
+    vs struct_json_access (from_json with a declared schema) and
+    json_extraction (string get_json_object): VARIANT needs NO declared
+    schema, parses once, and keeps extraction inside codegen on the
+    binary encoding — at 100 TB this is the shape for logs whose keys
+    drift, with shredding-friendly storage when written back. The
+    aggregation itself is an ordinary partial-final hash agg.
+    """
+    e = load(spark, sf_dir).events
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -304,3 +304,74 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "dq_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS med
+      FROM orders GROUP BY o_orderstatus
+    ),
+    dev AS (
+      SELECT o.o_orderstatus, abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+    ),
+    mad AS (
+      SELECT o_orderstatus,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY adev), 6) AS mad
+      FROM dev GROUP BY o_orderstatus
+    )
+    SELECT d.o_orderstatus, m2.mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m2.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_rows
+    FROM dev d JOIN mad m2 ON d.o_orderstatus = m2.o_orderstatus
+    GROUP BY d.o_orderstatus, m2.mad
+    ORDER BY d.o_orderstatus
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag rows beyond 3 scaled MADs (median
+    absolute deviations) from their group median — the
+    mean/stddev-z-score rule breaks when the outliers themselves inflate
+    the stddev; median/MAD does not.
+
+    Both medians come from ``exact_group_percentiles`` (sketch-bracketed
+    exact selection — no per-group whole-column agg buffer), so the
+    operator survives groups of any size. The per-group median and MAD
+    are 1-row-per-group sides that AQE broadcasts back onto the fact
+    table; both engines then compare identical IEEE doubles, making the
+    strict > threshold engine-exact. 1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to
+    σ-equivalents under normality.
+    """
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    o = load(spark, sf_dir).orders.select("o_orderstatus", "o_totalprice")
+    med = (
+        exact_group_percentiles(o, "o_orderstatus", "o_totalprice", [0.5])
+        .select("o_orderstatus", F.round("val", 6).alias("med"))
+    )
+    dev = o.join(med, "o_orderstatus").select(
+        "o_orderstatus", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev")
+    )
+    mad = (
+        exact_group_percentiles(dev, "o_orderstatus", "adev", [0.5])
+        .select("o_orderstatus", F.round("val", 6).alias("mad"))
+    )
+    return (
+        dev.join(mad, "o_orderstatus")
+        .groupBy("o_orderstatus", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -284,60 +284,65 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "median_exact",
-    oracle="""
-    SELECT o_orderstatus,
-           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS median_price,
-           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90_price
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group via sketch-bracketed
-    selection — no per-group whole-column buffer.
+def exact_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    eps: float = 0.01,
+    acc: int = 10_000,
+    small_n: int = 1_000,
+) -> DataFrame:
+    """Exact interpolated (percentile_cont) per-group percentiles via
+    sketch-bracketed selection — no per-group whole-column agg buffer.
 
     ``F.percentile`` holds every group value in one agg buffer (a
     driver-style bottleneck at large SF). Instead: (1) one sketch pass
-    gets per-group counts plus approx brackets [p-EPS, p+EPS] around
+    gets per-group counts plus approx brackets [p-eps, p+eps] around
     each target percentile; (2) one counting pass finds how many values
-    fall strictly below each bracket; (3) only the ~2·EPS fraction of
+    fall strictly below each bracket; (3) only the ~2·eps fraction of
     rows inside a bracket is ranked with a per-(group, percentile)
     window, from which the exact percentile_cont interpolation is read
     off. Every pass is a map-side-partial aggregate or a window over a
-    bracket whose size EPS dials; groups under SMALL_N rows skip the
+    bracket whose size eps dials; groups under small_n rows skip the
     bracket (they are ranked whole, which is exact and tiny).
+
+    Returns long format: (group_col, pid, val) where val is the exact
+    UNROUNDED percentile ps[pid] — identical IEEE doubles to DuckDB's
+    percentile_cont over the same values.
     """
-    from pyspark.sql import Window as W
-
-    PS = [0.5, 0.9]
-    EPS = 0.01       # bracket half-width in rank space
-    ACC = 10_000     # sketch accuracy: rank error <= n/ACC << EPS*n
-    SMALL_N = 1_000  # below this, rank the whole group (exact, cheap)
-
-    o = load(spark, sf_dir).orders.select(
-        "o_orderstatus", F.col("o_totalprice").alias("v")
-    )
-    stats = o.groupBy("o_orderstatus").agg(
+    o = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    k = len(ps)
+    stats = o.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("v", [p - EPS for p in PS], ACC).alias("blo"),
-        F.percentile_approx("v", [p + EPS for p in PS], ACC).alias("bhi"),
+        F.percentile_approx(
+            "v", [max(p - eps, 0.0) for p in ps], acc
+        ).alias("blo"),
+        F.percentile_approx(
+            "v", [min(p + eps, 1.0) for p in ps], acc
+        ).alias("bhi"),
     )
     # stats is one row per group — AQE broadcasts this join at any SF
-    j = o.join(stats, "o_orderstatus")
-    small = F.col("n") < SMALL_N
+    j = o.join(stats, "g")
+    small = F.col("n") < small_n
 
-    below = j.groupBy("o_orderstatus").agg(
+    below = j.groupBy("g").agg(
         *[
             F.sum(
                 F.when(~small & (F.col("v") < F.col("blo")[i]), 1).otherwise(0)
             ).alias(f"c_below_{i}")
-            for i in range(len(PS))
+            for i in range(k)
         ]
+    )
+    below_long = below.select(
+        "g",
+        F.posexplode(
+            F.array(*[F.col(f"c_below_{i}") for i in range(k)])
+        ).alias("pid", "c_below"),
     )
     # tag each row with every percentile whose bracket contains it
     tagged = j.select(
-        "o_orderstatus",
+        "g",
         "v",
         "n",
         F.explode(
@@ -351,49 +356,59 @@ def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                         F.lit(i),
                     )
-                    for i in range(len(PS))
+                    for i in range(k)
                 ]
             )
         ).alias("pid"),
     ).filter(F.col("pid").isNotNull())
 
-    w = W.partitionBy("o_orderstatus", "pid").orderBy("v")
-    p_col = F.when(F.col("pid") == 0, F.lit(PS[0])).otherwise(F.lit(PS[1]))
+    w = W.partitionBy("g", "pid").orderBy("v")
+    p_col = F.element_at(
+        F.array(*[F.lit(float(p)) for p in ps]), F.col("pid") + 1
+    )
     rk = (F.col("n") - 1) * p_col  # 0-based fractional target rank
     r1 = F.floor(rk) + 1  # 1-based rank of the lower bracket value
-    c_below = F.when(small, F.lit(0)).otherwise(
-        F.when(F.col("pid") == 0, F.col("c_below_0")).otherwise(F.col("c_below_1"))
-    )
     ranked = (
         tagged.withColumn("rn", F.row_number().over(w))
-        .join(below, "o_orderstatus")
-        .withColumn("rank", c_below + F.col("rn"))
+        .join(below_long, ["g", "pid"])
+        .withColumn(
+            "rank",
+            F.when(small, F.lit(0)).otherwise(F.col("c_below")) + F.col("rn"),
+        )
         .filter((F.col("rank") == r1) | (F.col("rank") == r1 + 1))
     )
     # interpolate: v1 + frac * (v2 - v1), percentile_cont semantics
     frac = rk - F.floor(rk)
-    per_p = ranked.groupBy("o_orderstatus", "pid").agg(
-        F.round(
-            F.min(F.when(F.col("rank") == r1, F.col("v")))
-            + F.first(frac)
-            * (
-                F.coalesce(
-                    F.min(F.when(F.col("rank") == r1 + 1, F.col("v"))),
-                    F.min(F.when(F.col("rank") == r1, F.col("v"))),
-                )
-                - F.min(F.when(F.col("rank") == r1, F.col("v")))
-            ),
-            6,
-        ).alias("val")
+    v1 = F.min(F.when(F.col("rank") == r1, F.col("v")))
+    v2 = F.coalesce(F.min(F.when(F.col("rank") == r1 + 1, F.col("v"))), v1)
+    per_p = ranked.groupBy("g", "pid").agg(
+        (v1 + F.first(frac) * (v2 - v1)).alias("val")
     )
+    return per_p.select(F.col("g").alias(group_col), "pid", "val")
+
+
+@register(
+    "median_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS median_price,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the scale-safe
+    sketch-bracketed selection, via ``exact_group_percentiles``."""
+    o = load(spark, sf_dir).orders
+    per_p = exact_group_percentiles(o, "o_orderstatus", "o_totalprice", [0.5, 0.9])
     return (
         per_p.groupBy("o_orderstatus")
         .pivot("pid", [0, 1])
         .agg(F.first("val"))
         .select(
             "o_orderstatus",
-            F.col("0").alias("median_price"),
-            F.col("1").alias("p90_price"),
+            F.round("0", 6).alias("median_price"),
+            F.round("1", 6).alias("p90_price"),
         )
     )
 

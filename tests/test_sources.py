@@ -183,3 +183,49 @@ def test_jsonl_dropmalformed_and_failfast(spark, tmp_path):
 
     with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_jsonl(spark, str(p), "doc_id BIGINT", mode="FAILFAST").collect()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (built into Spark 4 core): write nation as XML,
+    read it back with an explicit schema — values survive, no extra
+    jars needed."""
+    from data_warehouse_data_mining_spark.sources.xml import read_xml, write_xml
+
+    out = str(tmp_path / "nation_xml")
+    n = load(spark, SF_SMALL).nation
+    write_xml(n, out, row_tag="nation")
+    back = read_xml(
+        spark,
+        out,
+        row_tag="nation",
+        schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+    )
+    assert back.count() == n.count()
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in n.collect()
+    }
+
+
+def test_xml_permissive_quarantines_corrupt_records(spark, tmp_path):
+    """Malformed XML records land in _corrupt_record instead of killing
+    the scan — the same quarantine contract as read_jsonl."""
+    from data_warehouse_data_mining_spark.sources.xml import (
+        CORRUPT_COL,
+        read_xml,
+    )
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<rows>"
+        "<row><id>1</id><name>ok</name></row>"
+        "<row><id>not_a_number</id><name>bad</name></row>"
+        "<row><id>3</id><name>ok2</name></row>"
+        "</rows>"
+    )
+    df = read_xml(
+        spark, str(tmp_path), row_tag="row", schema="id BIGINT, name STRING"
+    ).cache()  # Spark disallows corrupt-column-only queries on raw scans
+    clean = df.filter(F.col(CORRUPT_COL).isNull())
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    assert clean.count() == 2
+    assert bad.count() == 1
