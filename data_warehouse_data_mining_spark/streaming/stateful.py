@@ -61,3 +61,65 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming import StatefulProcessor
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor: same per-user running
+    totals as ``running_user_totals``, on the Spark 4 arbitrary-state
+    API. vs applyInPandasWithState: named state variables (value/list/
+    map) instead of one opaque tuple, timers decoupled from output, an
+    initial-state hook, and schema evolution of state — the API new
+    stateful operators should target; the RocksDB state store provider
+    it requires is also the one that scales (incremental checkpoints,
+    state larger than memory).
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        prev = self._state.get()
+        n, total = prev if prev is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (Spark 4
+    stateful v2). Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the stateful-v2 Python↔JVM state protocol is
+    protobuf-framed; without it the TWS driver worker crashes at stream
+    start with an opaque 'exited unexpectedly')."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - env-dependent
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); falling back to "
+            "running_user_totals (applyInPandasWithState) which has no "
+            "extra dependency"
+        ) from ex
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -337,3 +337,80 @@ def test_available_now_incremental_with_checkpoint(spark, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == ev.count()  # second run added ONLY the new files
     assert sunk.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_running_totals_tws(spark, events_dir):
+    """transformWithStateInPandas (stateful v2, RocksDB state store):
+    per-user running totals match the batch aggregate — the modern
+    twin of test_stateful_running_totals."""
+    from pyspark.sql import functions as F
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="stateful v2's state protocol is protobuf-framed; the "
+        "operator gates on it with an actionable error (see "
+        "running_user_totals_tws)",
+    )
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+    from data_warehouse_data_mining_spark.streaming.windows import read_event_stream
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, events_dir, watermark="365 days")
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stream_state_tws")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_state_tws").collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in load(spark, SF_SMALL)
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stateful_tws_gates_cleanly_without_protobuf(spark, events_dir):
+    """When protobuf is absent the stateful-v2 operator must fail at
+    CALL time with an actionable message, not crash the stream at
+    runtime with an opaque worker error."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+    from data_warehouse_data_mining_spark.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, events_dir, watermark="365 days")
+    with pytest.raises(ModuleNotFoundError, match="protobuf"):
+        running_user_totals_tws(stream)
