@@ -599,3 +599,51 @@ def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_clicks
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'click'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted large×large equi-join: the fact side's hot keys are
+    spread over SALTS sub-keys, the other side is replicated once per
+    salt, and the join runs on (key, salt) — so one hot user lands on
+    SALTS tasks instead of one.
+
+    This is the manual fallback for when AQE's skew-join split cannot
+    help: a single key so hot that even one split exceeds a task, or a
+    shuffle-hash join AQE won't split. The salt comes from a hash of a
+    payload column (event_id), so results are deterministic and the
+    oracle is simply the unsalted join. Trade-off stated: the replicated
+    side's shuffle volume grows ×SALTS — use only on the keys that need
+    it (here: all, for the demonstration; production plans filter to the
+    heavy-hitter key list first).
+    """
+    SALTS = 8
+    t = load(spark, sf_dir)
+    e = (
+        t.events.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id")
+        .withColumn("salt", F.pmod(F.hash("event_id"), F.lit(SALTS)))
+    )
+    c = t.customer.select("c_custkey", "c_mktsegment").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALTS)]))
+    )
+    return (
+        e.alias("e")
+        .join(
+            c.alias("c"),
+            (F.col("e.user_id") == F.col("c.c_custkey"))
+            & (F.col("e.salt") == F.col("c.salt")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("c_mktsegment")
+    )

@@ -229,3 +229,31 @@ def test_xml_permissive_quarantines_corrupt_records(spark, tmp_path):
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     assert clean.count() == 2
     assert bad.count() == 1
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile source: a directory of blobs becomes (path, length,
+    content) rows — the ingest on-ramp the multimodal featurizer
+    consumes; glob pruning filters at listing time."""
+    from data_warehouse_data_mining_spark.sources.binaryfile import (
+        read_binary_files,
+    )
+
+    (tmp_path / "nested").mkdir()
+    blobs = {
+        "a.png": b"\x89PNG\r\n\x1a\n" + bytes(range(64)),
+        "b.png": b"\x89PNG\r\n\x1a\n" + bytes(range(32)),
+        "nested/c.wav": b"RIFF" + b"\x00" * 44,
+    }
+    for rel, data in blobs.items():
+        (tmp_path / rel).write_bytes(data)
+    (tmp_path / "skip.txt").write_text("not binary media")
+
+    all_media = read_binary_files(spark, str(tmp_path), glob="*.{png,wav}")
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in all_media.collect()}
+    assert got == {"a.png": blobs["a.png"], "b.png": blobs["b.png"], "c.wav": blobs["nested/c.wav"]}
+
+    png_only = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert png_only.count() == 2
+    lengths = {r.path.rsplit("/", 1)[-1]: r.length for r in png_only.collect()}
+    assert lengths == {"a.png": 72, "b.png": 40}
