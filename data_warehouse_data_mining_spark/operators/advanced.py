@@ -647,3 +647,56 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clicks"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+      SELECT n_nationkey, n_name, 0,
+             CAST(n_nationkey AS VARCHAR)
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT c.n_nationkey, c.n_name, t.depth + 1,
+             t.path || '/' || CAST(c.n_nationkey AS VARCHAR)
+      FROM nation c JOIN tree t
+        ON CAST(floor((c.n_nationkey - 1) / 2) AS BIGINT) = t.n_nationkey
+       AND c.n_nationkey > 0
+    )
+    SELECT n_nationkey, n_name, CAST(depth AS INT) AS depth, path
+    FROM tree ORDER BY n_nationkey
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — lands in Spark 4): hierarchical
+    traversal computing depth and materialized path over a parent/child
+    relation, the org-chart/BOM archetype iterative DataFrame loops had
+    to hand-roll before.
+
+    The hierarchy is derived (parent(k) = floor((k-1)/2), a binary tree
+    over the 25 nations) so both engines traverse the same edges. Each
+    recursion step is one join of the frontier against the child table —
+    at scale the frontier stays small relative to the table and the
+    engine checkpoints it per step; Spark executes the same plan shape
+    as the driver-side loop in neardup_clusters' connected components,
+    but declaratively.
+    """
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+          SELECT n_nationkey, n_name, 0,
+                 CAST(n_nationkey AS STRING)
+          FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT c.n_nationkey, c.n_name, t.depth + 1,
+                 concat(t.path, '/', CAST(c.n_nationkey AS STRING))
+          FROM nation c JOIN tree t
+            ON CAST(floor((c.n_nationkey - 1) / 2) AS BIGINT) = t.n_nationkey
+           AND c.n_nationkey > 0
+        )
+        SELECT n_nationkey, n_name, CAST(depth AS INT) AS depth, path
+        FROM tree ORDER BY n_nationkey
+        """
+    )

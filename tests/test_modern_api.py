@@ -61,3 +61,16 @@ def test_parameterized_sql(spark):
         cat.table("orders").filter(F.col("o_orderstatus") == "O").count()
     )
     assert got == want
+
+
+def test_transpose(spark):
+    """DataFrame.transpose (Spark 4): rows become columns keyed by the
+    first column — the small-matrix presentation pivot without a manual
+    groupBy().pivot() round."""
+    df = spark.createDataFrame(
+        [("count", 10, 20), ("nulls", 1, 2)], "metric STRING, a INT, b INT"
+    )
+    t = df.transpose()
+    assert t.columns == ["key", "count", "nulls"]
+    rows = {r.key: (r["count"], r["nulls"]) for r in t.collect()}
+    assert rows == {"a": (10, 1), "b": (20, 2)}
