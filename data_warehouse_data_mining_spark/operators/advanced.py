@@ -700,3 +700,31 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree ORDER BY n_nationkey
         """
     )
+
+
+@register(
+    "try_arithmetic_safety",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_ratio,
+           TRY_CAST(o_orderpriority AS INT)                   AS bad_cast,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)  AS prio_num
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide / try_cast return NULL
+    where strict ANSI mode would throw (divide-by-zero, bad casts) —
+    how a 100 TB pipeline keeps one poisoned row from killing a
+    1000-executor job while staying in ANSI mode (Spark 4's default).
+    All codegen'd; the oracle states the equivalent nullif/TRY_CAST."""
+    o = load(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3), 6
+        ).alias("safe_ratio"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+    ).orderBy("o_orderkey")

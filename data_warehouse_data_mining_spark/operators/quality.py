@@ -355,8 +355,18 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_group_percentiles(o, "o_orderstatus", "o_totalprice", [0.5])
         .select("o_orderstatus", F.round("val", 6).alias("med"))
     )
-    dev = o.join(med, "o_orderstatus").select(
-        "o_orderstatus", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev")
+    # the second percentile pass references its input several times
+    # (sketch, count-below, bracket-rank); without persisting, each
+    # reference re-derives dev = orders ⋈ med — i.e. re-runs the whole
+    # first median computation (plan audit showed 25 scans). Persisted,
+    # dev is computed once, same as dedup's shingle table.
+    dev = (
+        o.join(med, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        )
+        .persist()
     )
     mad = (
         exact_group_percentiles(dev, "o_orderstatus", "adev", [0.5])

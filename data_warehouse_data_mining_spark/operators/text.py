@@ -571,3 +571,70 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "html_boilerplate_strip",
+    oracle="""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><head><script>var x = 1 < 2;</script><style>p { color: red; }</style></head>'
+             || '<body><h1>Title</h1><!-- nav --><p class="main">'
+             || text
+             || ' &amp; entities &lt;here&gt;&nbsp;ok</p></body></html>' AS html
+      FROM documents WHERE doc_id < 300
+    ),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
+                   '(?s)<style.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g') AS no_tags
+      FROM wrapped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(no_tags,
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+             '\\s+', ' ', 'g')) AS clean_text
+    FROM stripped
+    """,
+)
+def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal for web-corpus prep: drop script/style
+    blocks and comments, strip tags, decode common entities, collapse
+    whitespace — the first transformation every crawl-derived training
+    corpus applies.
+
+    The testdata documents are plain text, so the query wraps them in a
+    deterministic HTML shell first; both engines then run the identical
+    strip chain, value-checking every regex. All steps are codegen'd
+    regexp_replace/replace — no Python in the loop, embarrassingly
+    parallel per row at any scale.
+    """
+    d = load(spark, sf_dir).documents.filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var x = 1 < 2;</script>"
+            "<style>p { color: red; }</style></head>"
+            '<body><h1>Title</h1><!-- nav --><p class="main">'
+        ),
+        F.col("text"),
+        F.lit(" &amp; entities &lt;here&gt;&nbsp;ok</p></body></html>"),
+    )
+    no_tags = html
+    for pat in (
+        "(?s)<script.*?</script>",
+        "(?s)<style.*?</style>",
+        "(?s)<!--.*?-->",
+        "<[^>]+>",
+    ):
+        no_tags = F.regexp_replace(no_tags, pat, " ")
+    decoded = no_tags
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " ")):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    return d.select("doc_id", clean.alias("clean_text"))

@@ -210,3 +210,35 @@ def udtf_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id ORDER BY doc_id
         """
     )
+
+
+@register(
+    "arrow_python_udf_slug",
+    oracle="""
+    SELECT p_partkey,
+           lower(regexp_replace(trim(p_name), '[^a-zA-Z0-9]+', '-', 'g'))
+             AS slug
+    FROM part WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+)
+def arrow_python_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row Python UDF (``useArrow=True``, Spark 4's
+    recommended form for logic that genuinely needs per-row Python):
+    values cross in Arrow batches instead of pickled rows — ~2-5×
+    faster serialization than the legacy pickle path, though still
+    10-100× slower than staying JVM-side. The slug logic has an exact
+    codegen twin (the oracle), which is the point: the UDF form is
+    covered, and the measurement argument for NOT using it stays
+    checkable.
+    """
+    import re
+
+    @F.udf("string", useArrow=True)
+    def slugify(name: str) -> str:
+        return re.sub(r"[^a-zA-Z0-9]+", "-", name.strip()).lower()
+
+    p = load(spark, sf_dir).part.filter(F.col("p_partkey") <= 500)
+    return p.select("p_partkey", slugify("p_name").alias("slug")).orderBy(
+        "p_partkey"
+    )
