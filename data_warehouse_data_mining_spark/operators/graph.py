@@ -1,0 +1,136 @@
+"""Graph algorithms as iterative DataFrame programs.
+
+Spark has no built-in graph operator set (GraphX is RDD/Scala-only,
+GraphFrames is an external package), but the DataFrame expression of
+the classic algorithms is exactly joins + aggregations in a loop —
+connected components already lives in operators/dedup.py
+(neardup_clusters); this module adds PageRank.
+
+Determinism contract: ranks are kept in integer fixed-point (1e12
+units) with floor division, so every engine computes bit-identical
+ranks — a double-based PageRank accumulates sums in different orders
+on different engines/partitionings and the last bits diverge, which
+would make an exact oracle impossible. The DuckDB oracle unrolls the
+same iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.registry import register
+
+R_UNIT = 1_000_000_000_000  # 1.0 of rank mass, in fixed-point units
+N_ITER = 10
+TOP_K = 50
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the integer power iteration as chained CTEs (standard SQL
+    forbids GROUP BY in a recursive term, so recursion can't express
+    per-iteration re-aggregation — unrolling can)."""
+    steps = []
+    for i in range(N_ITER):
+        steps.append(
+            f"""r{i + 1} AS (
+      SELECT e.dst AS node,
+             base.b + (85 * sum(r{i}.rank // deg.d)) // 100 AS rank
+      FROM r{i}
+      JOIN deg   ON deg.src = r{i}.node
+      JOIN edges e ON e.src = r{i}.node
+      CROSS JOIN base
+      GROUP BY e.dst, base.b
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT s AS src, p AS dst FROM pairs
+      UNION ALL
+      SELECT p AS src, s AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    base AS (SELECT (15 * ({R_UNIT} // n)) // 100 AS b FROM nn),
+    r0 AS (SELECT src AS node, {R_UNIT} // (SELECT n FROM nn) AS rank FROM deg),
+    {unrolled}
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
+           node // 2 AS entity_id,
+           rank AS rank_fp
+    FROM r{N_ITER}
+    ORDER BY rank_fp DESC, node
+    LIMIT {TOP_K}
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔part co-supply graph (undirected
+    bipartite, derived from distinct lineitem pairs), 10 power
+    iterations, damping 0.85.
+
+    Iterative DataFrame shape: edges and degrees are computed once and
+    persisted; each iteration is one join of the current rank vector
+    against the edge list plus one aggregation — the same two-shuffle
+    step GraphX/Pregel executes per superstep. At 100 TB the rank
+    vector is node-sized (≪ edges); production loops also checkpoint
+    every ~5 iterations to truncate lineage (documented; at test scale
+    the 10-join lineage is fine). Integer fixed-point (1e12 units,
+    floor division) keeps every engine bit-identical — see module
+    docstring.
+    """
+    li = load(spark, sf_dir).lineitem
+    pairs = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionAll(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    n = deg.count()  # node count — one scalar to the driver, not data
+    base = (15 * (R_UNIT // n)) // 100
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(R_UNIT // n).alias("rank")
+    )
+    contrib_edges = edges.join(deg, "src")
+    for _ in range(N_ITER):
+        ranks = (
+            contrib_edges.join(ranks, F.col("src") == F.col("node"))
+            .select(
+                "dst", F.expr("rank div d").alias("contrib")
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr("85 * sum(contrib) div 100")
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("part")
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_id"),
+            F.col("rank").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), (F.col("entity_id") * 2) + F.when(F.col("kind") == "part", 1).otherwise(0))
+        .limit(TOP_K)
+    )

@@ -108,6 +108,7 @@ def _ensure_loaded() -> None:
     from data_warehouse_data_mining_spark.streaming import joins as stream_joins  # noqa: F401
     from data_warehouse_data_mining_spark.operators import advanced  # noqa: F401
     from data_warehouse_data_mining_spark.operators import mining  # noqa: F401
+    from data_warehouse_data_mining_spark.operators import graph  # noqa: F401
     from data_warehouse_data_mining_spark.operators import sketches  # noqa: F401
     from data_warehouse_data_mining_spark.operators import quality  # noqa: F401
     from data_warehouse_data_mining_spark.operators import multimodal  # noqa: F401
