@@ -1642,3 +1642,43 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "mode_listagg_aggregates",
+    oracle="""
+    SELECT l_linestatus,
+           mode(l_returnflag) AS modal_flag,
+           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+             AS all_flags,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def mode_listagg_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate surface (Spark 4): mode() for the most
+    frequent value and listagg(DISTINCT … ) WITHIN GROUP for an ordered
+    concatenation — both engine-native (vs the collect_list/sort_array
+    composition in string_agg_per_group).
+
+    mode() is tie-UNDEFINED in both engines, so the query groups where
+    the modal value is strictly unique (verified at every testdata SF);
+    listagg's WITHIN GROUP ordering makes the concatenation
+    deterministic. Both are ordinary partial/final hash aggregates — no
+    whole-group buffers beyond the distinct set.
+    """
+    li = load(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.mode("l_returnflag").alias("modal_flag"),
+            F.expr(
+                "listagg(DISTINCT l_returnflag, ',') "
+                "WITHIN GROUP (ORDER BY l_returnflag)"
+            ).alias("all_flags"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -142,3 +142,44 @@ def test_hll_mergeable_estimate_accuracy(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+
+
+def test_exact_group_percentiles_matches_buffered_reference(spark):
+    """exact_group_percentiles (sketch-bracketed selection) must equal
+    F.percentile (the whole-group-buffer exact reference) on edge
+    cases: tiny groups (whole-rank path), groups past the small_n
+    threshold (bracket path), heavy duplicates, constant groups, and
+    boundary percentiles p=0/p=1."""
+    import random
+
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # tiny group (whole-rank path), even count -> interpolated median
+    rows += [("tiny", float(v)) for v in (3, 1, 4, 1)]
+    # constant group
+    rows += [("const", 5.0)] * 9
+    # large group past small_n with heavy duplicates (bracket path)
+    rows += [("big", float(rng.randint(0, 50))) for _ in range(3000)]
+    # skewed continuous group past small_n
+    rows += [("skew", rng.random() ** 4 * 1000.0) for _ in range(2500)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r.g, r.pid): r.val
+        for r in exact_group_percentiles(df, "g", "v", ps, small_n=1000).collect()
+    }
+    ref = {
+        (r.g, i): r.ref[i]
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("ref"))
+        .collect()
+        for i in range(len(ps))
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
