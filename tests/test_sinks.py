@@ -110,3 +110,55 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert len(files) < 32
     back = spark.read.parquet(compacted)
     assert back.count() == e.count()
+
+
+def test_zordered_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order writes must localize file min/max ranges in BOTH sort
+    columns, so footer-level pruning works for either predicate — a
+    lexicographic sort only achieves this for its leading column, and
+    a random layout for neither."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from data_warehouse_data_mining_spark.sinks.writers import write_zordered
+
+    o = load(spark, SF_SMALL).orders.select("o_custkey", "o_totalprice")
+    z_dir, r_dir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(o, z_dir, ["o_custkey", "o_totalprice"], n_files=16)
+    o.repartition(16).write.parquet(r_dir)  # random layout control
+
+    def files_containing(d, col, val):
+        n = 0
+        for f in Path(d).glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            if lo <= val <= hi:
+                n += 1
+        return n
+
+    stats = o.agg(
+        F.expr("percentile(o_custkey, 0.5)").alias("ck"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("tp"),
+    ).collect()[0]
+    z_ck = files_containing(z_dir, "o_custkey", stats.ck)
+    r_ck = files_containing(r_dir, "o_custkey", stats.ck)
+    z_tp = files_containing(z_dir, "o_totalprice", stats.tp)
+    r_tp = files_containing(r_dir, "o_totalprice", stats.tp)
+    # random layout: ~every file spans the median of both columns
+    assert r_ck >= 15 and r_tp >= 15
+    # z-order: a median probe must touch well under half the files on
+    # BOTH columns simultaneously
+    assert z_ck <= 8 and z_tp <= 8, (z_ck, z_tp)
+    # and values survive the layout
+    back = spark.read.parquet(z_dir)
+    assert back.count() == o.count()
+    assert back.agg(F.sum("o_custkey")).collect()[0][0] == \
+        o.agg(F.sum("o_custkey")).collect()[0][0]
