@@ -1682,3 +1682,85 @@ def mode_listagg_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "higher_order_array_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(words, w -> length(w) > 4)) AS INT) AS n_long,
+           list_aggregate(list_transform(words, w -> length(w)), 'sum')
+             AS total_chars,
+           CAST(length(words[1]) = 3 AS BOOLEAN) AS first_is_3,
+           round(list_aggregate(list_transform(words, w -> CAST(length(w)
+                 AS DOUBLE)), 'avg'), 6) AS avg_len
+    FROM t
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate /
+    element access — the lambda surface that keeps array logic inside
+    codegen instead of exploding to rows or dropping to Python.
+
+    One row in, one row out, no shuffle: at 100 TB this whole query is
+    a single map stage over the scan. The oracle mirrors each lambda
+    with DuckDB's list_* equivalents.
+    """
+    d = load(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    words = F.split("text", " ")
+    lens = F.transform(words, lambda w: F.length(w))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        (F.length(F.element_at(words, 1)) == 3).alias("first_is_3"),
+        F.round(
+            F.aggregate(
+                lens, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            / F.size(words),
+            6,
+        ).alias("avg_len"),
+    )
+
+
+@register(
+    "generator_functions",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderkey, unnest(range(1, (o_orderkey % 4) + 2)) AS step
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey, CAST(step AS INT) AS step,
+           CAST(o_orderkey * step AS BIGINT) AS scaled
+    FROM seq
+    ORDER BY o_orderkey, step
+    """,
+)
+def generator_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: sequence() + explode fans each row out to a
+    computed number of rows (1 + orderkey mod 4) — the row-multiplying
+    primitive behind date spines, retry schedules, and unnest-style
+    modeling. Pure map-side fanout: no shuffle until the final
+    presentation sort; DuckDB mirrors with range()+unnest."""
+    o = load(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 500)
+    return (
+        o.select(
+            "o_orderkey",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("o_orderkey") % 4 + 1).cast("int"))
+            ).alias("step"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("step").cast("int").alias("step"),
+            (F.col("o_orderkey") * F.col("step")).alias("scaled"),
+        )
+        .orderBy("o_orderkey", "step")
+    )
