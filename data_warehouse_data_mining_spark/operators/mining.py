@@ -430,3 +430,73 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ohlc_bars",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS bar, event_type, value, ts, event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY bar, event_type
+                                ORDER BY ts, event_id)            AS rn_a,
+             row_number() OVER (PARTITION BY bar, event_type
+                                ORDER BY ts DESC, event_id DESC)  AS rn_d
+      FROM base
+    )
+    SELECT strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar,
+           event_type,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2)                              AS high,
+           round(min(value), 2)                              AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY bar, event_type
+    ORDER BY bar, event_type
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (hour, event_type) bar, the opening value,
+    high, low, and closing value — the canonical time-series
+    downsampling every metrics/market warehouse ships.
+
+    One hash aggregate, no window: open/close come from min_by/max_by
+    keyed on a (ts, event_id) struct (event_id breaks timestamp ties,
+    so the pick is deterministic in both engines — the oracle mirrors
+    with double row_number ranking). Partial aggregation is map-side;
+    at 100 TB this is a single shuffle of (bar, type) partials, not a
+    per-bar sort.
+    """
+    e = load(spark, sf_dir).events
+    okey = F.struct("ts", "event_id")
+    return (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+        )
+        .groupBy("bar_ts", "event_type")
+        .agg(
+            F.round(F.min_by("value", okey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", okey), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+        .orderBy("bar", "event_type")
+    )

@@ -236,3 +236,86 @@ def corpus_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "corpus_multimodal_manifest",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 1
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 2
+                  ELSE 3 END AS shard,
+             octet_length(encode(text)) AS n_bytes,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a'))) AS n_stop
+      FROM documents
+    )
+    SELECT source, lang, shard,
+           count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT)  AS total_bytes,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(round(ln(1 + n_tokens)
+                     * (1 - n_stop * 1.0 / n_tokens), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_quality
+    FROM per_doc
+    GROUP BY source, lang, shard
+    ORDER BY source, lang, shard
+    """,
+)
+def corpus_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest over the multimodal corpus: per
+    (source, lang, content-hash shard) — document count, payload bytes,
+    token totals, and summed quality score. The accounting table a data
+    loader reads to plan epochs/mixtures, produced in ONE aggregation
+    pass over the corpus.
+
+    Composition: binary payload sizing (multimodal with_payload),
+    whitespace tokenization + stopword quality (text module semantics),
+    and md5-prefix shard assignment (deterministic_hash_split pattern —
+    stable under re-runs and data growth). Per-doc qualities are
+    quantized to 6 decimals and summed through DECIMAL so the group
+    total is accumulation-order-independent — engine-exact like
+    money_sum (a mean would re-introduce a rounding tie at the
+    division). Map-side partials; one shuffle on the 3-part key.
+    """
+    from data_warehouse_data_mining_spark.operators.multimodal import with_payload
+
+    d = load(spark, sf_dir).documents
+    p = with_payload(d).select("doc_id", F.length("payload").alias("n_bytes"))
+    words = F.split("text", " ")
+    hexc = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    shard = (
+        F.when(hexc < "4", 0)
+        .when(hexc < "8", 1)
+        .when(hexc < "c", 2)
+        .otherwise(3)
+    )
+    per_doc = d.join(p, "doc_id").select(
+        "source",
+        "lang",
+        shard.alias("shard"),
+        "n_bytes",
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin("the", "a"))).alias("n_stop"),
+    )
+    quality = F.round(
+        F.log(1 + F.col("n_tokens"))
+        * (1 - F.col("n_stop") / F.col("n_tokens")),
+        6,
+    )
+    return (
+        per_doc.groupBy("source", "lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(quality.cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_quality"),
+        )
+        .orderBy("source", "lang", "shard")
+    )
