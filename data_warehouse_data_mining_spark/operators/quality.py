@@ -385,3 +385,67 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "dq_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_rows,
+             CAST(sum(n) AS BIGINT) AS total_rows
+      FROM per_key
+    ),
+    top AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT t.rk AS rank, t.user_id AS hot_key, CAST(t.n AS BIGINT) AS n_rows,
+           s.n_keys,
+           round(t.n * 1.0 * s.n_keys / s.total_rows, 6) AS skew_ratio
+    FROM top t CROSS JOIN stats s
+    WHERE t.rk <= 10
+    ORDER BY t.rk
+    """,
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 hottest keys of a prospective
+    shuffle key with each key's rows and its skew ratio
+    (key_rows / mean_rows_per_key) — the profiling step that decides
+    between plain shuffle, AQE skew split, and manual salting
+    (salted_skew_join / salted_skew_aggregation).
+
+    One count aggregate on the key, a 1-row global stats broadcast, and
+    a top-k — the per-key count table is keys-sized, never rows-sized,
+    so the diagnostic is safe to run on the full 100 TB fact table.
+    Ratio arithmetic is exact-int division done identically by both
+    engines.
+    """
+    e = load(spark, sf_dir).events
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+    )
+    w = W.orderBy(F.col("n").desc(), "user_id")
+    top = (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            F.col("user_id").alias("hot_key"),
+            F.col("n").alias("n_rows"),
+            "n_keys",
+            F.round(
+                F.col("n") * F.lit(1.0) * F.col("n_keys") / F.col("total_rows"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy("rank")
+    )
