@@ -731,6 +731,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
     best = regional.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    # part is SF-proportional (200k rows × SF) — no broadcast hint even
+    # for this heavily filtered slice; AQE broadcasts when it fits
     qual_parts = t.part.filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey")
@@ -740,7 +742,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("cost") == F.col("best_cost")),
         )
-        .join(F.broadcast(qual_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(qual_parts, F.col("p_partkey") == F.col("l_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -908,6 +910,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     small supplier dim.
     """
     t = load(spark, sf_dir)
+    # part slice is SF-proportional — no forced broadcast, AQE decides
     red_parts = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
     shipped = (
         t.lineitem.filter(
@@ -915,7 +918,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )

@@ -120,7 +120,10 @@ def test_no_forced_broadcast_of_fact_side_tables(spark):
     fact_rels = ("customer.parquet", "orders.parquet", "lineitem.parquet",
                  "events.parquet", "documents.parquet")
     for fn in (tpch.regional_supplier_volume, tpch.bi_nation_trade_volume,
-               tpch.national_market_share, tfidf_top_terms, revenue_by_nation):
+               tpch.national_market_share, tpch.min_cost_supplier,
+               tpch.important_part_values, tpch.shipping_delay_priority,
+               tpch.dominant_part_suppliers, tfidf_top_terms,
+               revenue_by_nation):
         df = fn(spark, SF_SMALL)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         # walk each ResolvedHint subtree: until tree depth returns to the
