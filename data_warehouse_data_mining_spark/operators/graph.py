@@ -101,11 +101,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
-    n = deg.count()  # node count — one scalar to the driver, not data
-    base = (15 * (R_UNIT // n)) // 100
-
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(R_UNIT // n).alias("rank")
+    # node count and teleport base ride along as a 1-row broadcast —
+    # no driver-side action during plan construction
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"{R_UNIT} div n").alias("rank"),
+        )
     )
     contrib_edges = edges.join(deg, "src")
     for _ in range(N_ITER):
@@ -115,13 +119,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dst", F.expr("rank div d").alias("contrib")
             )
             .groupBy("dst")
-            .agg(
+            .agg(F.expr("85 * sum(contrib) div 100").alias("part_rank"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
                 (
-                    F.lit(base)
-                    + F.expr("85 * sum(contrib) div 100")
-                ).alias("rank")
+                    F.expr(f"(15 * ({R_UNIT} div n)) div 100")
+                    + F.col("part_rank")
+                ).alias("rank"),
             )
-            .select(F.col("dst").alias("node"), "rank")
         )
     return (
         ranks.select(
