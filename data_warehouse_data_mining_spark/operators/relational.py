@@ -1764,3 +1764,68 @@ def generator_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "step")
     )
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderstatus,
+             round(percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice), 6) AS lo,
+             round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 6) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           CAST(round(sum(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                AS DECIMAL(28,6))), 2) AS DOUBLE) AS winsorized_total
+    FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation: clip each group's values to its
+    [p05, p95] band before summing — the robust-total counterpart of
+    dq_outlier_mad's flagging (extreme rows are bounded, not dropped).
+
+    Bounds come from exact_group_percentiles (no whole-group buffers),
+    land as a 1-row-per-group broadcast join, and the clipped sum routes
+    through DECIMAL: values are exact 2-decimal rationals and bounds
+    exact 6-decimal ones, so the total is accumulation-order-independent
+    and engine-identical.
+    """
+    o = load(spark, sf_dir).orders.select("o_orderstatus", "o_totalprice")
+    bounds = (
+        exact_group_percentiles(o, "o_orderstatus", "o_totalprice", [0.05, 0.95])
+        .groupBy("o_orderstatus")
+        .pivot("pid", [0, 1])
+        .agg(F.first("val"))
+        .select(
+            "o_orderstatus",
+            F.round("0", 6).alias("lo"),
+            F.round("1", 6).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.join(bounds, "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            F.round(F.sum(clipped.cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("winsorized_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -168,3 +168,38 @@ def streaming_tumbling_counts(
     source → watermark → windowed agg. Drive it with a memory sink +
     processAllAvailable() (see tests/test_streaming.py)."""
     return tumbling_counts(read_event_stream(spark, source_dir, watermark))
+
+
+def ohlc_windowed(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """OHLC bars over event-time windows (works on batch & stream):
+    open/close via min_by/max_by on a (ts, event_id) struct —
+    deterministic tie-breaks, incrementally maintainable, so the SAME
+    expression serves the batch rollup and the live streaming bar."""
+    okey = F.struct("ts", "event_id")
+    return (
+        events.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.round(F.min_by("value", okey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", okey), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("win.start", _FMT).alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def streaming_ohlc(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """ohlc_windowed as a live streaming query (parquet drop-folder
+    source → watermark → windowed OHLC)."""
+    return ohlc_windowed(read_event_stream(spark, source_dir, watermark))

@@ -414,3 +414,30 @@ def test_stateful_tws_gates_cleanly_without_protobuf(spark, events_dir):
     stream = read_event_stream(spark, events_dir, watermark="365 days")
     with pytest.raises(ModuleNotFoundError, match="protobuf"):
         running_user_totals_tws(stream)
+
+
+def test_streaming_ohlc_matches_batch(spark, events_dir):
+    """OHLC bars maintained incrementally by the stream equal the batch
+    rollup — min_by/max_by with struct tie-keys are streaming-safe
+    aggregates."""
+    from data_warehouse_data_mining_spark.streaming.windows import (
+        ohlc_windowed,
+        streaming_ohlc,
+    )
+
+    agg = streaming_ohlc(spark, events_dir, watermark="365 days")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_ohlc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM stream_ohlc").collect()}
+    batch = {
+        tuple(r) for r in ohlc_windowed(load(spark, SF_SMALL).events).collect()
+    }
+    assert streamed == batch and len(batch) > 0
