@@ -183,3 +183,24 @@ def test_exact_group_percentiles_matches_buffered_reference(spark):
     assert set(got) == set(ref)
     for k in ref:
         assert got[k] == ref[k], (k, got[k], ref[k])
+
+
+def test_utf8_validation_and_repair(spark):
+    """Spark 4 UTF-8 hygiene surface: raw bytes cast to string can carry
+    invalid sequences; is_valid_utf8 detects them, make_valid_utf8
+    repairs with U+FFFD, try_validate_utf8 nulls instead of throwing —
+    the decode-sanitization step of crawl/binary ingest, all JVM-side."""
+    df = spark.createDataFrame(
+        [(b"clean text",), (b"bad \xff\xfe bytes",)], "raw binary"
+    ).select(F.col("raw").cast("string").alias("s"))
+    checked = df.select(
+        "s",
+        F.expr("is_valid_utf8(s)").alias("ok"),
+        F.expr("make_valid_utf8(s)").alias("fixed"),
+        F.expr("try_validate_utf8(s)").alias("validated"),
+    ).collect()
+    by_ok = {r.ok: r for r in checked}
+    assert by_ok[True].fixed == "clean text"
+    assert by_ok[True].validated == "clean text"
+    assert by_ok[False].validated is None
+    assert "�" in by_ok[False].fixed and "bytes" in by_ok[False].fixed
