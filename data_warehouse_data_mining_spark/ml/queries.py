@@ -336,3 +336,52 @@ def ml_smote_then_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = LogisticRegression(featuresCol="features", labelCol="label").fit(tr)
         rows.append((variant, round(float(evaluator.evaluate(model.transform(test))), 4)))
     return spark.createDataFrame(rows, "variant string, auc double")
+
+
+@register("ml_als_recommendations")
+def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering (ALS, implicit feedback): customer×part
+    purchase quantities from orders⋈lineitem train a low-rank model;
+    top-3 part recommendations for a fixed customer subset. Rows-only —
+    ALS is an iterative least-squares solver (the distributed factor
+    sweep alternates on a seeded init; scores are model-dependent).
+    Scale notes: ratings stay (user, item, strength) triples — one
+    shuffle per factor sweep, factors block-partitioned by id range.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    t = load(spark, sf_dir)
+    ratings = (
+        t.orders.select("o_orderkey", "o_custkey")
+        .join(
+            t.lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("strength"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=SEED,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(5)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rank", "rec"),
+    ).select(
+        "user",
+        (F.col("rank") + 1).alias("rank"),
+        F.col("rec.item").alias("part"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )

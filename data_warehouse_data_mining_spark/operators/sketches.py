@@ -146,3 +146,50 @@ def hll_mergeable_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "bitmap_distinct_counts",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting through bitmap aggregates
+    (bitmap_bit_position → bitmap_construct_agg → bitmap_count): the
+    EXACT mergeable sibling of hll_mergeable_counts — bitmaps from
+    different partitions/days OR together losslessly, so rollups never
+    re-scan raw data, while HLL trades exactness for fixed size.
+
+    The oracle is plain COUNT(DISTINCT): the bitmap path must reproduce
+    it exactly. Each 32k-id bucket's bitmap is built map-side and OR-
+    merged in the reduce — same partial/final shape as any aggregate.
+    """
+    e = load(spark, sf_dir).events
+    # bitmap covers one 32k-position bucket; group by (type, bucket)
+    # then sum bucket counts — the layout real bitmap rollups use
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n_users_b"),
+            F.count(F.lit(1)).alias("n_events_b"),
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum("n_users_b").alias("n_users"),
+            F.sum("n_events_b").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
