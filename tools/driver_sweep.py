@@ -47,9 +47,12 @@ def canon_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
     only = None
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a == "--only" and i + 1 < len(args):
+            only = set(args[i + 1].split(","))
 
     import duckdb
     import importlib.util
