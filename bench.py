@@ -44,6 +44,7 @@ def main() -> None:
     _force(qs[first].builder(spark, SF_DIR))
 
     total = 0.0
+    all_samples: dict[str, list[float]] = {}
     for name in sorted(qs):
         samples = []
         for _ in range(RUNS):
@@ -52,6 +53,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         dt = statistics.median(samples)
         timings[name] = round(dt, 3)
+        all_samples[name] = [round(s, 3) for s in samples]
         total += dt
 
     print(
@@ -61,6 +63,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": all_samples,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }
         )

@@ -9,6 +9,16 @@ Scale notes: these are plain ``spark.read.parquet`` scans — Catalyst
 gets full predicate pushdown / column pruning / partition pruning. At
 100 TB the same code works against a partitioned table root; nothing
 here materializes or collects.
+
+SESSION SIDE EFFECT (deliberate, global): the first ``Catalog.table``
+call pins ``spark.sql.session.timeZone=UTC`` and
+``spark.sql.legacy.parquet.nanosAsLong=true`` on the session for the
+rest of its lifetime — timestamp display/arithmetic semantics change
+for an externally built SparkSession. This is the oracle contract (all
+results are compared against DuckDB's naive-UTC timestamps) and every
+operator in this package assumes it. The streaming path
+(``streaming.windows.read_event_stream``) applies the same pin itself
+so it does not depend on the batch catalog having run first.
 """
 
 from __future__ import annotations

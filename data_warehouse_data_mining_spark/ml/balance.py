@@ -37,25 +37,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_warehouse_data_mining_spark.functions import vectors as V
-
 SEED = 42
 N_PLANES = 4  # 16 LSH buckets
 
 
-def _lsh_bucket(vcol, planes: np.ndarray):
-    bits = []
-    for p in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        bits.append(F.when(V.dot(vcol, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _lsh_code(max_planes: int, seed: int):
+    """Arrow-batched sign-random-projection code packer.
+
+    Each batch re-derives the SAME seeded plane matrix (`dim` is read
+    off the batch itself), so the driver never runs a `.first()` job to
+    discover the vector width, and the plan carries no
+    `max_planes × dim` literal-array bloat. Deterministic: same seed +
+    same dim → same planes → same codes on every executor and re-run.
+    """
+
+    @F.pandas_udf("long")
+    def code(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.array(v.tolist(), dtype=np.float64)
+        planes = np.round(
+            np.random.RandomState(seed).standard_normal((max_planes, X.shape[1])),
+            6,
+        )
+        bits = (X @ planes.T) > 0
+        weights = 1 << np.arange(max_planes, dtype=np.int64)
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return code
 
 
 def _refine_buckets(
-    minority: DataFrame, planes: np.ndarray, bucket_cap: int, seed: int
+    minority: DataFrame, max_planes: int, bucket_cap: int, seed: int
 ) -> DataFrame:
     """Assign each row the shallowest LSH-prefix bucket under the cap.
 
@@ -69,8 +82,9 @@ def _refine_buckets(
     cap must hold; the extra window shuffle touches only the minority
     class.
     """
-    max_planes = planes.shape[0]
-    coded = minority.withColumn("code", _lsh_bucket(F.col("v"), planes))
+    coded = minority.withColumn(
+        "code", _lsh_code(max_planes, seed)(F.col("v"))
+    )
     levels = list(range(N_PLANES, max_planes + 1, 2))
     for lv in levels:
         mask = (1 << lv) - 1
@@ -118,16 +132,11 @@ def smote(
     Synthetic rows get negative ids (-(id * ratio + j + 1)) so they are
     distinguishable and deterministic.
     """
-    dim = len(df.select(features_col).first()[0])
-    planes = np.round(
-        np.random.RandomState(seed).standard_normal((max_planes, dim)), 6
-    )
-
     minority = df.filter(F.col(label_col) == minority_label).select(
         F.col(id_col).alias("id"),
         F.col(features_col).alias("v"),
     )
-    bucketed = _refine_buckets(minority, planes, bucket_cap, seed)
+    bucketed = _refine_buckets(minority, max_planes, bucket_cap, seed)
 
     out_schema = f"id bigint, v array<double>, label_out string"
 

@@ -355,22 +355,67 @@ def union_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).distinct()
 
 
-@register("approx_quantiles_profile")
+@register(
+    "approx_quantiles_profile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           1 AS median_rank_ok, 1 AS p99_rank_ok, 1 AS parts_within_6pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def approx_quantiles_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based profile: percentile_approx + approx_count_distinct
     per group — the 100 TB substitutes for exact percentile/distinct
-    (exact twins: median_exact, distinct_count_by_group). Rows-only:
-    sketch algorithms differ per engine by design."""
-    li = load(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile_approx("l_extendedprice", 0.5, 10000), 2).alias(
-            "approx_median_price"
-        ),
-        F.round(F.percentile_approx("l_extendedprice", 0.99, 10000), 2).alias(
-            "approx_p99_price"
-        ),
+    (exact twins: median_exact, distinct_count_by_group).
+
+    Exact-oracle-checked as a PROPERTY (sketch algorithms differ per
+    engine by design): the oracle pins the exact group/distinct counts,
+    and the flags assert the sketch guarantees — the approx quantile's
+    tie-safe rank interval [count(v<q), count(v<=q)] intersects
+    p ± 1e-3 (accuracy 10000 ⇒ rank error ≤ 1e-4, 10× slack), and the
+    rsd-2% HLL estimate lands within 6% (3σ) of exact."""
+    m = 0.001
+    li = load(spark, sf_dir).lineitem.select("l_returnflag", "l_extendedprice", "l_partkey")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("q50"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("q99"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
+    # 4-row sketch results broadcast back onto the fact scan; one more
+    # pass counts the tie-safe rank brackets + exact distinct
+    j = li.join(F.broadcast(approx), "l_returnflag")
+    ranked = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.max("approx_parts").alias("approx_parts"),
+        F.sum((F.col("l_extendedprice") < F.col("q50")).cast("long")).alias("lt50"),
+        F.sum((F.col("l_extendedprice") <= F.col("q50")).cast("long")).alias("le50"),
+        F.sum((F.col("l_extendedprice") < F.col("q99")).cast("long")).alias("lt99"),
+        F.sum((F.col("l_extendedprice") <= F.col("q99")).cast("long")).alias("le99"),
+    )
+
+    def rank_ok(lt, le, p):
+        return (
+            (F.col(lt) <= F.col("n_rows") * (p + m))
+            & (F.col(le) >= F.col("n_rows") * (p - m))
+        ).cast("int")
+
+    return ranked.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        rank_ok("lt50", "le50", 0.5).alias("median_rank_ok"),
+        rank_ok("lt99", "le99", 0.99).alias("p99_rank_ok"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.06
+        ).cast("int").alias("parts_within_6pct"),
+    ).orderBy("l_returnflag")
 
 
 @register(

@@ -481,20 +481,24 @@ def connected_components(
     """
     # The edge table is consumed once per iteration and everything
     # upstream (the whole LSH candidate pipeline) would otherwise be
-    # recomputed each time — persist it, and persist each iteration's
-    # labels before the convergence count so an iteration is ONE
-    # materialized shuffle join, not a replay of the full lineage (which
-    # grows per iteration and OOMs the driver's plan/stage state).
+    # recomputed each time. localCheckpoint (not persist) both
+    # materializes it AND truncates the logical plan, so each
+    # iteration's plan is one join over a leaf — with persist the
+    # optimizer still re-plans the full per-iteration-growing lineage
+    # (the r2 plan audit counted 4,788 codegen ops here). Checkpointed
+    # blocks are released by the ContextCleaner when the DataFrame is
+    # GC'd, so nothing leaks past the query. On a real cluster swap in
+    # a reliable checkpoint dir for executor-loss tolerance.
     bi = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         bi.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -510,7 +514,7 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -518,11 +522,9 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    bi.unpersist()
     return labels.select("node", F.col("lbl").alias("component"))
 
 

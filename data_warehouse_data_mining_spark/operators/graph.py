@@ -25,6 +25,7 @@ from data_warehouse_data_mining_spark.registry import register
 R_UNIT = 1_000_000_000_000  # 1.0 of rank mass, in fixed-point units
 N_ITER = 10
 TOP_K = 50
+CHECKPOINT_EVERY = 5  # truncate iterative lineage every N supersteps
 
 
 def _pagerank_oracle() -> str:
@@ -36,7 +37,8 @@ def _pagerank_oracle() -> str:
         steps.append(
             f"""r{i + 1} AS (
       SELECT e.dst AS node,
-             base.b + (85 * sum(r{i}.rank // deg.d)) // 100 AS rank
+             CAST(base.b + (85 * CAST(sum(r{i}.rank // deg.d) AS BIGINT)) // 100
+                  AS BIGINT) AS rank
       FROM r{i}
       JOIN deg   ON deg.src = r{i}.node
       JOIN edges e ON e.src = r{i}.node
@@ -56,8 +58,10 @@ def _pagerank_oracle() -> str:
     ),
     deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
     nn AS (SELECT count(*) AS n FROM deg),
-    base AS (SELECT (15 * ({R_UNIT} // n)) // 100 AS b FROM nn),
-    r0 AS (SELECT src AS node, {R_UNIT} // (SELECT n FROM nn) AS rank FROM deg),
+    base AS (SELECT CAST((15 * ({R_UNIT} // n)) // 100 AS BIGINT) AS b FROM nn),
+    r0 AS (SELECT src AS node,
+                  CAST({R_UNIT} // (SELECT n FROM nn) AS BIGINT) AS rank
+           FROM deg),
     {unrolled}
     SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind,
            node // 2 AS entity_id,
@@ -81,11 +85,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted; each iteration is one join of the current rank vector
     against the edge list plus one aggregation — the same two-shuffle
     step GraphX/Pregel executes per superstep. At 100 TB the rank
-    vector is node-sized (≪ edges); production loops also checkpoint
-    every ~5 iterations to truncate lineage (documented; at test scale
-    the 10-join lineage is fine). Integer fixed-point (1e12 units,
-    floor division) keeps every engine bit-identical — see module
-    docstring.
+    vector is node-sized (≪ edges). The rank vector is
+    ``localCheckpoint``-ed every ``CHECKPOINT_EVERY`` iterations so the
+    lineage (and optimizer/codegen cost) stays O(checkpoint interval)
+    instead of O(total iterations); on a real cluster swap
+    ``localCheckpoint`` for a reliable ``checkpoint`` dir so executor
+    loss doesn't kill the job. After the final checkpoint the
+    edge/degree caches are released — nothing leaks past the query.
+    Integer fixed-point (1e12 units, floor division) keeps every
+    engine bit-identical — see module docstring.
     """
     li = load(spark, sf_dir).lineitem
     pairs = (
@@ -112,7 +120,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     contrib_edges = edges.join(deg, "src")
-    for _ in range(N_ITER):
+    for it in range(N_ITER):
         ranks = (
             contrib_edges.join(ranks, F.col("src") == F.col("node"))
             .select(
@@ -129,6 +137,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    if N_ITER % CHECKPOINT_EVERY != 0:
+        ranks = ranks.localCheckpoint(eager=True)
+    # final ranks are materialized above, so the scan-side caches can go
+    edges.unpersist()
+    deg.unpersist()
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, "supplier")

@@ -61,13 +61,14 @@ def pack_assignments(
     oracle=f"""
     SELECT lang, source, doc_id, n_tokens, stream_offset,
            CAST(floor(stream_offset / {BLOCK_TOKENS}) AS BIGINT) AS block_id,
-           stream_offset % {BLOCK_TOKENS} AS offset_in_block
+           CAST(stream_offset % {BLOCK_TOKENS} AS BIGINT) AS offset_in_block
     FROM (
       SELECT lang, source, doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             coalesce(sum(len(string_split(text, ' '))) OVER (
+             CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
                PARTITION BY lang, source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_offset
       FROM documents
     )
     ORDER BY lang, source, doc_id

@@ -356,17 +356,19 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", F.round("val", 6).alias("med"))
     )
     # the second percentile pass references its input several times
-    # (sketch, count-below, bracket-rank); without persisting, each
+    # (sketch, count-below, bracket-rank); without materializing, each
     # reference re-derives dev = orders ⋈ med — i.e. re-runs the whole
-    # first median computation (plan audit showed 25 scans). Persisted,
-    # dev is computed once, same as dedup's shingle table.
+    # first median computation (plan audit showed 25 scans).
+    # localCheckpoint (not persist) computes it once AND releases its
+    # blocks via GC after the query, so nothing stays cached across a
+    # registered-query sweep.
     dev = (
         o.join(med, "o_orderstatus")
         .select(
             "o_orderstatus",
             F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mad = (
         exact_group_percentiles(dev, "o_orderstatus", "adev", [0.5])

@@ -273,14 +273,39 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir).lineitem.select("l_returnflag", "l_linestatus").distinct()
 
 
-@register("approx_distinct_parts")
+@register(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           1 AS parts_within_5pct,
+           1 AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct — rows-only check (Spark's HLL
-    and DuckDB's differ by design; exact twin is distinct_count_by_group)."""
+    """HyperLogLog approximate distinct, exact-oracle-checked as a
+    PROPERTY: Spark's HLL and DuckDB's differ by design, so instead of
+    comparing estimates the query emits the exact distinct counts plus
+    a flag that the HLL estimate (rsd 1%) landed within 5% of exact —
+    the oracle pins the exact counts and expects the flags true. The
+    estimate itself stays one aggregation pass; the exact twin rides
+    the same scan."""
     li = load(spark, sf_dir).lineitem
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    within = lambda est, exact: (  # noqa: E731
+        (F.abs(est - exact) / exact <= 0.05).cast("int")
+    )
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        within(F.col("ap"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("ao"), F.col("exact_orders")).alias("orders_within_5pct"),
     )
 
 
@@ -310,8 +335,16 @@ def exact_group_percentiles(
     Returns long format: (group_col, pid, val) where val is the exact
     UNROUNDED percentile ps[pid] — identical IEEE doubles to DuckDB's
     percentile_cont over the same values.
+
+    NULL values are dropped up front, matching percentile_cont /
+    percentile_approx semantics — without the filter, n = count(1)
+    would count null rows and inflate the target rank rk = (n-1)*p
+    (and in the small-group path NULLs sort first and shift every
+    rank).
     """
-    o = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    o = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     k = len(ps)
     stats = o.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
@@ -889,15 +922,36 @@ def union_all_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return high.unionByName(low)
 
 
-@register("bernoulli_sample")
+@register(
+    "bernoulli_sample",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           1 AS within_binomial_6sigma
+    FROM orders
+    """,
+)
 def bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (reference: dataInput_maj.sample(...),
-    smote_sampling.py:53). Rows-only: sampling RNGs differ per engine;
-    deterministic_hash_sample is the oracle-checked, engine-portable
+    smote_sampling.py:53), exact-oracle-checked as a PROPERTY: sampling
+    RNGs differ per engine, so the query emits the exact input count
+    plus a flag that the sampled count landed within 6σ binomial bounds
+    of fraction·n — a property every correct Bernoulli sampler holds
+    with overwhelming probability (6σ two-sided miss ≈ 2e-9).
+    deterministic_hash_sample remains the row-level, engine-portable
     twin."""
+    frac = 0.1
     o = load(spark, sf_dir).orders
-    return o.sample(withReplacement=False, fraction=0.1, seed=42).select(
-        "o_orderkey", "o_custkey"
+    agg = o.agg(F.count(F.lit(1)).alias("total_rows"))
+    sampled_n = (
+        o.sample(withReplacement=False, fraction=frac, seed=42)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    sd = F.sqrt(F.col("total_rows") * frac * (1 - frac))
+    return agg.crossJoin(F.broadcast(sampled_n)).select(
+        "total_rows",
+        (
+            F.abs(F.col("n_sampled") - F.col("total_rows") * frac) <= 6 * sd
+        ).cast("int").alias("within_binomial_6sigma"),
     )
 
 
@@ -1044,35 +1098,107 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stratified_sample_counts")
+@register(
+    "stratified_sample_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_total,
+           1 AS within_binomial_6sigma
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (``sampleBy``): different keep-rates
     per market segment — the per-stratum generalization of the
-    reference's majority-class undersampling. Rows-only: sampling RNGs
-    differ per engine; the check pins per-stratum counts stay within
-    the expected band via the returned rates."""
+    reference's majority-class undersampling. Exact-oracle-checked as a
+    PROPERTY (sampling RNGs differ per engine): per stratum, the exact
+    population count plus a flag that the sampled count landed within
+    6σ binomial bounds of rate·n (rate-1.0 strata have σ=0, so the
+    flag also pins that sampleBy keeps them whole)."""
     c = load(spark, sf_dir).customer
     fractions = {"AUTOMOBILE": 0.5, "BUILDING": 0.2, "FURNITURE": 0.1,
                  "HOUSEHOLD": 0.05, "MACHINERY": 1.0}
-    sampled = c.sampleBy("c_mktsegment", fractions=fractions, seed=42)
-    return (
-        sampled.groupBy("c_mktsegment")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("c_mktsegment") == seg, F.lit(fr))
+            for seg, fr in fractions.items()
+        ],
+        F.lit(0.0),
+    )
+    totals = (
+        c.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn("rate", rate)
+    )
+    sampled = (
+        c.sampleBy("c_mktsegment", fractions=fractions, seed=42)
+        .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    sd = F.sqrt(F.col("n_total") * F.col("rate") * (1 - F.col("rate")))
+    return (
+        totals.join(sampled, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0))
+                    - F.col("n_total") * F.col("rate")
+                )
+                <= 6 * sd
+            ).cast("int").alias("within_binomial_6sigma"),
+        )
         .orderBy("c_mktsegment")
     )
 
 
-@register("random_split_sizes")
+@register(
+    "random_split_sizes",
+    oracle="""
+    SELECT 'test' AS split, CAST(count(*) AS BIGINT) AS n_total,
+           1 AS within_binomial_6sigma, 1 AS splits_partition_input
+    FROM orders
+    UNION ALL
+    SELECT 'train', CAST(count(*) AS BIGINT), 1, 1 FROM orders
+    ORDER BY split
+    """,
+)
 def random_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded 70:30 randomSplit (reference: stroke_predict.py:152).
-    Rows-only: returns the two split sizes."""
+    """Seeded 70:30 randomSplit (reference: stroke_predict.py:152),
+    exact-oracle-checked as a PROPERTY: per split, the exact input
+    count, a flag that the split size landed within 6σ binomial bounds
+    of its weight, and a flag that the two splits exactly partition the
+    input (no dropped/duplicated rows — the invariant randomSplit
+    guarantees and an RNG-seed oracle cannot)."""
     o = load(spark, sf_dir).orders
     train, test = o.randomSplit([0.7, 0.3], seed=42)
-    return train.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("train").alias("split"), "n"
-    ).unionByName(
-        test.agg(F.count(F.lit(1)).alias("n")).select(F.lit("test").alias("split"), "n")
+    n_total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    sizes = (
+        train.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("train").alias("split"), "n", F.lit(0.7).alias("w")
+        )
+        .unionByName(
+            test.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("test").alias("split"), "n", F.lit(0.3).alias("w")
+            )
+        )
     )
+    both = sizes.crossJoin(F.broadcast(n_total))
+    sd = F.sqrt(F.col("n_total") * F.col("w") * (1 - F.col("w")))
+    total_of_splits = F.sum("n").over(W.partitionBy())
+    return both.select(
+        "split",
+        "n_total",
+        (
+            F.abs(F.col("n") - F.col("n_total") * F.col("w")) <= 6 * sd
+        ).cast("int").alias("within_binomial_6sigma"),
+        (total_of_splits == F.col("n_total")).cast("int").alias(
+            "splits_partition_input"
+        ),
+    ).orderBy("split")
 
 
 # ---------------------------------------------------------------------------

@@ -103,7 +103,12 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_data_mining_spark.operators.text import token_table
 
     capacity = 256
-    tokens = token_table(load(spark, sf_dir).documents, "doc_id", "text").persist()
+    # localCheckpoint, not persist: the token table feeds both the MG
+    # pass and the exact recount, and checkpoint blocks are GC-released
+    # after the query instead of lingering across a sweep
+    tokens = token_table(
+        load(spark, sf_dir).documents, "doc_id", "text"
+    ).localCheckpoint(eager=True)
     candidates = misra_gries(tokens, "w", capacity=capacity).select("key")
     total = tokens.agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
@@ -120,7 +125,18 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_mergeable_counts")
+@register(
+    "hll_mergeable_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           1 AS within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def hll_mergeable_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 3.5+): per-day user sketches built ONCE, then unioned per
@@ -129,20 +145,33 @@ def hll_mergeable_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. At 100 TB the daily sketch table is megabytes; any window
     of days is answerable from it with hll_union_agg.
 
-    Rows-only: the estimate depends on the sketch algorithm, which the
-    DuckDB oracle doesn't share; tests/test_generic_api.py pins the
-    estimate within 5% of the exact distinct count."""
+    Exact-oracle-checked as a PROPERTY: the estimate depends on the
+    sketch algorithm, which the DuckDB oracle doesn't share, so the
+    query emits the exact distinct count and day count (oracle-pinned)
+    plus a flag that the lgK=12 estimate landed within 5% of exact
+    (worst-case rse ≈ 1.6%; 3σ within the band)."""
     e = load(spark, sf_dir).events
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-                "approx_users"
-            ),
-            F.count(F.lit(1)).alias("n_days"),
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).cast("int").alias("within_5pct"),
         )
         .orderBy("event_type")
     )

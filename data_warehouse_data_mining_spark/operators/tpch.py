@@ -804,6 +804,11 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_value"
             )
         )
+        # materialize once: both the threshold scalar and the filter
+        # branch read pv, and without this the threshold branch re-runs
+        # the full lineitem⋈supplier shuffle+aggregate. Checkpoint
+        # blocks are GC-released after the query (no sweep-wide leak).
+        .localCheckpoint(eager=True)
     )
     threshold = pv.agg(
         (F.sum(F.col("part_value").cast("decimal(18,2)")).cast("double") * F.lit(0.001)).alias(

@@ -150,13 +150,15 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             "next_type",
             (F.col("n") / F.col("total")).alias("p"),
         )
-    ).cache()
+    ).localCheckpoint(eager=True)  # truncate the bigram lineage so each
+    # of the 12 iteration plans is a join over a leaf, not a replay of
+    # the extraction pipeline; blocks are GC-released after the query
 
     states = trans.select(F.col("prev_type").alias("state")).distinct()
     n_states = states.count()
     rank = states.withColumn("prob", F.lit(1.0 / n_states))
 
-    for _ in range(_MARKOV_ITERS):
+    for it in range(_MARKOV_ITERS):
         rank = (
             trans.join(
                 F.broadcast(rank), F.col("prev_type") == F.col("state")
@@ -164,6 +166,9 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy(F.col("next_type").alias("state"))
             .agg(F.sum(F.col("p") * F.col("prob")).alias("prob"))
         )
+        if (it + 1) % 4 == 0:
+            # k-row vector — checkpoint is cheap, keeps lineage O(4)
+            rank = rank.localCheckpoint(eager=True)
 
     return rank.select("state", F.round("prob", 6).alias("stationary_prob"))
 

@@ -152,9 +152,17 @@ def read_event_stream(
 ) -> DataFrame:
     """Streaming source over a directory of events parquet files (file
     streaming sources require a DIRECTORY; point it at an ingest drop
-    folder in production) with ns→us normalization + watermark."""
+    folder in production) with ns→us normalization + watermark.
+
+    Pins the session to UTC + nanosAsLong itself (same guard as
+    ``Catalog.table``): normalize_events' NTZ→LTZ cast is only an
+    identity under a UTC session, and a session that uses only the
+    streaming path would otherwise depend on a batch-catalog side
+    effect having run first."""
     from data_warehouse_data_mining_spark.catalog import normalize_events
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(source_dir).schema
     return normalize_events(
         spark.readStream.schema(raw_schema).parquet(source_dir)

@@ -109,9 +109,8 @@ def test_smote_bucket_cap_enforced(spark):
 
     rows = [(i, [1.0, 2.0, 3.0], 1) for i in range(500)]  # all identical
     data = spark.createDataFrame(rows, "vec_id long, v array<double>, cls int")
-    planes = __import__("numpy").random.RandomState(42).standard_normal((12, 3))
     bucketed = balance._refine_buckets(
-        data.selectExpr("vec_id as id", "v"), planes, bucket_cap=64, seed=42
+        data.selectExpr("vec_id as id", "v"), max_planes=12, bucket_cap=64, seed=42
     )
     sizes = [r.n for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
     assert len(sizes) >= 2 and max(sizes) <= 64
