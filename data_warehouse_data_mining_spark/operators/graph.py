@@ -137,10 +137,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    if N_ITER % CHECKPOINT_EVERY != 0:
-        ranks = ranks.localCheckpoint(eager=True)
+        if (it + 1) % CHECKPOINT_EVERY == 0 and (it + 1) < N_ITER:
+            # lazy: the plan is truncated immediately (LogicalRDD leaf)
+            # but materialization folds into the final eager checkpoint's
+            # job instead of a separate driver round-trip per segment
+            ranks = ranks.localCheckpoint(eager=False)
+    ranks = ranks.localCheckpoint(eager=True)
     # final ranks are materialized above, so the scan-side caches can go
     edges.unpersist()
     deg.unpersist()
