@@ -528,9 +528,11 @@ def connected_components(
     return labels.select("node", F.col("lbl").alias("component"))
 
 
-@register(
-    "neardup_clusters",
-    oracle="WITH RECURSIVE "
+# Shared recursive-CTE chain: LSH candidates → verified pairs →
+# undirected edges → min-label reachability fixpoint. Terminal SELECTs
+# differ per query (cluster table vs canonical-survivor selection).
+_ORACLE_CLUSTERS_PREFIX = (
+    "WITH RECURSIVE "
     + _ORACLE_SHINGLES
     + ", "
     + _ORACLE_MINHASH
@@ -564,6 +566,14 @@ def connected_components(
       UNION
       SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
     )
+    """
+)
+
+
+@register(
+    "neardup_clusters",
+    oracle=_ORACLE_CLUSTERS_PREFIX
+    + """
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
     """,
 )
@@ -577,3 +587,55 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b")).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=_ORACLE_CLUSTERS_PREFIX
+    + """,
+    clusters AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM ranked
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step that turns near-dup clusters into
+    a dedup DECISION: per cluster keep the longest document (ties →
+    lowest doc_id), mark the rest dropped. This is the keep/drop
+    manifest a corpus-cleaning pipeline joins back onto the corpus;
+    composing it from neardup_clusters keeps the expensive LSH work
+    shared.
+
+    Scale shape: the cluster table is tiny next to the corpus (only
+    docs in ≥2-doc clusters appear), the doc-length join is one
+    broadcast-ready equi-join, and the canonical rank is a window over
+    per-cluster groups — no global sort."""
+    d = load(spark, sf_dir).documents
+    pairs = near_duplicate_pairs(d, "doc_id", "text")
+    clusters = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = clusters.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+        ),
+    )
+    return ranked.select(
+        "cluster_id",
+        "doc_id",
+        (F.col("rn") == 1).cast("int").alias("is_kept"),
+    ).orderBy("cluster_id", "doc_id")

@@ -89,6 +89,88 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "source", "doc_id")
 
 
+TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH shard AS (
+      SELECT lang, source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(sum(avail) AS BIGINT) AS t FROM shard),
+    base AS (
+      SELECT lang, source, avail,
+             CAST(({TOKEN_BUDGET} * avail) // t AS BIGINT) AS alloc0,
+             CAST(({TOKEN_BUDGET} * avail) % t AS BIGINT) AS rem
+      FROM shard, tot
+    ),
+    leftover AS (
+      SELECT CAST({TOKEN_BUDGET} - sum(alloc0) AS BIGINT) AS r FROM base
+    ),
+    ranked AS (
+      SELECT lang, source, avail, alloc0,
+             row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+      FROM base
+    )
+    SELECT lang, source, avail AS available_tokens,
+           CAST(alloc0 + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+    FROM ranked, leftover
+    ORDER BY lang, source
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a global training-token budget across lang × source
+    shards proportionally to available tokens, using the
+    largest-remainder method so the integer allocations sum EXACTLY to
+    the budget — the sampling-plan step between corpus stats and the
+    tokenize/pack stage, and deterministic (pure integer arithmetic, no
+    RNG) so every engine and re-run produces the same plan.
+
+    Scale shape: one corpus scan aggregates to |lang × source| rows;
+    everything after (total, floor allocations, remainder ranking) runs
+    on that bounded shard table — the only window ranks ~dozens of
+    rows, never the corpus."""
+    d = load(spark, sf_dir).documents
+    n = F.size(F.split("text", " "))
+    shard = (
+        d.select("lang", "source", n.alias("n"))
+        .groupBy("lang", "source")
+        .agg(F.sum("n").alias("avail"))
+    )
+    tot = shard.agg(F.sum("avail").alias("t"))
+    base = shard.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "avail",
+        F.expr(f"({TOKEN_BUDGET} * avail) div t").alias("alloc0"),
+        (F.lit(TOKEN_BUDGET) * F.col("avail") % F.col("t")).alias("rem"),
+    )
+    leftover = base.agg((F.lit(TOKEN_BUDGET) - F.sum("alloc0")).alias("r"))
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.col("rem").desc(), "lang", "source")
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "source",
+            F.col("avail").alias("available_tokens"),
+            (
+                F.col("alloc0")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 @register(
     "pack_shard_summary",
     oracle=f"""

@@ -128,10 +128,7 @@ def test_hll_mergeable_estimate_accuracy(spark):
     )
     from tests.conftest import SF_SMALL
 
-    est = {
-        r.event_type: r.approx_users
-        for r in hll_mergeable_counts(spark, SF_SMALL).collect()
-    }
+    rows = hll_mergeable_counts(spark, SF_SMALL).collect()
     exact = {
         r.event_type: r.n
         for r in load(spark, SF_SMALL)
@@ -139,9 +136,9 @@ def test_hll_mergeable_estimate_accuracy(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
-    for k in exact:
-        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+    assert {r.event_type: r.exact_users for r in rows} == exact
+    for r in rows:
+        assert r.within_5pct == 1, (r.event_type, r.exact_users)
 
 
 def test_exact_group_percentiles_matches_buffered_reference(spark):

@@ -185,3 +185,25 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_iterative_loops_checkpoint_truncates_lineage(spark):
+    """The iterative operators (PageRank, connected components) must
+    not accumulate one logical plan per iteration: localCheckpoint
+    truncates the lineage, so the FINAL plan is a handful of operators
+    over a checkpointed leaf, not a 10-join chain. r2's un-checkpointed
+    plans audited at 309 / 4,788 codegen operators — this pins the fix."""
+    from data_warehouse_data_mining_spark.operators.graph import graph_pagerank
+    from data_warehouse_data_mining_spark.operators.dedup import neardup_clusters
+
+    for builder, max_joins in [(graph_pagerank, 2), (neardup_clusters, 2)]:
+        df = builder(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        n_joins = plan.count("Join ")
+        assert n_joins <= max_joins, (
+            f"{builder.__name__}: {n_joins} joins in final plan — "
+            "iteration lineage is not being checkpointed"
+        )
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, (
+            f"{builder.__name__}: no checkpointed leaf in plan"
+        )
