@@ -121,11 +121,31 @@ def ml_cv_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("smote_rebalance_counts")
+@register(
+    "smote_rebalance_counts",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN label >= 9 THEN 1 ELSE 0 END AS cls,
+             count(*) AS cnt
+      FROM embeddings GROUP BY 1
+    )
+    SELECT 'before' AS stage, cls, CAST(cnt AS BIGINT) AS n FROM base
+    UNION ALL
+    SELECT 'after' AS stage, cls,
+           CAST(CASE WHEN cls = 1 THEN 3 * cnt ELSE cnt END AS BIGINT) AS n
+    FROM base
+    """,
+)
 def smote_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed SMOTE (ml/balance.py — LSH-bucketed applyInPandas
     k-NN synthesis, fixing the reference's driver-side implementation
-    and its neighbor-indexing bug). Output: class counts before/after."""
+    and its neighbor-indexing bug). Output: class counts before/after.
+
+    Exact-oracle-checkable despite the synthesis being numeric: SMOTE
+    adds exactly ``oversample_ratio`` synthetic rows per minority row
+    (ratio 2 → after-minority = 3 × before-minority, majority
+    unchanged), so the COUNT contract is deterministic even though the
+    synthetic vectors themselves depend on bucket-local k-NN."""
     e = load(spark, sf_dir).embeddings
     data = e.select(
         "vec_id",
