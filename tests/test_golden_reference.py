@@ -156,3 +156,59 @@ def test_imbalanced_pipeline_auc_parity(spark, stroke):
     # the bracket still rejects a broken pipeline (which collapses
     # toward 0.5) while accepting split-composition jitter.
     assert 0.76 <= lr.auc <= 0.90, lr.auc
+
+
+def test_chart_feed_parity_with_reference_plots(spark, stroke):
+    """The reference's only un-twinned behavior is driver-side
+    matplotlib (stroke_predict.py:35-41; nb:cell4 nominal bar charts,
+    nb:cell5 numeric histograms). Rendering is presentation and stays
+    out of engine scope (SURVEY §1.3), but the DATA each plot consumes
+    is engine work — pin the distributed chart-feed aggregations to
+    exactly what the reference's collect-then-plot code handed
+    matplotlib."""
+    import duckdb
+    import numpy as np
+
+    from data_warehouse_data_mining_spark.ml.prep import frequency_tables
+
+    # (a) nb:cell4 — one bar chart per nominal column, fed by per-column
+    # groupBy counts. The distributed twin is ONE stacked job for all
+    # columns; DuckDB over the same CSV is the independent oracle.
+    nominal = ["gender", "ever_married", "work_type", "Residence_type",
+               "smoking_status"]
+    got = {
+        (r.col_name, r.col_value): r.n
+        for r in frequency_tables(stroke, nominal).collect()
+    }
+    con = duckdb.connect()
+    for col in nominal:
+        expected = con.execute(
+            f'SELECT CAST("{col}" AS VARCHAR) AS v, count(*) AS n '
+            f"FROM read_csv_auto('{RAW_CSV}') GROUP BY 1"
+        ).fetchall()
+        for v, n in expected:
+            assert got[(col, v)] == n, (col, v)
+
+    # (b) nb:cell5 — plt.hist(values, bins='auto') per numeric column.
+    # The reference collects the full column to the driver; the twin
+    # keeps binning distributed. numpy derives the auto edges (the only
+    # driver-side step matplotlib itself performs), then the
+    # distributed counts must equal np.histogram bin-for-bin. The
+    # bucket index replays numpy's exact comparisons (count of interior
+    # edges <= x — float-identical to searchsorted side='right').
+    for col in ["age", "avg_glucose_level"]:
+        vals = np.array(
+            [r[0] for r in stroke.select(col).collect()], dtype=np.float64
+        )
+        edges = np.histogram_bin_edges(vals, bins="auto")
+        expected_hist = np.histogram(vals, edges)[0].tolist()
+        interior = F.array(*[F.lit(float(e)) for e in edges[1:-1]])
+        idx = F.size(F.filter(interior, lambda e: e <= F.col(col)))
+        counts = {
+            r.b: r.n
+            for r in stroke.groupBy(idx.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_bins = len(edges) - 1
+        assert [counts.get(i, 0) for i in range(n_bins)] == expected_hist, col
