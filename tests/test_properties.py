@@ -78,3 +78,42 @@ def test_simhash_formula_is_order_invariant(words, rot):
 
     rotated = words[rot % len(words):] + words[: rot % len(words)]
     assert simhash(words) == simhash(rotated)
+
+
+def _largest_remainder(avail: list[int], budget: int) -> list[int]:
+    """Pure-Python mirror of token_budget_allocation's SQL formula
+    (operators/packing.py): floor quotas + one extra token to the
+    largest fractional remainders, ties broken by position (the SQL
+    breaks them by lang, source)."""
+    t = sum(avail)
+    base = [(budget * a) // t for a in avail]
+    rem = [(budget * a) % t for a in avail]
+    r = budget - sum(base)
+    order = sorted(range(len(avail)), key=lambda i: (-rem[i], i))
+    for i in order[:r]:
+        base[i] += 1
+    return base
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=50),
+    st.integers(min_value=0, max_value=10**7),
+)
+def test_largest_remainder_allocation_invariants(avail, budget):
+    """Exact-sum + quota-rule + near-monotonicity — the properties that
+    make the allocation usable as a sampling plan."""
+    alloc = _largest_remainder(avail, budget)
+    t = sum(avail)
+    # allocations spend the budget EXACTLY (no drift from rounding)
+    assert sum(alloc) == budget
+    # quota rule: every shard gets floor or ceil of its exact share
+    for a, x in zip(avail, alloc):
+        lo = (budget * a) // t
+        assert x in (lo, lo + 1)
+    # near-monotonicity: a shard with more data never trails a smaller
+    # shard by more than the 1-token remainder bonus
+    for i in range(len(avail)):
+        for j in range(len(avail)):
+            if avail[i] >= avail[j]:
+                assert alloc[i] >= alloc[j] - 1
