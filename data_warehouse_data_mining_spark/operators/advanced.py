@@ -479,6 +479,42 @@ def scalar_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+, SQL:2023-era `|>` chaining): the
+    same scan→filter→aggregate→order pipeline written as sequential
+    pipe stages. Catalyst compiles it to the identical plan as the
+    nested form — the oracle is the classic formulation, so the
+    hash-match proves semantic equivalence, not just parse success.
+    Money routes through DECIMAL on both sides (exact .xx5 ties)."""
+    cat = load(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE count(*) AS n,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
     "lateral_topn_per_nation",
     oracle="""
     SELECT n_name, c.c_custkey, round(c.c_acctbal, 2) AS acctbal
