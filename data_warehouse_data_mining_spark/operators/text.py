@@ -265,6 +265,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_logprob",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + """
+    , uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS tw FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(round(-ln(cw * 1.0 / tw), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_neg_logprob
+    FROM tok JOIN uni USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per document, the average
+    negative log-probability of its tokens under the corpus unigram
+    distribution — the KenLM-proxy perplexity filter of LLM data
+    pipelines (high avg ⇒ rare/garbled tokens, low ⇒ boilerplate).
+
+    Numeric canon: each token's -ln(p) is rounded to 6 decimals and
+    summed through DECIMAL, so the per-doc mean is order-independent
+    and engine-exact (a raw double avg accumulates in partition order
+    and can flip the 6-decimal rounding vs the oracle's order).
+
+    Scale shape: unigram counts are one token-keyed shuffle; the
+    count-join back onto the token table is another (vocabulary-sized
+    side, too big to broadcast blindly — AQE decides); the 1-row total
+    rides a broadcast crossJoin."""
+    tokens = _doc_tokens(spark, sf_dir).select("id", "w")
+    uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = tokens.agg(F.count(F.lit(1)).alias("tw"))
+    term6 = F.round(-F.log(F.col("cw") / F.col("tw")), 6).cast("decimal(28,6)")
+    return (
+        tokens.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(term6).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_tokens", "avg_neg_logprob")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "tfidf_top_terms",
     headline=True,
     oracle="WITH "
