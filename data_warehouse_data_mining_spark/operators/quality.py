@@ -451,3 +451,46 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "zone_map_manifest",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+)
+def zone_map_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / manifest table: per physical file, row count and
+    min/max of the columns queries filter on — the data-skipping index
+    an Iceberg/Delta manifest carries, built here as a plain aggregate
+    keyed by ``input_file_name()``. A planner (or a human) joins a
+    predicate against this table to prune files before any scan; on a
+    100 TB partitioned table the manifest is files-sized, and the
+    aggregation is map-side partial per file with no extra shuffle of
+    the data columns.
+
+    The file key is the basename (engines render directory URIs
+    differently; min/max/count are layout-independent). The oracle
+    names the file literally because the driver's DuckDB views hide
+    the filename pseudo-column; the testdata layout is one file per
+    table (TESTDATA.md) — on a multi-file table the Spark side emits
+    one manifest row per file as-is."""
+    li = load(spark, sf_dir).lineitem
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return (
+        li.groupBy(fname.alias("file_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("file_name")
+    )

@@ -438,3 +438,79 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("v"), 6).alias("mean_v"))
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "embedding_quantization",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS e
+      FROM embeddings
+    ),
+    dims AS (SELECT pos, min(e) AS mn, max(e) AS mx FROM el GROUP BY pos),
+    q AS (
+      SELECT el.vec_id, el.e, dims.mn, dims.mx,
+             CASE WHEN dims.mx = dims.mn THEN 0.0
+                  ELSE round((el.e - dims.mn) * 255.0 / (dims.mx - dims.mn))
+             END AS qv,
+             CASE WHEN dims.mx = dims.mn THEN 0.0
+                  ELSE (dims.mx - dims.mn) / 255.0 END AS step
+      FROM el JOIN dims USING (pos)
+    ),
+    err AS (
+      SELECT vec_id, step,
+             abs(e - (mn + qv * (mx - mn) / 255.0)) AS ae
+      FROM q
+    )
+    SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(count(*) // count(DISTINCT vec_id) AS BIGINT) AS dim,
+           CAST(sum(CASE WHEN ae <= step * 0.5000001 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_violations,
+           round(CAST(sum(CAST(round(ae, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS mean_abs_err
+    FROM err
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with its
+    reconstruction-error guarantee checked in-engine: per-dimension
+    min/max ranges → 8-bit codes → dequantize → |x - x̂| must stay
+    within half a quantization step for EVERY element (n_violations
+    pinned to 0 by the oracle), plus the corpus mean absolute error.
+    Scalar quantization is the standard 4× memory cut before ANN
+    serving; the guarantee is what makes it safe to apply blindly.
+
+    Scale shape: per-dim ranges are a 1-shuffle aggregate over
+    |dim| groups (map-side partial), broadcast back onto the exploded
+    elements; everything else is element-local arithmetic. Per-element
+    errors round to 12 decimals and sum through DECIMAL so the mean is
+    accumulation-order independent and engine-exact (both engines run
+    the identical IEEE ops per element — only the SUM order differs,
+    and DECIMAL kills that)."""
+    e = load(spark, sf_dir).embeddings
+    el = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "e0"),
+    ).select("vec_id", "pos", F.col("e0").cast("double").alias("e"))
+    dims = el.groupBy("pos").agg(F.min("e").alias("mn"), F.max("e").alias("mx"))
+    j = el.join(F.broadcast(dims), "pos")
+    flat = F.col("mx") == F.col("mn")
+    qv = F.when(flat, F.lit(0.0)).otherwise(
+        F.round((F.col("e") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")), 0)
+    )
+    step = F.when(flat, F.lit(0.0)).otherwise((F.col("mx") - F.col("mn")) / 255.0)
+    recon = F.col("mn") + qv * (F.col("mx") - F.col("mn")) / 255.0
+    ae = F.abs(F.col("e") - recon)
+    return j.select("vec_id", ae.alias("ae"), step.alias("step")).agg(
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.expr("count(1) div count(DISTINCT vec_id)").alias("dim"),
+        F.sum(
+            F.when(F.col("ae") <= F.col("step") * 0.5000001, 0).otherwise(1)
+        ).alias("n_violations"),
+        F.round(
+            F.sum(F.round(F.col("ae"), 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_err"),
+    )
