@@ -494,3 +494,80 @@ def zone_map_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 'baseline' ELSE 'current' END AS era,
+             CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bin
+      FROM orders
+    ),
+    counts AS (
+      SELECT era, bin, count(*) AS n FROM binned GROUP BY era, bin
+    ),
+    tot AS (SELECT era, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY era),
+    probs AS (
+      SELECT c.bin,
+             CAST(max(CASE WHEN c.era = 'baseline' THEN c.n END) AS BIGINT) AS n_base,
+             CAST(max(CASE WHEN c.era = 'current'  THEN c.n END) AS BIGINT) AS n_cur,
+             max(CASE WHEN c.era = 'baseline' THEN c.n * 1.0 / t.t END) AS p,
+             max(CASE WHEN c.era = 'current'  THEN c.n * 1.0 / t.t END) AS q
+      FROM counts c JOIN tot t USING (era)
+      GROUP BY c.bin
+    )
+    SELECT bin, n_base, n_cur,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM probs
+    ORDER BY bin
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (Population Stability Index): the
+    o_totalprice distribution of pre-1998 orders (baseline) vs later
+    orders (current), in 10 fixed 50k-wide bins, with each bin's PSI
+    contribution (p-q)·ln(p/q). The per-bin long format keeps the
+    operator a pure aggregation — the consumer sums psi_term and
+    alerts at the usual 0.1/0.25 thresholds.
+
+    Both eras come out of ONE scan (conditional aggregation keyed by
+    (era, bin)); probabilities are exact integer-count ratios so the
+    only float op is the final (p-q)·ln(p/q), identical per-bin in both
+    engines (no accumulation). Every bin is populated in both eras for
+    this data; empty bins would need the usual ε-smoothing, which is a
+    policy choice left to the caller."""
+    o = load(spark, sf_dir).orders
+    era = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "baseline"
+    ).otherwise("current")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("int")
+    counts = (
+        o.select(era.alias("era"), bin_.alias("bin"))
+        .groupBy("era", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("era").agg(F.sum("n").alias("t"))
+    probs = (
+        counts.join(F.broadcast(tot), "era")
+        .groupBy("bin")
+        .agg(
+            F.max(F.when(F.col("era") == "baseline", F.col("n"))).alias("n_base"),
+            F.max(F.when(F.col("era") == "current", F.col("n"))).alias("n_cur"),
+            F.max(
+                F.when(F.col("era") == "baseline", F.col("n") / F.col("t"))
+            ).alias("p"),
+            F.max(
+                F.when(F.col("era") == "current", F.col("n") / F.col("t"))
+            ).alias("q"),
+        )
+    )
+    return probs.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("psi_term"),
+    ).orderBy("bin")
