@@ -112,3 +112,73 @@ def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "c_mktsegment",
     ).orderBy("key_hash")
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH targets AS (SELECT c_custkey FROM customer WHERE c_custkey % 1000 = 7)
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE c_custkey % 1000 = 7) AS BIGINT)
+             AS n_target_rows,
+           CAST(count(*) - count(*) FILTER (WHERE c_custkey % 1000 = 7)
+                AS BIGINT) AS n_after_erasure
+    FROM customer
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM targets))
+                AS BIGINT),
+           CAST(count(*) - count(*) FILTER
+                  (WHERE o_custkey IN (SELECT c_custkey FROM targets))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE user_id IN (SELECT c_custkey FROM targets))
+                AS BIGINT),
+           CAST(count(*) - count(*) FILTER
+                  (WHERE user_id IN (SELECT c_custkey FROM targets))
+                AS BIGINT)
+    FROM events
+    ORDER BY table_name
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given a deletion-request cohort
+    (here: a deterministic key predicate standing in for the request
+    table), count each table's total rows, rows belonging to the
+    cohort, and rows that survive the erasure — the before/after
+    evidence a privacy office files with every deletion batch. The
+    erasure itself is the same plan with the anti-join kept and the
+    counts replaced by a write.
+
+    Scale shape: the cohort is a small broadcast side; each fact table
+    is scanned once with a semi-join (membership count) — no fact-side
+    shuffle, so the audit runs casually against 100 TB."""
+    t = load(spark, sf_dir)
+    targets = t.customer.filter(F.col("c_custkey") % 1000 == 7).select("c_custkey")
+    checks = [
+        ("customer", t.customer, "c_custkey"),
+        ("orders", t.orders, "o_custkey"),
+        ("events", t.events, "user_id"),
+    ]
+    out = None
+    for name, table, key in checks:
+        flagged = table.join(
+            F.broadcast(targets),
+            table[key] == targets["c_custkey"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_target_rows"))
+        totals = table.agg(F.count(F.lit(1)).alias("n_rows"))
+        row = (
+            totals.crossJoin(F.broadcast(flagged))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_target_rows",
+                (F.col("n_rows") - F.col("n_target_rows")).alias("n_after_erasure"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
