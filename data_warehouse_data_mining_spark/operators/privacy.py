@@ -157,7 +157,11 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned once with a semi-join (membership count) — no fact-side
     shuffle, so the audit runs casually against 100 TB."""
     t = load(spark, sf_dir)
-    targets = t.customer.filter(F.col("c_custkey") % 1000 == 7).select("c_custkey")
+    targets = (
+        t.customer.filter(F.col("c_custkey") % 1000 == 7)
+        .select(F.col("c_custkey").alias("target_key"))
+        .withColumn("hit", F.lit(1))
+    )
     checks = [
         ("customer", t.customer, "c_custkey"),
         ("orders", t.orders, "o_custkey"),
@@ -165,14 +169,15 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for name, table, key in checks:
-        flagged = table.join(
-            F.broadcast(targets),
-            table[key] == targets["c_custkey"],
-            "left_semi",
-        ).agg(F.count(F.lit(1)).alias("n_target_rows"))
-        totals = table.agg(F.count(F.lit(1)).alias("n_rows"))
+        # ONE scan per table: broadcast left join marks cohort rows,
+        # then total + membership come out of the same aggregate
         row = (
-            totals.crossJoin(F.broadcast(flagged))
+            table.select(F.col(key).alias("k"))
+            .join(F.broadcast(targets), F.col("k") == F.col("target_key"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("hit"), F.lit(0)).alias("n_target_rows"),
+            )
             .select(
                 F.lit(name).alias("table_name"),
                 "n_rows",

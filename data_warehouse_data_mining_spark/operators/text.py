@@ -298,7 +298,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a broadcast crossJoin."""
     tokens = _doc_tokens(spark, sf_dir).select("id", "w")
     uni = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    tot = tokens.agg(F.count(F.lit(1)).alias("tw"))
+    # total token count re-aggregates the (much smaller) unigram table
+    # instead of rescanning the token explosion
+    tot = uni.agg(F.sum("cw").alias("tw"))
     term6 = F.round(-F.log(F.col("cw") / F.col("tw")), 6).cast("decimal(28,6)")
     return (
         tokens.join(uni, "w")
