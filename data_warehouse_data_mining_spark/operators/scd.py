@@ -192,7 +192,22 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
     dim = scd2_versions(o.filter(F.col("o_orderdate") < cutoff))
     batch = o.filter(F.col("o_orderdate") >= cutoff)
+    return _fmt_versions(scd2_merge_batch(dim, batch))
 
+
+def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge one CDC batch into an existing SCD2 dimension, returning
+    the updated dimension in RAW interval form (o_custkey, version_n,
+    attr_value, eff_from TIMESTAMP, eff_to TIMESTAMP|NULL) — the same
+    shape ``scd2_versions`` emits, so merges CHAIN: feed the output
+    back as ``dim`` for the next batch. This is the foreachBatch body
+    of a streaming CDC pipeline (tests/test_streaming.py drives it
+    from a file stream and proves batch-chained == full rebuild).
+
+    ``batch`` carries raw change rows (o_custkey, o_orderdate,
+    o_orderkey, o_orderpriority), all with event times at or after
+    every eff_from already in ``dim``.
+    """
     # Collapse runs WITHIN the batch.
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     inc = (
@@ -268,4 +283,4 @@ def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_to",
         )
     )
-    return _fmt_versions(closed.unionByName(appended))
+    return closed.unionByName(appended)

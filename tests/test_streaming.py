@@ -441,3 +441,71 @@ def test_streaming_ohlc_matches_batch(spark, events_dir):
         tuple(r) for r in ohlc_windowed(load(spark, SF_SMALL).events).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_cdc_scd2_merge_matches_rebuild(spark, tmp_path):
+    """Streaming CDC → SCD2 maintenance: a file stream of change
+    batches drives scd2_merge_batch from foreachBatch (dimension state
+    parquet-persisted between micro-batches, the way a real pipeline
+    keeps it in a table), and the final dimension must be
+    INDISTINGUISHABLE from a full batch rebuild over all changes —
+    the incremental-equals-rebuild contract, now proven under
+    micro-batch execution order."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.scd import (
+        scd2_merge_batch,
+        scd2_versions,
+    )
+
+    orders = load(spark, SF_SMALL).orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    c1 = F.lit("1998-01-01").cast("timestamp")
+    c2 = F.lit("2000-01-01").cast("timestamp")
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = tmp_path / "changes"
+    src_dir.mkdir()
+
+    # seed dimension + two strictly later change batches (files appear
+    # in event-time order, maxFilesPerTrigger=1 => one batch each)
+    scd2_versions(orders.filter(F.col("o_orderdate") < c1)).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+    b1 = orders.filter((F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2))
+    b2 = orders.filter(F.col("o_orderdate") >= c2)
+    b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b2.coalesce(1).write.parquet(str(src_dir / "b2"))
+
+    schema = orders.schema
+
+    def merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dim = batch_df.sparkSession.read.parquet(dim_dir)
+        merged = scd2_merge_batch(dim, batch_df).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(dim_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(dim_dir)
+    rebuild = scd2_versions(orders)
+    cols = ["o_custkey", "version_n", "attr_value", "eff_from", "eff_to"]
+    got = sorted(map(tuple, final.select(*cols).collect()))
+    want = sorted(map(tuple, rebuild.select(*cols).collect()))
+    assert got == want
