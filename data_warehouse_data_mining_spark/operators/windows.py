@@ -235,3 +235,74 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("second_cheapest"),
     )
+
+
+@register(
+    "event_rate_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             CAST(sum(n) OVER pw AS BIGINT) AS s,
+             CAST(sum(n * n) OVER pw AS BIGINT) AS ss,
+             CAST(count(*) OVER pw AS BIGINT) AS k
+      FROM daily
+      WINDOW pw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round((n - s / 7.0) / sqrt((ss - s * s / 7.0) / 6.0), 6) AS zscore,
+           CASE WHEN abs((n - s / 7.0) / sqrt((ss - s * s / 7.0) / 6.0)) > 3
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w
+    WHERE k = 7 AND (ss - s * s / 7.0) > 0
+    ORDER BY event_type, day
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per event type, each day's count
+    z-scored against the trailing 7 complete days (frame -7..-1, so
+    the current day never contaminates its own baseline), flagging
+    |z| > 3 — the ops-monitoring rate alarm over the warehouse's own
+    event stream.
+
+    Determinism: the rolling mean and sample variance come from exact
+    BIGINT sums (s, ss) of integer daily counts, so both engines
+    compute identical IEEE doubles with no accumulation-order exposure;
+    zero-variance windows are excluded by the same exact predicate on
+    both sides. One shuffle to daily counts (map-side partial), one
+    |event_type|-partition window over ~30 rows each."""
+    e = load(spark, sf_dir).events
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pw = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(pw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(pw).alias("ss"),
+        F.count(F.lit(1)).over(pw).alias("k"),
+    )
+    mean = F.col("s") / 7.0
+    var = (F.col("ss") - F.col("s") * F.col("s") / 7.0) / 6.0
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        w.filter(
+            (F.col("k") == 7)
+            & (F.col("ss") - F.col("s") * F.col("s") / 7.0 > 0)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
