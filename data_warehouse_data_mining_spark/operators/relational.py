@@ -1464,7 +1464,7 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            bool_and(l_quantity > 0)      AS all_positive_qty,
            bool_or(l_discount > 0.09)    AS any_high_discount,
-           count_if(l_tax = 0)           AS n_tax_free
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1819,8 +1819,8 @@ def mode_listagg_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(list_filter(words, w -> length(w) > 4)) AS INT) AS n_long,
-           list_aggregate(list_transform(words, w -> length(w)), 'sum')
-             AS total_chars,
+           CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum')
+                AS BIGINT) AS total_chars,
            CAST(length(words[1]) = 3 AS BOOLEAN) AS first_is_3,
            round(list_aggregate(list_transform(words, w -> CAST(length(w)
                  AS DOUBLE)), 'avg'), 6) AS avg_len

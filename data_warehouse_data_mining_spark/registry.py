@@ -96,6 +96,8 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "graph_pagerank",            # r2 hash fail: uncast HUGEINT sums in oracle (fixed)
     "pack_training_sequences",   # r2 hash fail: same signature (fixed)
     "batched_frequency_tables",  # r1 fail was the events-parquet read (fixed in r2)
+    "boolean_aggregates",        # latent HUGEINT found by the r3 oracle type lint (fixed)
+    "higher_order_array_ops",    # same lint finding (fixed)
 )
 
 # Never-driver-checked §2.1 reference-parity operators — the core
