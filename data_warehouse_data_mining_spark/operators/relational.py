@@ -295,12 +295,22 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda est, exact: (  # noqa: E731
         (F.abs(est - exact) / exact <= 0.05).cast("int")
     )
-    agg = li.agg(
+    # exact distincts and HLL sketches aggregate in SEPARATE passes:
+    # combining two countDistinct columns with two HLL buffers in one
+    # aggregate makes Catalyst expand every row into one branch per
+    # distinct group while threading rsd-0.01 HLL buffers through the
+    # sort-based fallback — at sf0.1 that OOMs a default-sized (1g)
+    # driver heap. Split, each pass is a plain partial-merge aggregate;
+    # the 1-row results broadcast-join for free.
+    exact = li.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
     )
+    agg = exact.crossJoin(F.broadcast(approx))
     return agg.select(
         "exact_parts",
         "exact_orders",
