@@ -639,3 +639,81 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("rn") == 1).cast("int").alias("is_kept"),
     ).orderBy("cluster_id", "doc_id")
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="WITH "
+    + _ORACLE_SHINGLES
+    + ", "
+    + _ORACLE_MINHASH
+    + ", "
+    + _oracle_bands()
+    + f""",
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig
+       AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a AS batch_doc_id, i.doc_b AS corpus_doc_id,
+           round(i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: match a NEW batch of documents
+    (doc_id % 5 = 0 stands in for today's arrivals) against the
+    EXISTING corpus (the rest) — the daily-ingestion shape where a
+    self-join over the whole corpus would be wrong AND wasteful. The
+    candidate step is an asymmetric LSH band join (batch side ⋈ corpus
+    side), so each new batch touches only its own signatures plus the
+    corpus band index.
+
+    At 100 TB the corpus band/signature table is PRECOMPUTED and
+    stored (band_table is a plain DataFrame — write it partitioned by
+    band hash); a day's ingest computes signatures for the batch only
+    and equi-joins the stored index — per-batch cost scales with the
+    batch, not the corpus. Here both sides derive from one table so
+    the DuckDB oracle can state the same semantics."""
+    d = load(spark, sf_dir).documents
+    sh = shingle_table(d, "doc_id", "text").persist()
+    sig = minhash_signatures_table(sh, NUM_HASHES)
+    bands = lsh_band_table(sig, BANDS, ROWS_PER_BAND)
+    is_batch = F.col("id") % 5 == 0
+    a = bands.filter(is_batch).select(
+        F.col("id").alias("id_a"), F.col("band_id").alias("band_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = bands.filter(~is_batch).select(
+        F.col("id").alias("id_b"), F.col("band_id").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("sig_a") == F.col("sig_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    matches = _jaccard_rerank(
+        cand, sh, sig.select("id", "ns"), JACCARD_THRESHOLD
+    )
+    return matches.select(
+        F.col("id_a").alias("batch_doc_id"),
+        F.col("id_b").alias("corpus_doc_id"),
+        "jaccard",
+    )
