@@ -571,3 +571,200 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
         ).alias("psi_term"),
     ).orderBy("bin")
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+               FROM pos GROUP BY digit),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM counts)
+    SELECT digit, n_obs,
+           round(t * log10(1 + 1.0 / digit), 2) AS n_expected,
+           round(pow(n_obs - t * log10(1 + 1.0 / digit), 2)
+                 / (t * log10(1 + 1.0 / digit)), 6) AS chi2_term
+    FROM counts CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/entry-error audit: the first-significant-digit
+    distribution of o_totalprice vs the Benford expectation
+    log10(1 + 1/d), with the per-digit chi-square contribution
+    (obs - exp)^2 / exp. Fabricated or unit-mangled monetary columns
+    bend away from Benford; the consumer sums chi2_term against the
+    chi-square(8) critical value.
+
+    One scan, 9-row output: the digit extraction
+    floor(x / 10^floor(log10 x)) is pure codegen, the aggregation is a
+    9-group hash-agg with map-side partials, and the expectation/chi2
+    arithmetic runs per-digit on the 9-row result (no double
+    accumulation — the only sums are integer counts, so both engines
+    agree bit-for-bit after the final per-row rounding)."""
+    o = load(spark, sf_dir).orders.filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").alias("t"))
+    exp = F.col("t") * F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(exp, 2).alias("n_expected"),
+            F.round(F.pow(F.col("n_obs") - exp, 2) / exp, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "column_entropy_profile",
+    oracle="""
+    WITH oc AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    long AS (
+      SELECT 'o_orderpriority' AS column_name, pr AS val,
+             CAST(sum(n) AS BIGINT) AS n FROM oc GROUP BY pr
+      UNION ALL
+      SELECT 'o_orderstatus', st, CAST(sum(n) AS BIGINT) FROM oc GROUP BY st
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment, CAST(count(*) AS BIGINT)
+      FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT column_name, CAST(sum(n) AS BIGINT) AS t
+            FROM long GROUP BY column_name)
+    SELECT l.column_name,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((l.n * 1.0 / t.t) * ln(l.n * 1.0 / t.t)), 6)
+               AS entropy_nats,
+           round(max(l.n) * 1.0 / t.t, 6) AS top_freq_ratio
+    FROM long l JOIN tot t USING (column_name)
+    GROUP BY l.column_name, t.t
+    ORDER BY l.column_name
+    """,
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column information profile: Shannon entropy (nats),
+    distinct count and modal-frequency ratio for the warehouse's
+    low-cardinality string columns — the signal a profiler uses to pick
+    dictionary encodings, spot near-constant columns (entropy ~ 0) and
+    catch category explosions between loads.
+
+    The two orders columns come out of ONE fact scan (a single
+    (priority, status) hash-agg, then two marginal regroups of the
+    tiny combo table); customer is its own single scan. Probabilities
+    are exact integer-count ratios; the entropy sum runs over <=6
+    distinct values per column, so double addition order cannot move
+    the 6-decimal rounding."""
+    t = load(spark, sf_dir)
+    # localCheckpoint (not persist): the <=9-row combo table is computed
+    # once for both marginal regroups and leaves no cached blocks behind.
+    oc = (
+        t.orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    long = (
+        oc.groupBy(F.col("o_orderpriority").alias("val"))
+        .agg(F.sum("n").alias("n"))
+        .select(F.lit("o_orderpriority").alias("column_name"), "val", "n")
+        .unionByName(
+            oc.groupBy(F.col("o_orderstatus").alias("val"))
+            .agg(F.sum("n").alias("n"))
+            .select(F.lit("o_orderstatus").alias("column_name"), "val", "n")
+        )
+        .unionByName(
+            t.customer.groupBy(F.col("c_mktsegment").alias("val"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("c_mktsegment").alias("column_name"), "val", "n")
+        )
+    )
+    tot = long.groupBy("column_name").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        long.join(F.broadcast(tot), "column_name")
+        .groupBy("column_name", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(F.max("n") / F.max("t"), 6).alias("top_freq_ratio"),
+        )
+        .drop("t")
+        .orderBy("column_name")
+    )
+
+
+@register(
+    "compaction_bin_packing",
+    oracle="""
+    WITH slices AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS slice_id,
+             CAST(count(*) * 100 AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(ceil(sum(bytes) / 6.0) AS BIGINT) AS target FROM slices),
+    planned AS (
+      SELECT slice_id, bytes, target,
+             CAST(coalesce(sum(bytes) OVER (ORDER BY slice_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM slices CROSS JOIN tot
+    )
+    SELECT CAST(cum_before // target AS INT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_slices,
+           CAST(min(slice_id) AS INT) AS first_slice,
+           CAST(max(slice_id) AS INT) AS last_slice,
+           CAST(sum(bytes) AS BIGINT) AS group_bytes
+    FROM planned
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: greedy sequential bin-packing of per-month
+    data slices (byte size proxied at 100 B/row) into ~6 target-sized
+    rewrite groups — the plan an Iceberg/Delta OPTIMIZE job executes.
+    Keeping slices in ship-month order preserves time locality so the
+    compacted files still prune on date predicates.
+
+    The slice manifest is a tiny aggregate of one fact scan (map-side
+    partials per month); the greedy assignment is an exclusive prefix
+    sum over the MANIFEST (files-sized, not data-sized — ~84 rows
+    here, file-count rows in production), so the single-partition
+    window is safe at any data scale. group = floor(cum_before /
+    target) reproduces greedy first-fit for sequential packing
+    exactly, in one windowed expression instead of a driver loop."""
+    li = load(spark, sf_dir).lineitem
+    slices = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("int")
+        .alias("slice_id")
+    ).agg((F.count(F.lit(1)) * 100).alias("bytes"))
+    tot = slices.agg(F.ceil(F.sum("bytes") / 6.0).alias("target"))
+    w = W.orderBy("slice_id").rowsBetween(W.unboundedPreceding, -1)
+    planned = slices.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        planned.groupBy(
+            F.floor(F.col("cum_before") / F.col("target")).cast("int").alias("group_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_slices"),
+            F.min("slice_id").alias("first_slice"),
+            F.max("slice_id").alias("last_slice"),
+            F.sum("bytes").alias("group_bytes"),
+        )
+        .orderBy("group_id")
+    )

@@ -691,3 +691,191 @@ def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     clean = F.trim(F.regexp_replace(decoded, "\\s+", " "))
     return d.select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "pmi_token_cooccurrence",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ws) + 1),
+                    i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+      FROM toks
+    ),
+    bg AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT w1 AS w, CAST(sum(n) AS BIGINT) AS nw FROM bg GROUP BY w1),
+    tots AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni,
+                    CAST(sum(CASE WHEN w2 IS NOT NULL THEN n END) AS BIGINT) AS n_bi
+             FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.n AS BIGINT) AS n_pair,
+           round(ln((bg.n * 1.0 / n_bi)
+                    / ((u1.nw * 1.0 / n_uni) * (u2.nw * 1.0 / n_uni))), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.w
+    JOIN uni u2 ON bg.w2 = u2.w
+    CROSS JOIN tots
+    WHERE bg.w2 IS NOT NULL
+    ORDER BY round(ln((bg.n * 1.0 / n_bi)
+                      / ((u1.nw * 1.0 / n_uni) * (u2.nw * 1.0 / n_uni))), 6) DESC,
+             w1, w2
+    LIMIT 100
+    """,
+)
+def pmi_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation / phrase-mining score (Church & Hanks 1990) behind
+    phrase detection in LLM-corpus tokenizer prep: pmi =
+    ln(p(xy) / (p(x)p(y))), top-100 pairs.
+
+    One corpus scan, NO token shuffle: bigrams are built map-side with
+    an array `transform` over each document's token list (no
+    posexplode+window, whose per-doc sort would shuffle the full token
+    stream at 100 TB), and every token occurrence appears exactly once
+    as a pair LHS (last tokens pair with NULL), so the single
+    vocab²-sized (w1, w2) hash-agg also yields the unigram marginals
+    as regroups of itself — probabilities stay exact integer ratios
+    and pmi is one ln per pair, identical in both engines."""
+    d = load(spark, sf_dir).documents
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' '))),"
+                " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                "             try_element_at(split(text, ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # vocab²-sized; checkpoint so the three consumers below do not
+        # each re-scan the corpus.
+        .localCheckpoint(eager=True)
+    )
+    uni = bg.groupBy(F.col("w1").alias("w")).agg(F.sum("n").alias("nw"))
+    tots = bg.agg(
+        F.sum("n").alias("n_uni"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("n"))).alias("n_bi"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n") / F.col("n_bi"))
+            / ((F.col("nw1") / F.col("n_uni")) * (F.col("nw2") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        bg.filter(F.col("w2").isNotNull())
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("nw").alias("nw1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("nw").alias("nw2"))), "w2")
+        .crossJoin(F.broadcast(tots))
+        .select("w1", "w2", F.col("n").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+_BM25_TERMS = ("join", "hash", "scan", "filter")
+
+
+def _bm25_term_sql(t: str) -> str:
+    """Per-term BM25 contribution over the pivoted (tf_t, dl) columns;
+    k1=1.2, b=0.75, Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return (
+        f"(CASE WHEN tf_{t} > 0 THEN"
+        f" ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * tf_{t} * 2.2 / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        f" ELSE 0.0 END)"
+    )
+
+
+@register(
+    "bm25_keyword_search",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+    """
+    + ",\n".join(
+        f"         CAST(sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    + """
+      FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
+             CAST(count(*) AS BIGINT) AS n_docs,
+    """
+    + ",\n".join(
+        f"         CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    + """
+      FROM dl
+    )
+    SELECT doc_id, dl, """
+    + ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    + """,
+           round("""
+    + " + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)
+    + """, 6) AS bm25
+    FROM dl CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf): top-50
+    documents for the fixed query {join, hash, scan, filter} — the
+    lexical half of every hybrid (BM25 + vector) search stack.
+
+    ONE corpus scan produces per-doc length AND the per-term tfs
+    (conditional aggregation — the query-term filter means no
+    vocabulary-sized state); corpus stats (N, avgdl, per-term df)
+    regroup that doc-sized table into ONE row broadcast to the scorer.
+    The score is a single fixed-order arithmetic expression over
+    integer tfs/dfs — avgdl is derived sum/count, not avg(), so both
+    engines compute bit-identical doubles and the top-50 cut cannot
+    flip on a last-ulp tie."""
+    d = load(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            1 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        term = F.when(
+            F.col(f"tf_{t}") > 0,
+            idf
+            * F.col(f"tf_{t}")
+            * 2.2
+            / (F.col(f"tf_{t}") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(0.0)
+        score = term if score is None else score + term
+    return (
+        dl.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
