@@ -809,3 +809,58 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
     ).orderBy("o_orderkey")
+
+
+def _pareto_filter_pandas(batches):
+    """Exact 2-D Pareto filter (min price, max size) over one partition.
+
+    Vectorized: per-price group max (ties on the frontier survive), then
+    a cumulative max over strictly-cheaper price groups. Materializes
+    the partition in pandas — fine by construction: phase 1 partitions
+    are executor-memory-sized, phase 2 input is the tiny survivor set.
+    """
+    import pandas as pd
+
+    pdfs = list(batches)
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    gmax = pdf.groupby("p_retailprice")["p_size"].max()  # index sorted by price
+    prev_cummax = gmax.cummax().shift(1, fill_value=-(10**9))
+    keep = (pdf["p_size"].values >= pdf["p_retailprice"].map(gmax).values) & (
+        pdf["p_size"].values > pdf["p_retailprice"].map(prev_cummax).values
+    )
+    yield pdf[keep]
+
+
+@register(
+    "skyline_pareto_front",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: parts not dominated on
+    (minimize p_retailprice, maximize p_size) — the multi-criteria
+    shortlist operator (Börzsönyi et al., ICDE 2001) SQL can only
+    express as a quadratic NOT EXISTS self-join (the oracle).
+
+    Distributed two-phase shape: phase 1 runs the exact local Pareto
+    filter per partition (mapInPandas, vectorized — a locally dominated
+    point is globally dominated, so dropping it is safe and prunes the
+    1e8-row input to ~log-sized survivors per partition); phase 2
+    re-runs the identical filter on the single-partition union of
+    survivors, which is frontier-sized by then. No all-pairs join, no
+    full shuffle — the only data movement is the survivor collapse."""
+    part = load(spark, sf_dir).part.select("p_partkey", "p_retailprice", "p_size")
+    schema = "p_partkey long, p_retailprice double, p_size int"
+    local = part.mapInPandas(_pareto_filter_pandas, schema)
+    front = local.repartition(1).mapInPandas(_pareto_filter_pandas, schema)
+    return front.orderBy("p_retailprice", "p_partkey")

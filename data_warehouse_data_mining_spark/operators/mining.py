@@ -500,3 +500,203 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bar", "event_type")
     )
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8' THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM assign
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a * 1.0 / n_a, 6) AS rate_a,
+           round(conv_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                   / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                          * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
+    FROM arms
+    """,
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into
+    two arms (md5 first-nibble threshold — the same engine-stable
+    assignment trick as deterministic_hash_sample, so re-runs and
+    backfills agree), per-arm purchase-conversion rates, and the
+    pooled two-proportion z statistic the analyst compares to ±1.96.
+
+    Conversion is "14+ purchases" (every synthetic user purchases at
+    least once, so a has-purchase flag would saturate both arms at 1.0
+    and zero the pooled variance — ANSI Spark then raises on the 0/0).
+    The z column is NULL when the pool is degenerate (all or none
+    converted), guarded identically in both engines.
+
+    One scan: per-user conversion flags come from a user-keyed
+    hash-agg (map-side partials), the arm rollup is a 1-row conditional
+    aggregate of that, and the z arithmetic runs once on exact integer
+    counts — no doubles accumulate, both engines agree bit-for-bit."""
+    e = load(spark, sf_dir).events
+    arm = F.when(F.md5(F.col("user_id").cast("string")) < "8", "A").otherwise("B")
+    assign = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("arm", arm)
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    n_conv = F.col("conv_a") + F.col("conv_b")
+    n_all = F.col("n_a") + F.col("n_b")
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when((n_conv > 0) & (n_conv < n_all), F.round(z, 6)).alias("z_score"),
+    )
+
+
+@register(
+    "target_mean_encoding",
+    oracle="""
+    WITH cat AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority
+    ),
+    overall AS (SELECT CAST(sum(sum_price) AS DOUBLE) AS gsum,
+                       CAST(sum(n_orders) AS BIGINT) AS gn FROM cat)
+    SELECT priority, n_orders,
+           round(sum_price, 2) AS sum_price,
+           round((sum_price + 10.0 * (gsum / gn)) / (n_orders + 10.0), 6)
+               AS enc_smoothed
+    FROM cat CROSS JOIN overall
+    ORDER BY priority
+    """,
+)
+def target_mean_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-mean encoding (the leakage-prone trick done
+    right): each o_orderpriority category encoded as the shrinkage
+    blend (sum_cat + m·global_mean) / (n_cat + m), m=10 — rare
+    categories pull toward the global mean instead of memorizing noise.
+
+    One fact scan; category sums go through DECIMAL (the money_sum
+    canon) so the per-category totals are exact rationals and the
+    global mean is derived sum/count — every double in the encoding
+    expression is identical in both engines. The encoder output is a
+    category-sized broadcastable mapping table, the standard shape for
+    joining back onto a 100 TB training set."""
+    o = load(spark, sf_dir).orders
+    cat = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    glob = cat.agg(
+        F.sum("sum_price").cast("double").alias("gsum"), F.sum("n_orders").alias("gn")
+    )
+    enc = (F.col("sum_price") + 10.0 * (F.col("gsum") / F.col("gn"))) / (
+        F.col("n_orders") + 10.0
+    )
+    return (
+        cat.crossJoin(F.broadcast(glob))
+        .select(
+            "priority",
+            "n_orders",
+            F.round("sum_price", 2).alias("sum_price"),
+            F.round(enc, 6).alias("enc_smoothed"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "chi2_feature_association",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS pos,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    rt AS (SELECT segment, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY segment),
+    ct AS (SELECT pos, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY pos),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells)
+    SELECT segment, pos, CAST(n AS BIGINT) AS n_obs,
+           round(row_n * col_n * 1.0 / t, 6) AS n_exp,
+           round(pow(n - row_n * col_n * 1.0 / t, 2)
+                 / (row_n * col_n * 1.0 / t), 6) AS chi2_term
+    FROM cells JOIN rt USING (segment) JOIN ct USING (pos) CROSS JOIN tot
+    ORDER BY segment, pos
+    """,
+)
+def chi2_feature_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature/label association (the filter-method feature
+    selector): contingency of c_mktsegment × sign(c_acctbal) with the
+    per-cell (obs − exp)²/exp contribution in long format — the
+    consumer sums chi2_term against chi-square((r−1)(c−1)) to rank
+    features before training.
+
+    One scan builds the cell counts (segments × 2 hash-agg); marginals
+    and the total are regroups of that tiny table, expectations are
+    exact integer ratios, and the chi2 arithmetic is per-cell — no
+    accumulated doubles anywhere (the same long-format determinism
+    pattern as dq_distribution_drift's psi_term)."""
+    c = load(spark, sf_dir).customer
+    cells = (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("segment", "pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # <=10 rows; checkpoint so the three regroups below don't re-scan.
+        .localCheckpoint(eager=True)
+    )
+    rt = cells.groupBy("segment").agg(F.sum("n").alias("row_n"))
+    ct = cells.groupBy("pos").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    exp = F.col("row_n") * F.col("col_n") / F.col("t")
+    return (
+        cells.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "pos")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "pos",
+            F.col("n").alias("n_obs"),
+            F.round(exp, 6).alias("n_exp"),
+            F.round(F.pow(F.col("n") - exp, 2) / exp, 6).alias("chi2_term"),
+        )
+        .orderBy("segment", "pos")
+    )

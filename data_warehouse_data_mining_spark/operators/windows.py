@@ -306,3 +306,85 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day, n_events,
+             CAST(sum(n_events) OVER w AS BIGINT) AS sum7,
+             CAST(count(*) OVER w AS BIGINT) AS cnt7,
+             CAST(isodow(day) AS INT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    complete AS (SELECT * FROM win WHERE cnt7 = 7),
+    seas AS (
+      SELECT dow,
+             CAST(sum(7 * n_events - sum7) AS BIGINT) AS s_num,
+             CAST(count(*) * 7 AS BIGINT) AS s_den
+      FROM complete GROUP BY dow
+    )
+    SELECT c.day, c.n_events, c.dow,
+           round(c.sum7 / 7.0, 6) AS trend,
+           round(s.s_num * 1.0 / s.s_den, 6) AS seasonal,
+           round(c.n_events - round(c.sum7 / 7.0, 6)
+                 - round(s.s_num * 1.0 / s.s_den, 6), 6) AS residual
+    FROM complete c JOIN seas s USING (dow)
+    ORDER BY c.day
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event count:
+    trend = centered 7-day moving average (complete windows only),
+    weekly seasonal = per-ISO-weekday mean of the detrended series,
+    residual = observed − trend − seasonal — the additive
+    moving-average decomposition behind every seasonality dashboard
+    and anomaly baseline.
+
+    The fact scan collapses to a days-sized table first (one hash-agg
+    with map-side partials), so the un-partitioned centered window runs
+    over ~hundreds of rows — the same manifest-sized-window argument
+    as compaction_bin_packing, safe at any event volume. Determinism:
+    the decomposition is kept in INTEGER space (trend as sum7,
+    detrended as 7·y − sum7) until a single final division per value,
+    so no double accumulation ever happens and both engines emit
+    bit-identical results; residual subtracts the ROUNDED trend and
+    seasonal so it re-derives exactly from the published columns."""
+    e = load(spark, sf_dir).events
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+    )
+    complete = win.filter(F.col("cnt7") == 7)
+    seas = complete.groupBy("dow").agg(
+        F.sum(7 * F.col("n_events") - F.col("sum7")).alias("s_num"),
+        (F.count(F.lit(1)) * 7).alias("s_den"),
+    )
+    trend = F.round(F.col("sum7") / 7.0, 6)
+    seasonal = F.round(F.col("s_num") / F.col("s_den"), 6)
+    return (
+        complete.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "n_events",
+            "dow",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            F.round(F.col("n_events") - trend - seasonal, 6).alias("residual"),
+        )
+        .orderBy("day")
+    )
