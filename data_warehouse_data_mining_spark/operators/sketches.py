@@ -222,3 +222,87 @@ def bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "count_min_sketch_counts",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    seeds AS (SELECT unnest([1, 2, 3]) AS s),
+    cms AS (
+      SELECT s, substr(md5(w || ':' || CAST(s AS VARCHAR)), 1, 2) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tok CROSS JOIN seeds
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_n
+      FROM tok GROUP BY w ORDER BY true_n DESC, w LIMIT 10
+    )
+    SELECT e.w AS word, e.true_n, CAST(min(c.n) AS BIGINT) AS est_n,
+           CAST(min(c.n) - e.true_n AS BIGINT) AS overcount
+    FROM exact e
+    CROSS JOIN seeds sd
+    JOIN cms c ON c.s = sd.s
+      AND c.bucket = substr(md5(e.w || ':' || CAST(sd.s AS VARCHAR)), 1, 2)
+    GROUP BY e.w, e.true_n
+    ORDER BY e.true_n DESC, e.w
+    """,
+)
+def count_min_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005), depth 3 ×
+    width 256, with its one-sided error made visible: estimated vs
+    true counts for the top-10 tokens, plus the non-negative overcount
+    min_s(cms[s][h_s(w)]) − true(w).
+
+    The sketch state is FIXED at 3×256 counters however large the
+    vocabulary — the mergeable-summary alternative when even
+    Misra-Gries candidate lists are too big (heavy_hitters_sketch) —
+    and builds in one map-side pass: each token fans out to its 3
+    (seed, md5-prefix bucket) cells and one 768-group hash-agg with
+    partial aggregation does the rest; summaries from different
+    shards/days merge by plain cell-wise addition. Buckets are 2-hex
+    md5 prefixes so both engines hash identically with NO integer
+    hex-parsing, and every output value is an integer count. The
+    exact top-10 recount exists only to exhibit the guarantee (the
+    tiny-vocab testdata makes it cheap); production consumers query
+    the 768-row sketch alone."""
+    d = load(spark, sf_dir).documents
+    tok = d.select(F.explode(F.split("text", " ")).alias("w")).localCheckpoint(
+        eager=True
+    )
+    seeds = F.array([F.lit(s) for s in (1, 2, 3)])
+    bucket = F.substring(
+        F.md5(F.concat(F.col("w"), F.lit(":"), F.col("s").cast("string"))), 1, 2
+    )
+    cms = (
+        tok.select("w", F.explode(seeds).alias("s"))
+        .groupBy("s", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "w")
+        .limit(10)
+    )
+    probes = exact.select(
+        "w", "true_n", F.explode(seeds).alias("s")
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat(F.col("w"), F.lit(":"), F.col("s").cast("string"))), 1, 2
+        ),
+    )
+    return (
+        probes.join(cms, ["s", "bucket"])
+        .groupBy(F.col("w").alias("word"), "true_n")
+        .agg(F.min("n").alias("est_n"))
+        .select(
+            "word",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy(F.col("true_n").desc(), "word")
+    )
