@@ -616,11 +616,17 @@ def target_mean_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     category-sized broadcastable mapping table, the standard shape for
     joining back onto a 100 TB training set."""
     o = load(spark, sf_dir).orders
-    cat = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
-        .cast("double")
-        .alias("sum_price"),
+    # 5-row category table; checkpoint so the global-mean regroup and
+    # the encoder projection don't each re-scan orders.
+    cat = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .localCheckpoint(eager=True)
     )
     glob = cat.agg(
         F.sum("sum_price").cast("double").alias("gsum"), F.sum("n_orders").alias("gn")

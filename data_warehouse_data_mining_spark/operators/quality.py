@@ -610,8 +610,13 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.floor(
         F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
     ).cast("int")
-    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n_obs")
+    # 9-row digit histogram; checkpoint so the total and the final
+    # projection don't each re-scan orders.
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(F.sum("n_obs").alias("t"))
     exp = F.col("t") * F.log10(1 + 1.0 / F.col("digit"))
@@ -690,6 +695,9 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("c_mktsegment").alias("column_name"), "val", "n")
         )
+        # <=16 rows; checkpoint so the per-column totals and the entropy
+        # join don't each re-run the customer scan.
+        .localCheckpoint(eager=True)
     )
     tot = long.groupBy("column_name").agg(F.sum("n").alias("t"))
     p = F.col("n") / F.col("t")
@@ -746,11 +754,17 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     target) reproduces greedy first-fit for sequential packing
     exactly, in one windowed expression instead of a driver loop."""
     li = load(spark, sf_dir).lineitem
-    slices = li.groupBy(
-        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
-        .cast("int")
-        .alias("slice_id")
-    ).agg((F.count(F.lit(1)) * 100).alias("bytes"))
+    # files-sized manifest (~84 rows); checkpoint so target derivation
+    # and the packing window don't each re-scan lineitem.
+    slices = (
+        li.groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("int")
+            .alias("slice_id")
+        )
+        .agg((F.count(F.lit(1)) * 100).alias("bytes"))
+        .localCheckpoint(eager=True)
+    )
     tot = slices.agg(F.ceil(F.sum("bytes") / 6.0).alias("target"))
     w = W.orderBy("slice_id").rowsBetween(W.unboundedPreceding, -1)
     planned = slices.crossJoin(F.broadcast(tot)).withColumn(

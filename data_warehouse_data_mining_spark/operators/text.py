@@ -840,13 +840,15 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip on a last-ulp tie."""
     d = load(spark, sf_dir).documents
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # doc-sized (one row per document, << corpus); checkpoint so the
+    # corpus-stats regroup and the scorer don't each re-tokenize.
     dl = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
             F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
             for t in _BM25_TERMS
         ],
-    )
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
