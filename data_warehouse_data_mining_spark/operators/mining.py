@@ -706,3 +706,80 @@ def chi2_feature_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "pos")
     )
+
+
+@register(
+    "groupwise_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT n_name,
+             CAST(year(o_orderdate) - 1995 AS BIGINT) AS x,
+             CAST(o_totalprice AS DECIMAL(28,4)) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    sums AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM pts GROUP BY n_name
+    )
+    SELECT n_name, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept
+    FROM sums ORDER BY n_name
+    """,
+)
+def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-models regression: per-nation closed-form OLS of order
+    value against (centered) order year — slope = yearly revenue trend
+    per market, the grouped-regression shape that fits millions of
+    per-key models in ONE aggregation pass instead of millions of
+    MLlib fits.
+
+    The moment sums (n, Σx, Σx², Σy, Σxy) are the entire sufficient
+    statistic: x is a small centered integer and the y sums go through
+    DECIMAL (money canon), so every sum is an exact rational; the
+    decimal→double conversion is IEEE round-to-nearest of the same
+    exact value in both engines and the slope/intercept arithmetic is
+    one fixed-order expression — bit-identical results. The dim joins
+    broadcast; the only fact shuffle is the final 25-group agg's."""
+    t = load(spark, sf_dir)
+    pts = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            (F.year("o_orderdate") - 1995).cast("long").alias("x"),
+            F.col("o_totalprice").cast("decimal(28,4)").alias("y"),
+        )
+    )
+    sums = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "n_name",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("n_name")

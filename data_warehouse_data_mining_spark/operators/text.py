@@ -881,3 +881,40 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + """
+    SELECT w AS term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           list_slice(list_sort(list(DISTINCT doc_id)), 1, 10) AS postings_head
+    FROM tok GROUP BY w ORDER BY term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the head of
+    the sorted postings list — the core retrieval structure BM25 /
+    boolean search serves from, as one distinct-agg over the token
+    table (posting lists live WITH their term row: shippable as a
+    parquet index, mergeable per shard by sorted-list union).
+
+    The head-slice keeps the registered query's output bounded for the
+    value-hash compare; production writes the full `collect_set` (or,
+    at 100 TB, a per-shard postings segment per term — the same
+    groupBy with a shard key, merged lazily at read like Lucene
+    segments). One shuffle on the term key."""
+    d = load(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        tok.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
+                "postings_head"
+            ),
+        )
+        .orderBy("term")
+    )
