@@ -783,3 +783,86 @@ def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("n_name")
+
+
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.first_signup
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(isodow(s.first_signup) AS INT) AS signup_dow,
+             CAST(date_diff('microsecond', s.first_signup, p.first_purchase)
+                  AS BIGINT) AS latency_us
+      FROM s JOIN p USING (user_id)
+    )
+    SELECT signup_dow,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY latency_us) / 1e6, 6)
+               AS p50_latency_s,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY latency_us) / 1e6, 6)
+               AS p90_latency_s
+    FROM lat GROUP BY signup_dow ORDER BY signup_dow
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact p50/p90 of the first-signup →
+    first-subsequent-purchase latency, grouped by signup weekday — the
+    funnel-latency readout product teams watch, with EXACT interpolated
+    percentiles at any scale via the sketch-bracketed selection helper
+    (`exact_group_percentiles` — no per-group whole-column agg buffer).
+
+    Latencies rank as exact integer microsecond differences; the
+    engines' percentile interpolations can differ in the last ulp
+    (different a·(1−f)+b·f orderings), so the OUTPUT is seconds —
+    dividing by 1e6 puts the 6-decimal rounding four orders above the
+    ulp noise. Joins partition on user_id (the aggregates already
+    shuffled there)."""
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    e = load(spark, sf_dir).events
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(
+            s.select(F.col("user_id").alias("s_uid"), "first_signup"),
+            (F.col("user_id") == F.col("s_uid")) & (F.col("ts") > F.col("first_signup")),
+        )
+        .groupBy(F.col("user_id").alias("p_uid"))
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = s.join(p, F.col("user_id") == F.col("p_uid")).select(
+        (F.weekday("first_signup") + 1).cast("int").alias("signup_dow"),
+        (F.unix_micros("first_purchase") - F.unix_micros("first_signup")).alias(
+            "latency_us"
+        ),
+    )
+    per_p = exact_group_percentiles(lat, "signup_dow", "latency_us", [0.5, 0.9])
+    counts = lat.groupBy("signup_dow").agg(F.count(F.lit(1)).alias("n_conversions"))
+    return (
+        per_p.groupBy("signup_dow")
+        .pivot("pid", [0, 1])
+        .agg(F.first("val"))
+        .join(F.broadcast(counts), "signup_dow")
+        .select(
+            "signup_dow",
+            "n_conversions",
+            F.round(F.col("0") / 1e6, 6).alias("p50_latency_s"),
+            F.round(F.col("1") / 1e6, 6).alias("p90_latency_s"),
+        )
+        .orderBy("signup_dow")
+    )
