@@ -866,3 +866,91 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signup_dow")
     )
+
+
+@register(
+    "survival_km_curve",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS first_day,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS end_day FROM events),
+    lives AS (
+      SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS t_days,
+             CASE WHEN date_diff('day', last_day, end_day) < 14 THEN 0 ELSE 1 END
+               AS churned
+      FROM spans CROSS JOIN bounds
+    ),
+    per_t AS (
+      SELECT t_days,
+             CAST(sum(churned) AS BIGINT) AS n_churned,
+             CAST(sum(1 - churned) AS BIGINT) AS n_censored,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM lives GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, n_churned, n_censored,
+             CAST(sum(n_total) OVER (ORDER BY t_days ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t_days, n_risk, n_churned, n_censored,
+           round(exp(sum(CASE WHEN n_churned > 0
+                              THEN ln(1 - n_churned * 1.0 / n_risk)
+                              ELSE 0.0 END)
+                     OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS km_survival
+    FROM risk ORDER BY t_days
+    """,
+)
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (product-limit) estimate of user lifetime:
+    per distinct lifetime-day, the at-risk count (reverse cumulative),
+    churn/censor counts, and S(t) = Π_{s≤t} (1 − d_s/n_s) — retention
+    survival with right-censoring (users last seen within 14 days of
+    the dataset end may still be active and only leave the risk set).
+
+    The event stream collapses to one row per user (one user_id
+    shuffle), then to one row per distinct lifetime-day, so both
+    windows run over a ~hundreds-row table (manifest-sized-window
+    argument). The product is exp of a running ln-sum; terms are exact
+    integer ratios, the sum is O(100) values of O(1), so the 1e-16-ulp
+    window-tree differences between engines sit ~8 orders below the
+    6-decimal rounding."""
+    e = load(spark, sf_dir).events
+    spans = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+    )
+    bounds = e.agg(F.to_date(F.max("ts")).alias("end_day"))
+    lives = spans.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t_days"),
+        F.when(F.datediff("end_day", "last_day") < 14, 0).otherwise(1).alias("churned"),
+    )
+    per_t = (
+        lives.groupBy("t_days")
+        .agg(
+            F.sum("churned").alias("n_churned"),
+            F.sum(1 - F.col("churned")).alias("n_censored"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        # distinct-lifetime-sized; checkpoint so the two windows below
+        # don't each re-run the user collapse.
+        .localCheckpoint(eager=True)
+    )
+    w_risk = W.orderBy("t_days").rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_km = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = per_t.withColumn("n_risk", F.sum("n_total").over(w_risk))
+    ln_term = F.when(
+        F.col("n_churned") > 0, F.log(1 - F.col("n_churned") / F.col("n_risk"))
+    ).otherwise(0.0)
+    return risk.select(
+        "t_days",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.round(F.exp(F.sum(ln_term).over(w_km)), 6).alias("km_survival"),
+    ).orderBy("t_days")
