@@ -134,3 +134,67 @@ def ml_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pattern"),
         F.col("freq").alias("support"),
     ).orderBy(F.col("support").desc(), F.col("pattern"))
+
+
+@register(
+    "item_cooccurrence_cosine",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY item),
+    pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_ab, na.n AS n_a, nb.n AS n_b,
+           round(n_ab / sqrt(na.n * nb.n), 6) AS cosine
+    FROM pair_n
+    JOIN item_n na ON na.item = item_a
+    JOIN item_n nb ON nb.item = item_b
+    ORDER BY round(n_ab / sqrt(na.n * nb.n), 6) DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine — the exact, oracle-checkable
+    core of a neighborhood recommender (the deterministic sibling of
+    the rows-only `ml_als_recommendations`): for part pairs bought in
+    the same order ≥2 times, cosine = n_ab / √(n_a·n_b), top-20.
+
+    The pair counts come from the within-basket self-join on the
+    basket key — cost bounded by basket_size² per order, co-partitioned
+    on the join key, never a global cross join (same scale argument as
+    frequent_itemsets_sql). Item marginals join back on the
+    item-pair table, which the ≥2-support filter keeps small. cosine
+    is one sqrt per row over exact integers."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    cos = F.round(F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6)
+    return (
+        pair_n.join(item_n.select(F.col("item").alias("item_a"), F.col("n").alias("n_a")), "item_a")
+        .join(item_n.select(F.col("item").alias("item_b"), F.col("n").alias("n_b")), "item_b")
+        .select("item_a", "item_b", "n_ab", "n_a", "n_b", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "item_a", "item_b")
+        .limit(20)
+    )

@@ -954,3 +954,148 @@ def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.round(F.exp(F.sum(ln_term).over(w_km)), 6).alias("km_survival"),
     ).orderBy("t_days")
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(n_events) AS BIGINT) AS n_tot FROM daily),
+    cus AS (
+      SELECT day, n_events,
+             CAST(sum(n_days * n_events - n_tot)
+                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cusum_scaled
+      FROM daily CROSS JOIN tot
+    ),
+    peak AS (SELECT max(abs(cusum_scaled)) AS peak_abs FROM cus)
+    SELECT day, n_events, cusum_scaled,
+           CASE WHEN abs(cusum_scaled) = peak_abs THEN 1 ELSE 0 END AS is_changepoint
+    FROM cus CROSS JOIN peak
+    ORDER BY day
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event rate: the
+    cumulative sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift day — the classic
+    single-change-point estimator, flagged per day.
+
+    Deviations stay in INTEGER space: cusum_k = Σ(n_days·y_i − n_tot)
+    is the ×n_days-scaled deviation sum, so no double ever exists and
+    both engines agree exactly. The fact scan collapses to a days-sized
+    table first; both the running window and the 1-row peak regroup
+    run over that (checkpointed once)."""
+    e = load(spark, sf_dir).events
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n_events").alias("n_tot")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cus = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("n_days") * F.col("n_events") - F.col("n_tot")
+            ).over(w),
+        )
+        .localCheckpoint(eager=True)
+    )
+    peak = cus.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak_abs"))
+    return (
+        cus.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "n_events",
+            "cusum_scaled",
+            F.when(F.abs(F.col("cusum_scaled")) == F.col("peak_abs"), 1)
+            .otherwise(0)
+            .alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "funnel_three_step",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           round((SELECT count(*) FROM c) * 1.0
+                 / (SELECT count(*) FROM s), 6) AS click_rate,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM c), 6) AS purchase_rate
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-step funnel (signup → later click → later
+    purchase): each stage's earliest qualifying timestamp must follow
+    the previous stage's, the sequential-conversion shape one window
+    short of full funnel analytics tools.
+
+    Each stage is a user-keyed filter+agg joined to the previous
+    stage's (user, ts) — all three joins and aggs partition on
+    user_id, so after the first shuffle every stage is co-partitioned;
+    the final readout is three 1-row counts. All integers until two
+    final exact-ratio divisions."""
+    e = load(spark, sf_dir).events
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s.withColumnRenamed("user_id", "s_uid"),
+              (F.col("user_id") == F.col("s_uid")) & (F.col("ts") > F.col("t_signup")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.withColumnRenamed("user_id", "c_uid"),
+              (F.col("user_id") == F.col("c_uid")) & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        ns.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_signup"), 6).alias("click_rate"),
+            F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("purchase_rate"),
+        )
+    )
