@@ -782,3 +782,81 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+@register(
+    "js_divergence_sources",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      FROM documents GROUP BY 1, 2
+    ),
+    srcs AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s FROM counts GROUP BY source),
+    langs AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM counts GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n_tot FROM counts),
+    dense AS (
+      SELECT s.source, l.lang, s.n_s,
+             coalesce(c.n_sl, 0) * 1.0 / s.n_s AS p,
+             l.n_l * 1.0 / t.n_tot AS q
+      FROM srcs s CROSS JOIN langs l CROSS JOIN tot t
+      LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+    ),
+    terms AS (
+      SELECT source, n_s,
+             (CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+              + 0.5 * q * ln(q / ((p + q) / 2))) AS term
+      FROM dense
+    )
+    SELECT source, max(n_s) AS n_docs,
+           round(sum(term), 6) AS js_divergence_nats
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's language mix from the
+    corpus-wide mix — the bounded, symmetric distribution-distance a
+    mixture curator uses to find off-profile sources (0 = identical,
+    ln 2 = disjoint); the cross-source sibling of the two-era PSI in
+    dq_distribution_drift.
+
+    One corpus scan collapses to the (source, lang) cell table; source
+    and language marginals are regroups of it, and the DENSE
+    source×lang grid (built from the tiny marginal tables, ~100 rows)
+    restores the absent-language terms a sparse join would drop —
+    p = 0 still contributes its 0.5·q·ln2 share. Probabilities are
+    exact integer ratios; each JS sum is ≤5 O(1) doubles, so 6-decimal
+    rounding is ulp-safe."""
+    d = load(spark, sf_dir).documents
+    counts = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_sl"))
+        .localCheckpoint(eager=True)
+    )
+    srcs = counts.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    langs = counts.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    tot = counts.agg(F.sum("n_sl").alias("n_tot"))
+    dense = (
+        srcs.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(tot))
+        .join(counts, ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_s",
+            (F.coalesce(F.col("n_sl"), F.lit(0)) / F.col("n_s")).alias("p"),
+            (F.col("n_l") / F.col("n_tot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + 0.5 * F.col("q") * F.log(F.col("q") / m)
+    )
+    return (
+        dense.select("source", "n_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.round(F.sum("term"), 6).alias("js_divergence_nats"),
+        )
+        .orderBy("source")
+    )
