@@ -157,3 +157,105 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), (F.col("entity_id") * 2) + F.when(F.col("kind") == "part", 1).otherwise(0))
         .limit(TOP_K)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT a.item AS lo, b.item AS hi
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+      ) GROUP BY node
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           n_triangles,
+           n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0
+           END AS transitivity
+    FROM agg CROSS JOIN tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global transitivity on the co-purchase graph
+    (parts bought together in ≥2 orders) — the standard distributed
+    graph benchmark after PageRank/CC, here in its ordered-edge form:
+    every undirected edge is stored once as (lo < hi), so each triangle
+    {a<b<c} is counted exactly once by joining (a,b)⋈(b,c) and
+    semi-checking (a,c).
+
+    Scale shape: the wedge join and the closing join are plain
+    equi-joins on edge endpoints (two shuffles of the edge table — the
+    MapReduce triangle algorithm of Suri & Vassilvitskii 2011 without
+    the high-degree-vertex split, which drops in as a degree-ordered
+    re-orientation if hub skew appears). Wedges come from the integer
+    degree table; transitivity = 3Δ/wedges is one final exact-ratio
+    division."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("lo"), F.col("b.item").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("lo", "hi")
+        # edge table feeds three joins + the degree agg; materialize once
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("lo").alias("a_"), F.col("hi").alias("b_"))
+    e2 = e.select(F.col("lo").alias("b_"), F.col("hi").alias("c_"))
+    e3 = e.select(F.col("lo").alias("a_"), F.col("hi").alias("c_"))
+    tri = (
+        e1.join(e2, "b_")
+        .join(e3, ["a_", "c_"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    trans = F.when(
+        F.col("n_wedges") > 0,
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+    ).otherwise(0.0)
+    return (
+        agg.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles", "n_wedges", trans.alias("transitivity"))
+    )
