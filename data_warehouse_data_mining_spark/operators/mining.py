@@ -1099,3 +1099,146 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_purchase") / F.col("n_click"), 6).alias("purchase_rate"),
         )
     )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 14400000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, session_n, count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate,
+           round(sum(n_events) * 1.0 / count(*), 6) AS avg_session_events
+    FROM sessions
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality readout over the gap-based sessionization (same
+    4 h boundary as sessionize_events): bounce rate (single-event
+    sessions) and mean session depth — the engagement KPI pair on top
+    of the session table. Everything stays in the one user_id
+    shuffle the sessionizer already pays; the readout is a 1-row
+    integer aggregate with exact-ratio divisions."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    numbered = e.withColumn(
+        "session_n",
+        F.sum(F.when(gap.isNull() | (gap > 14_400_000_000), 1).otherwise(0)).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_n").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        F.round(bounce / F.count(F.lit(1)), 6).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias(
+            "avg_session_events"
+        ),
+    )
+
+
+@register(
+    "time_decay_ltv",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS now_ts FROM events),
+    scored AS (
+      SELECT user_id,
+             value * exp(-0.05 * (date_diff('microsecond', ts, now_ts)
+                                  / 86400000000.0)) AS decayed
+      FROM events CROSS JOIN ref
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(decayed), 4) AS decayed_ltv
+    FROM scored GROUP BY user_id
+    ORDER BY round(sum(decayed), 4) DESC, user_id
+    LIMIT 50
+    """,
+)
+def time_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay customer value (half-life ≈ 14 days,
+    λ=0.05/day): each purchase contributes value·e^(−λ·age) against
+    the dataset's reference time — the recency-weighted LTV ranking
+    marketing scores segments by, and the batch analogue of a
+    streaming decayed counter.
+
+    One scan with an early event_type pushdown filter; ages are exact
+    integer microseconds scaled by one division, so each per-row decay
+    factor is the same IEEE double in both engines. Per-user sums
+    accumulate ~tens of O(1) doubles — 1e-14 error against 4-decimal
+    rounding. Top-50 ordered by the ROUNDED value (then user) so the
+    cut can't flip on summation-order ulps."""
+    e = load(spark, sf_dir).events
+    ref = e.agg(F.max("ts").alias("now_ts"))
+    age_days = (F.unix_micros("now_ts") - F.unix_micros("ts")) / 86_400_000_000.0
+    scored = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(ref))
+        .select("user_id", (F.col("value") * F.exp(-0.05 * age_days)).alias("decayed"))
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("decayed"), 4).alias("decayed_ltv"),
+        )
+        .orderBy(F.col("decayed_ltv").desc(), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (events + distinct users per
+    cell) — the load-profile matrix behind capacity planning and
+    anomaly baselines. One scan, 168-cell hash-agg; the distinct count
+    shuffles on (dow, hour, user) partials first, never holding a
+    per-cell user set in one task."""
+    e = load(spark, sf_dir).events
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )
