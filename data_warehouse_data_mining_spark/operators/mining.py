@@ -845,11 +845,18 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("p_uid"))
         .agg(F.min("ts").alias("first_purchase"))
     )
-    lat = s.join(p, F.col("user_id") == F.col("p_uid")).select(
-        (F.weekday("first_signup") + 1).cast("int").alias("signup_dow"),
-        (F.unix_micros("first_purchase") - F.unix_micros("first_signup")).alias(
-            "latency_us"
-        ),
+    lat = (
+        s.join(p, F.col("user_id") == F.col("p_uid"))
+        .select(
+            (F.weekday("first_signup") + 1).cast("int").alias("signup_dow"),
+            (F.unix_micros("first_purchase") - F.unix_micros("first_signup")).alias(
+                "latency_us"
+            ),
+        )
+        # converted-users-sized; the percentile helper makes three passes
+        # (sketch, counting, bracket rank) and the count regroup a fourth —
+        # checkpoint so none of them re-runs the two event joins.
+        .localCheckpoint(eager=True)
     )
     per_p = exact_group_percentiles(lat, "signup_dow", "latency_us", [0.5, 0.9])
     counts = lat.groupBy("signup_dow").agg(F.count(F.lit(1)).alias("n_conversions"))
@@ -1066,10 +1073,14 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final readout is three 1-row counts. All integers until two
     final exact-ratio divisions."""
     e = load(spark, sf_dir).events
+    # each stage table is users-sized and feeds BOTH the next stage's
+    # join and its own count — checkpoint so the event scan per stage
+    # happens once instead of once per downstream consumer.
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -1077,6 +1088,7 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.col("user_id") == F.col("s_uid")) & (F.col("ts") > F.col("t_signup")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
