@@ -117,3 +117,62 @@ def test_largest_remainder_allocation_invariants(avail, budget):
         for j in range(len(avail)):
             if avail[i] >= avail[j]:
                 assert alloc[i] >= alloc[j] - 1
+
+
+# ---------------------------------------------------------------------------
+# Skyline local filter (operators/advanced.py::_pareto_filter_pandas)
+# ---------------------------------------------------------------------------
+
+
+def _brute_pareto(points: list[tuple[float, int]]) -> set[tuple[float, int]]:
+    """Reference skyline: p survives iff no q dominates it on
+    (min price, max size) with at least one strict inequality."""
+    out = set()
+    for i, (pp, ps) in enumerate(points):
+        dominated = any(
+            qp <= pp and qs >= ps and (qp < pp or qs > ps)
+            for j, (qp, qs) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.add((pp, ps))
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1.0, 2.0, 2.5, 3.0, 5.0]),
+            st.integers(min_value=1, max_value=6),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_filter_matches_brute_force(points):
+    """The vectorized per-partition filter must equal the quadratic
+    reference front, including duplicate points and frontier ties
+    (equal (price,size) pairs all survive — neither dominates)."""
+    import pandas as pd
+
+    from data_warehouse_data_mining_spark.operators.advanced import (
+        _pareto_filter_pandas,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": range(len(points)),
+            "p_retailprice": [p for p, _ in points],
+            "p_size": [s for _, s in points],
+        }
+    )
+    got = list(_pareto_filter_pandas(iter([pdf])))[0]
+    got_set = set(zip(got["p_retailprice"], got["p_size"]))
+    assert got_set == _brute_pareto(points)
+    # every surviving ROW (not just value) must be undominated: a
+    # frontier value duplicated k times keeps all k rows
+    expect_rows = sum(
+        1 for p in points if p in _brute_pareto(points)
+    )
+    assert len(got) == expect_rows
