@@ -918,3 +918,59 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tots AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             sum(pow(n_docs, 0.7)) AS z
+      FROM counts
+    )
+    SELECT lang, n_docs,
+           round(n_docs * 1.0 / n_tot, 6) AS raw_share,
+           round(pow(n_docs, 0.7) / z, 6) AS temp_share,
+           round((pow(n_docs, 0.7) / z) / (n_docs * 1.0 / n_tot), 6) AS boost
+    FROM counts CROSS JOIN tots
+    ORDER BY lang
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights (α = 0.7, the mT5/XLM-R
+    scheme): per-language mixture share ∝ n^α renormalized, with the
+    boost factor over the raw share — the knob that up-samples
+    low-resource languages in a multilingual training mix without
+    flattening the head entirely.
+
+    One scan to language counts; Z = Σ n^α is a 5-term regroup of the
+    tiny count table (checkpointed), each share is exact-count-derived
+    with one pow/division chain per row, and the boost column makes
+    the up/down-sampling auditable (boost > 1 ⇔ below-average-size
+    language)."""
+    d = load(spark, sf_dir).documents
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    tots = counts.agg(
+        F.sum("n_docs").alias("n_tot"),
+        F.sum(F.pow("n_docs", 0.7)).alias("z"),
+    )
+    raw = F.col("n_docs") / F.col("n_tot")
+    temp = F.pow("n_docs", 0.7) / F.col("z")
+    return (
+        counts.crossJoin(F.broadcast(tots))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(raw, 6).alias("raw_share"),
+            F.round(temp, 6).alias("temp_share"),
+            F.round(temp / raw, 6).alias("boost"),
+        )
+        .orderBy("lang")
+    )
