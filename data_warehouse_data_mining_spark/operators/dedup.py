@@ -717,3 +717,95 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("corpus_doc_id"),
         "jaccard",
     )
+
+
+_BP_N = 5          # n-gram width for boilerplate detection
+_BP_DENOM = 20     # boilerplate = n-gram present in >= 1/20 (5%) of docs
+
+
+@register(
+    "boilerplate_ngram_prune",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2] || ' ' ||
+             ws[pos + 3] || ' ' || ws[pos + 4] AS gram
+      FROM (SELECT doc_id, source, ws,
+                   unnest(range(1, len(ws) - {_BP_N - 2})) AS pos
+            FROM words WHERE len(ws) >= {_BP_N})
+    ),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n_total_docs
+          FROM words WHERE len(ws) >= {_BP_N}),
+    bp AS (
+      SELECT gram FROM grams CROSS JOIN d
+      GROUP BY gram, n_total_docs
+      HAVING count(DISTINCT doc_id) * {_BP_DENOM} >= n_total_docs
+    )
+    SELECT g.source,
+           CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(sum(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS boilerplate_grams,
+           round(sum(CASE WHEN bp.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS boilerplate_pct
+    FROM grams g LEFT JOIN bp ON bp.gram = g.gram
+    GROUP BY g.source
+    ORDER BY g.source
+    """,
+)
+def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: 5-grams that appear in ≥5%
+    of all documents (headers, footers, license blurbs, nav text) are
+    flagged, and each source reports what fraction of its token 5-grams
+    is boilerplate — the pre-training corpus cleaning step between
+    exact dedup and MinHash near-dedup (CCNet/RefinedWeb keep exactly
+    this statistic per dump).
+
+    Scale shape: the gram table is fact-sized but never collected — the
+    boilerplate set comes from one (gram → distinct-doc-count) hash
+    aggregation, the per-source tally from one equi-join of grams
+    against that (much smaller) set on the gram key. All string slicing
+    is codegen (split + slice + array_join), no Python. The 5%
+    threshold is relative, so the query is scale-invariant across SFs."""
+    docs = load(spark, sf_dir).documents
+    words = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= _BP_N)
+    grams = words.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.size("ws") - (_BP_N - 1))).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join(F.expr(f"slice(ws, pos, {_BP_N})"), " ").alias("gram"),
+    )
+    d = words.agg(F.count(F.lit(1)).alias("n_total_docs"))
+    bp = (
+        grams.crossJoin(F.broadcast(d))
+        .groupBy("gram", "n_total_docs")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") * _BP_DENOM >= F.col("n_total_docs"))
+        .select("gram", F.lit(1).alias("is_bp"))
+    )
+    tagged = grams.join(bp, "gram", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+            .cast("long")
+            .alias("boilerplate_grams"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boilerplate_pct"),
+        )
+        .orderBy("source")
+    )

@@ -1254,3 +1254,145 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+@register(
+    "gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    anchored AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+      FROM anchored GROUP BY user_id, island
+    )
+    SELECT streak_len,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM streaks
+    GROUP BY streak_len
+    ORDER BY streak_len
+    """,
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user,
+    reduced to a streak-length distribution (how many runs of exactly N
+    consecutive active days exist, and how many users have one).
+
+    The classic SQL pattern — anchor = day_number − row_number is
+    constant within a run of consecutive days — needs only a window
+    partitioned BY USER, so it parallelizes perfectly: one shuffle on
+    user_id, then two hash-aggs. Day arithmetic is done on integer
+    epoch-day anchors so both engines agree exactly."""
+    e = load(spark, sf_dir).events
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = anchored.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("streak_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("streak_len")
+    )
+
+
+@register(
+    "acf_daily_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.lag AS lag_days, d1.n AS x, d2.n AS y
+      FROM daily d1
+      CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+      JOIN daily d2 ON d2.day = d1.day + CAST(l.lag AS INT)
+    ),
+    m AS (
+      SELECT lag_days,
+             CAST(count(*)   AS BIGINT) AS np,
+             CAST(sum(x)     AS BIGINT) AS sx,
+             CAST(sum(y)     AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag_days
+    )
+    SELECT CAST(lag_days AS BIGINT) AS lag_days, np AS n_pairs,
+           CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) > 0
+                THEN round((np * sxy - sx * sy)
+                           / sqrt(CAST((np * sxx - sx * sx) AS DOUBLE)
+                                  * CAST((np * syy - sy * sy) AS DOUBLE)), 6)
+                ELSE 0.0 END AS acf
+    FROM m
+    ORDER BY lag_days
+    """,
+)
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-count series at lags 1..7 —
+    the weekly-seasonality diagnostic (a spike at lag 7 = weekly cycle).
+
+    The series is built once (one scan, day hash-agg), the 7 lags come
+    from ONE self-join: the left side explodes each day into (day,
+    lag→match_day) probes, so every lag shares a single shuffle instead
+    of 7 joins. Pearson correlation per lag is assembled from exact
+    integer moment sums (Σx, Σxy, …) — only the final ratio is floating
+    point, computed identically from identical integers in both
+    engines. Degenerate (zero-variance) lags report 0."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    probes = daily.select(
+        "day",
+        F.col("n").alias("x"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag_days"),
+    ).withColumn("match_day", F.date_add("day", F.col("lag_days")))
+    pairs = probes.join(
+        daily.select(F.col("day").alias("match_day"), F.col("n").alias("y")),
+        "match_day",
+    )
+    m = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    varx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        F.col("lag_days").cast("long").alias("lag_days"),
+        F.col("np").alias("n_pairs"),
+        F.when(
+            varx * vary > 0,
+            F.round(cov / F.sqrt(varx.cast("double") * vary.cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("acf"),
+    ).orderBy("lag_days")

@@ -860,3 +860,82 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# (table, label, columns) triples profiled by candidate_key_profile.
+# Composite keys are checked via an injective '|'-joined string of the
+# member columns (all non-null in this schema), so both engines count
+# the same composite domain.
+_KEY_CANDIDATES: tuple[tuple[str, str, tuple[str, ...]], ...] = (
+    ("orders", "o_orderkey", ("o_orderkey",)),
+    ("orders", "o_custkey", ("o_custkey",)),
+    ("orders", "o_custkey,o_orderdate", ("o_custkey", "o_orderdate")),
+    ("lineitem", "l_orderkey", ("l_orderkey",)),
+    ("lineitem", "l_orderkey,l_linenumber", ("l_orderkey", "l_linenumber")),
+    ("lineitem", "l_partkey,l_suppkey", ("l_partkey", "l_suppkey")),
+    ("customer", "c_custkey", ("c_custkey",)),
+)
+
+
+def _ck_oracle() -> str:
+    per_table: dict[str, list[tuple[str, tuple[str, ...]]]] = {}
+    for tbl, label, cols in _KEY_CANDIDATES:
+        per_table.setdefault(tbl, []).append((label, cols))
+    selects = []
+    for tbl, combos in per_table.items():
+        for label, cols in combos:
+            key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            selects.append(f"""
+    SELECT '{tbl}' AS table_name, '{label}' AS key_cols,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {key}) AS BIGINT) AS n_distinct,
+           round(count(DISTINCT {key}) * 1.0 / count(*), 6) AS uniqueness,
+           CAST(count(DISTINCT {key}) = count(*) AS INT) AS is_unique_key
+    FROM {tbl}""")
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY table_name, key_cols"
+
+
+@register("candidate_key_profile", oracle=_ck_oracle())
+def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery / uniqueness profiling: for each declared
+    key candidate (single and composite), the distinct-to-total ratio
+    and whether it is an exact unique key — the schema-inference pass a
+    warehouse runs before declaring constraints or bucketing keys.
+
+    Scale shape: ONE aggregation per table computes every candidate's
+    exact distinct count in a single scan (Spark plans multiple
+    count-distincts as one Expand + partial aggregation — no repeated
+    reads), and the per-table single-row results union into the tiny
+    profile table. Composite keys hash a '|'-joined injective encoding,
+    identical in the oracle."""
+    tabs = load(spark, sf_dir)
+    per_table: dict[str, list[tuple[str, tuple[str, ...]]]] = {}
+    for tbl, label, cols in _KEY_CANDIDATES:
+        per_table.setdefault(tbl, []).append((label, cols))
+    outs = []
+    for tbl, combos in per_table.items():
+        df = getattr(tabs, tbl)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (label, cols) in enumerate(combos):
+            key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            aggs.append(F.count_distinct(key).alias(f"__d{i}"))
+        wide = df.agg(*aggs)
+        for i, (label, cols) in enumerate(combos):
+            outs.append(
+                wide.select(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(label).alias("key_cols"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__d{i}").alias("n_distinct"),
+                    F.round(F.col(f"__d{i}") / F.col("__n"), 6).alias(
+                        "uniqueness"
+                    ),
+                    (F.col(f"__d{i}") == F.col("__n"))
+                    .cast("int")
+                    .alias("is_unique_key"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("table_name", "key_cols")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -306,3 +306,98 @@ def count_min_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_n").desc(), "word")
     )
+
+
+KMV_K = 256
+_KMV_M = 1 << 60  # 16^15: the hash-prefix domain the estimate rescales
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem
+    ),
+    r AS (
+      SELECT flag, md5(CAST(pk AS VARCHAR)) AS h,
+             row_number() OVER (PARTITION BY flag ORDER BY md5(CAST(pk AS VARCHAR)))
+               AS rn
+      FROM d
+    ),
+    agg AS (
+      SELECT flag,
+             CAST(count(*) AS BIGINT) AS exact_distinct,
+             CAST(sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS k_used,
+             max(CASE WHEN rn <= {KMV_K} THEN h END) AS kth
+      FROM r GROUP BY flag
+    ),
+    est AS (
+      SELECT flag, k_used, exact_distinct,
+             round((k_used - 1) * {float(_KMV_M)}
+                   / CAST('0x' || substr(kth, 1, 15) AS BIGINT), 2)
+               AS kmv_estimate
+      FROM agg
+    )
+    SELECT flag, k_used, kmv_estimate, exact_distinct,
+           round(abs(kmv_estimate - exact_distinct) / exact_distinct, 4)
+             AS rel_err
+    FROM est
+    ORDER BY flag
+    """,
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002)
+    per group: keep the k=256 smallest md5 hashes of each key, estimate
+    distinct = (k-1) / R_k where R_k is the kth-smallest normalized
+    hash. Unlike HLL (hll_mergeable_counts, rows-only), KMV built on a
+    cross-engine hash is EXACTLY oracle-checkable: md5 gives both
+    engines the same hash order, so estimate, k, and error all match
+    bit-for-bit — the sketch's accuracy contract (rel_err column)
+    becomes a hard-verified output instead of a test-only assertion.
+
+    Scale shape: one distinct shuffle on (group, key), then a window
+    partitioned BY GROUP ranks hashes; kth/exact/k_used all come from
+    ONE aggregation of that ranked table (no second scan). At 100 TB
+    the per-group state is k hashes — mergeable across partitions the
+    same way Misra-Gries summaries are. The 15-hex-char prefix folds to
+    an integer < 2^60, so the rescale stays in exact long arithmetic
+    until the final division."""
+    li = load(spark, sf_dir).lineitem
+    d = li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    r = d.select(
+        "flag", F.md5(F.col("pk").cast("string")).alias("h")
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("flag").orderBy("h"))
+    )
+    agg = r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("exact_distinct"),
+        F.sum(F.when(F.col("rn") <= KMV_K, 1).otherwise(0))
+        .cast("long")
+        .alias("k_used"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = agg.select(
+        "flag",
+        "k_used",
+        F.round(
+            (F.col("k_used") - 1)
+            * F.lit(float(_KMV_M))
+            / F.conv(F.substring("kth", 1, 15), 16, 10).cast("long"),
+            2,
+        ).alias("kmv_estimate"),
+        "exact_distinct",
+    )
+    return est.select(
+        "flag",
+        "k_used",
+        "kmv_estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("flag")

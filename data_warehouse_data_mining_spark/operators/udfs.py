@@ -247,3 +247,101 @@ def arrow_python_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", slugify("p_name").alias("slug")).orderBy(
         "p_partkey"
     )
+
+
+_BAL_CAP = 2_000_000  # wallet ceiling, in cents
+
+
+@register(
+    "capped_running_balance",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT o_custkey AS ck,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE -CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             END AS delta
+      FROM orders
+    ),
+    nmax AS (SELECT ck, CAST(max(rn) AS BIGINT) AS n_orders FROM seq GROUP BY ck),
+    walk(ck, rn, bal, ncap, nfloor) AS (
+      SELECT ck, rn,
+             LEAST(GREATEST(delta, 0), {_BAL_CAP}),
+             CASE WHEN delta > {_BAL_CAP} THEN 1 ELSE 0 END,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.ck, s.rn,
+             LEAST(GREATEST(w.bal + s.delta, 0), {_BAL_CAP}),
+             w.ncap   + CASE WHEN w.bal + s.delta > {_BAL_CAP} THEN 1 ELSE 0 END,
+             w.nfloor + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
+    )
+    SELECT w.ck AS custkey,
+           CAST(w.bal AS BIGINT) AS end_balance_cents,
+           CAST(w.ncap AS BIGINT) AS n_capped,
+           CAST(w.nfloor AS BIGINT) AS n_floored,
+           n.n_orders
+    FROM walk w JOIN nmax n ON n.ck = w.ck AND w.rn = n.n_orders
+    ORDER BY custkey
+    """,
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per customer — a prepaid wallet where
+    even-keyed orders credit and odd-keyed orders debit (exact cents),
+    the balance saturates at [0, $20k], and cap/floor hits are counted.
+
+    Saturating state is the canonical NOT-window-expressible recurrence:
+    bal_i = clamp(bal_{{i-1}} + delta_i) depends on the clamp at every
+    prior step, so no prefix-sum trick applies. The Spark shape is
+    ``applyInPandas`` over ``groupBy(custkey)`` — Arrow ships each
+    customer's orders once, a tiny Python loop walks them in
+    (orderdate, orderkey) order, and state never leaves the executor.
+    At 100 TB this is the stateful-per-key pattern of
+    ``transformWithState`` batch-ified: parallelism = #customers, and
+    the only shuffle is the groupBy. The oracle walks the identical
+    recurrence as a recursive CTE (depth = max orders/customer)."""
+    o = load(spark, sf_dir).orders
+    src = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        )
+        .otherwise(-F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("delta"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        bal = ncap = nfloor = 0
+        for d in pdf["delta"].to_numpy():
+            raw = bal + int(d)
+            if raw > _BAL_CAP:
+                ncap += 1
+            if raw < 0:
+                nfloor += 1
+            bal = min(max(raw, 0), _BAL_CAP)
+        return pd.DataFrame(
+            {
+                "custkey": [int(pdf["custkey"].iloc[0])],
+                "end_balance_cents": [bal],
+                "n_capped": [ncap],
+                "n_floored": [nfloor],
+                "n_orders": [len(pdf)],
+            }
+        )
+
+    return (
+        src.groupBy("custkey")
+        .applyInPandas(
+            walk,
+            "custkey long, end_balance_cents long, n_capped long, "
+            "n_floored long, n_orders long",
+        )
+        .orderBy("custkey")
+    )

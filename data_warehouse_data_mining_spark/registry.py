@@ -186,6 +186,7 @@ def _ensure_loaded() -> None:
     from data_warehouse_data_mining_spark.operators import privacy  # noqa: F401
     from data_warehouse_data_mining_spark.operators import scd  # noqa: F401
     from data_warehouse_data_mining_spark.operators import packing  # noqa: F401
+    from data_warehouse_data_mining_spark.operators import ranking  # noqa: F401
     from data_warehouse_data_mining_spark.ml import queries as ml_queries  # noqa: F401
     from data_warehouse_data_mining_spark import pipelines  # noqa: F401
 
