@@ -764,12 +764,16 @@ def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup and MinHash near-dedup (CCNet/RefinedWeb keep exactly
     this statistic per dump).
 
-    Scale shape: the gram table is fact-sized but never collected — the
-    boilerplate set comes from one (gram → distinct-doc-count) hash
-    aggregation, the per-source tally from one equi-join of grams
-    against that (much smaller) set on the gram key. All string slicing
-    is codegen (split + slice + array_join), no Python. The 5%
-    threshold is relative, so the query is scale-invariant across SFs."""
+    Scale shape: the fact-sized gram stream is reduced IMMEDIATELY by
+    one (source, gram) hash aggregation — occurrence counts plus
+    per-pair distinct docs — and every later step works on that
+    vocabulary-scale table (each doc has exactly one source, so
+    per-gram distinct-doc totals are the SUM of the per-(source,gram)
+    distinct counts: no second pass over occurrences). The n-gram
+    codegen (split + slice + array_join) therefore runs once; the
+    reduced table is materialized and re-read by the boilerplate filter
+    and the tally. The 5% threshold is relative, so the query is
+    scale-invariant across SFs."""
     docs = load(spark, sf_dir).documents
     words = docs.select(
         "doc_id", "source", F.split("text", " ").alias("ws")
@@ -784,28 +788,47 @@ def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_join(F.expr(f"slice(ws, pos, {_BP_N})"), " ").alias("gram"),
     )
+    gs = (
+        grams.groupBy("source", "gram")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        # vocabulary-sized; the bp-set derivation and the per-source
+        # tally both consume it — one gram pass total (plan audit)
+        .localCheckpoint(eager=True)
+    )
     d = words.agg(F.count(F.lit(1)).alias("n_total_docs"))
     bp = (
-        grams.crossJoin(F.broadcast(d))
+        gs.crossJoin(F.broadcast(d))
         .groupBy("gram", "n_total_docs")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") * _BP_DENOM >= F.col("n_total_docs"))
+        .agg(F.sum("nd").alias("nd_total"))
+        .filter(F.col("nd_total") * _BP_DENOM >= F.col("n_total_docs"))
         .select("gram", F.lit(1).alias("is_bp"))
     )
-    tagged = grams.join(bp, "gram", "left")
+    n_docs = words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")  # doc_id unique per row
+    )
+    tagged = gs.join(bp, "gram", "left")
     return (
         tagged.groupBy("source")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("total_grams"),
-            F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+            F.sum("occ").cast("long").alias("total_grams"),
+            F.sum(
+                F.when(F.col("is_bp") == 1, F.col("occ")).otherwise(0)
+            )
             .cast("long")
             .alias("boilerplate_grams"),
-            F.round(
-                F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("boilerplate_pct"),
+        )
+        .join(n_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_grams",
+            "boilerplate_grams",
+            F.round(F.col("boilerplate_grams") / F.col("total_grams"), 6).alias(
+                "boilerplate_pct"
+            ),
         )
         .orderBy("source")
     )

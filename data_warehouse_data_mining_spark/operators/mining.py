@@ -1363,9 +1363,12 @@ def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, computed identically from identical integers in both
     engines. Degenerate (zero-variance) lags report 0."""
     o = load(spark, sf_dir).orders
-    daily = o.groupBy(
-        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # days-sized; probe and match sides both read it — one scan
+        .localCheckpoint(eager=True)
+    )
     probes = daily.select(
         "day",
         F.col("n").alias("x"),
@@ -1396,3 +1399,138 @@ def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("acf"),
     ).orderBy("lag_days")
+
+
+@register(
+    "xyz_demand_variability",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT pk,
+             CAST(count(*)  AS BIGINT) AS n,
+             CAST(sum(q)    AS BIGINT) AS sq,
+             CAST(sum(q * q) AS BIGINT) AS sqq
+      FROM weekly GROUP BY pk
+    ),
+    classed AS (
+      SELECT pk, sq,
+             CASE WHEN 4 * (n * sqq - sq * sq) < sq * sq THEN 'X'
+                  WHEN n * sqq - sq * sq < sq * sq THEN 'Y'
+                  ELSE 'Z' END AS xyz_class,
+             sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) / sq AS cv
+      FROM m
+    )
+    SELECT xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(sq) AS BIGINT) AS total_qty,
+           round(min(cv), 6) AS min_cv,
+           round(max(cv), 6) AS max_cv
+    FROM classed
+    GROUP BY xyz_class
+    ORDER BY xyz_class
+    """,
+)
+def xyz_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the companion axis to ABC
+    revenue classification (`abc_pareto_classification`): parts are X
+    (steady, CV < 0.5), Y (variable, CV < 1.0) or Z (erratic) by the
+    coefficient of variation of their weekly shipped quantity.
+
+    Everything stays in exact integer moments (n, Σq, Σq² per part);
+    the X/Y/Z boundary tests are the SQUARED inequalities — 4·(nΣq²−Σq²)
+    vs Σq² — so classification never touches floating point and both
+    engines agree on every boundary part. Only the reported min/max CV
+    per class is a double (min/max are order-insensitive, unlike a
+    mean, so they stay hash-stable). Two hash-aggs, one scan."""
+    li = load(spark, sf_dir).lineitem
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    m = weekly.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    var_num = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    classed = m.select(
+        "sq",
+        F.when(4 * var_num < F.col("sq") * F.col("sq"), "X")
+        .when(var_num < F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        (F.sqrt(var_num.cast("double")) / F.col("sq")).alias("cv"),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("sq").cast("long").alias("total_qty"),
+            F.round(F.min("cv"), 6).alias("min_cv"),
+            F.round(F.max("cv"), 6).alias("max_cv"),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+@register(
+    "new_vs_returning",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    flagged AS (
+      SELECT day,
+             CASE WHEN day = min(day) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM days
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning,
+           round(sum(is_new) * 1.0 / count(*), 6) AS new_pct
+    FROM flagged
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the acquisition/retention
+    topline: a user is 'new' on their first-ever active day and
+    'returning' on every later one.
+
+    One shuffle total: the first-seen day comes from a min() window
+    partitioned by user over the distinct (user, day) table, so no
+    first-day side table and no join — then a day-level hash-agg. At
+    100 TB the distinct collapse does the heavy lifting and everything
+    after is day-cardinality."""
+    e = load(spark, sf_dir).events
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    flagged = days.select(
+        "day",
+        F.when(
+            F.col("day")
+            == F.min("day").over(W.partitionBy("user_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return (
+        flagged.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias("n_returning"),
+            F.round(F.sum("is_new") / F.count(F.lit(1)), 6).alias("new_pct"),
+        )
+        .orderBy("day")
+    )

@@ -433,10 +433,15 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("total_rows"),
     )
+    # top-10 via orderBy+limit = Spark's distributed TakeOrdered (each
+    # partition offers its local top-10), NOT a keys-sized one-partition
+    # row_number window; the rank is then re-derived on the 10-row
+    # result where a global window is bounded by construction.
     w = W.orderBy(F.col("n").desc(), "user_id")
     top = (
-        per_key.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        per_key.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
     )
     return (
         top.crossJoin(F.broadcast(stats))
@@ -919,7 +924,9 @@ def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (label, cols) in enumerate(combos):
             key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
             aggs.append(F.count_distinct(key).alias(f"__d{i}"))
-        wide = df.agg(*aggs)
+        # one row per table; materialize so each combo's SELECT reads the
+        # cached row instead of re-running the scan (plan audit: 7→3 scans)
+        wide = df.agg(*aggs).localCheckpoint(eager=True)
         for i, (label, cols) in enumerate(combos):
             outs.append(
                 wide.select(

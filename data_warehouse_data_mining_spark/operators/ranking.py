@@ -41,6 +41,7 @@ def global_order_stats(
     key_col: str,
     measure_col: str | None = None,
     ascending: bool = False,
+    order_value_col: str | None = None,
 ) -> DataFrame:
     """Add ``global_rank`` (and ``global_cum`` of ``measure_col``) as if
     computed by ``OVER (ORDER BY value [DESC], key)`` — but distributed.
@@ -48,6 +49,13 @@ def global_order_stats(
     ``value_col`` must be a non-negative integral column. Ordering is
     (value asc|desc, key asc); ``measure_col`` must be integral so the
     prefix sum is exact. See module docstring for the three-phase shape.
+
+    ``order_value_col``: when the true sort key is not integral (e.g. a
+    raw double price), pass it here and give ``value_col`` any MONOTONE
+    non-decreasing integral image of it (e.g. rounded cents) — the image
+    buckets rows (equal true values get equal images, so they never
+    straddle a boundary) while ranks use the true column's full
+    precision.
     """
     # Monotone bucketing: log2 is computed in floating point, which may
     # round at exact powers of two — harmless, because ANY deterministic
@@ -56,8 +64,9 @@ def global_order_stats(
     b = F.floor(F.log2(F.col(value_col).cast("double") + F.lit(1.0)))
     df = df.withColumn("__b", b.cast("long"))
 
+    ocol = order_value_col or value_col
     order = [
-        F.col(value_col).asc() if ascending else F.col(value_col).desc(),
+        F.col(ocol).asc() if ascending else F.col(ocol).desc(),
         F.col(key_col).asc(),
     ]
     w_local = W.partitionBy("__b").orderBy(*order)
@@ -145,8 +154,12 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the naive one-window SQL — both produce identical
     classes because the bucketing is monotone."""
     li = load(spark, sf_dir).lineitem
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.expr(_FP)).cast("long").alias("rev_fp")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.expr(_FP)).cast("long").alias("rev_fp"))
+        # parts-sized; consumed by the ranking passes AND the total — one
+        # materialization instead of four lineitem scans (plan audit)
+        .localCheckpoint(eager=True)
     )
     ranked = global_order_stats(
         rev, "rev_fp", "l_partkey", measure_col="rev_fp", ascending=False
@@ -277,4 +290,367 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
         .orderBy("rfm_segment")
+    )
+
+
+@register(
+    "weighted_median_unit_price",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)
+               AS price_c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (
+      SELECT price_c, CAST(sum(w) AS BIGINT) AS w
+      FROM v GROUP BY price_c
+    ),
+    c AS (
+      SELECT price_c,
+             CAST(sum(w) OVER (ORDER BY price_c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT CAST(min(price_c) AS BIGINT) AS median_price_cents,
+           round(min(price_c) / 100.0, 2) AS median_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE cw * 2 >= tw
+    """,
+)
+def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median unit price across ALL lineitems:
+    the smallest price whose cumulative sold quantity reaches half the
+    total — a robust 'typical transacted price' no plain median of rows
+    gives.
+
+    A weighted median has no Spark built-in (percentile_approx ignores
+    weights), and the textbook SQL needs a GLOBAL cumulative-weight
+    window. Here the value domain is first collapsed by an ordinary
+    hash-agg (distinct unit prices ≪ rows), then the global cumulative
+    weight comes from the two-phase prefix sum (module docstring) —
+    never a one-partition sort of the fact table. Prices are exact
+    cents, weights exact integer quantities, so the half-total
+    threshold is a pure integer comparison."""
+    li = load(spark, sf_dir).lineitem
+    v = li.select(
+        F.expr(
+            "CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)"
+        ).alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = (
+        v.groupBy("price_c")
+        .agg(F.sum("w").cast("long").alias("w"))
+        # distinct-price-sized; feeds both the ranking and the total
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_order_stats(
+        g, "price_c", "price_c", measure_col="w", ascending=True
+    )
+    tw = g.agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        ranked.crossJoin(F.broadcast(tw))
+        .filter(F.col("global_cum") * 2 >= F.col("tw"))
+        .agg(
+            F.min("price_c").cast("long").alias("median_price_cents"),
+            F.round(F.min("price_c") / 100.0, 2).alias("median_price"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "gini_customer_spend",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT spend_c,
+             row_number() OVER (ORDER BY spend_c ASC, o_custkey ASC) AS rk
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(spend_c) AS DECIMAL(38,0)) AS st,
+             CAST(sum(CAST(rk AS DECIMAL(38,0)) * spend_c) AS DECIMAL(38,0))
+               AS srs
+      FROM r
+    )
+    SELECT n AS n_customers,
+           round(CAST(st AS DOUBLE) / 100.0, 2) AS total_spend,
+           round(2.0 * CAST(srs AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the inequality KPI
+    behind 'whale analysis' (how concentrated is revenue), computed by
+    the exact rank formula G = 2·Σ(i·sᵢ)/(n·Σsᵢ) − (n+1)/n over spends
+    sorted ascending.
+
+    The rank of EVERY customer is again a global ordering — assigned by
+    the distributed two-phase prefix sum, not a one-partition window.
+    Σ(i·sᵢ) is accumulated in DECIMAL(38,0): ranks×cents products
+    overflow int64 around ~10⁸ customers, and the decimal sum keeps the
+    statistic exact at any scale (both engines sum it exactly; only the
+    final ratio is floating point). Spend ties order by custkey so the
+    rank assignment — and therefore the exact Σ(i·sᵢ) — is identical in
+    both engines."""
+    o = load(spark, sf_dir).orders
+    s = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("spend_c")
+        )
+        # customer-sized; the ranking's window + bucket-stats branches
+        # both consume it — materialize once
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_order_stats(s, "spend_c", "o_custkey", ascending=True)
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_c").cast("decimal(38,0)").alias("st"),
+        F.sum(
+            F.col("global_rank").cast("decimal(38,0)") * F.col("spend_c")
+        ).cast("decimal(38,0)").alias("srs"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("st").cast("double") / 100.0, 2).alias("total_spend"),
+        F.round(
+            2.0 * F.col("srs").cast("double") / (n_d * F.col("st").cast("double"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini"),
+    )
+
+
+_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+_SPLIT = "1998-01-01"  # fixed period pivot (order dates span 1995-2001)
+
+
+@register(
+    "segment_transition_matrix",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_SPLIT} 00:00:00'
+                           THEN {_CENTS} END) AS BIGINT) AS spend_a,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{_SPLIT} 00:00:00'
+                           THEN {_CENTS} END) AS BIGINT) AS spend_b
+      FROM orders GROUP BY o_custkey
+    ),
+    ta AS (
+      SELECT ck,
+             1 + ((row_number() OVER (ORDER BY spend_a DESC, ck ASC) - 1) * 3)
+                 // (SELECT count(*) FROM base WHERE spend_a IS NOT NULL)
+               AS tier
+      FROM base WHERE spend_a IS NOT NULL
+    ),
+    tb AS (
+      SELECT ck,
+             1 + ((row_number() OVER (ORDER BY spend_b DESC, ck ASC) - 1) * 3)
+                 // (SELECT count(*) FROM base WHERE spend_b IS NOT NULL)
+               AS tier
+      FROM base WHERE spend_b IS NOT NULL
+    ),
+    joined AS (
+      SELECT coalesce('T' || CAST(ta.tier AS VARCHAR), 'absent') AS from_tier,
+             coalesce('T' || CAST(tb.tier AS VARCHAR), 'absent') AS to_tier
+      FROM ta FULL OUTER JOIN tb ON ta.ck = tb.ck
+    )
+    SELECT from_tier, to_tier,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(count(*) * 1.0 /
+                 CAST(sum(count(*)) OVER (PARTITION BY from_tier) AS BIGINT),
+                 6) AS pct_of_from
+    FROM joined
+    GROUP BY from_tier, to_tier
+    ORDER BY from_tier, to_tier
+    """,
+)
+def segment_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tier migration matrix: customers are terciled by spend
+    (T1 = top third) independently in two eras (orders before vs after
+    1998-01-01), and the matrix counts every from→to transition —
+    including churn-in/churn-out via the 'absent' tier. The classic
+    'segment migration' report behind retention planning.
+
+    Both eras' spends come from ONE scan (conditional sums per
+    customer); each era's terciles are a global ranking computed with
+    the distributed two-phase prefix sum over just that era's active
+    customers. The final matrix is ≤16 rows; its row-share denominator
+    is a partitioned window over that tiny table."""
+    o = load(spark, sf_dir).orders
+    split = F.lit(_SPLIT).cast("timestamp")
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < split, F.expr(_CENTS))
+            ).cast("long").alias("spend_a"),
+            F.sum(
+                F.when(F.col("o_orderdate") >= split, F.expr(_CENTS))
+            ).cast("long").alias("spend_b"),
+        )
+        # customer-sized; both era rankings read it
+        .localCheckpoint(eager=True)
+    )
+
+    def tiers(col: str, out: str) -> DataFrame:
+        pop = base.filter(F.col(col).isNotNull())
+        n = pop.agg(F.count(F.lit(1)).alias("n_pop"))
+        ranked = global_order_stats(
+            pop.select("ck", col), col, "ck", ascending=False
+        )
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "ck",
+            F.concat(
+                F.lit("T"),
+                (1 + F.expr("((global_rank - 1) * 3) div n_pop")).cast("string"),
+            ).alias(out),
+        )
+
+    ta = tiers("spend_a", "from_tier")
+    tb = tiers("spend_b", "to_tier")
+    joined = ta.join(tb, "ck", "full_outer").select(
+        F.coalesce("from_tier", F.lit("absent")).alias("from_tier"),
+        F.coalesce("to_tier", F.lit("absent")).alias("to_tier"),
+    )
+    counts = joined.groupBy("from_tier", "to_tier").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w_from = W.partitionBy("from_tier")
+    return counts.select(
+        "from_tier",
+        "to_tier",
+        "n_customers",
+        F.round(
+            F.col("n_customers")
+            / F.sum("n_customers").over(w_from).cast("long"),
+            6,
+        ).alias("pct_of_from"),
+    ).orderBy("from_tier", "to_tier")
+
+
+@register(
+    "decile_lift_table",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(sum({_CENTS}) AS BIGINT) AS monetary,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS label
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT ck, monetary, label,
+             1 + ((row_number() OVER (ORDER BY monetary DESC, ck ASC) - 1) * 10)
+                 // (SELECT count(*) FROM base) AS decile
+      FROM base
+    ),
+    d AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(label) AS BIGINT) AS n_positive
+      FROM ranked GROUP BY decile
+    ),
+    t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS tn,
+                 CAST(sum(n_positive) AS BIGINT) AS tp FROM d)
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, n_positive,
+           round(n_positive * 1.0 * tn / (n_customers * tp), 6) AS lift,
+           round(CAST(sum(n_positive) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1.0 / tp, 6)
+             AS cum_capture
+    FROM d CROSS JOIN t
+    ORDER BY decile
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-evaluation report scored
+    here with a deterministic proxy (customer lifetime spend as the
+    score, 'ever placed a 1-URGENT order' as the positive label):
+    customers are ranked into spend deciles and each decile reports its
+    positive rate vs the population (lift) and the cumulative share of
+    all positives captured (gains curve).
+
+    The decile assignment is a global ranking of every customer —
+    distributed two-phase prefix sum, never ntile()'s single-partition
+    sort. Lift and capture are single divisions of exact integer
+    counts; the cumulative capture runs over the 10-row decile table
+    (bounded by construction)."""
+    o = load(spark, sf_dir).orders
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(F.expr(_CENTS)).cast("long").alias("monetary"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n_pop"))
+    ranked = global_order_stats(base, "monetary", "ck", ascending=False)
+    d = (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            (1 + F.expr("((global_rank - 1) * 10) div n_pop")).alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("label").cast("long").alias("n_positive"),
+        )
+        # 10 rows; totals + cumulative both read it
+        .localCheckpoint(eager=True)
+    )
+    t = d.agg(
+        F.sum("n_customers").cast("long").alias("tn"),
+        F.sum("n_positive").cast("long").alias("tp"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "n_positive",
+            F.round(
+                F.col("n_positive") * F.col("tn")
+                / (F.col("n_customers") * F.col("tp")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_positive").over(w_cum).cast("long") / F.col("tp"), 6
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )
+
+
+def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
+    """Reconstruct ``ntile(k)``'s bucket from a global rank: the first
+    ``n % k`` buckets take ``n div k + 1`` rows, the rest ``n div k`` —
+    exactly the SQL-standard ntile split, as pure integer arithmetic.
+    Lets any query swap a single-partition ``ntile() OVER (ORDER BY …)``
+    for ``global_order_stats`` + this formula with identical output."""
+    m = n % k
+    size_small = ((n - m) / k).cast("long")  # exact: (n - m) divisible by k
+    size_big = size_small + 1
+    threshold = m * size_big
+    return (
+        F.when(rank <= threshold, F.floor((rank - 1) / size_big) + 1)
+        .otherwise(m + F.floor((rank - threshold - 1) / size_small) + 1)
+        .cast("int")
     )

@@ -1762,14 +1762,42 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH histogram (10 equal-count buckets) — the optimizer's
     histogram shape, complementing histogram_fixed_bins' equal-width
     twin. ntile orders by (value, key) so ties split deterministically
-    and both engines bucket identically. The global sort is the
-    operator's semantics; at scale swap the exact ntile for
-    percentile_approx bucket BOUNDARIES (approx_quantiles_profile) and
-    assign buckets map-side by comparison, which needs no global sort."""
+    and both engines bucket identically.
+
+    Distributed since r3: the single-partition ``ntile(10) OVER
+    (ORDER BY …)`` is replaced by the two-phase bucketed global rank
+    (operators/ranking.py) + the exact integer ntile-split formula
+    (ntile_from_rank); the oracle still runs real ntile, pinning
+    bucket-for-bucket equality. Rows bucket by their monotone cents
+    image but rank by the raw double, matching the oracle's ordering
+    at full precision."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
     o = load(spark, sf_dir).orders
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    src = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("price_c"),
+    ).localCheckpoint(eager=True)
+    n = src.agg(F.count(F.lit(1)).alias("n_pop"))
+    ranked = global_order_stats(
+        src,
+        "price_c",
+        "o_orderkey",
+        ascending=True,
+        order_value_col="o_totalprice",
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_totalprice",
+            ntile_from_rank(F.col("global_rank"), F.col("n_pop"), 10).alias(
+                "bucket"
+            ),
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -149,13 +149,47 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartile assignment then per-quartile stats.
 
-    Note: the inner window is global (empty partition) — acceptable for
-    a quantile report; the 100 TB path is approx_percentile
-    (median_exact / summary_stats show both)."""
+    Distributed since r3: instead of ``ntile(4) OVER (ORDER BY …)`` —
+    whose empty partition collapses every order onto one task — the
+    global rank comes from the two-phase bucketed prefix sum
+    (operators/ranking.py) and the SQL-standard ntile split is
+    reconstructed from (rank, n) by exact integer arithmetic
+    (ntile_from_rank). The oracle still runs real ntile, proving the
+    reconstruction is bucket-for-bucket identical. Prices order by
+    exact cents so the rank tie-break matches the double ordering."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
     o = load(spark, sf_dir).orders
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    src = (
+        o.select(
+            "o_totalprice",
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+                "price_c"
+            ),
+        )
+        # consumed by the ranking's window + bucket-stats branches
+        .localCheckpoint(eager=True)
+    )
+    n = src.agg(F.count(F.lit(1)).alias("n_pop"))
+    # bucket by monotone cents image, rank by the raw double price —
+    # exact parity with the oracle's ORDER BY o_totalprice, o_orderkey
+    ranked = global_order_stats(
+        src,
+        "price_c",
+        "o_orderkey",
+        ascending=True,
+        order_value_col="o_totalprice",
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("q"))
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_totalprice",
+            ntile_from_rank(F.col("global_rank"), F.col("n_pop"), 4).alias("q"),
+        )
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),

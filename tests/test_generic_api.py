@@ -201,3 +201,87 @@ def test_utf8_validation_and_repair(spark):
     assert by_ok[True].validated == "clean text"
     assert by_ok[False].validated is None
     assert "�" in by_ok[False].fixed and "bytes" in by_ok[False].fixed
+
+
+def test_global_order_stats_matches_naive_window(spark):
+    """The two-phase bucketed prefix sum must reproduce the naive
+    global window's rank and cumsum EXACTLY — including duplicate
+    values, values at power-of-two bucket boundaries, zeros, and both
+    sort directions."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        # id, value: dense duplicates + exact powers of two + zeros
+        (i, rng.choice([0, 1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 63, 64, 65,
+                        1023, 1024, 1025, rng.randrange(10**6),
+                        rng.randrange(10**12)]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long").withColumn(
+        "m", (F.col("v") % 97 + 1).cast("long")
+    )
+    for asc in (True, False):
+        got = {
+            r["id"]: (r["global_rank"], r["global_cum"])
+            for r in global_order_stats(
+                df, "v", "id", measure_col="m", ascending=asc
+            ).collect()
+        }
+        w = W.orderBy(F.col("v").asc() if asc else F.col("v").desc(),
+                      F.col("id").asc())
+        want = {
+            r["id"]: (r["rk"], r["cum"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("long").alias("rk"),
+                F.sum("m")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .cast("long")
+                .alias("cum"),
+            ).collect()
+        }
+        assert got == want, f"ascending={asc}"
+
+
+def test_ntile_from_rank_matches_builtin_ntile(spark):
+    """ntile_from_rank(global_rank, n, k) must equal F.ntile(k) over the
+    same ordering for every k, including n % k != 0 and n < k."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(10**9)) for i in range(157)]  # prime size
+    df = spark.createDataFrame(rows, "id long, v long").localCheckpoint(
+        eager=True
+    )
+    n = df.count()
+    for k in (2, 3, 4, 7, 10, 200):
+        ranked = global_order_stats(df, "v", "id", ascending=True)
+        got = {
+            r["id"]: r["q"]
+            for r in ranked.select(
+                "id",
+                ntile_from_rank(F.col("global_rank"), F.lit(n), k).alias("q"),
+            ).collect()
+        }
+        w = W.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            r["id"]: r["q"]
+            for r in df.select("id", F.ntile(k).over(w).alias("q")).collect()
+        }
+        assert got == want, f"k={k}"
