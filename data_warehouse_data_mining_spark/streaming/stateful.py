@@ -123,3 +123,72 @@ def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+WALLET_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("custkey", LongType()),
+        StructField("end_balance_cents", LongType()),
+        StructField("n_capped", LongType()),
+        StructField("n_floored", LongType()),
+        StructField("n_orders", LongType()),
+    ]
+)
+WALLET_STATE_SCHEMA = StructType(
+    [
+        StructField("bal", LongType()),
+        StructField("ncap", LongType()),
+        StructField("nfloor", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def capped_wallet_stream(orders_stream: DataFrame, cap: int) -> DataFrame:
+    """Streaming twin of ``operators/udfs.py::capped_running_balance``:
+    the saturating per-customer wallet (balance clamped to [0, cap],
+    cap/floor hits counted) as an ``applyInPandasWithState`` state
+    machine — the batch operator's "transformWithState batch-ified"
+    docstring claim, made literal. Input must carry (custkey,
+    o_orderdate, o_orderkey, delta_cents).
+
+    Ordering contract: a saturating recurrence is order-sensitive, so
+    batches must arrive in event-time order (chronological file feed or
+    a watermark-sorted upstream); rows WITHIN a micro-batch are sorted
+    here. This is the same contract every streaming sequence processor
+    (sessionizer, CDC applier) already carries. State is one 4-long
+    tuple per customer — engine-checkpointed, RocksDB-ready."""
+
+    def walk(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (ck,) = key
+        bal, ncap, nfloor, n = state.get if state.exists else (0, 0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        for d in pdf["delta_cents"].to_numpy():
+            raw = bal + int(d)
+            if raw > cap:
+                ncap += 1
+            if raw < 0:
+                nfloor += 1
+            bal = min(max(raw, 0), cap)
+            n += 1
+        state.update((bal, ncap, nfloor, n))
+        yield pd.DataFrame(
+            {
+                "custkey": [int(ck)],
+                "end_balance_cents": [bal],
+                "n_capped": [ncap],
+                "n_floored": [nfloor],
+                "n_orders": [n],
+            }
+        )
+
+    return orders_stream.groupBy("custkey").applyInPandasWithState(
+        walk,
+        outputStructType=WALLET_OUTPUT_SCHEMA,
+        stateStructType=WALLET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

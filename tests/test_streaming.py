@@ -509,3 +509,74 @@ def test_streaming_cdc_scd2_merge_matches_rebuild(spark, tmp_path):
     got = sorted(map(tuple, final.select(*cols).collect()))
     want = sorted(map(tuple, rebuild.select(*cols).collect()))
     assert got == want
+
+
+def test_stateful_wallet_stream_equals_batch(spark, tmp_path):
+    """The saturating-wallet recurrence produces IDENTICAL final state
+    whether run as the batch applyInPandas operator or as an
+    applyInPandasWithState stream fed the same orders in three
+    chronological micro-batches — state carries across batches, so this
+    pins both the stream≡batch contract and the checkpointable-state
+    shape of the operator."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.udfs import (
+        _BAL_CAP,
+        capped_running_balance,
+    )
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        capped_wallet_stream,
+    )
+
+    src = (
+        load(spark, SF_SMALL)
+        .orders.select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderdate",
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+            )
+            .otherwise(-F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("delta_cents"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+    rows = src.collect()
+    feed = str(tmp_path / "wallet_feed")
+    third = (len(rows) + 2) // 3
+    for i in range(3):  # three chronological files => three micro-batches
+        chunk = rows[i * third : (i + 1) * third]
+        if chunk:
+            spark.createDataFrame(chunk, src.schema).coalesce(1).write.parquet(
+                f"{feed}/f{i}"
+            )
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/f*")
+    )
+    q = (
+        capped_wallet_stream(stream, _BAL_CAP)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wallet_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode emits one row per (key, batch) — keep the final update
+    got = {
+        r.custkey: (r.end_balance_cents, r.n_capped, r.n_floored, r.n_orders)
+        for r in spark.sql(
+            "SELECT * FROM wallet_state"
+        ).orderBy("n_orders").collect()  # later updates overwrite earlier
+    }
+    expected = {
+        r.custkey: (r.end_balance_cents, r.n_capped, r.n_floored, r.n_orders)
+        for r in capped_running_balance(spark, SF_SMALL).collect()
+    }
+    assert got == expected
