@@ -217,3 +217,64 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the Python featurizer is value-checked end-to-end, not rows-only."""
     d = with_payload(load(spark, sf_dir).documents)
     return extract_features(d)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH p AS (
+      -- DuckDB substring() has no BLOB overload: slice the hex image
+      -- instead (2 hex chars per byte — offsets double, semantics equal)
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    f AS (
+      SELECT doc_id, i.i AS frame_idx,
+             substring(hx,
+                       1 + 2 * LEAST(i.i * GREATEST(1, (len - 16) // 3),
+                                     GREATEST(0, len - 16)),
+                       32) AS framehex
+      FROM p CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(length(framehex) // 2) AS BIGINT) AS total_frame_bytes,
+           md5(string_agg(framehex, '' ORDER BY frame_idx)) AS frames_digest
+    FROM f
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out, hash-verified end to end: every payload
+    expands to 4 evenly-strided frame windows through the REAL
+    ``sample_frames`` mapInPandas path (row-expanding Arrow batches —
+    the video→frames shape), and each document's sampled frames are
+    digested (md5 over index-ordered frame hex) so the oracle checks
+    the exact bytes, offsets, and frame order the sampler emitted — not
+    just row counts. The stride arithmetic is pure integers, replicated
+    verbatim in SQL.
+
+    Scale shape: the fan-out is partition-preserving (no shuffle until
+    the per-doc digest agg); a real decoder swaps into the same
+    mapInPandas slot with this test still pinning the plumbing."""
+    docs = load(spark, sf_dir).documents
+    payloads = with_payload(docs).filter(F.length("payload") > 0)
+    frames = sample_frames(payloads, n_frames=4, frame_bytes=16)
+    sorted_hex = F.array_sort(
+        F.collect_list(F.struct("frame_idx", F.hex("frame").alias("hx")))
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).cast("long").alias("total_frame_bytes"),
+            F.md5(
+                F.concat_ws(
+                    "", F.transform(sorted_hex, lambda s: s["hx"])
+                )
+            ).alias("frames_digest"),
+        )
+        .orderBy("doc_id")
+    )

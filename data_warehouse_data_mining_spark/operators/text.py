@@ -974,3 +974,65 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_HOLDOUT_K = 20
+
+
+@register(
+    "per_group_eval_holdout",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pool,
+           CAST(sum(CASE WHEN rn <= {_HOLDOUT_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(sum(CASE WHEN rn <= {_HOLDOUT_K} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS holdout_chars
+    FROM r
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def per_group_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic holdout per group: each language
+    contributes its k=20 documents with the smallest md5(doc_id) — the
+    eval/dev-set carve-out a training pipeline must keep STABLE across
+    re-runs, engines, and corpus growth-by-appending (an existing doc's
+    membership only changes if a new doc hashes below the current kth,
+    exactly like a KMV sketch front).
+
+    Unlike fraction-based sampling (deterministic_hash_sample), this
+    guarantees the exact per-group count. One window partitioned by
+    group ranks hashes — the same shape as kmv_distinct_sketch — then a
+    single aggregation reports pool/selected/chars per group."""
+    docs = load(spark, sf_dir).documents
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    k = F.col("rn") <= _HOLDOUT_K
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pool"),
+            F.sum(F.when(k, 1).otherwise(0)).cast("long").alias("n_selected"),
+            F.sum(F.when(k, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("holdout_chars"),
+        )
+        .orderBy("lang")
+    )
