@@ -207,3 +207,48 @@ def test_iterative_loops_checkpoint_truncates_lineage(spark):
         assert "LogicalRDD" in plan or "ExistingRDD" in plan, (
             f"{builder.__name__}: no checkpointed leaf in plan"
         )
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must split a skewed shuffle-join partition at runtime: one
+    hot key holding ~50% of the fact side becomes multiple subtasks
+    (SortMergeJoin(skew=true) reading an `AQEShuffleRead skewed`) —
+    the engine-native remedy the manual salting operators
+    (salted_skew_join) exist to complement, pinned here so a config
+    regression can't silently serialize hot keys again. Thresholds are
+    lowered so the local-scale plan shows the cluster-scale shape."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, 7)
+            .otherwise(F.col("id") % 5000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 200_000  # every fact row matches
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
