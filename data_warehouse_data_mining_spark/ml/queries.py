@@ -405,3 +405,51 @@ def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").alias("part"),
         F.round(F.col("rec.rating"), 4).alias("score"),
     )
+
+
+_FH_BITS = 4  # 16 buckets — small enough to force visible collisions
+
+
+@register(
+    "feature_hashing_profile",
+    oracle=f"""
+    WITH h AS (
+      SELECT p_type,
+             CAST(('0x' || substr(md5(p_type), 1, 8)) AS BIGINT)
+               % {1 << _FH_BITS} AS bucket,
+             count(*) AS n_rows
+      FROM part GROUP BY p_type
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(count(*) > 1 AS INT) AS has_collision
+    FROM h
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def feature_hashing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) profiled: categorical
+    p_type values hash into 2^4 feature buckets via the first md5 word,
+    and the profile reports how many categories share each bucket — the
+    collision audit run before replacing a StringIndexer (whose label
+    table must fit on the driver) with stateless feature hashing (no
+    fitted vocabulary, no shuffle, stable under new categories at
+    100 TB). md5-derived buckets make the assignment engine-identical,
+    so even the collision structure is hash-verified."""
+    p = load(spark, sf_dir).part
+    h = p.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    bucket = (
+        F.conv(F.substring(F.md5("p_type"), 1, 8), 16, 10).cast("long")
+        % (1 << _FH_BITS)
+    ).cast("int")
+    return (
+        h.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) > 1).cast("int").alias("has_collision"),
+        )
+        .orderBy("bucket")
+    )

@@ -259,3 +259,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles", "n_wedges", trans.alias("transitivity"))
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT a.item AS lo, b.item AS hi
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+      ) GROUP BY node
+    )
+    SELECT d AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(ln(CAST(d AS DOUBLE)), 6) AS log_degree,
+           round(ln(CAST(count(*) AS DOUBLE)), 6) AS log_count
+    FROM deg
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (same ≥2-support
+    edge set as graph_triangle_count) with log-log columns — the
+    power-law diagnostic that decides whether a graph workload needs
+    hub-splitting (degree-ordered orientation, salting) before its
+    joins. Two hash-aggs over the edge list; the distribution is
+    degree-cardinality, tiny at any scale."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("lo"), F.col("b.item").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("lo", "hi")
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(F.log(F.col("degree").cast("double")), 6).alias("log_degree"),
+            F.round(F.log(F.col("n_nodes").cast("double")), 6).alias("log_count"),
+        )
+        .orderBy("degree")
+    )
