@@ -1534,3 +1534,113 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "multitouch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_id, event_type AS channel FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    touched AS (
+      SELECT p.pid, t.channel, t.ts, t.event_id
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT pid, channel,
+             row_number() OVER (PARTITION BY pid ORDER BY ts, event_id) AS r,
+             CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+      FROM touched
+    ),
+    long AS (
+      SELECT 'first_touch' AS model, channel,
+             CASE WHEN r = 1 THEN 10000 ELSE 0 END AS credit FROM credited
+      UNION ALL
+      SELECT 'last_touch', channel,
+             CASE WHEN r = n THEN 10000 ELSE 0 END FROM credited
+      UNION ALL
+      SELECT 'linear', channel,
+             10000 // n + CASE WHEN r <= 10000 % n THEN 1 ELSE 0 END
+      FROM credited
+    ),
+    agg AS (
+      SELECT model, channel,
+             CAST(sum(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS credited_touches,
+             CAST(sum(credit) AS BIGINT) AS credit_bp
+      FROM long GROUP BY model, channel
+    )
+    SELECT model, channel, credited_touches, credit_bp,
+           round(credit_bp * 1.0 /
+                 CAST(sum(credit_bp) OVER (PARTITION BY model) AS BIGINT), 6)
+             AS credit_share
+    FROM agg
+    ORDER BY model, channel
+    """,
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution under three models at once — first-touch,
+    last-touch, linear — crediting each purchase's view/click
+    touchpoints from the 7 days before it.
+
+    Credit is integer basis points (10000 per purchase); the linear
+    model uses largest-remainder quotas (earliest touches get the
+    remainder), so every purchase's credit sums to exactly 10000 and
+    the whole report is exact integers until the final share division —
+    no floating-point credit drift at any scale. The touch↔purchase
+    pairing is one watermark-bounded interval join on user_id (the
+    stream-stream join's batch shape); per-purchase ranking partitions
+    by purchase. Purchases with no prior touch carry no credit by
+    design (the 'unattributed' line a real report would add)."""
+    e = load(spark, sf_dir).events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("channel")
+    )
+    touched = t.join(
+        p,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wp = W.partitionBy("pid")
+    credited = touched.select(
+        "pid",
+        "channel",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("r"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    long = credited.selectExpr(
+        "channel",
+        "stack(3, "
+        "'first_touch', CASE WHEN r = 1 THEN 10000L ELSE 0L END, "
+        "'last_touch',  CASE WHEN r = n THEN 10000L ELSE 0L END, "
+        "'linear',      10000L div n + CASE WHEN r <= 10000 % n THEN 1L ELSE 0L END"
+        ") AS (model, credit)",
+    )
+    agg = long.groupBy("model", "channel").agg(
+        F.sum((F.col("credit") > 0).cast("int")).cast("long").alias(
+            "credited_touches"
+        ),
+        F.sum("credit").cast("long").alias("credit_bp"),
+    )
+    wm = W.partitionBy("model")  # 3x2 rows — bounded by construction
+    return agg.select(
+        "model",
+        "channel",
+        "credited_touches",
+        "credit_bp",
+        F.round(
+            F.col("credit_bp") / F.sum("credit_bp").over(wm).cast("long"), 6
+        ).alias("credit_share"),
+    ).orderBy("model", "channel")

@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 LEVELS = ("INFO", "WARN", "ERROR")
 
@@ -35,6 +40,9 @@ class SyntheticLogsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticLogsReader":
         return SyntheticLogsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticLogsStreamReader":
+        return SyntheticLogsStreamReader(self.options)
 
 
 class SyntheticLogsReader(DataSourceReader):
@@ -54,6 +62,48 @@ class SyntheticLogsReader(DataSourceReader):
         lo, hi = partition.value
         for i in range(lo, hi):
             yield i, LEVELS[i % len(LEVELS)], f"unit-{i % 7} event-{i}"
+
+
+class SyntheticLogsStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("synthetic_logs")`` — the same source
+    as a STREAMING Python data source (Spark 4): offsets are plain
+    dicts the engine checkpoints, each micro-batch is the rows between
+    two offsets, and ``readBetweenOffsets`` replays any committed range
+    bit-identically on recovery — the exactly-once contract a custom
+    connector (queue poller, API tailer) must honor. Options:
+    ``batch_rows`` (default 50), ``max_batches`` (default 3; the source
+    reports no new data after that, so AvailableNow/processAllAvailable
+    terminates instead of tailing forever)."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch_rows = int(options.get("batch_rows", 50))
+        self.max_batches = int(options.get("max_batches", 3))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, lo: int, hi: int) -> Iterator[tuple]:
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()s (and may pickle) the iterator it caches, which
+        # generators don't support
+        return iter(
+            [
+                (i, LEVELS[i % len(LEVELS)], f"unit-{i % 7} event-{i}")
+                for i in range(lo, hi)
+            ]
+        )
+
+    def read(self, start: dict):
+        lo = start["row"]
+        if lo >= self.max_batches * self.batch_rows:
+            return iter([]), {"row": lo}  # caught up: no progress
+        hi = lo + self.batch_rows
+        return self._rows(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay: recovery re-reads a committed range and
+        # gets byte-identical rows (row index is the only state)
+        return self._rows(start["row"], end["row"])
 
 
 def register_synthetic_logs(spark) -> None:

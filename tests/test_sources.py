@@ -287,3 +287,39 @@ def test_python_datasource_partitioned_read(spark):
         .load()
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_python_datasource_streaming_exactly_once(spark, tmp_path):
+    """The custom Python data source as a STREAMING source
+    (SimpleDataSourceStreamReader): three 50-row micro-batches arrive
+    through engine-managed dict offsets, then the source reports no new
+    data and the drain terminates. Every row appears EXACTLY once and
+    matches the deterministic generator — the replayable-offsets
+    contract a custom connector must honor for exactly-once."""
+    from data_warehouse_data_mining_spark.sources.pydatasource import (
+        register_synthetic_logs,
+    )
+
+    register_synthetic_logs(spark)
+    q = (
+        spark.readStream.format("synthetic_logs")
+        .option("batch_rows", 50)
+        .option("max_batches", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM pyds_stream").collect()
+    assert len(rows) == 150
+    got = {(r.log_id, r.level, r.msg) for r in rows}
+    levels = ("INFO", "WARN", "ERROR")
+    expected = {
+        (i, levels[i % 3], f"unit-{i % 7} event-{i}") for i in range(150)
+    }
+    assert got == expected  # exactly once, byte-identical to the generator
