@@ -1036,3 +1036,80 @@ def per_group_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# sized to the synthetic corpus (31 distinct tokens) so the OOV tail is
+# non-degenerate; a production vocab would be 32k-256k BPE entries
+_VOCAB_K = 24
+
+
+@register(
+    "vocab_oov_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, CAST(sum(n) AS BIGINT) AS total
+        FROM st GROUP BY tok
+        ORDER BY total DESC, tok
+        LIMIT {_VOCAB_K}
+      )
+    )
+    SELECT st.source,
+           CAST(sum(st.n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END) * 1.0
+                 / sum(st.n), 6) AS oov_rate
+    FROM st LEFT JOIN vocab v ON v.tok = st.tok
+    GROUP BY st.source
+    ORDER BY st.source
+    """,
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: fix the vocabulary to the
+    corpus's top-1000 tokens (frequency-ordered, ties by token) and
+    report each source's out-of-vocabulary token rate — the statistic
+    that decides whether a tokenizer/vocab transfers to a new data
+    source before training on it.
+
+    One token pass total: the fact-sized token stream reduces
+    immediately to (source, token) counts, which are materialized once
+    and re-used for BOTH the global top-k vocabulary (distributed
+    TakeOrdered over the token-summed table) and the per-source tally
+    (left join against the 1000-row broadcast vocab). Rates are single
+    divisions of exact integer counts."""
+    docs = load(spark, sf_dir).documents
+    st = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # vocabulary-scale; vocab derivation and tally both read it
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("n").cast("long").alias("total"))
+        .orderBy(F.col("total").desc(), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    tagged = st.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.round(F.sum(oov) / F.sum("n"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
