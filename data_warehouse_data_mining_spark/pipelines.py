@@ -319,3 +319,112 @@ def corpus_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang", "shard")
     )
+
+
+@register(
+    "daily_kpi_build",
+    oracle="""
+    WITH du AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purch
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT day, n_events, n_purch,
+             CASE WHEN day = min(day) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM du
+    ),
+    ev AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(is_new) AS BIGINT) AS n_new,
+             CAST(sum(n_purch) AS BIGINT) AS n_purchases
+      FROM flagged GROUP BY day
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(coalesce(ev.day, rev.day), '%Y-%m-%d') AS day,
+           coalesce(n_active, 0) AS n_active,
+           coalesce(n_new, 0) AS n_new,
+           coalesce(n_purchases, 0) AS n_purchases,
+           round(coalesce(rev_c, 0) / 100.0, 2) AS revenue,
+           CASE WHEN coalesce(n_active, 0) > 0
+                THEN round(coalesce(n_purchases, 0) * 1.0 / n_active, 6)
+                ELSE 0.0 END AS purchases_per_active
+    FROM ev FULL OUTER JOIN rev ON ev.day = rev.day
+    ORDER BY day
+    """,
+)
+def daily_kpi_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily dashboard build as ONE composed pipeline: active users,
+    new users, purchase events (behavioral, from the event stream) and
+    exact revenue (financial, from orders) merged into a single
+    day-grain KPI table — the materialized view every warehouse
+    refreshes nightly, here hash-checked end to end.
+
+    One scan per source table: events reduce to a (day, user) pre-
+    aggregate (materialized once) that feeds both the per-day rollup
+    AND the first-seen-day window that marks new users; orders reduce
+    to exact day cents. The two day-grain sides meet in a full-outer
+    join (day cardinality — tiny at any scale), so event-less revenue
+    days and revenue-less event days both survive with zero-filled
+    KPIs."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir).events
+    o = load(spark, sf_dir).orders
+    du = (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purch"),
+        )
+        # (day, user)-sized; the rollup and the first-seen window share it
+        .localCheckpoint(eager=True)
+    )
+    flagged = du.select(
+        "day",
+        "n_purch",
+        F.when(
+            F.col("day") == F.min("day").over(W.partitionBy("user_id")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ev = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum("n_purch").cast("long").alias("n_purchases"),
+    )
+    rev = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    j = ev.join(rev, "day", "full_outer")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.round(F.coalesce("rev_c", F.lit(0)) / 100.0, 2).alias("revenue"),
+        F.when(
+            F.coalesce("n_active", F.lit(0)) > 0,
+            F.round(F.coalesce("n_purchases", F.lit(0)) / F.col("n_active"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("purchases_per_active"),
+    ).orderBy("day")

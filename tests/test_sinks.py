@@ -162,3 +162,45 @@ def test_zordered_layout_prunes_on_both_columns(spark, tmp_path):
     assert back.count() == o.count()
     assert back.agg(F.sum("o_custkey")).collect()[0][0] == \
         o.agg(F.sum("o_custkey")).collect()[0][0]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Idempotent partition backfill: with partitionOverwriteMode=
+    dynamic, mode('overwrite') replaces ONLY the partitions present in
+    the written batch — the daily-backfill contract (re-running a day's
+    job must not truncate the rest of the table, and running it twice
+    must be a no-op)."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+
+    out = str(tmp_path / "orders_by_status")
+    o = load(spark, SF_SMALL).orders
+    o.write.partitionBy("o_orderstatus").parquet(out)
+    before_other = (
+        spark.read.parquet(out).filter(F.col("o_orderstatus") != "F").count()
+    )
+
+    corrected = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0)  # marker
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for _ in range(2):  # twice: the backfill must be idempotent
+            corrected.write.mode("overwrite").partitionBy(
+                "o_orderstatus"
+            ).parquet(out)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    back = spark.read.parquet(out)
+    # untouched partitions keep every row; the backfilled one is replaced
+    assert back.filter(F.col("o_orderstatus") != "F").count() == before_other
+    f_rows = back.filter(F.col("o_orderstatus") == "F")
+    assert f_rows.count() == corrected.count()
+    assert f_rows.agg(F.sum("o_totalprice")).collect()[0][0] == 0.0
