@@ -832,3 +832,87 @@ def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "cross_source_duplication_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    ),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           na.nd AS n_a, nb.nd AS n_b,
+           round(p.n_shared * 1.0 / (na.nd + nb.nd - p.n_shared), 6)
+             AS content_jaccard
+    FROM pairs p
+    JOIN n na ON na.source = p.source_a
+    JOIN n nb ON nb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance overlap matrix: for every pair of sources, how many
+    content fingerprints they share and the Jaccard of their
+    fingerprint sets — the dump-vs-dump contamination audit run before
+    choosing which crawls/snapshots to keep (a high-overlap pair means
+    one source largely re-crawls the other). The fingerprint is the
+    md5 of the sorted distinct token set (order/multiplicity-
+    insensitive — the same canonicalization family as
+    text_fingerprint), which catches shuffled re-crawls that exact
+    text hashing misses.
+
+    Never joins documents to documents: content collapses to DISTINCT
+    (source, fingerprint) first, the pair join is an equi-join ON THE
+    HASH (fanout = #sources sharing a fingerprint, bounded by the
+    source count), and per-source totals broadcast back onto the
+    ≤ sources² result."""
+    docs = load(spark, sf_dir).documents
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    )
+    d = (
+        docs.select("source", fp.alias("h"))
+        .distinct()
+        # (source, hash)-sized; pair join + per-source totals share it
+        .localCheckpoint(eager=True)
+    )
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("nd").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("nd").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("content_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

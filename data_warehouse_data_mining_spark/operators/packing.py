@@ -207,3 +207,88 @@ def pack_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "curriculum_order_manifest",
+    oracle="""
+    WITH shard AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS shard_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+      SELECT source, lang, n_docs, shard_tokens,
+             CAST((shard_tokens * 1000) // n_docs AS BIGINT) AS difficulty_fp,
+             row_number() OVER (
+               ORDER BY (shard_tokens * 1000) // n_docs ASC,
+                        source || '|' || lang ASC) AS position,
+             CAST(sum(shard_tokens) OVER (
+               ORDER BY (shard_tokens * 1000) // n_docs ASC,
+                        source || '|' || lang ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM shard
+    )
+    SELECT CAST(position AS BIGINT) AS position, source, lang, n_docs,
+           shard_tokens, difficulty_fp, cum_tokens
+    FROM ranked
+    ORDER BY position
+    """,
+)
+def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning shard order: (source, lang) training shards
+    sorted easiest-first by mean document length (integer fixed-point
+    tokens/doc), with the cumulative token count that tells the trainer
+    where each curriculum phase boundary lands.
+
+    The ordering is a GLOBAL rank + running total over every shard —
+    at 100 TB shard manifests reach millions of rows (per-day × per-
+    source × per-lang), so the rank comes from the distributed
+    two-phase prefix sum (operators/ranking.py), not a single-partition
+    window; the oracle keeps the textbook one-window SQL. Difficulty
+    ties break on the shard key so both engines emit one canonical
+    order."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    docs = load(spark, sf_dir).documents
+    shard = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long"))
+            .cast("long")
+            .alias("shard_tokens"),
+        )
+        .select(
+            "*",
+            F.expr("CAST((shard_tokens * 1000) div n_docs AS BIGINT)").alias(
+                "difficulty_fp"
+            ),
+            F.concat_ws("|", "source", "lang").alias("__key"),
+        )
+        # manifest-sized; ranking branches share it
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_order_stats(
+        shard,
+        "difficulty_fp",
+        "__key",
+        measure_col="shard_tokens",
+        ascending=True,
+    )
+    return (
+        ranked.select(
+            F.col("global_rank").alias("position"),
+            "source",
+            "lang",
+            "n_docs",
+            "shard_tokens",
+            "difficulty_fp",
+            F.col("global_cum").alias("cum_tokens"),
+        )
+        .orderBy("position")
+    )
