@@ -1644,3 +1644,60 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("credit_bp") / F.sum("credit_bp").over(wm).cast("long"), 6
         ).alias("credit_share"),
     ).orderBy("model", "channel")
+
+
+@register(
+    "repeat_purchase_rate",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                          AND ts <= prev_ts + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_within_30d,
+           round(sum(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS repeat_rate,
+           round(sum(CASE WHEN prev_ts IS NOT NULL
+                           AND ts <= prev_ts + INTERVAL 30 DAY
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS repeat_30d_rate
+    FROM p
+    """,
+)
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase KPI: the share of purchases that are a user's
+    2nd-or-later, and the share arriving within 30 days of that user's
+    previous purchase — the loyalty/retention topline next to
+    `cohort_retention`.
+
+    One shuffle on user_id: a lag() window over each user's purchase
+    stream marks repeats and their spacing; everything after is a
+    single global aggregate of exact integer flags."""
+    e = load(spark, sf_dir).events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = p.select(
+        "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    is_rep = F.col("prev_ts").isNotNull().cast("int")
+    is_rep30 = (
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 30 DAY"))
+    ).cast("int")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(is_rep).cast("long").alias("n_repeat"),
+        F.sum(is_rep30).cast("long").alias("n_repeat_within_30d"),
+        F.round(F.sum(is_rep) / F.count(F.lit(1)), 6).alias("repeat_rate"),
+        F.round(F.sum(is_rep30) / F.count(F.lit(1)), 6).alias(
+            "repeat_30d_rate"
+        ),
+    )

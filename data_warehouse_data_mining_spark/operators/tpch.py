@@ -944,3 +944,78 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+@register(
+    "yoy_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo,
+           round(cur.rev_c / 100.0, 2) AS revenue,
+           round(prior.rev_c / 100.0, 2) AS revenue_prior_year,
+           CASE WHEN prior.rev_c > 0
+                THEN round((cur.rev_c - prior.rev_c) * 1.0 / prior.rev_c, 6)
+           END AS yoy_growth
+    FROM m cur JOIN m prior
+      ON prior.yr = cur.yr - 1 AND prior.mo = cur.mo
+    ORDER BY cur.yr, cur.mo
+    """,
+)
+def yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the TPC-DS-style
+    same-period-prior-year comparison: each month joins its (year−1,
+    month) twin and reports exact-cents revenue on both sides plus the
+    growth ratio.
+
+    One orders scan collapses to a month-grain aggregate (≤ a few
+    hundred rows at ANY fact size), and the YoY self-join runs on that
+    tiny table — the pattern that replaces re-scanning the fact table
+    once per comparison year. Growth is a single division of exact
+    integer cents; months without a prior-year twin are excluded (the
+    report's first year)."""
+    o = load(spark, sf_dir).orders
+    m = (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # month-grain (tiny); both sides of the YoY join read it
+        .localCheckpoint(eager=True)
+    )
+    cur = m.alias("cur")
+    prior = m.alias("prior")
+    return (
+        cur.join(
+            prior,
+            (F.col("prior.yr") == F.col("cur.yr") - 1)
+            & (F.col("prior.mo") == F.col("cur.mo")),
+        )
+        .select(
+            F.col("cur.yr").alias("yr"),
+            F.col("cur.mo").alias("mo"),
+            F.round(F.col("cur.rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("prior.rev_c") / 100.0, 2).alias(
+                "revenue_prior_year"
+            ),
+            F.when(
+                F.col("prior.rev_c") > 0,
+                F.round(
+                    (F.col("cur.rev_c") - F.col("prior.rev_c"))
+                    / F.col("prior.rev_c"),
+                    6,
+                ),
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr", "mo")
+    )
