@@ -1019,3 +1019,78 @@ def yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+@register(
+    "slow_moving_inventory",
+    oracle="""
+    WITH mx AS (SELECT max(l_shipdate) AS gmax FROM lineitem),
+    last_sale AS (
+      SELECT l_partkey, max(l_shipdate) AS last_ship FROM lineitem
+      GROUP BY l_partkey
+    ),
+    aged AS (
+      SELECT p.p_partkey, p.p_retailprice,
+             CASE
+               WHEN ls.last_ship IS NULL THEN 'never_sold'
+               WHEN date_diff('day', ls.last_ship, mx.gmax) <= 90 THEN 'active_0_3m'
+               WHEN date_diff('day', ls.last_ship, mx.gmax) <= 180 THEN 'slow_3_6m'
+               WHEN date_diff('day', ls.last_ship, mx.gmax) <= 365 THEN 'slow_6_12m'
+               ELSE 'dead_12m_plus'
+             END AS aging_bucket
+      FROM part p
+      LEFT JOIN last_sale ls ON ls.l_partkey = p.p_partkey
+      CROSS JOIN mx
+    )
+    SELECT aging_bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(round(sum(CAST(p_retailprice AS DECIMAL(28,4))), 2) AS DOUBLE)
+             AS stock_value
+    FROM aged
+    GROUP BY aging_bucket
+    ORDER BY aging_bucket
+    """,
+)
+def slow_moving_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory aging report: every part bucketed by time since its
+    last sale (relative to the corpus's max ship date, so the report is
+    deterministic and backtestable), including the never-sold dead
+    stock an inner join would silently drop — with part counts and
+    DECIMAL-exact stock value per bucket.
+
+    Scale shape: last-sale collapses the fact table to part grain in
+    one hash-agg; the part dimension LEFT-joins it (anti-join semantics
+    for never-sold fall out of the null bucket) and the max ship date
+    rides a 1-row broadcast. The aging CASE is pure integer day
+    arithmetic — identical in both engines."""
+    li = load(spark, sf_dir).lineitem
+    p = load(spark, sf_dir).part
+    mx = li.agg(F.max("l_shipdate").alias("gmax"))
+    last_sale = li.groupBy("l_partkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    age_days = F.datediff("gmax", "last_ship")
+    bucket = (
+        F.when(F.col("last_ship").isNull(), "never_sold")
+        .when(age_days <= 90, "active_0_3m")
+        .when(age_days <= 180, "slow_3_6m")
+        .when(age_days <= 365, "slow_6_12m")
+        .otherwise("dead_12m_plus")
+    )
+    aged = (
+        p.join(last_sale, p.p_partkey == last_sale.l_partkey, "left")
+        .crossJoin(F.broadcast(mx))
+        .select("p_retailprice", bucket.alias("aging_bucket"))
+    )
+    return (
+        aged.groupBy("aging_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(28,4)")), 2
+            )
+            .cast("double")
+            .alias("stock_value"),
+        )
+        .orderBy("aging_bucket")
+    )
