@@ -1332,20 +1332,29 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN daily d2 ON d2.day = d1.day + CAST(l.lag AS INT)
     ),
     m AS (
+      -- DECIMAL(38,0) moments: int64 sits at ~93% of range for the
+      -- squared sums at extreme scale (the gini precedent)
       SELECT lag_days,
-             CAST(count(*)   AS BIGINT) AS np,
-             CAST(sum(x)     AS BIGINT) AS sx,
-             CAST(sum(y)     AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             CAST(count(*)   AS DECIMAL(38,0)) AS np,
+             CAST(sum(x)     AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y)     AS DECIMAL(38,0)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
       FROM pairs GROUP BY lag_days
     )
-    SELECT CAST(lag_days AS BIGINT) AS lag_days, np AS n_pairs,
-           CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) > 0
-                THEN round((np * sxy - sx * sy)
-                           / sqrt(CAST((np * sxx - sx * sx) AS DOUBLE)
-                                  * CAST((np * syy - sy * sy) AS DOUBLE)), 6)
+    SELECT CAST(lag_days AS BIGINT) AS lag_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                 ELSE 0.0 END AS acf
     FROM m
     ORDER BY lag_days
@@ -1378,23 +1387,27 @@ def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select(F.col("day").alias("match_day"), F.col("n").alias("y")),
         "match_day",
     )
+    # moments accumulate in DECIMAL(38,0) (exact at any scale — int64
+    # squared-sums overflow around SF 1e5); the corr ratio converts the
+    # exact decimals to double identically in both engines
     m = pairs.groupBy("lag_days").agg(
-        F.count(F.lit(1)).alias("np"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("np"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
-    varx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d = {c: F.col(c).cast("double") for c in ("np", "sx", "sy", "sxy", "sxx", "syy")}
+    varx = d["np"] * d["sxx"] - d["sx"] * d["sx"]
+    vary = d["np"] * d["syy"] - d["sy"] * d["sy"]
+    cov = d["np"] * d["sxy"] - d["sx"] * d["sy"]
     return m.select(
         F.col("lag_days").cast("long").alias("lag_days"),
-        F.col("np").alias("n_pairs"),
+        F.col("np").cast("long").alias("n_pairs"),
         F.when(
-            varx * vary > 0,
-            F.round(cov / F.sqrt(varx.cast("double") * vary.cast("double")), 6),
+            (varx > 0) & (vary > 0),
+            F.round(cov / F.sqrt(varx * vary), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("acf"),
@@ -1477,6 +1490,35 @@ def xyz_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def day_user_activity(events: DataFrame, checkpoint: bool = False) -> DataFrame:
+    """(day, user_id, n_events, n_purch, is_new) — THE shared
+    day×user activity grain: one events scan, one user_id-partitioned
+    min() window marking each user's first-ever active day. Both
+    `new_vs_returning` and `pipelines.py::daily_kpi_build` derive from
+    this, so the new-user definition lives in exactly one place."""
+    du = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    if checkpoint:
+        du = du.localCheckpoint(eager=True)
+    return du.select(
+        "day",
+        "user_id",
+        "n_events",
+        "n_purch",
+        F.when(
+            F.col("day") == F.min("day").over(W.partitionBy("user_id")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+
+
 @register(
     "new_vs_returning",
     oracle="""
@@ -1506,24 +1548,12 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     'returning' on every later one.
 
     One shuffle total: the first-seen day comes from a min() window
-    partitioned by user over the distinct (user, day) table, so no
-    first-day side table and no join — then a day-level hash-agg. At
-    100 TB the distinct collapse does the heavy lifting and everything
-    after is day-cardinality."""
-    e = load(spark, sf_dir).events
-    days = e.select(
-        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
-    flagged = days.select(
-        "day",
-        F.when(
-            F.col("day")
-            == F.min("day").over(W.partitionBy("user_id")),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
+    partitioned by user over the (user, day) activity grain
+    (day_user_activity — shared with daily_kpi_build so the new-user
+    definition cannot drift), then a day-level hash-agg. At 100 TB the
+    day×user collapse does the heavy lifting and everything after is
+    day-cardinality."""
+    flagged = day_user_activity(load(spark, sf_dir).events)
     return (
         flagged.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(

@@ -57,12 +57,21 @@ def global_order_stats(
     straddle a boundary) while ranks use the true column's full
     precision.
     """
+    # Fail fast on NULL/negative values: log2 would yield a NULL bucket
+    # and the offsets join would SILENTLY DROP those rows — assert_true
+    # turns that wrong-answer mode into a runtime error at the first
+    # offending row (it returns NULL when the predicate holds, so the
+    # when() below is an identity on valid input).
+    valid = F.assert_true(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0),
+        F.lit(f"global_order_stats: {value_col} must be non-null and >= 0"),
+    )
     # Monotone bucketing: log2 is computed in floating point, which may
     # round at exact powers of two — harmless, because ANY deterministic
     # monotone non-decreasing bucketing yields the exact global answer;
     # equal values always share a bucket.
     b = F.floor(F.log2(F.col(value_col).cast("double") + F.lit(1.0)))
-    df = df.withColumn("__b", b.cast("long"))
+    df = df.withColumn("__b", F.when(valid.isNull(), b).cast("long"))
 
     ocol = order_value_col or value_col
     order = [
@@ -644,13 +653,79 @@ def ntile_from_rank(rank: F.Column, n: F.Column, k: int) -> F.Column:
     ``n % k`` buckets take ``n div k + 1`` rows, the rest ``n div k`` —
     exactly the SQL-standard ntile split, as pure integer arithmetic.
     Lets any query swap a single-partition ``ntile() OVER (ORDER BY …)``
-    for ``global_order_stats`` + this formula with identical output."""
+    for ``global_order_stats`` + this formula with identical output.
+
+    All divisions subtract their remainder first and divide through
+    DECIMAL(38,0), so the quotients are exact for ANY int64 rank/n —
+    double-based floor(a/b) loses exactness past 2^53."""
+
+    def idiv(a: F.Column, b: F.Column) -> F.Column:
+        return ((a - F.pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
     m = n % k
-    size_small = ((n - m) / k).cast("long")  # exact: (n - m) divisible by k
+    size_small = idiv(n, F.lit(k))
     size_big = size_small + 1
     threshold = m * size_big
     return (
-        F.when(rank <= threshold, F.floor((rank - 1) / size_big) + 1)
-        .otherwise(m + F.floor((rank - threshold - 1) / size_small) + 1)
+        F.when(rank <= threshold, idiv(rank - 1, size_big) + 1)
+        .otherwise(m + idiv(rank - threshold - 1, size_small) + 1)
         .cast("int")
     )
+
+
+GROUP_TOPK_SALTS = 64
+
+
+def bounded_group_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    salt_src: str,
+    n_salts: int = GROUP_TOPK_SALTS,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group k smallest rows by ``order_col`` plus the group's total
+    row count (``group_total``) — WITHOUT a per-group full sort.
+
+    A plain ``row_number() OVER (PARTITION BY group ORDER BY v)`` puts
+    each group's ENTIRE domain on one task, which serializes whenever
+    group cardinality is small (3 return flags, a handful of
+    languages). Here every group is first split across ``n_salts``
+    deterministic salts (hash of ``salt_src``): phase 1 ranks inside
+    (group, salt) partitions — parallel, each holding ~1/n_salts of the
+    group — keeping k survivors and the partition's row count; phase 2
+    re-ranks only the ≤ n_salts·k survivors per group (bounded by
+    construction) and sums the per-salt counts back into exact group
+    totals. Output columns: group_cols + [order_col, group_rank,
+    group_total]."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_src)), F.lit(n_salts))
+    )
+    w1 = W.partitionBy(*group_cols, "__salt").orderBy(order_col)
+    s1 = (
+        salted.select(
+            *group_cols,
+            "__salt",
+            order_col,
+            *carry_cols,
+            F.row_number().over(w1).alias("__rn"),
+            F.count(F.lit(1)).over(
+                W.partitionBy(*group_cols, "__salt")
+            ).alias("__cnt"),
+        )
+        .filter(F.col("__rn") <= k)
+    )
+    totals = (
+        s1.groupBy(*group_cols, "__salt")
+        .agg(F.first("__cnt").alias("__cnt"))
+        .groupBy(*group_cols)
+        .agg(F.sum("__cnt").cast("long").alias("group_total"))
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(order_col)  # ≤ n_salts·k rows/group
+    top = (
+        s1.select(*group_cols, order_col, *carry_cols)
+        .withColumn("group_rank", F.row_number().over(w2))
+        .filter(F.col("group_rank") <= k)
+    )
+    return top.join(totals, group_cols)

@@ -356,28 +356,31 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit — the sketch's accuracy contract (rel_err column)
     becomes a hard-verified output instead of a test-only assertion.
 
-    Scale shape: one distinct shuffle on (group, key), then a window
-    partitioned BY GROUP ranks hashes; kth/exact/k_used all come from
-    ONE aggregation of that ranked table (no second scan). At 100 TB
-    the per-group state is k hashes — mergeable across partitions the
-    same way Misra-Gries summaries are. The 15-hex-char prefix folds to
-    an integer < 2^60, so the rescale stays in exact long arithmetic
-    until the final division."""
+    Scale shape: one distinct shuffle on (group, key), then the k
+    smallest hashes per group come from the SALTED two-phase top-k
+    (operators/ranking.py::bounded_group_topk): with only 3 return-flag
+    groups, a plain per-group window would sort the whole distinct part
+    domain on 3 tasks — instead phase 1 ranks inside (group, salt)
+    partitions in parallel and phase 2 re-ranks only n_salts·k
+    survivors, so per-task state really is k hashes (the sketch's
+    mergeability, realized in the plan). Exact distinct counts fall out
+    of the same pass (per-salt partition counts summed — no second
+    scan). The 15-hex-char prefix folds to an integer < 2^60, so the
+    rescale stays in exact long arithmetic until the final division."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        bounded_group_topk,
+    )
+
     li = load(spark, sf_dir).lineitem
     d = li.select(
         F.col("l_returnflag").alias("flag"), F.col("l_partkey").alias("pk")
     ).distinct()
-    r = d.select(
-        "flag", F.md5(F.col("pk").cast("string")).alias("h")
-    ).withColumn(
-        "rn", F.row_number().over(W.partitionBy("flag").orderBy("h"))
-    )
-    agg = r.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("exact_distinct"),
-        F.sum(F.when(F.col("rn") <= KMV_K, 1).otherwise(0))
-        .cast("long")
-        .alias("k_used"),
-        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("kth"),
+    h = d.select("flag", "pk", F.md5(F.col("pk").cast("string")).alias("h"))
+    top = bounded_group_topk(h, ["flag"], "h", KMV_K, salt_src="pk")
+    agg = top.groupBy("flag").agg(
+        F.first("group_total").alias("exact_distinct"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth"),
     )
     est = agg.select(
         "flag",

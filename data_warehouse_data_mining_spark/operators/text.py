@@ -1009,30 +1009,40 @@ def per_group_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like a KMV sketch front).
 
     Unlike fraction-based sampling (deterministic_hash_sample), this
-    guarantees the exact per-group count. One window partitioned by
-    group ranks hashes — the same shape as kmv_distinct_sketch — then a
-    single aggregation reports pool/selected/chars per group."""
+    guarantees the exact per-group count. The k smallest hashes per
+    language come from the SALTED two-phase top-k
+    (operators/ranking.py::bounded_group_topk): a handful of language
+    groups would otherwise each sort a corpus-sized partition on one
+    task; instead phase 1 ranks inside (lang, salt) partitions in
+    parallel and phase 2 re-ranks only n_salts·k survivors, with the
+    per-language pool size summed from the same pass. The phase-2 sort
+    key appends the zero-padded doc_id to the hash so the (md5, doc_id)
+    tie-break is one lexicographic column, matching the oracle."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        bounded_group_topk,
+    )
+
     docs = load(spark, sf_dir).documents
-    r = docs.select(
+    sel = docs.select(
         "lang",
         "n_chars",
-        F.row_number()
-        .over(
-            W.partitionBy("lang").orderBy(
-                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-            )
-        )
-        .alias("rn"),
+        "doc_id",
+        F.concat(
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit("|"),
+            F.lpad(F.col("doc_id").cast("string"), 19, "0"),
+        ).alias("hk"),
     )
-    k = F.col("rn") <= _HOLDOUT_K
+    top = bounded_group_topk(
+        sel, ["lang"], "hk", _HOLDOUT_K, salt_src="doc_id",
+        carry_cols=("n_chars",),
+    )
     return (
-        r.groupBy("lang")
+        top.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_pool"),
-            F.sum(F.when(k, 1).otherwise(0)).cast("long").alias("n_selected"),
-            F.sum(F.when(k, F.col("n_chars")).otherwise(0))
-            .cast("long")
-            .alias("holdout_chars"),
+            F.first("group_total").alias("n_pool"),
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_chars").cast("long").alias("holdout_chars"),
         )
         .orderBy("lang")
     )
@@ -1074,7 +1084,10 @@ _VOCAB_K = 24
 )
 def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocabulary coverage audit: fix the vocabulary to the
-    corpus's top-1000 tokens (frequency-ordered, ties by token) and
+    corpus's top-k tokens (k = _VOCAB_K, 24 here — sized to the 31-token
+    synthetic corpus so the OOV tail is non-degenerate; production
+    vocabularies are 32k-256k BPE entries; frequency-ordered, ties by
+    token) and
     report each source's out-of-vocabulary token rate — the statistic
     that decides whether a tokenizer/vocab transfers to a new data
     source before training on it.
@@ -1083,7 +1096,7 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately to (source, token) counts, which are materialized once
     and re-used for BOTH the global top-k vocabulary (distributed
     TakeOrdered over the token-summed table) and the per-source tally
-    (left join against the 1000-row broadcast vocab). Rates are single
+    (left join against the k-row broadcast vocab). Rates are single
     divisions of exact integer counts."""
     docs = load(spark, sf_dir).documents
     st = (

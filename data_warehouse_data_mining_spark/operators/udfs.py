@@ -252,6 +252,22 @@ def arrow_python_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BAL_CAP = 2_000_000  # wallet ceiling, in cents
 
 
+def wallet_step(
+    bal: int, ncap: int, nfloor: int, delta: int, cap: int
+) -> tuple[int, int, int]:
+    """One step of the saturating-wallet recurrence — THE shared
+    definition: the batch operator (capped_running_balance) and the
+    streaming state machine (streaming/stateful.py::capped_wallet_stream)
+    both call this, so the stream≡batch contract test can never be
+    broken by the two copies drifting apart."""
+    raw = bal + delta
+    if raw > cap:
+        ncap += 1
+    if raw < 0:
+        nfloor += 1
+    return min(max(raw, 0), cap), ncap, nfloor
+
+
 @register(
     "capped_running_balance",
     oracle=f"""
@@ -320,12 +336,7 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
         bal = ncap = nfloor = 0
         for d in pdf["delta"].to_numpy():
-            raw = bal + int(d)
-            if raw > _BAL_CAP:
-                ncap += 1
-            if raw < 0:
-                nfloor += 1
-            bal = min(max(raw, 0), _BAL_CAP)
+            bal, ncap, nfloor = wallet_step(bal, ncap, nfloor, int(d), _BAL_CAP)
         return pd.DataFrame(
             {
                 "custkey": [int(pdf["custkey"].iloc[0])],

@@ -376,32 +376,15 @@ def daily_kpi_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (day cardinality — tiny at any scale), so event-less revenue
     days and revenue-less event days both survive with zero-filled
     KPIs."""
-    from pyspark.sql import Window as W
+    from data_warehouse_data_mining_spark.operators.mining import (
+        day_user_activity,
+    )
 
     e = load(spark, sf_dir).events
     o = load(spark, sf_dir).orders
-    du = (
-        e.groupBy(
-            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).cast("long").alias("n_purch"),
-        )
-        # (day, user)-sized; the rollup and the first-seen window share it
-        .localCheckpoint(eager=True)
-    )
-    flagged = du.select(
-        "day",
-        "n_purch",
-        F.when(
-            F.col("day") == F.min("day").over(W.partitionBy("user_id")), 1
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
+    # (day, user) grain + first-seen flag shared with new_vs_returning;
+    # checkpointed because the rollup and the window both consume it
+    flagged = day_user_activity(e, checkpoint=True)
     ev = flagged.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_active"),
         F.sum("is_new").cast("long").alias("n_new"),

@@ -162,17 +162,16 @@ def capped_wallet_stream(orders_stream: DataFrame, cap: int) -> DataFrame:
     def walk(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        from data_warehouse_data_mining_spark.operators.udfs import (
+            wallet_step,
+        )
+
         (ck,) = key
         bal, ncap, nfloor, n = state.get if state.exists else (0, 0, 0, 0)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
         for d in pdf["delta_cents"].to_numpy():
-            raw = bal + int(d)
-            if raw > cap:
-                ncap += 1
-            if raw < 0:
-                nfloor += 1
-            bal = min(max(raw, 0), cap)
+            bal, ncap, nfloor = wallet_step(bal, ncap, nfloor, int(d), cap)
             n += 1
         state.update((bal, ncap, nfloor, n))
         yield pd.DataFrame(
