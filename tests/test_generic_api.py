@@ -285,3 +285,61 @@ def test_ntile_from_rank_matches_builtin_ntile(spark):
             for r in df.select("id", F.ntile(k).over(w).alias("q")).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_bounded_group_topk_matches_naive_window(spark):
+    """The salted two-phase per-group top-k must equal the naive
+    per-group window exactly: same k rows per group (with carried
+    columns) and exact group totals — including groups smaller than k
+    and groups spanning many salts."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        bounded_group_topk,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, rng.choice(["a", "b", "c", "tiny"][: 3 if i > 40 else 4]),
+         f"{rng.randrange(10**9):012d}", rng.randrange(100))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v string, m long")
+    k = 7
+    got = bounded_group_topk(
+        df, ["g"], "v", k, salt_src="id", n_salts=8, carry_cols=("m",)
+    )
+    got_rows = {
+        (r["g"], r["group_rank"]): (r["v"], r["m"], r["group_total"])
+        for r in got.collect()
+    }
+    w = W.partitionBy("g").orderBy("v")
+    naive = (
+        df.select(
+            "g", "v", "m",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(W.partitionBy("g")).alias("tot"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+    want_rows = {
+        (r["g"], r["rk"]): (r["v"], r["m"], r["tot"]) for r in naive.collect()
+    }
+    assert got_rows == want_rows
+
+
+def test_global_order_stats_rejects_null_and_negative(spark):
+    """NULL or negative values must raise, not silently vanish."""
+    import pytest
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    for rows in ([(1, None), (2, 5)], [(1, -3), (2, 5)]):
+        df = spark.createDataFrame(rows, "id long, v long")
+        with pytest.raises(Exception, match="must be non-null"):
+            global_order_stats(df, "v", "id").collect()
