@@ -1731,3 +1731,101 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_30d_rate"
         ),
     )
+
+
+@register(
+    "order_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    ),
+    pc AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(min(gap) AS BIGINT) AS mn,
+             CAST(max(gap) AS BIGINT) AS mx
+      FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+    ),
+    nat AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_repeat_customers,
+             CAST(sum(pc.n_gaps) AS BIGINT) AS n_gaps,
+             CAST(sum(pc.s) AS BIGINT) AS s,
+             CAST(min(pc.mn) AS BIGINT) AS min_gap_days,
+             CAST(max(pc.mx) AS BIGINT) AS max_gap_days
+      FROM pc
+      JOIN customer c ON c.c_custkey = pc.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, n_repeat_customers, n_gaps,
+           ((200 * s + n_gaps) // (2 * n_gaps)) / 100.0 AS avg_gap_days,
+           min_gap_days, max_gap_days
+    FROM nat
+    ORDER BY nation
+    """,
+)
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order purchase-gap KPI per nation: for every customer with
+    >=2 orders, the days between consecutive orders, rolled up to
+    (repeat customers, gap count, avg/min/max gap days) by nation —
+    the order-cadence complement to `repeat_purchase_rate` (event
+    stream) and `cohort_retention` (monthly grid).
+
+    Scale shape: one shuffle on o_custkey serves BOTH the lag() window
+    and the per-customer pre-aggregate (same key, partitioning reused),
+    so the customer join moves one row per repeat customer, not one per
+    order; the 25-row nation dim broadcasts. The gap multiset depends
+    only on each customer's sorted date multiset (ties share a date),
+    so results are engine- and tie-break-independent. avg_gap_days is
+    computed half-up to 2 decimals in EXACT integer arithmetic
+    ((200*s + n) div (2*n) / 100.0) on both sides — no float-sum
+    rounding hazard (ROADMAP numeric-parity playbook)."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t.orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("long").alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("s"),
+        F.min("gap").alias("mn"),
+        F.max("gap").alias("mx"),
+    )
+    nat = (
+        per_cust.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_customers"),
+            F.sum("n_gaps").alias("n_gaps"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("min_gap_days"),
+            F.max("mx").alias("max_gap_days"),
+        )
+    )
+    return nat.select(
+        "nation",
+        "n_repeat_customers",
+        "n_gaps",
+        (
+            F.expr("(200 * s + n_gaps) div (2 * n_gaps)") / F.lit(100.0)
+        ).alias("avg_gap_days"),
+        "min_gap_days",
+        "max_gap_days",
+    ).orderBy("nation")
