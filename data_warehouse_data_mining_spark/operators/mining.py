@@ -1829,3 +1829,195 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_gap_days",
         "max_gap_days",
     ).orderBy("nation")
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 14400000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id * 1000000 + session_n AS sid,
+             min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY user_id, session_n
+    ),
+    b AS (
+      SELECT sid, epoch_us(s) * 2 AS k, 1 AS delta, s AS t FROM sess
+      UNION ALL
+      SELECT sid, epoch_us(e) * 2 + 1, -1, e FROM sess
+    ),
+    c AS (
+      SELECT t, delta,
+             CAST(sum(delta) OVER (ORDER BY k, sid
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM b
+    )
+    SELECT strftime(t, '%Y-%m-%d') AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_started
+    FROM c GROUP BY day ORDER BY day
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity-planning KPI:
+    sessionize events (same 4 h gap rule as sessionize_events), turn
+    every session into a +1 boundary at its start and a -1 at its end
+    (closed intervals: at an exact shared instant, starts are processed
+    before ends, so back-to-back sessions count as overlapping), then
+    sweep-line: concurrency after a boundary is the GLOBAL prefix sum of
+    the deltas in time order, and a day's peak is the max over its
+    boundaries (days with no boundary events don't emit a row).
+
+    The global prefix sum is the textbook single-partition
+    ``SUM() OVER (ORDER BY time)`` — computed here with the distributed
+    two-phase prefix sum (operators/ranking.py). Epoch-microsecond sort
+    keys make log2 bucketing degenerate (a year of timestamps shares one
+    bucket), so this query passes an equal-width ``bucket_expr`` over
+    the observed [kmin, kmax] span — 256 near-uniform buckets for
+    near-uniform event time. Ties are fully ordered by (k, sid), where
+    the boundary key k = 2·µs + {start: 0, end: 1} and sid is a unique
+    session id, so both engines assign identical per-row prefix values
+    (sid = user_id·10⁶ + session_n assumes < 10⁶ sessions per user —
+    sessions per user are bounded by events per user)."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap.isNull() | (gap > 14_400_000_000), 1).otherwise(0))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_n"),
+    )
+    sess = (
+        numbered.groupBy("user_id", "session_n")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .select(
+            (F.col("user_id") * 1_000_000 + F.col("session_n")).alias("sid"),
+            "s",
+            "e",
+        )
+    )
+    b = (
+        sess.select(
+            "sid",
+            (F.unix_micros("s") * 2).alias("k"),
+            F.lit(1).alias("delta"),
+            F.col("s").alias("t"),
+        )
+        .unionAll(
+            sess.select(
+                "sid",
+                (F.unix_micros("e") * 2 + 1).alias("k"),
+                F.lit(-1).alias("delta"),
+                F.col("e").alias("t"),
+            )
+        )
+        # boundary table feeds the bounds aggregate AND the ranked pass —
+        # materialize once instead of re-sessionizing the event stream
+        .localCheckpoint(eager=True)
+    )
+    bounds = b.agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
+    bb = b.crossJoin(F.broadcast(bounds))
+    ranked = global_order_stats(
+        bb,
+        "k",
+        "sid",
+        measure_col="delta",
+        ascending=True,
+        bucket_expr=F.expr("(k - kmin) * 256 div (kmax - kmin + 1)"),
+    )
+    return (
+        ranked.groupBy(F.date_format("t", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max("global_cum").cast("long").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT month, day, CAST(count(*) AS BIGINT) AS dau
+      FROM base GROUP BY month, day
+    ),
+    mau AS (
+      SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM base GROUP BY month
+    )
+    SELECT d.month, any_value(mau) AS mau,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(dau) AS BIGINT) AS sum_dau,
+           round(sum(dau) * 1.0 / (count(*) * any_value(mau)), 6)
+             AS stickiness
+    FROM dau d JOIN mau m ON d.month = m.month
+    GROUP BY d.month ORDER BY d.month
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement KPI:
+    average daily active users divided by monthly active users, plus the
+    raw MAU / day-count / DAU-sum it derives from.
+
+    One distinct pass over (month, day, user) feeds BOTH counts: DAU is
+    a hash-agg of the distinct set by day, MAU a second distinct-agg of
+    the same (user-day-sized, checkpointed) intermediate — the event
+    table is scanned once no matter how many KPIs read it. Stickiness is
+    one division of exact integer counts, computed as
+    sum_dau/(n_days·mau) so only a single rounding step exists."""
+    e = load(spark, sf_dir).events
+    base = (
+        e.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        # user-day-sized; the DAU and MAU branches both read it
+        .localCheckpoint(eager=True)
+    )
+    dau = base.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    mau = base.select("month", "user_id").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.first("mau").alias("mau"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").cast("long").alias("sum_dau"),
+            F.round(
+                F.sum("dau") * 1.0 / (F.count(F.lit(1)) * F.first("mau")), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

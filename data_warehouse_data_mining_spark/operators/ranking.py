@@ -42,6 +42,7 @@ def global_order_stats(
     measure_col: str | None = None,
     ascending: bool = False,
     order_value_col: str | None = None,
+    bucket_expr: F.Column | None = None,
 ) -> DataFrame:
     """Add ``global_rank`` (and ``global_cum`` of ``measure_col``) as if
     computed by ``OVER (ORDER BY value [DESC], key)`` — but distributed.
@@ -56,6 +57,14 @@ def global_order_stats(
     buckets rows (equal true values get equal images, so they never
     straddle a boundary) while ranks use the true column's full
     precision.
+
+    ``bucket_expr``: override the default ``floor(log2(v + 1))``
+    bucketing with any caller-supplied MONOTONE non-decreasing integral
+    expression over the order value (equal order values must map to
+    equal buckets). Needed when the value domain makes log2 degenerate —
+    e.g. epoch-microsecond timestamps spanning one year all share a
+    single log2 bucket; an equal-width ``floor((t - tmin) * K / span)``
+    keeps the phase-1 windows balanced.
     """
     # Fail fast on NULL/negative values: log2 would yield a NULL bucket
     # and the offsets join would SILENTLY DROP those rows — assert_true
@@ -70,8 +79,9 @@ def global_order_stats(
     # round at exact powers of two — harmless, because ANY deterministic
     # monotone non-decreasing bucketing yields the exact global answer;
     # equal values always share a bucket.
-    b = F.floor(F.log2(F.col(value_col).cast("double") + F.lit(1.0)))
-    df = df.withColumn("__b", F.when(valid.isNull(), b).cast("long"))
+    if bucket_expr is None:
+        bucket_expr = F.floor(F.log2(F.col(value_col).cast("double") + F.lit(1.0)))
+    df = df.withColumn("__b", F.when(valid.isNull(), bucket_expr).cast("long"))
 
     ocol = order_value_col or value_col
     order = [

@@ -1126,3 +1126,79 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "reciprocal_rank_fusion",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+             CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS nt
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY nc DESC, doc_id) AS BIGINT)
+               AS rank_chars,
+             CAST(row_number() OVER (ORDER BY nt DESC, doc_id) AS BIGINT)
+               AS rank_vocab
+      FROM base
+    )
+    SELECT doc_id, rank_chars, rank_vocab,
+           round(1.0 / (60 + rank_chars) + 1.0 / (60 + rank_vocab), 6)
+             AS rrf_score
+    FROM r
+    ORDER BY 1.0 / (60 + rank_chars) + 1.0 / (60 + rank_vocab) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval signals —
+    the standard way to merge heterogeneous rankings (BM25 + dense, or
+    here: document length vs distinct-vocabulary size) when score
+    scales aren't comparable: score(d) = Σ 1/(k + rank_i(d)), top-50.
+
+    Each signal needs a GLOBAL ranking of every document — both are
+    computed with the distributed two-phase prefix sum
+    (operators/ranking.py), never a single-partition row_number window;
+    the doc-level base (id, two integral signals) is checkpointed once
+    and feeds both passes. Ranks are exact integers with doc_id
+    tie-breaks, so 1/(60+r) is the identical double on both engines and
+    the top-50 cut is deterministic."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    d = load(spark, sf_dir).documents
+    base = (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("nc"),
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("long")
+            .alias("nt"),
+        )
+        # doc-count-sized; both ranking passes read it
+        .localCheckpoint(eager=True)
+    )
+    ra = global_order_stats(
+        base.select("doc_id", "nc"), "nc", "doc_id", ascending=False
+    ).select("doc_id", F.col("global_rank").alias("rank_chars"))
+    rb = global_order_stats(
+        base.select("doc_id", "nt"), "nt", "doc_id", ascending=False
+    ).select("doc_id", F.col("global_rank").alias("rank_vocab"))
+    score = F.lit(1.0) / (60 + F.col("rank_chars")) + F.lit(1.0) / (
+        60 + F.col("rank_vocab")
+    )
+    return (
+        ra.join(rb, "doc_id")
+        .orderBy(score.desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "rank_chars",
+            "rank_vocab",
+            F.round(score, 6).alias("rrf_score"),
+        )
+    )
