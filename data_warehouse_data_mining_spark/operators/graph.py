@@ -328,3 +328,132 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+LP_ITER = 5
+LP_CHECKPOINT_EVERY = 2
+
+
+def _label_prop_oracle() -> str:
+    """Unroll the synchronized min-label iterations as chained CTEs
+    (same reason as the PageRank oracle: recursive SQL can't
+    re-aggregate per iteration)."""
+    steps = []
+    for i in range(LP_ITER):
+        steps.append(
+            f"""l{i + 1} AS (
+      SELECT l.node AS node,
+             CAST(least(l.label, min(nl.label)) AS BIGINT) AS label
+      FROM l{i} l
+      JOIN edges e ON e.src = l.node
+      JOIN l{i} nl ON nl.node = e.dst
+      GROUP BY l.node, l.label
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    e0 AS (
+      SELECT a.item AS lo, b.item AS hi
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT lo AS src, hi AS dst FROM e0
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e0
+    ),
+    l0 AS (
+      SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges
+    ),
+    {unrolled},
+    comm AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS community_size
+      FROM l{LP_ITER} GROUP BY label
+    )
+    SELECT community_size,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(community_size) AS BIGINT) AS n_nodes
+    FROM comm GROUP BY community_size ORDER BY community_size
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_label_prop_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronized min-label propagation on the
+    co-purchase graph (same ≥2-support edge set as graph_triangle_count):
+    every node starts labeled with its own id and, for LP_ITER
+    supersteps, adopts the minimum label among itself and its
+    neighbors — after k steps each node holds the smallest node id
+    within k hops, so label groups approximate connected communities
+    (exact components for diameter ≤ k). Min-label update is fully
+    deterministic, unlike frequency-based LPA whose ties need RNG —
+    which is what makes an exact cross-engine oracle possible.
+
+    Iterative DataFrame shape, like graph_pagerank: each superstep is
+    one edges⋈labels join + one min-aggregation (the Pregel message
+    pattern); the label vector is node-sized and localCheckpoint-ed
+    every LP_CHECKPOINT_EVERY supersteps so lineage stays bounded (swap
+    for reliable checkpoint() on a cluster). The output is the
+    community-size distribution — bounded by the largest community, not
+    by graph size."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("lo"), F.col("b.item").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("lo", "hi")
+    )
+    edges = (
+        e0.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e0.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        # every superstep joins against the edge list; materialize once
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    for it in range(LP_ITER):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src)
+            .select("node", F.least("label", "nbr").alias("label"))
+        )
+        if (it + 1) % LP_CHECKPOINT_EVERY == 0 and (it + 1) < LP_ITER:
+            labels = labels.localCheckpoint(eager=False)
+    comm = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        comm.groupBy("community_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("community_size").cast("long").alias("n_nodes"),
+        )
+        .orderBy("community_size")
+    )

@@ -514,3 +514,106 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_err"),
     )
+
+
+@register(
+    "embedding_dim_correlation",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+               AS xf
+      -- DuckDB generate_series can't take lateral column args; the
+      -- embeddings table is fixed 64-d (TESTDATA.md), so the series is
+      -- a constant cross join
+      FROM embeddings, generate_series(1, 64) AS g(i)
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.xf) AS BIGINT) AS sx,
+             CAST(sum(b.xf) AS BIGINT) AS sy,
+             CAST(sum(a.xf * a.xf) AS BIGINT) AS sxx,
+             CAST(sum(b.xf * b.xf) AS BIGINT) AS syy,
+             CAST(sum(a.xf * b.xf) AS BIGINT) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    corr AS (
+      SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      FROM pairs
+    )
+    SELECT dim_i, dim_j, n, round(r, 6) AS pearson_r
+    FROM corr
+    ORDER BY abs(r) DESC, dim_i, dim_j
+    LIMIT 20
+    """,
+)
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-correlated embedding dimension pairs (|Pearson r|) —
+    the redundancy diagnostic that motivates PCA/quantization: highly
+    correlated dims mean the vector space wastes capacity and distance
+    math can drop/merge them.
+
+    One posexplode pass (64× fanout) self-joined per vector id yields
+    the (i<j) pair stream; a single hash-agg over the 2016 fixed pair
+    keys folds it map-side, so the shuffle is O(pairs), not O(rows).
+    Values are quantized to exact 1e-6 fixed-point BIGINTs first, so
+    all five moment sums are exact integers and both engines derive r
+    from identical numbers (int64 holds Σx·y up to ~10⁹ rows at this
+    magnitude; past that, promote the sums to DECIMAL(38,0) — the
+    gini_customer_spend pattern — at the cost of ulp-level oracle
+    slack). The final r is one identical double expression; ordering
+    ties break on (i, j)."""
+    em = load(spark, sf_dir).embeddings
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+            "xf"
+        ),
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.xf").cast("long").alias("sx"),
+            F.sum("b.xf").cast("long").alias("sy"),
+            F.sum(F.col("a.xf") * F.col("a.xf")).cast("long").alias("sxx"),
+            F.sum(F.col("b.xf") * F.col("b.xf")).cast("long").alias("syy"),
+            F.sum(F.col("a.xf") * F.col("b.xf")).cast("long").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sx * sy) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - sx * sx)
+        * (nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return (
+        pairs.select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            "n",
+            r.alias("r"),
+        )
+        .orderBy(F.abs(F.col("r")).desc(), "dim_i", "dim_j")
+        .limit(20)
+        .select("dim_i", "dim_j", "n", F.round("r", 6).alias("pearson_r"))
+    )

@@ -356,3 +356,121 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+def holt_step(s: int, b: int, x: int) -> tuple[int, int]:
+    """One step of the integer-space Holt double-exponential recurrence
+    (α = β = 1/2, floor arithmetic): s' = ⌊(x + s + b)/2⌋,
+    b' = ⌊(s' - s + b)/2⌋. Shared so tests can pin the Spark walker and
+    a future streaming twin to one definition (the wallet_step
+    pattern)."""
+    s2 = (x + s + b) // 2
+    b2 = (s2 - s + b) // 2
+    return s2, b2
+
+
+@register(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
+      FROM m
+    ),
+    nmax AS (
+      SELECT nation, CAST(max(rn) AS BIGINT) AS n_months FROM seq GROUP BY nation
+    ),
+    walk(nation, rn, s, b) AS (
+      SELECT nation, rn, x, CAST(0 AS BIGINT) FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.nation, q.rn, q.s_new,
+             (q.s_new - q.s_prev + q.b_prev
+              - (((q.s_new - q.s_prev + q.b_prev) % 2 + 2) % 2)) // 2
+      FROM (
+        SELECT seq.nation, seq.rn, w.s AS s_prev, w.b AS b_prev,
+               (seq.x + w.s + w.b
+                - (((seq.x + w.s + w.b) % 2 + 2) % 2)) // 2 AS s_new
+        FROM walk w JOIN seq ON seq.nation = w.nation AND seq.rn = w.rn + 1
+      ) q
+    )
+    SELECT w.nation AS nation, n.n_months,
+           CAST(w.s AS BIGINT) AS level_cents,
+           CAST(w.b AS BIGINT) AS trend_cents,
+           CAST(w.s + 3 * w.b AS BIGINT) AS forecast_3m_cents,
+           round((w.s + 3 * w.b) / 100.0, 2) AS forecast_3m
+    FROM walk w JOIN nmax n ON n.nation = w.nation AND w.rn = n.n_months
+    ORDER BY nation
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    over each nation's monthly order revenue, with a 3-months-ahead
+    linear forecast — the classic short-horizon demand forecast one
+    step past ewma_per_user (which smooths level only).
+
+    Holt's coupled recurrences (level feeds trend feeds level) have no
+    prefix-sum closed form under floor arithmetic, so this is the
+    stateful-per-key pattern: ``applyInPandas`` over ``groupBy(nation)``
+    walks each nation's ≤ ~85-month series in arrival order — state
+    never leaves the executor, parallelism = #series. The series is
+    month-grain (pre-aggregated from one orders scan), so walk length is
+    bounded by the calendar, not data volume. Integer cents with floor
+    division keep every engine bit-identical; the oracle walks the same
+    recurrence as a recursive CTE whose floor-div is spelled
+    ``(a - nonneg_mod(a,2)) // 2`` because DuckDB's ``%`` keeps the
+    dividend's sign (trend can go negative)."""
+    t = load(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        xs = pdf["x"].to_numpy()
+        s, b = int(xs[0]), 0
+        for x in xs[1:]:
+            s, b = holt_step(s, b, int(x))
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "n_months": [len(pdf)],
+                "level_cents": [s],
+                "trend_cents": [b],
+                "forecast_3m_cents": [s + 3 * b],
+                "forecast_3m": [round((s + 3 * b) / 100.0, 2)],
+            }
+        )
+
+    return (
+        monthly.groupBy("nation")
+        .applyInPandas(
+            walk,
+            "nation string, n_months long, level_cents long, "
+            "trend_cents long, forecast_3m_cents long, forecast_3m double",
+        )
+        .orderBy("nation")
+    )
