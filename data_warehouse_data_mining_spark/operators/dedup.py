@@ -916,3 +916,82 @@ def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "containment_pairs",
+    oracle="WITH "
+    + _ORACLE_SHINGLES
+    + """,
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter, za.ns AS ns_a, zb.ns AS ns_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    )
+    SELECT doc_a AS doc_contained, doc_b AS doc_container,
+           round(n_inter * 1.0 / ns_a, 6) AS containment,
+           round(n_inter * 1.0 / (ns_a + ns_b - n_inter), 6) AS jaccard
+    FROM sized WHERE n_inter * 2 >= ns_a
+    UNION ALL
+    SELECT doc_b, doc_a,
+           round(n_inter * 1.0 / ns_b, 6),
+           round(n_inter * 1.0 / (ns_a + ns_b - n_inter), 6)
+    FROM sized WHERE n_inter * 2 >= ns_b
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A→B) = |A∩B| / |A| ≥ ½ —
+    the quote/subset detector. A short document pasted inside a long one
+    keeps Jaccard LOW (the union is dominated by the container) but
+    containment HIGH, so near-dup pipelines that only threshold Jaccard
+    (ngram_jaccard_pairs) systematically miss small-into-big
+    duplication; this is the Broder containment complement.
+
+    Same inverted-index shape as jaccard_pairs_exact — pairs form only
+    by joining on shared shingles, intersections are computed ONCE per
+    unordered pair (the shingle/size/intersection tables are shared
+    scans) and then expanded to the two directed readings. The ½
+    threshold is the exact integer test 2·|A∩B| ≥ |A| — no float
+    boundary."""
+    d = load(spark, sf_dir).documents
+    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        sa.join(
+            sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sized = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")), "id_b")
+        # pair-sized; both directed readings below consume it
+        .localCheckpoint(eager=True)
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter")), 6
+    )
+    fwd = sized.filter(F.col("n_inter") * 2 >= F.col("ns_a")).select(
+        F.col("id_a").alias("doc_contained"),
+        F.col("id_b").alias("doc_container"),
+        F.round(F.col("n_inter") / F.col("ns_a"), 6).alias("containment"),
+        jac.alias("jaccard"),
+    )
+    rev = sized.filter(F.col("n_inter") * 2 >= F.col("ns_b")).select(
+        F.col("id_b").alias("doc_contained"),
+        F.col("id_a").alias("doc_container"),
+        F.round(F.col("n_inter") / F.col("ns_b"), 6).alias("containment"),
+        jac.alias("jaccard"),
+    )
+    return fwd.unionAll(rev)

@@ -946,3 +946,74 @@ def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("table_name", "key_cols")
+
+
+@register(
+    "partition_layout_advisor",
+    oracle="""
+    WITH expanded AS (
+      SELECT 'o_orderpriority' AS candidate, o_orderpriority AS key_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'order_month', strftime(o_orderdate, '%Y-%m') FROM orders
+    ),
+    per_key AS (
+      SELECT candidate, key_value, CAST(count(*) AS BIGINT) AS n_rows
+      FROM expanded GROUP BY candidate, key_value
+    )
+    SELECT candidate,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(min(n_rows) AS BIGINT) AS min_rows,
+           CAST(max(n_rows) AS BIGINT) AS max_rows,
+           round(max(n_rows) * 1.0 * count(*) / CAST(sum(n_rows) AS BIGINT), 6)
+             AS skew_ratio
+    FROM per_key
+    GROUP BY candidate
+    ORDER BY candidate
+    """,
+)
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor for the orders table: for each candidate
+    partition key (priority, status, order month) report partition
+    count, row spread, and skew ratio (max partition vs perfectly even)
+    — the numbers that decide a Hive-style PARTITIONED BY layout. Too
+    few partitions (status: 3) under-parallelizes, too many tiny ones
+    stress the metastore/small-files, and skew_ratio predicts straggler
+    tasks.
+
+    ONE scan of orders fans out through a 3-way stack (candidate,
+    key_value) — the per-candidate groupings share the shuffle instead
+    of re-scanning the fact table per candidate — then a candidate-count
+    sized rollup. skew = max·k/total is a single exact-integer division."""
+    o = load(spark, sf_dir).orders
+    expanded = o.select(
+        F.expr(
+            "stack(3,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'order_month', date_format(o_orderdate, 'yyyy-MM')"
+            ") AS (candidate, key_value)"
+        )
+    )
+    per_key = expanded.groupBy("candidate", "key_value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        per_key.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("n_rows").alias("min_rows"),
+            F.max("n_rows").alias("max_rows"),
+            F.round(
+                F.max("n_rows")
+                * F.count(F.lit(1))
+                / F.sum("n_rows").cast("long"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("candidate")
+    )
