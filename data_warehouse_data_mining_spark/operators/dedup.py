@@ -995,3 +995,126 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
     )
     return fwd.unionAll(rev)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash banding: the 16-bit simhash
+    splits into 4 disjoint 4-bit bands; any two fingerprints within
+    Hamming distance 3 differ in ≤ 3 bits, which can touch at most 3
+    bands — so they MUST collide on at least one band. The band
+    equi-join therefore has EXACT recall for hamming ≤ 3 while only
+    comparing fingerprints inside the same (band_idx, band_val) bucket —
+    the pigeonhole banding trick that replaces the all-pairs O(n²)
+    Hamming scan with a shuffle join, same idea as MinHash-LSH but for
+    bit-fingerprint distance. Returns (id_a, id_b, hamming)."""
+    sh = simhash_table(df, id_col, text_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    (
+                        F.shiftright("simhash", 4 * b).cast("long") % 16
+                    ).alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bd"),
+    ).select("id", "simhash", "bd.band_idx", "bd.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(sa ^ sb)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "simhash_hamming_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+    bits AS (
+      SELECT doc_id, cnt,
+             (p - 1) * 4 + b AS bit_idx,
+             CAST(floor((strpos('0123456789abcdef', substr(md5(w), p, 1)) - 1)
+                        / CASE b WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+                  AS INT) % 2 AS bit_val
+      FROM wc,
+           (SELECT unnest(range(1, 5)) AS p),
+           (SELECT unnest(range(0, 4)) AS b)
+    ),
+    votes AS (
+      SELECT doc_id, bit_idx,
+             sum(CASE WHEN bit_val = 1 THEN cnt ELSE -cnt END) AS vote
+      FROM bits GROUP BY doc_id, bit_idx
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit_idx
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash >> (4 * b)) & 15 AS band_val
+      FROM sh, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(da) AS BIGINT) AS min_doc_a,
+           CAST(max(db) AS BIGINT) AS max_doc_b
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def simhash_hamming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair census by SimHash Hamming distance (0-3) over the
+    banded candidate join (generic: simhash_hamming_pairs — see its
+    docstring for the exact-recall pigeonhole argument). The registered
+    query aggregates to per-distance pair counts because the raw pair
+    set grows quadratically inside hot fingerprint buckets; pipelines
+    that need the pairs call the generic function."""
+    d = load(spark, sf_dir).documents
+    pairs = simhash_hamming_pairs(d, "doc_id", "text")
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("id_a").cast("long").alias("min_doc_a"),
+            F.max("id_b").cast("long").alias("max_doc_b"),
+        )
+        .orderBy("hamming")
+    )

@@ -343,3 +343,75 @@ def test_global_order_stats_rejects_null_and_negative(spark):
         df = spark.createDataFrame(rows, "id long, v long")
         with pytest.raises(Exception, match="must be non-null"):
             global_order_stats(df, "v", "id").collect()
+
+
+def test_global_order_stats_custom_bucket_expr_sweep_line(spark):
+    """bucket_expr must (a) produce the exact naive-window answer on a
+    timestamp-like domain (huge offset, narrow span — the case where
+    default log2 bucketing collapses to one bucket) with a ±1 sweep-line
+    measure that drives the cumsum negative, and (b) actually spread the
+    rows across multiple phase-1 buckets."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    rng = random.Random(11)
+    base = 1_700_000_000_000_000  # epoch-µs-like offset
+    rows = [
+        (i, base + rng.randrange(3_000_000), rng.choice([1, -1]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, delta long")
+    bounds = df.agg(
+        F.min("k").alias("kmin"), F.max("k").alias("kmax")
+    )
+    bb = df.crossJoin(F.broadcast(bounds))
+    bucket = F.expr("(k - kmin) * 64 div (kmax - kmin + 1)")
+    # (b) the custom bucketing really is non-degenerate where log2 is
+    n_buckets = bb.select(bucket.alias("b")).distinct().count()
+    assert n_buckets > 8
+    n_log2 = df.select(
+        F.floor(F.log2(F.col("k").cast("double") + 1)).alias("b")
+    ).distinct().count()
+    assert n_log2 == 1  # the motivation: log2 collapses this domain
+    got = {
+        r["id"]: (r["global_rank"], r["global_cum"])
+        for r in global_order_stats(
+            bb, "k", "id", measure_col="delta", ascending=True,
+            bucket_expr=bucket,
+        ).collect()
+    }
+    w = W.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {
+        r["id"]: (r["rk"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("delta")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("long")
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_holt_step_matches_recursive_definition():
+    """holt_step must be the floor-arithmetic Holt recurrence for
+    negative trends too (the oracle spells floor-div sign-safely; the
+    Python walker relies on // being floor division)."""
+    from data_warehouse_data_mining_spark.operators.udfs import holt_step
+
+    # declining series drives the trend negative
+    s, b = 1000, 0
+    for x in (800, 600, 400, 200):
+        s2_expected = (x + s + b) // 2
+        b2_expected = (s2_expected - s + b) // 2
+        s, b = holt_step(s, b, x)
+        assert (s, b) == (s2_expected, b2_expected)
+    assert b < 0
