@@ -864,3 +864,185 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = part.mapInPandas(_pareto_filter_pandas, schema)
     front = local.repartition(1).mapInPandas(_pareto_filter_pandas, schema)
     return front.orderBy("p_retailprice", "p_partkey")
+
+
+
+# Filter size in bits — deliberately UNDER-sized (~7 bits/key at sf0.01)
+# so the false-positive column is visibly non-zero in the readout; size
+# production filters at ~10 bits/key/hash for ~1% fp. Words pack 32 bits
+# each: DuckDB raises on a BIGINT 1<<63 sign-bit shift, so masks stay in
+# the 32 low bits on both engines.
+_BLOOM_M = 2_048
+_BLOOM_LOS = (1, 9, 17)  # md5 hex-digit offsets seeding the k=3 hashes
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of the k=3, m=16384 Bloom build/probe (hex-fold
+    hashes shared with texthash.md5_word; dedup.py uses the same
+    _oracle_hexword shape)."""
+
+    def fold(lo: int) -> str:
+        return (
+            f"list_reduce(list_transform(range({lo}, {lo + 8}), "
+            "i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1))"
+            " - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+        )
+
+    f1, f2, f3 = (f"({fold(lo)} % {_BLOOM_M})" for lo in _BLOOM_LOS)
+    return f"""
+    WITH keys AS (
+      SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS ks
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    km AS (SELECT md5(ks) AS m FROM keys),
+    kb AS (SELECT unnest([{f1}, {f2}, {f3}]) AS bit FROM km),
+    words AS (
+      SELECT bit // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS word
+      FROM kb GROUP BY 1
+    ),
+    pm AS (
+      SELECT o_custkey, md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders
+    ),
+    pb AS (SELECT o_custkey, {f1} AS b1, {f2} AS b2, {f3} AS b3 FROM pm),
+    probe AS (
+      SELECT p.o_custkey,
+             coalesce(w1.word & (CAST(1 AS BIGINT) << CAST(p.b1 % 32 AS INT)), 0)
+               <> 0
+             AND coalesce(w2.word & (CAST(1 AS BIGINT) << CAST(p.b2 % 32 AS INT)), 0)
+               <> 0
+             AND coalesce(w3.word & (CAST(1 AS BIGINT) << CAST(p.b3 % 32 AS INT)), 0)
+               <> 0 AS pass,
+             EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = p.o_custkey)
+               AS member
+      FROM pb p
+      LEFT JOIN words w1 ON w1.w = p.b1 // 32
+      LEFT JOIN words w2 ON w2.w = p.b2 // 32
+      LEFT JOIN words w3 ON w3.w = p.b3 // 32
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_match,
+           CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive,
+           CAST(sum(CASE WHEN member AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negative,
+           round(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN NOT member THEN 1 ELSE 0 END), 6) AS fp_rate
+    FROM probe
+    """
+
+
+@register(
+    "bloom_filter_prefilter",
+    oracle=_bloom_oracle(),
+)
+def bloom_filter_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter — the shuffle-reduction pattern
+    for selective fact⋈dim joins at 100 TB: hash the dim-side key set
+    (customers in the BUILDING segment) into a 16384-bit, k=3 Bloom
+    bitmap, broadcast the 512-word bitmap table, and probe every order
+    MAP-SIDE with three ≤512-row broadcast left joins — the fact table
+    never shuffles, and rows failing the bloom would be dropped before
+    any real join. The readout quantifies the trade: bloom passes vs
+    exact semi-join matches, false positives (expected; rate reported)
+    and false negatives (structurally impossible — the column proves 0,
+    which the oracle re-derives independently).
+
+    Hashes are three 32-bit hex folds of ONE md5 per key
+    (texthash.md5_word offsets 1/9/17), so the filter is deterministic
+    and engine-reproducible — unlike spark's built-in bloom runtime
+    filter, which is plan-internal and unobservable. The exact
+    membership check rides the same scan as a broadcast left join, so
+    the whole audit is one pass over orders."""
+    import data_warehouse_data_mining_spark.functions.texthash as th
+
+    t = load(spark, sf_dir)
+    keys = (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey", F.col("c_custkey").cast("string").alias("ks")
+        )
+        # dim-subset-sized; feeds the bitmap build, the key count, and
+        # the exact-membership join
+        .localCheckpoint(eager=True)
+    )
+    m = _BLOOM_M
+    kb = keys.select(
+        F.explode(
+            F.array(*[th.md5_word(F.col("ks"), lo) % m for lo in _BLOOM_LOS])
+        ).alias("bit")
+    )
+    words = kb.groupBy(F.expr("bit div 32").alias("w")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT)))"
+        ).alias("word")
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+
+    probe = t.orders.select(
+        "o_custkey",
+        *[
+            (th.md5_word(F.col("o_custkey").cast("string"), lo) % m).alias(
+                f"b{i + 1}"
+            )
+            for i, lo in enumerate(_BLOOM_LOS)
+        ],
+    )
+    for i in (1, 2, 3):
+        wt = words.select(
+            F.col("w").alias(f"w{i}"), F.col("word").alias(f"word{i}")
+        )
+        probe = probe.join(
+            F.broadcast(wt), F.expr(f"b{i} div 32") == F.col(f"w{i}"), "left"
+        )
+    hit = None
+    for i in (1, 2, 3):
+        h = (
+            F.coalesce(
+                F.expr(
+                    f"word{i} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(b{i} % 32 AS INT))"
+                ),
+                F.lit(0),
+            )
+            != 0
+        )
+        hit = h if hit is None else (hit & h)
+    probe = probe.join(
+        F.broadcast(keys.select("c_custkey", F.lit(True).alias("member"))),
+        probe.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select(hit.alias("pass"), F.coalesce("member", F.lit(False)).alias("member"))
+    agg = probe.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_match"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(F.when(F.col("member") & ~F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negative"),
+        F.round(
+            F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0))
+            / F.sum(F.when(~F.col("member"), 1).otherwise(0)),
+            6,
+        ).alias("fp_rate"),
+    )
+    return agg.crossJoin(F.broadcast(n_keys)).select(
+        "n_orders",
+        "n_keys",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_positive",
+        "n_false_negative",
+        "fp_rate",
+    )
