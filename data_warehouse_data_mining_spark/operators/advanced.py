@@ -1046,3 +1046,74 @@ def bloom_filter_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_negative",
         "fp_rate",
     )
+
+
+@register(
+    "calendar_dim_build",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS mind,
+             CAST(max(o_orderdate) AS DATE) AS maxd
+      FROM orders
+    ),
+    days AS (
+      SELECT CAST(mind + i * INTERVAL 1 DAY AS DATE) AS d
+      FROM span, unnest(range(0, date_diff('day', mind, maxd) + 1)) AS t(i)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS date_str,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(isodow(d) AS INT) AS weekday_iso,
+           CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS is_month_end,
+           CAST(year(d) + CASE WHEN month(d) >= 2 THEN 1 ELSE 0 END AS INT)
+             AS fiscal_year,
+           CAST((month(d) + 10) % 12 // 3 + 1 AS INT) AS fiscal_quarter
+    FROM days
+    ORDER BY date_str
+    """,
+)
+def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation — the date spine every warehouse
+    joins against: one row per day across the fact table's observed
+    [min, max] order-date span, with civil attributes (ISO week/weekday,
+    month-end flag) and a February-start fiscal calendar (FY(n) runs
+    Feb n-1 .. Jan n; fiscal Q1 = Feb-Apr).
+
+    Generator shape: the span is a 1-row aggregate of orders,
+    ``sequence()`` + ``explode`` fans it into the day spine with no
+    driver-side loop and no source table for the spine itself — the
+    spine is ~2.4k rows for 6.5 years and stays calendar-bounded at any
+    data scale (it's the textbook broadcast-side dimension). All
+    attributes are integer/date arithmetic; ISO week + weekday are the
+    fields where engines classically disagree, so their cross-engine
+    parity is exactly what the oracle pins (Spark weekofyear == DuckDB
+    weekofyear == ISO 8601)."""
+    o = load(spark, sf_dir).orders
+    span = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mind"),
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("d")
+    )
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date_str"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        (F.weekday("d") + 1).cast("int").alias("weekday_iso"),
+        F.when(F.col("d") == F.last_day("d"), 1).otherwise(0).alias(
+            "is_month_end"
+        ),
+        (F.year("d") + F.when(F.month("d") >= 2, 1).otherwise(0))
+        .cast("int")
+        .alias("fiscal_year"),
+        F.expr("CAST((month(d) + 10) % 12 div 3 + 1 AS INT)").alias(
+            "fiscal_quarter"
+        ),
+    ).orderBy("date_str")

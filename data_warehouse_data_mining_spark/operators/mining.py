@@ -2021,3 +2021,72 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "match_recognize_funnel",
+    oracle="""
+    WITH enc AS (
+      SELECT user_id,
+             string_agg(upper(substr(event_type, 1, 1)), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+             regexp_extract_all(s, 'S[CV]*P') AS runs
+      FROM enc
+    )
+    SELECT user_id, n_events,
+           CAST(length(runs) AS BIGINT) AS n_funnels,
+           CAST(coalesce(list_max(list_transform(runs, x -> length(x))), 0)
+                AS BIGINT) AS longest_funnel_len
+    FROM m ORDER BY user_id
+    """,
+)
+def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 MATCH_RECOGNIZE emulation — row-pattern matching over
+    each user's event sequence. Events encode to one char each (Signup,
+    Click, View, Purchase, Error); the pattern S[CV]*P finds completed
+    signup→browse→purchase funnels where an intervening Error aborts
+    the run — the quantified-regex-over-rows semantics that plain
+    window functions can't express (funnel_three_step counts fixed
+    3-step paths; this matches arbitrary-length runs).
+
+    Spark has no MATCH_RECOGNIZE operator, so the scalable emulation
+    is: one groupBy(user) shuffle, order each user's events INSIDE the
+    aggregate (array_sort over (ts, event_id, ch) structs — collect_list
+    alone is arrival-ordered, i.e. nondeterministic), join to a string,
+    and run the regex per user — all codegen expressions, parallelism =
+    #users. Per-user state is the encoded string (bounded by events per
+    user); at stream scale the same pattern chunks by day with a
+    carry-over prefix. Regex semantics (leftmost non-overlapping, greedy
+    star) agree across engines because the alphabet classes are
+    disjoint — no backtracking ambiguity exists."""
+    e = load(spark, sf_dir).events
+    enc = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.upper(F.substring("event_type", 1, 1)).alias("ch"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(ts, event_id, ch))), x -> x.ch), '')"
+            ).alias("s")
+        )
+    )
+    runs = F.expr("regexp_extract_all(s, 'S[CV]*P', 0)")
+    return enc.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        F.size(runs).cast("long").alias("n_funnels"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_funnel_len"),
+    ).orderBy("user_id")
