@@ -1118,3 +1118,101 @@ def simhash_hamming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming")
     )
+
+
+@register(
+    "dedup_eval_precision_recall",
+    oracle="WITH "
+    + _ORACLE_SHINGLES
+    + ", "
+    + _ORACLE_MINHASH
+    + ", "
+    + _oracle_bands()
+    + ", "
+    + _ORACLE_CANDIDATES
+    + f""",
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter_all AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter_all i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter)
+            >= {JACCARD_THRESHOLD}
+    ),
+    tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tp
+      FROM candidates c
+      JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM candidates) AS n_candidates,
+           n_tp,
+           round(n_tp * 1.0
+                 / (SELECT count(*) FROM candidates), 6) AS precision,
+           round(n_tp * 1.0 / (SELECT count(*) FROM truth), 6) AS recall
+    FROM tp
+    """,
+)
+def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: precision/recall of the MinHash-LSH
+    candidate stage against exact n-gram-Jaccard ground truth at the
+    same 0.35 threshold — the banding-quality readout (16 hashes, 4×4
+    bands ⇒ S-curve P(collide) = 1-(1-j⁴)⁴) that tells a pipeline
+    owner whether to re-tune bands before trusting LSH at corpus scale.
+
+    Both sides are deterministic, so the whole evaluation is
+    exact-oracle-checkable: truth comes from the inverted-index
+    all-pairs Jaccard (viable at audit scale; the POINT of LSH is to
+    avoid it in production), candidates from the banded signature join,
+    and the intersection is one more equi-join. One shared shingle
+    scan (checkpointed) feeds signatures and both truth joins; all
+    ratios are single divisions of exact counts."""
+    d = load(spark, sf_dir).documents
+    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    sig = minhash_signatures_table(sh)
+    cand = lsh_candidate_pairs(lsh_band_table(sig)).localCheckpoint(
+        eager=True
+    )
+    sizes = sig.select("id", "ns")
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        sa.join(
+            sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter"))
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")), "id_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    return (
+        tp.crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_tp",
+            F.round(F.col("n_tp") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_tp") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
