@@ -1017,3 +1017,98 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+@register(
+    "encoding_advisor",
+    oracle="""
+    WITH expanded AS (
+      SELECT l_orderkey, l_linenumber,
+             'l_returnflag' AS candidate, l_returnflag AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_linestatus', l_linestatus FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_quantity',
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax',
+             CAST(CAST(round(l_tax * 100, 0) AS BIGINT) AS VARCHAR)
+      FROM lineitem
+    ),
+    runs AS (
+      SELECT candidate, val,
+             CASE WHEN lag(val) OVER (PARTITION BY candidate, l_orderkey
+                                      ORDER BY l_linenumber, val)
+                  IS DISTINCT FROM val THEN 1 ELSE 0 END AS new_run
+      FROM expanded
+    )
+    SELECT candidate,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+           CAST(sum(new_run) AS BIGINT) AS n_runs,
+           round(count(*) * 1.0 / sum(new_run), 6) AS avg_run_len,
+           CASE WHEN count(*) >= 2 * sum(new_run) THEN 'RLE'
+                WHEN count(DISTINCT val) <= 65536 THEN 'DICT'
+                ELSE 'PLAIN' END AS recommended
+    FROM runs
+    GROUP BY candidate
+    ORDER BY candidate
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: for each candidate lineitem column,
+    measure what the parquet/ORC writer would exploit — run structure
+    (RLE), dictionary cardinality (DICT ≤ 2¹⁶ keys), else PLAIN — and
+    recommend the encoding. Runs are counted within the table's natural
+    (orderkey, linenumber) clustering, i.e. what a writer preserving
+    ingest order would actually see; the RLE cut (mean run ≥ 2) is the
+    exact integer test n_rows ≥ 2·n_runs.
+
+    One lineitem scan fans through a 4-way stack so all candidates
+    share one shuffle, partitioned (candidate, orderkey) for the
+    run-boundary lag — per-order windows, never a global sort. The lag
+    orders by (linenumber, val): the synthetic data reuses line numbers
+    within an order, and ties that differ only in val are interchangeable
+    for run counting once val joins the sort key. Numeric
+    candidates stringify through exact integer casts (quantity is
+    integral, tax is exact cents) so both engines compare identical
+    dictionary keys."""
+    li = load(spark, sf_dir).lineitem
+    expanded = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(4,"
+        " 'l_returnflag', l_returnflag,"
+        " 'l_linestatus', l_linestatus,"
+        " 'l_quantity', CAST(CAST(l_quantity AS BIGINT) AS STRING),"
+        " 'l_tax', CAST(CAST(round(l_tax * 100, 0) AS BIGINT) AS STRING)"
+        ") AS (candidate, val)",
+    )
+    w = W.partitionBy("candidate", "l_orderkey").orderBy("l_linenumber", "val")
+    runs = expanded.select(
+        "candidate",
+        "val",
+        F.when(F.lag("val").over(w).eqNullSafe(F.col("val")), 0)
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    return (
+        runs.groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.sum("new_run").cast("long").alias("n_runs"),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / F.sum("new_run").cast("long"), 6
+            ).alias("avg_run_len"),
+            F.when(
+                F.count(F.lit(1)) >= 2 * F.sum("new_run").cast("long"), "RLE"
+            )
+            .when(F.countDistinct("val") <= 65536, "DICT")
+            .otherwise("PLAIN")
+            .alias("recommended"),
+        )
+        .orderBy("candidate")
+    )
