@@ -1202,3 +1202,81 @@ def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("rrf_score"),
         )
     )
+
+
+@register(
+    "cross_source_quantile_calibration",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             unnest(['p10', 'p50', 'p90']) AS percentile,
+             unnest([
+               percentile_cont(0.1) WITHIN GROUP (ORDER BY n_chars),
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars),
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars)
+             ]) AS val
+      FROM documents GROUP BY source
+    ),
+    g AS (
+      SELECT unnest(['p10', 'p50', 'p90']) AS percentile,
+             unnest([
+               percentile_cont(0.1) WITHIN GROUP (ORDER BY n_chars),
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars),
+               percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars)
+             ]) AS gval
+      FROM documents
+    )
+    SELECT s.source, s.percentile,
+           round(s.val, 6) AS value,
+           round(g.gval, 6) AS global_value,
+           round(s.val / g.gval, 6) AS ratio
+    FROM s JOIN g ON g.percentile = s.percentile
+    ORDER BY s.source, s.percentile
+    """,
+)
+def cross_source_quantile_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source quantile calibration of document length: each
+    source's p10/p50/p90 of n_chars against the global corpus
+    percentiles, with the ratio that tells a mixing pipeline whether a
+    per-source quality threshold (e.g. 'drop the shortest decile') cuts
+    comparable material everywhere — the distribution-alignment check
+    that precedes any global length/quality filter.
+
+    Percentiles come from the sketch-bracketed exact selection helper
+    (operators/relational.py::exact_group_percentiles — interpolated
+    percentile_cont, no per-group whole-column agg buffer, no global
+    sort), run once grouped by source and once on a constant group for
+    the corpus-wide line; the 3-row global side broadcasts into the
+    final join. Values are identical IEEE doubles to DuckDB's
+    percentile_cont, so the single-division ratio rounds identically."""
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    d = load(spark, sf_dir).documents
+    ps = [0.1, 0.5, 0.9]
+    labels = F.array(F.lit("p10"), F.lit("p50"), F.lit("p90"))
+    src = exact_group_percentiles(d, "source", "n_chars", ps).select(
+        "source",
+        F.element_at(labels, F.col("pid").cast("int") + 1).alias("percentile"),
+        F.col("val"),
+    )
+    glob = exact_group_percentiles(
+        d.withColumn("__all", F.lit("ALL")), "__all", "n_chars", ps
+    ).drop("__all").select(
+        F.element_at(labels, F.col("pid").cast("int") + 1).alias("percentile"),
+        F.col("val").alias("gval"),
+    )
+    return (
+        src.join(F.broadcast(glob), "percentile")
+        .select(
+            "source",
+            "percentile",
+            F.round("val", 6).alias("value"),
+            F.round("gval", 6).alias("global_value"),
+            F.round(F.col("val") / F.col("gval"), 6).alias("ratio"),
+        )
+        .orderBy("source", "percentile")
+    )
