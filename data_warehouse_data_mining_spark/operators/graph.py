@@ -457,3 +457,114 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community_size")
     )
+
+
+KCORE_K = 2
+KCORE_PEELS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unroll the fixed peeling rounds as chained CTEs (each round
+    re-aggregates degrees — same recursion limitation as PageRank)."""
+    steps = []
+    for i in range(KCORE_PEELS):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT lo AS node FROM e{i} UNION ALL SELECT hi FROM e{i}
+      ) GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT lo, hi FROM e{i}
+      WHERE lo IN (SELECT node FROM k{i})
+        AND hi IN (SELECT node FROM k{i})
+    ),
+    s{i} AS (
+      SELECT {i + 1} AS peel,
+             (SELECT CAST(count(*) AS BIGINT) FROM k{i}) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e{i + 1}) AS n_edges
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(KCORE_PEELS))
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.item AS lo, b.item AS hi
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    {unrolled}
+    SELECT peel, n_nodes, n_edges FROM ({final}) ORDER BY peel
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k = 2) on the co-purchase graph: each round drops
+    nodes whose CURRENT degree is below k and the edges touching them,
+    converging to the 2-core — the dense backbone that survives after
+    tendrils peel away (the standard graph-mining primitive behind
+    community seeding and graph simplification). The output is one row
+    per peel round (surviving nodes/edges), i.e. the convergence curve;
+    a fixed round count keeps the oracle expressible as unrolled CTEs —
+    production peeling loops until a round removes nothing.
+
+    Iterative DataFrame shape: per round one degree aggregation + two
+    LEFT SEMI joins filtering the edge list (never IN-subquery
+    materialization on the driver), edge table localCheckpoint-ed per
+    round so lineage stays O(1) per round — the graph_pagerank contract
+    applied to a shrinking edge set."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("lo"), F.col("b.item").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("lo", "hi")
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for i in range(KCORE_PEELS):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            # each round's survivors feed the next degree agg AND the
+            # stats row — truncate lineage per round
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = keep.agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        rows.append(
+            n_nodes.crossJoin(F.broadcast(n_edges)).select(
+                F.lit(i + 1).alias("peel"), "n_nodes", "n_edges"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("peel")
