@@ -35,7 +35,7 @@ def _pagerank_oracle() -> str:
     steps = []
     for i in range(N_ITER):
         steps.append(
-            f"""r{i + 1} AS (
+            f"""r{i + 1} AS MATERIALIZED (
       SELECT e.dst AS node,
              CAST(base.b + (85 * CAST(sum(r{i}.rank // deg.d) AS BIGINT)) // 100
                   AS BIGINT) AS rank
@@ -51,12 +51,12 @@ def _pagerank_oracle() -> str:
     WITH pairs AS (
       SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p FROM lineitem
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT s AS src, p AS dst FROM pairs
       UNION ALL
       SELECT p AS src, s AS dst FROM pairs
     ),
-    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
     nn AS (SELECT count(*) AS n FROM deg),
     base AS (SELECT CAST((15 * ({R_UNIT} // n)) // 100 AS BIGINT) AS b FROM nn),
     r0 AS (SELECT src AS node,
@@ -341,7 +341,7 @@ def _label_prop_oracle() -> str:
     steps = []
     for i in range(LP_ITER):
         steps.append(
-            f"""l{i + 1} AS (
+            f"""l{i + 1} AS MATERIALIZED (
       SELECT l.node AS node,
              CAST(least(l.label, min(nl.label)) AS BIGINT) AS label
       FROM l{i} l
@@ -361,12 +361,12 @@ def _label_prop_oracle() -> str:
       GROUP BY 1, 2
       HAVING count(*) >= 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT lo AS src, hi AS dst FROM e0
       UNION ALL
       SELECT hi AS src, lo AS dst FROM e0
     ),
-    l0 AS (
+    l0 AS MATERIALIZED (
       SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges
     ),
     {unrolled},
