@@ -617,3 +617,104 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("dim_i", "dim_j", "n", F.round("r", 6).alias("pearson_r"))
     )
+
+
+N_EVAL_QUERIES = 100
+KNN_EVAL_K = 5
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          WHERE vec_id < {N_EVAL_QUERIES}),
+    nn AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) t WHERE rn <= {KNN_EVAL_K}
+    ),
+    votes AS (
+      SELECT nn.q_id, e.label AS nl, count(*) AS cnt
+      FROM nn JOIN e ON e.vec_id = nn.neighbor_id
+      GROUP BY nn.q_id, e.label
+    ),
+    pred AS (
+      SELECT q_id, nl AS predicted FROM (
+        SELECT q_id, nl,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cnt DESC, nl ASC) AS vr
+        FROM votes
+      ) v WHERE vr = 1
+    )
+    SELECT CAST(e.label AS INT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS accuracy
+    FROM pred p JOIN e ON e.vec_id = p.q_id
+    GROUP BY e.label
+    ORDER BY true_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification evaluation on the labeled embeddings: for the
+    first {N_EVAL_QUERIES} vectors, predict the label by majority vote
+    of the 5 exact cosine neighbors (self excluded; vote ties break to
+    the smaller label) and report per-class accuracy — the
+    retrieval-quality readout that validates an embedding space before
+    trusting it for dedup or search, and the deterministic twin of
+    MLlib's RNG-dependent classifiers (every step here is
+    oracle-checkable).
+
+    Scale shape: the query block broadcasts against the corpus
+    (brute_force_topk — the corpus never shuffles), votes are one
+    hash-agg over q×k rows, and the argmax is a window over ≤ k rows
+    per query. Evaluating MORE queries batches into the same one pass;
+    at full-corpus leave-one-out scale the broadcast side swaps for the
+    LSH-bucketed join (ann_lsh_hyperplane's shape)."""
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("id") < N_EVAL_QUERIES).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    nn = brute_force_topk(e, q, k=KNN_EVAL_K)
+    votes = (
+        nn.join(
+            e.select(F.col("id").alias("neighbor_id"), F.col("label").alias("nl")),
+            "neighbor_id",
+        )
+        .groupBy("q_id", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = W.partitionBy("q_id").orderBy(F.col("cnt").desc(), F.col("nl").asc())
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("nl").alias("predicted"))
+    )
+    truth = e.select(F.col("id").alias("q_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "q_id")
+        .groupBy(F.col("true_label").cast("int").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
