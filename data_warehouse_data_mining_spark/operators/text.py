@@ -1280,3 +1280,93 @@ def cross_source_quantile_calibration(
         )
         .orderBy("source", "percentile")
     )
+
+
+ZIPF_TOP = 1000
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS rk
+      FROM vocab
+    ),
+    pts AS (
+      SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked WHERE rk <= {ZIPF_TOP}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(freq) vs ln(rank) over the top-{ZIPF_TOP} vocabulary — natural
+    text sits near slope −1, and a corpus that deviates hard (flat:
+    templated/spammy; steep: tiny effective vocabulary) gets flagged
+    before training. Slope/intercept/R² come from one closed-form
+    moment pass, the groupwise_ols_trend recipe applied corpus-wide.
+
+    The frequency ranking is a GLOBAL order over the vocabulary —
+    distributed two-phase prefix sum (operators/ranking.py), word
+    tie-break, never a one-partition window; the top-{ZIPF_TOP} cut
+    bounds the double-precision moment sums so cross-engine summation
+    noise stays orders below the 6-decimal rounding."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    d = load(spark, sf_dir).documents
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_order_stats(vocab, "freq", "w", ascending=False)
+    pts = ranked.filter(F.col("global_rank") <= ZIPF_TOP).select(
+        F.log(F.col("global_rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+        F.round(
+            F.pow(nd * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
