@@ -561,42 +561,72 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated dims mean the vector space wastes capacity and distance
     math can drop/merge them.
 
-    One posexplode pass (64× fanout) self-joined per vector id yields
-    the (i<j) pair stream; a single hash-agg over the 2016 fixed pair
-    keys folds it map-side, so the shuffle is O(pairs), not O(rows).
-    Values are quantized to exact 1e-6 fixed-point BIGINTs first, so
-    all five moment sums are exact integers and both engines derive r
-    from identical numbers (int64 holds Σx·y up to ~10⁹ rows at this
-    magnitude; past that, promote the sums to DECIMAL(38,0) — the
-    gini_customer_spend pattern — at the cost of ulp-level oracle
+    The pair stream is generated MAP-SIDE from each row's array (a
+    nested transform over (i, j>i) flattened to 2016 structs per row) —
+    no self-join, no shuffle of exploded data; the only exchanges are
+    the partial-aggregated 2016-key pair rollup and a 64-key per-dim
+    rollup that the pair table joins back (broadcast, pair-count
+    sized). Values are quantized to exact 1e-6 fixed-point BIGINTs
+    first, so all five moment sums are exact integers and both engines
+    derive r from identical numbers (int64 holds Σx·y up to ~10⁹ rows
+    at this magnitude; past that, promote the sums to DECIMAL(38,0) —
+    the gini_customer_spend pattern — at the cost of ulp-level oracle
     slack). The final r is one identical double expression; ordering
     ties break on (i, j)."""
     em = load(spark, sf_dir).embeddings
-    ex = em.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select(
+    q = em.select(
         "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
-            "xf"
-        ),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("ef"),
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.i") < F.col("b.i")),
-        )
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+    # per-dim marginals: one 64-way explode, 64-key agg
+    dims = (
+        q.select(F.posexplode("ef").alias("i0", "xf"))
+        .groupBy((F.col("i0") + 1).alias("i"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("a.xf").cast("long").alias("sx"),
-            F.sum("b.xf").cast("long").alias("sy"),
-            F.sum(F.col("a.xf") * F.col("a.xf")).cast("long").alias("sxx"),
-            F.sum(F.col("b.xf") * F.col("b.xf")).cast("long").alias("syy"),
-            F.sum(F.col("a.xf") * F.col("b.xf")).cast("long").alias("sxy"),
+            F.sum("xf").cast("long").alias("s"),
+            F.sum(F.col("xf") * F.col("xf")).cast("long").alias("ss"),
+        )
+    )
+    # cross-moment stream: 2016 (i, j, xi*xj) structs per row, all codegen
+    prods = q.select(
+        F.explode(
+            F.expr(
+                # sequence(a, b) DESCENDS when a > b (it is not empty), so the
+            # outer index must stop at size-1 to keep (i, j>i) pairs only
+            "flatten(transform(sequence(1, size(ef) - 1),"
+                " i -> transform(sequence(i + 1, size(ef)),"
+                " j -> struct(i AS i, j AS j,"
+                " element_at(ef, i) * element_at(ef, j) AS xy))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    pairs = (
+        prods.groupBy("i", "j")
+        .agg(F.sum("xy").cast("long").alias("sxy"))
+        .join(
+            F.broadcast(
+                dims.select(
+                    F.col("i"),
+                    F.col("n"),
+                    F.col("s").alias("sx"),
+                    F.col("ss").alias("sxx"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                dims.select(
+                    F.col("i").alias("j"),
+                    F.col("s").alias("sy"),
+                    F.col("ss").alias("syy"),
+                )
+            ),
+            "j",
         )
     )
     nd = F.col("n").cast("double")

@@ -1255,7 +1255,14 @@ def cross_source_quantile_calibration(
         exact_group_percentiles,
     )
 
-    d = load(spark, sf_dir).documents
+    # the helper makes up to three passes per grouping; hand BOTH
+    # groupings one materialized 2-column projection instead of six
+    # re-reads of the documents parquet
+    d = (
+        load(spark, sf_dir)
+        .documents.select("source", "n_chars")
+        .localCheckpoint(eager=True)
+    )
     ps = [0.1, 0.5, 0.9]
     labels = F.array(F.lit("p10"), F.lit("p50"), F.lit("p90"))
     src = exact_group_percentiles(d, "source", "n_chars", ps).select(
