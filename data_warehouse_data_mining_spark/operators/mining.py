@@ -2090,3 +2090,151 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("longest_funnel_len"),
     ).orderBy("user_id")
+
+
+_CUPED_SPLIT = "2024-01-15 00:00:00"
+_EV_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS pre_c,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS post_c
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_c) AS BIGINT) AS sp,
+             CAST(sum(post_c) AS BIGINT) AS so,
+             CAST(sum(pre_c * pre_c) AS BIGINT) AS spp,
+             CAST(sum(pre_c * post_c) AS BIGINT) AS spo,
+             CAST(sum(post_c * post_c) AS BIGINT) AS soo
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sp, so,
+             CASE WHEN n * spp - sp * sp = 0 THEN 0.0
+                  ELSE (CAST(n AS DOUBLE) * spo - CAST(sp AS DOUBLE) * so)
+                       / (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+             END AS theta,
+             CASE WHEN (n * spp - sp * sp) = 0 OR (n * soo - so * so) = 0
+                  THEN 0.0
+                  ELSE pow(CAST(n AS DOUBLE) * spo
+                           - CAST(sp AS DOUBLE) * so, 2)
+                       / ((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+                          * (CAST(n AS DOUBLE) * soo
+                             - CAST(so AS DOUBLE) * so))
+             END AS rho2
+      FROM pooled
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pre_c) AS BIGINT) AS sp_a,
+             CAST(sum(post_c) AS BIGINT) AS so_a
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, n_users,
+           round(so_a * 1.0 / (n_users * 100), 6) AS mean_post,
+           round(so_a * 1.0 / (n_users * 100)
+                 - theta * (sp_a * 1.0 / (n_users * 100)
+                            - sp * 1.0 / (n * 100)), 6) AS mean_adjusted,
+           round(theta, 6) AS theta,
+           round(rho2, 6) AS var_reduction
+    FROM arms CROSS JOIN th
+    ORDER BY arm
+    """,
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the hash-split experiment
+    (ab_test_conversion's arms): each user's PRE-period spend (before
+    2024-01-15) is the covariate, θ = cov(pre, post)/var(pre) is fit
+    POOLED, and each arm reports its raw vs CUPED-adjusted mean with
+    the achievable variance reduction ρ² — the standard trick that
+    shrinks experiment runtimes ~(1-ρ²)× without touching assignment.
+
+    Everything reduces to exact integer moment sums from ONE per-user
+    aggregation pass (cents fixed-point, pooled + per-arm in two tiny
+    rollups of the same user table), so θ/ρ²/means are single identical
+    double expressions on both engines; degenerate variance pools guard
+    to 0 with a CASE on the exact integer denominator (ANSI Spark
+    raises on double/0 — the ab_test_conversion lesson)."""
+    e = load(spark, sf_dir).events
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cents = F.expr(_EV_CENTS)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+            .cast("long")
+            .alias("pre_c"),
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(0))
+            .cast("long")
+            .alias("post_c"),
+        )
+        .select(
+            F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+            .otherwise("B")
+            .alias("arm"),
+            "pre_c",
+            "post_c",
+        )
+        # user-count sized; pooled stats and per-arm rollup both read it
+        .localCheckpoint(eager=True)
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").cast("long").alias("sp"),
+        F.sum("post_c").cast("long").alias("so"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).cast("long").alias("spp"),
+        F.sum(F.col("pre_c") * F.col("post_c")).cast("long").alias("spo"),
+        F.sum(F.col("post_c") * F.col("post_c")).cast("long").alias("soo"),
+    )
+    nd = F.col("n").cast("double")
+    spd = F.col("sp").cast("double")
+    sod = F.col("so").cast("double")
+    var_pre = nd * F.col("spp") - spd * spd
+    var_post = nd * F.col("soo") - sod * sod
+    cov = nd * F.col("spo") - spd * sod
+    th = pooled.select(
+        "n",
+        "sp",
+        F.when(F.col("n") * F.col("spp") - F.col("sp") * F.col("sp") == 0, 0.0)
+        .otherwise(cov / var_pre)
+        .alias("theta"),
+        F.when(
+            (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp") == 0)
+            | (F.col("n") * F.col("soo") - F.col("so") * F.col("so") == 0),
+            0.0,
+        )
+        .otherwise(F.pow(cov, 2) / (var_pre * var_post))
+        .alias("rho2"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pre_c").cast("long").alias("sp_a"),
+        F.sum("post_c").cast("long").alias("so_a"),
+    )
+    mean_post = F.col("so_a") * 1.0 / (F.col("n_users") * 100)
+    mean_pre_arm = F.col("sp_a") * 1.0 / (F.col("n_users") * 100)
+    mean_pre_pool = F.col("sp") * 1.0 / (F.col("n") * 100)
+    return (
+        arms.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            "n_users",
+            F.round(mean_post, 6).alias("mean_post"),
+            F.round(
+                mean_post - F.col("theta") * (mean_pre_arm - mean_pre_pool), 6
+            ).alias("mean_adjusted"),
+            F.round("theta", 6).alias("theta"),
+            F.round("rho2", 6).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

@@ -1346,6 +1346,10 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # vocabulary-sized; the ranking helper's window + bucket-stats
+        # branches re-read their input — materialize once instead of
+        # re-tokenizing the corpus per branch (plan audit: 3 scans -> 0)
+        .localCheckpoint(eager=True)
     )
     ranked = global_order_stats(vocab, "freq", "w", ascending=False)
     pts = ranked.filter(F.col("global_rank") <= ZIPF_TOP).select(
