@@ -74,3 +74,56 @@ def test_transpose(spark):
     assert t.columns == ["key", "count", "nulls"]
     rows = {r.key: (r["count"], r["nulls"]) for r in t.collect()}
     assert rows == {"a": (10, 1), "b": (20, 2)}
+
+
+def test_map_in_arrow_matches_expressions(spark):
+    """mapInArrow (Spark 3.5+): the Arrow-native batch hook — zero
+    pandas conversion on either side, the leanest Python entry point
+    for byte-level work. Pin its output against the pure-expression
+    twin so the Arrow path can back the multimodal featurizers
+    interchangeably with mapInPandas."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+
+    from .conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL).documents.select("doc_id", "text")
+
+    def batch_stats(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            texts = tbl.column("text").to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    # combine_chunks: column() yields a ChunkedArray,
+                    # RecordBatch wants plain Arrays
+                    "doc_id": tbl.column("doc_id").combine_chunks(),
+                    "n_bytes": pa.array(
+                        [len(t.encode("utf-8")) for t in texts],
+                        type=pa.int64(),
+                    ),
+                    "n_spaces": pa.array(
+                        [t.count(" ") for t in texts], type=pa.int64()
+                    ),
+                }
+            )
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_spaces"])
+        for r in d.mapInArrow(
+            batch_stats, "doc_id long, n_bytes long, n_spaces long"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bytes"], r["n_spaces"])
+        for r in d.select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("long")
+            .alias("n_spaces"),
+        ).collect()
+    }
+    assert got == want
