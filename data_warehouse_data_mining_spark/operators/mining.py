@@ -2238,3 +2238,107 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "running_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey AS ck,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE -CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             END AS delta,
+             o_orderdate, o_orderkey
+      FROM orders
+    ),
+    bals AS (
+      SELECT ck, o_orderdate, o_orderkey,
+             CAST(sum(delta) OVER (PARTITION BY ck
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bal,
+             CAST(row_number() OVER (PARTITION BY ck
+                                     ORDER BY o_orderdate, o_orderkey)
+                  AS BIGINT) AS rn
+      FROM seq
+    ),
+    walk AS (
+      SELECT ck, bal, rn,
+             CAST(max(bal) OVER (PARTITION BY ck
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      FROM bals
+    )
+    SELECT ck AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_balance_cents,
+           CAST(arg_max(bal, rn) AS BIGINT) AS final_balance_cents
+    FROM walk
+    GROUP BY ck
+    ORDER BY ck
+    """,
+)
+def running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per customer over the signed running balance
+    (even orders credit, odd debit — capped_running_balance's ledger
+    without the clamp): drawdown_t = running_peak_t − balance_t, and
+    the report keeps each customer's worst drawdown, peak, and final
+    balance — the financial risk statistic that needs a window OVER a
+    window (running max of a running sum), which plain aggregation
+    can't express.
+
+    Both windows and the final rollup partition on custkey — one
+    shuffle, one sort, exact integer cents end to end. The final
+    balance is the last running sum, read with max_by over the time
+    rank that rides the same window sort."""
+    o = load(spark, sf_dir).orders
+    seq = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+        )
+        .otherwise(F.expr("-CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .alias("delta"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = (
+        W.partitionBy("ck")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # two window levels: engines (and ANSI SQL) forbid nesting a window
+    # call inside another window call, and both levels share one
+    # (ck)-partitioned sort anyway
+    bals = seq.select(
+        "ck",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum("delta").over(w).cast("long").alias("bal"),
+        F.row_number()
+        .over(W.partitionBy("ck").orderBy("o_orderdate", "o_orderkey"))
+        .cast("long")
+        .alias("rn"),
+    )
+    walk = bals.select(
+        "ck",
+        "bal",
+        "rn",
+        F.max("bal").over(w).cast("long").alias("peak"),
+    )
+    return (
+        walk.groupBy(F.col("ck").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.col("peak") - F.col("bal"))
+            .cast("long")
+            .alias("max_drawdown_cents"),
+            F.max("peak").cast("long").alias("peak_balance_cents"),
+            F.expr("max_by(bal, rn)")
+            .cast("long")
+            .alias("final_balance_cents"),
+        )
+        .orderBy("custkey")
+    )
