@@ -1381,3 +1381,75 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "dominant_term_clusters",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + """
+    , tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    top1 AS (
+      SELECT doc_id, term,
+             -- double-round exactly like the Spark side (which reads the
+             -- helper's 6-rounded tfidf): round6 -> x1e6 -> round0 on
+             -- identical doubles is identical; a single-round here could
+             -- diverge within representation error of .5 micro-units
+             CAST(round(round(score, 6) * 1000000, 0) AS BIGINT)
+               AS score_fp FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+      ) t WHERE rank = 1
+    )
+    SELECT term AS dominant_term,
+           CAST(count(*) AS BIGINT) AS n_docs_cluster,
+           ((2 * CAST(sum(score_fp) AS BIGINT) + count(*))
+              // (2 * count(*))) / 1000000.0 AS avg_top_score
+    FROM top1
+    GROUP BY term
+    ORDER BY n_docs_cluster DESC, dominant_term
+    LIMIT 50
+    """,
+)
+def dominant_term_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight topic clustering: every document is assigned to its
+    rank-1 TF-IDF term (ties break lexicographically) and the top-50
+    clusters report size and mean top-score — the cheap, fully
+    deterministic 'what is this corpus about' census that precedes any
+    real topic model, and a grouping key for stratified corpus audits.
+
+    Reuses the one-tokenization TF-IDF shape (tfidf_top_terms_table
+    with k = 1 — tf persists across its df regroup and the scoring
+    join); the cluster rollup is vocabulary-bounded. The cluster mean
+    is computed half-up in 1e-6 fixed point: averaging even identical
+    rounded doubles hits .5-ulp boundaries where engines' summation
+    order flips the 6th decimal (playbook rule)."""
+    tokens = _doc_tokens(spark, sf_dir).select("id", "w")
+    n_docs = load(spark, sf_dir).documents.agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    top1 = tfidf_top_terms_table(tokens, n_docs, top_k=1)
+    return (
+        top1.groupBy(F.col("term").alias("dominant_term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_cluster"),
+            (
+                F.expr(
+                    "(2 * CAST(sum(CAST(round(tfidf * 1000000, 0) AS BIGINT))"
+                    " AS BIGINT) + count(1)) div (2 * count(1))"
+                )
+                / 1000000.0
+            ).alias("avg_top_score"),
+        )
+        .orderBy(F.col("n_docs_cluster").desc(), "dominant_term")
+        .limit(50)
+    )
