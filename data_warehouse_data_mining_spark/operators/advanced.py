@@ -1117,3 +1117,77 @@ def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fiscal_quarter"
         ),
     ).orderBy("date_str")
+
+
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    SELECT user_id, event_id, round(value, 2) AS click_value,
+           CASE WHEN epoch_us(ts) - prev_ts <= {_ASOF_TOL_US}
+                THEN round(prev_raw, 2) END AS prev_purchase_within_6h,
+           CASE WHEN epoch_us(ts) - prev_ts <= {_ASOF_TOL_US}
+                THEN CAST(epoch_us(ts) - prev_ts AS BIGINT) END
+             AS staleness_us
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_raw,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_ts
+      FROM events
+    ) t
+    WHERE event_type = 'click'
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance — pandas merge_asof's
+    ``tolerance=`` / kdb wj semantics: each click sees its user's most
+    recent prior purchase ONLY if it happened within 6 hours, else
+    NULL, plus the exact staleness in µs. The tolerance is what makes
+    as-of correct for quote/price lookups at scale — an unbounded
+    backward match silently joins arbitrarily stale state
+    (asof_join_events shows the unbounded flavor).
+
+    Same scale shape as the unbounded as-of: value and timestamp ride
+    the SAME last(... ignorenulls) window frame over one user_id
+    shuffle — no range-join fanout, no second pass; the tolerance is a
+    map-side filter on the exact integer µs gap."""
+    e = load(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_val = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        ignorenulls=True,
+    ).over(w)
+    prev_ts = F.last(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    gap = F.unix_micros("ts") - prev_ts
+    fresh = gap <= _ASOF_TOL_US
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("click_value"),
+            F.when(fresh, F.round(prev_val, 2)).alias(
+                "prev_purchase_within_6h"
+            ),
+            F.when(fresh, gap).cast("long").alias("staleness_us"),
+        )
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
