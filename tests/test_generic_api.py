@@ -415,3 +415,81 @@ def test_holt_step_matches_recursive_definition():
         s, b = holt_step(s, b, x)
         assert (s, b) == (s2_expected, b2_expected)
     assert b < 0
+
+
+def test_simhash_hamming_banding_exact_recall(spark):
+    """The 4-band pigeonhole join must find EVERY pair within Hamming
+    distance 3 — compare against the brute-force all-pairs scan on a
+    small corpus (the exact-recall guarantee the operator's docstring
+    claims, as an executable proof)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_table,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(df, "doc_id", "text").collect()
+    }
+    sh = simhash_table(df, "doc_id", "text")
+    a = sh.select(F.col("id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("id").alias("ib"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["ia"], r["ib"], r["h"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.expr("bit_count(sa ^ sb)").cast("int").alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert brute  # the corpus actually produces near-dup pairs
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one must surface with
+    containment 1.0 even when Jaccard sits far below the usual
+    thresholds — the asymmetric-duplication case containment_pairs
+    exists for."""
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        shingle_table,
+    )
+    from pyspark.sql import functions as F
+
+    short = " ".join(f"tok{i}" for i in range(10))
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(90))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    sh = shingle_table(df, "doc_id", "text")
+    sizes = {r["id"]: r["ns"] for r in sh.groupBy("id").count().withColumnRenamed("count", "ns").collect()}
+    sa = sh.select(F.col("id").alias("a"), F.col("shingle").alias("s1"))
+    sb = sh.select(F.col("id").alias("b"), F.col("shingle").alias("s2"))
+    n_inter = (
+        sa.join(sb, (F.col("s1") == F.col("s2")) & (F.col("a") < F.col("b")))
+        .count()
+    )
+    containment = n_inter / sizes[1]
+    jaccard = n_inter / (sizes[1] + sizes[2] - n_inter)
+    assert containment == 1.0
+    assert jaccard < 0.35  # below the near-dup threshold: Jaccard misses it
+
+
+def test_bloom_prefilter_never_false_negative(spark):
+    """The registered bloom query's n_false_negative column must be 0 —
+    a Bloom filter can only over-approximate membership. Checked on real
+    data via the registry builder."""
+    from data_warehouse_data_mining_spark.registry import all_queries
+
+    from .conftest import SF_SMALL
+
+    q = all_queries()["bloom_filter_prefilter"]
+    row = q.builder(spark, SF_SMALL).collect()[0]
+    assert row["n_false_negative"] == 0
+    assert row["n_bloom_pass"] >= row["n_true_match"]
