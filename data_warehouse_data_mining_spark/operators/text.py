@@ -1453,3 +1453,84 @@ def dominant_term_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs_cluster").desc(), "dominant_term")
         .limit(50)
     )
+
+
+@register(
+    "quality_filter_ablation",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + f"""
+    , per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN w IN {_sql_in(STOPWORDS)}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n_stop * 10 >= n_tokens THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN n_distinct * 2 <= n_tokens THEN 1 ELSE 0 END AS f_rep
+      FROM per_doc
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM flags)
+    SELECT f_short, f_stop, f_rep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / any_value(t.total), 6) AS share,
+           CASE WHEN f_short + f_stop + f_rep = 0
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM flags CROSS JOIN t
+    GROUP BY f_short, f_stop, f_rep
+    ORDER BY f_short, f_stop, f_rep
+    """,
+)
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation matrix: three deterministic corpus
+    filters (too-short < 25 tokens; stopword-heavy, ratio ≥ 10% as the
+    integer test 10·stops ≥ tokens; repetitive, distinct-token ratio
+    ≤ ½) evaluated JOINTLY — one row per flag combination with counts
+    and corpus share. The ablation view shows what each filter uniquely
+    removes vs overlaps, which is how curation pipelines tune
+    thresholds before a destructive drop (a marginal-only report hides
+    double-counting).
+
+    ONE tokenization pass feeds all three flags (count / conditional
+    count / distinct count in the same per-doc hash-agg); the rollup is
+    ≤ 8 rows. Every threshold is an exact integer comparison — no float
+    boundary can disagree across engines."""
+    tok = _doc_tokens(spark, sf_dir)
+    per_doc = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("w").isin(*STOPWORDS).cast("int"))
+        .cast("long")
+        .alias("n_stop"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    flags = per_doc.select(
+        F.when(F.col("n_tokens") < 25, 1).otherwise(0).alias("f_short"),
+        F.when(F.col("n_stop") * 10 >= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("f_stop"),
+        F.when(F.col("n_distinct") * 2 <= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("f_rep"),
+    ).localCheckpoint(eager=True)
+    t = flags.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        flags.crossJoin(F.broadcast(t))
+        .groupBy("f_short", "f_stop", "f_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.first("total"), 6).alias(
+                "share"
+            ),
+            F.when(
+                F.col("f_short") + F.col("f_stop") + F.col("f_rep") == 0,
+                "keep",
+            )
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+        .orderBy("f_short", "f_stop", "f_rep")
+    )
