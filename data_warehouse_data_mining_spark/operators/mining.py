@@ -2342,3 +2342,117 @@ def running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+_WF_WINDOW_US = 86_400_000_000  # 24 hours — spreads depths 1/2/3 on this data
+
+
+@register(
+    "window_funnel_bounded",
+    oracle=f"""
+    WITH anch AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS s_us
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, s_us,
+             min(CASE WHEN event_type = 'click'
+                       AND epoch_us(ts) > s_us
+                       AND epoch_us(ts) <= s_us + {_WF_WINDOW_US}
+                      THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS c_us
+      FROM anch
+    ),
+    per_user AS (
+      SELECT t.user_id, t.s_us, t.c_us,
+             min(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) > t.c_us
+                       AND epoch_us(e.ts) <= t.s_us + {_WF_WINDOW_US}
+                      THEN epoch_us(e.ts) END) AS p_us
+      FROM (SELECT DISTINCT user_id, s_us, c_us FROM c) t
+      LEFT JOIN events e ON e.user_id = t.user_id
+      GROUP BY t.user_id, t.s_us, t.c_us
+    ),
+    depths AS (
+      SELECT CASE WHEN s_us IS NULL THEN 0
+                  WHEN c_us IS NULL THEN 1
+                  WHEN p_us IS NULL THEN 2
+                  ELSE 3 END AS depth
+      FROM per_user
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*) * 1.0 / (SELECT count(*) FROM depths), 6)
+             AS share_of_users
+    FROM depths GROUP BY depth ORDER BY depth
+    """,
+)
+def window_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded window funnel (ClickHouse windowFunnel semantics,
+    anchored): from each user's FIRST signup, how deep does the strict
+    signup→click→purchase chain get within 24 HOURS of the anchor?
+    Reported as a depth histogram (0 = never signed up). Unbounded
+    funnels (funnel_three_step) overstate conversion by joining events
+    days apart; the bounded variant is the campaign/UX metric.
+
+    One user_id shuffle carries everything: the signup anchor and the
+    first qualifying click are two window passes over the same
+    partition, the qualifying purchase folds in the final per-user
+    aggregate, and all time bounds are exact integer µs comparisons."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id")
+    anch = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        )
+        .over(w)
+        .alias("s_us"),
+    )
+    c = anch.withColumn(
+        "c_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t") > F.col("s_us"))
+                & (F.col("t") <= F.col("s_us") + _WF_WINDOW_US),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    per_user = c.groupBy("user_id").agg(
+        F.first("s_us").alias("s_us"),
+        F.first("c_us").alias("c_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") > F.col("c_us"))
+                & (F.col("t") <= F.col("s_us") + _WF_WINDOW_US),
+                F.col("t"),
+            )
+        ).alias("p_us"),
+    )
+    depths = per_user.select(
+        F.when(F.col("s_us").isNull(), 0)
+        .when(F.col("c_us").isNull(), 1)
+        .when(F.col("p_us").isNull(), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("depth")
+    ).localCheckpoint(eager=True)
+    t = depths.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        depths.crossJoin(F.broadcast(t))
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.first("total"), 6).alias(
+                "share_of_users"
+            ),
+        )
+        .orderBy("depth")
+    )
