@@ -43,6 +43,7 @@ def global_order_stats(
     ascending: bool = False,
     order_value_col: str | None = None,
     bucket_expr: F.Column | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``global_rank`` (and ``global_cum`` of ``measure_col``) as if
     computed by ``OVER (ORDER BY value [DESC], key)`` — but distributed.
@@ -65,6 +66,13 @@ def global_order_stats(
     e.g. epoch-microsecond timestamps spanning one year all share a
     single log2 bucket; an equal-width ``floor((t - tmin) * K / span)``
     keeps the phase-1 windows balanced.
+
+    ``partition_cols``: compute an independent global ordering WITHIN
+    each partition-key group (``OVER (PARTITION BY p ORDER BY …)`` with
+    arbitrarily large groups — e.g. per-year rankings over every
+    customer). The buckets, offsets, and joins all carry the partition
+    key, so no group ever collapses to one task; the offset table stays
+    ≤ groups × buckets rows.
     """
     # Fail fast on NULL/negative values: log2 would yield a NULL bucket
     # and the offsets join would SILENTLY DROP those rows — assert_true
@@ -83,12 +91,13 @@ def global_order_stats(
         bucket_expr = F.floor(F.log2(F.col(value_col).cast("double") + F.lit(1.0)))
     df = df.withColumn("__b", F.when(valid.isNull(), bucket_expr).cast("long"))
 
+    pcols = list(partition_cols or [])
     ocol = order_value_col or value_col
     order = [
         F.col(ocol).asc() if ascending else F.col(ocol).desc(),
         F.col(key_col).asc(),
     ]
-    w_local = W.partitionBy("__b").orderBy(*order)
+    w_local = W.partitionBy(*pcols, "__b").orderBy(*order)
     df = df.withColumn("__lr", F.row_number().over(w_local))
     aggs = [F.count(F.lit(1)).alias("__bn")]
     if measure_col is not None:
@@ -100,15 +109,20 @@ def global_order_stats(
         )
         aggs.append(F.sum(measure_col).alias("__bm"))
 
-    stats = df.groupBy("__b").agg(*aggs)
+    stats = df.groupBy(*pcols, "__b").agg(*aggs)
     # Prefix-sum the ≤64 bucket rows with a triangular self-join instead
     # of an unpartitioned window — same O(64²) work, no WindowExec-on-
     # one-partition operator anywhere in the plan.
     prior = F.col("b.__b") < F.col("a.__b") if ascending else F.col("b.__b") > F.col("a.__b")
+    for p in pcols:
+        prior = prior & (F.col(f"a.{p}") == F.col(f"b.{p}"))
     offsets = (
         stats.alias("a")
         .join(F.broadcast(stats.alias("b")), prior, "left")
-        .groupBy(F.col("a.__b").alias("__b"))
+        .groupBy(
+            *[F.col(f"a.{p}").alias(p) for p in pcols],
+            F.col("a.__b").alias("__b"),
+        )
         .agg(
             F.coalesce(F.sum("b.__bn"), F.lit(0)).alias("__on"),
             *(
@@ -118,7 +132,7 @@ def global_order_stats(
             ),
         )
     )
-    out = df.join(F.broadcast(offsets), "__b")
+    out = df.join(F.broadcast(offsets), [*pcols, "__b"])
     out = out.withColumn("global_rank", (F.col("__on") + F.col("__lr")).cast("long"))
     if measure_col is not None:
         out = out.withColumn("global_cum", (F.col("__om") + F.col("__lc")).cast("long"))
@@ -739,3 +753,85 @@ def bounded_group_topk(
         .filter(F.col("group_rank") <= k)
     )
     return top.join(totals, group_cols)
+
+
+@register(
+    "gini_by_year",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT yr, spend_c,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY spend_c ASC, o_custkey ASC) AS rk
+      FROM s
+    ),
+    agg AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(spend_c) AS DECIMAL(38,0)) AS st,
+             CAST(sum(CAST(rk AS DECIMAL(38,0)) * spend_c) AS DECIMAL(38,0))
+               AS srs
+      FROM r GROUP BY yr
+    )
+    SELECT yr AS year, n AS n_customers,
+           round(CAST(st AS DOUBLE) / 100.0, 2) AS total_spend,
+           round(2.0 * CAST(srs AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM agg ORDER BY year
+    """,
+)
+def gini_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration TREND: the exact rank-formula Gini of
+    customer spend computed independently per order year — whether the
+    whale dependence is growing is a different (and more actionable)
+    question than gini_customer_spend's single snapshot.
+
+    Each year needs a full ranking of that year's customers —
+    ``row_number() OVER (PARTITION BY year ORDER BY spend)`` with
+    year-sized groups, which would serialize per year on a plain
+    window. This is the first consumer of global_order_stats'
+    ``partition_cols``: buckets/offsets/joins all carry the year, so
+    every year's ranking is range-partitioned and parallel. Σ(i·sᵢ)
+    stays DECIMAL(38,0) per year (gini_customer_spend's overflow
+    rationale)."""
+    o = load(spark, sf_dir).orders
+    s = (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_custkey",
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("spend_c")
+        )
+        # (year, customer)-sized; window + bucket-stats branches share it
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_order_stats(
+        s, "spend_c", "o_custkey", ascending=True, partition_cols=["yr"]
+    )
+    agg = ranked.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_c").cast("decimal(38,0)").alias("st"),
+        F.sum(F.col("global_rank").cast("decimal(38,0)") * F.col("spend_c"))
+        .cast("decimal(38,0)")
+        .alias("srs"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("yr").alias("year"),
+        F.col("n").alias("n_customers"),
+        F.round(F.col("st").cast("double") / 100.0, 2).alias("total_spend"),
+        F.round(
+            2.0 * F.col("srs").cast("double")
+            / (n_d * F.col("st").cast("double"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini"),
+    ).orderBy("year")

@@ -493,3 +493,51 @@ def test_bloom_prefilter_never_false_negative(spark):
     row = q.builder(spark, SF_SMALL).collect()[0]
     assert row["n_false_negative"] == 0
     assert row["n_bloom_pass"] >= row["n_true_match"]
+
+
+def test_global_order_stats_partition_cols_matches_partitioned_window(spark):
+    """partition_cols must reproduce the naive
+    ``OVER (PARTITION BY g ORDER BY v, id)`` rank and cumsum EXACTLY —
+    including duplicate values inside and across groups and both sort
+    directions."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.randrange(4), rng.choice([0, 1, 7, 8, 63, 64, 1023,
+                                          rng.randrange(10**9)]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, g long, v long").withColumn(
+        "m", (F.col("v") % 89 + 1).cast("long")
+    )
+    for asc in (True, False):
+        got = {
+            r["id"]: (r["global_rank"], r["global_cum"])
+            for r in global_order_stats(
+                df, "v", "id", measure_col="m", ascending=asc,
+                partition_cols=["g"],
+            ).collect()
+        }
+        w = W.partitionBy("g").orderBy(
+            F.col("v").asc() if asc else F.col("v").desc(), F.col("id").asc()
+        )
+        want = {
+            r["id"]: (r["rk"], r["cum"])
+            for r in df.select(
+                "id",
+                F.row_number().over(w).cast("long").alias("rk"),
+                F.sum("m")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .cast("long")
+                .alias("cum"),
+            ).collect()
+        }
+        assert got == want, f"ascending={asc}"
