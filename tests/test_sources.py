@@ -323,3 +323,30 @@ def test_python_datasource_streaming_exactly_once(spark, tmp_path):
         (i, levels[i % 3], f"unit-{i % 7} event-{i}") for i in range(150)
     }
     assert got == expected  # exactly once, byte-identical to the generator
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet file generations: a column added
+    in v2 must surface via mergeSchema=true with NULLs for v1 rows —
+    the append-only table-evolution contract; without mergeSchema Spark
+    serves one footer's schema (fast path) and silently hides the new
+    column, which is why evolving readers must opt in."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    ).write.parquet(base + "/gen=1")
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id long, val string, score long"
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    assert set(merged.columns) == {"id", "val", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 30, 4: 40}
+
+    plain = spark.read.parquet(base + "/gen=1", base + "/gen=2")
+    # no mergeSchema: one footer wins — the evolved column is either
+    # absent (v1 footer) or present (v2); both legal, neither merged
+    assert set(plain.columns) in ({"id", "val"}, {"id", "val", "score"})
