@@ -1094,3 +1094,93 @@ def slow_moving_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aging_bucket")
     )
+
+
+@register(
+    "revenue_bridge_yoy",
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                                 0) AS BIGINT)) AS BIGINT) AS rev_fp,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT c.yr AS year, p.rev_fp AS rev0, c.rev_fp AS rev1,
+             p.qty AS qty0, c.qty AS qty1
+      FROM yr c JOIN yr p ON p.yr = c.yr - 1
+    )
+    SELECT year,
+           round(rev0 / 10000.0, 2) AS revenue_prev,
+           round(rev1 / 10000.0, 2) AS revenue_curr,
+           round((rev1 - rev0) / 10000.0, 2) AS delta_revenue,
+           round((CAST(qty1 AS DOUBLE) - qty0)
+                 * (CAST(rev0 AS DOUBLE) / qty0) / 10000.0, 2)
+             AS volume_effect,
+           round(CAST(qty1 AS DOUBLE)
+                 * (CAST(rev1 AS DOUBLE) / qty1
+                    - CAST(rev0 AS DOUBLE) / qty0) / 10000.0, 2)
+             AS price_effect
+    FROM pairs
+    ORDER BY year
+    """,
+)
+def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge — the FP&A waterfall that splits
+    ΔR into a VOLUME effect ((q₁−q₀)·p₀, growth at last year's average
+    unit price) and a PRICE effect (q₁·(p₁−p₀), this year's volume at
+    the price change); the two sum exactly to ΔR by construction
+    (Laspeyres volume / Paasche price split), so the bridge has no
+    unexplained residual.
+
+    One lineitem⋈orders aggregate produces exact fixed-point revenue
+    and integer quantity per year; the bridge itself is a self-join of
+    the ≤7-row year table on yr-1 and a handful of double expressions
+    over identical exact integers — both engines evaluate the same
+    IEEE expression tree, so 2-decimal rounding agrees."""
+    t = load(spark, sf_dir)
+    yr = (
+        t.lineitem.join(
+            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 10000,"
+                    " 0) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev_fp"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+        # ≤7 rows; both sides of the consecutive-year self-join read it
+        .localCheckpoint(eager=True)
+    )
+    c = yr.alias("c")
+    p = yr.alias("p")
+    rev0 = F.col("p.rev_fp").cast("double")
+    rev1 = F.col("c.rev_fp").cast("double")
+    qty0 = F.col("p.qty").cast("double")
+    qty1 = F.col("c.qty").cast("double")
+    return (
+        c.join(p, F.col("p.yr") == F.col("c.yr") - 1)
+        .select(
+            F.col("c.yr").alias("year"),
+            F.round(F.col("p.rev_fp") / 10000.0, 2).alias("revenue_prev"),
+            F.round(F.col("c.rev_fp") / 10000.0, 2).alias("revenue_curr"),
+            F.round((F.col("c.rev_fp") - F.col("p.rev_fp")) / 10000.0, 2).alias(
+                "delta_revenue"
+            ),
+            F.round((qty1 - qty0) * (rev0 / qty0) / 10000.0, 2).alias(
+                "volume_effect"
+            ),
+            F.round(qty1 * (rev1 / qty1 - rev0 / qty0) / 10000.0, 2).alias(
+                "price_effect"
+            ),
+        )
+        .orderBy("year")
+    )
