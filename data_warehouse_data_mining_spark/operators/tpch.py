@@ -1184,3 +1184,73 @@ def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+@register(
+    "supplier_hhi_by_brand",
+    oracle="""
+    WITH rs AS (
+      SELECT p_brand AS brand, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                                 0) AS BIGINT)) AS BIGINT) AS rev_fp
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(rev_fp) AS BIGINT) AS total_fp,
+             sum(CAST(rev_fp AS DOUBLE) * rev_fp) AS sum_sq
+      FROM rs GROUP BY brand
+    )
+    SELECT brand, n_suppliers,
+           round(total_fp / 10000.0, 2) AS brand_revenue,
+           round(sum_sq / (CAST(total_fp AS DOUBLE) * total_fp) * 10000, 6)
+             AS hhi
+    FROM tot
+    ORDER BY brand
+    """,
+)
+def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part brand via the Herfindahl-
+    Hirschman index: HHI = Σ(shareᵢ)², reported on the antitrust 0-10000
+    scale (10000 = single supplier) — the procurement-risk sibling of
+    gini_customer_spend: a brand whose HHI exceeds ~2500 has a
+    concentrated supply base worth dual-sourcing.
+
+    HHI = Σrᵢ² / (Σrᵢ)² needs no shares materialized: one
+    (brand, supplier) revenue aggregate, then a brand rollup summing
+    rᵢ² in doubles OVER EXACT fixed-point integers (Σrᵢ² commutes —
+    each term is the identical double product, and the sum is rounded
+    at 6 with ulp noise orders below). Two hash-aggs total."""
+    t = load(spark, sf_dir)
+    rs = (
+        t.lineitem.join(t.part, t.lineitem.l_partkey == t.part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 10000,"
+                    " 0) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev_fp")
+        )
+    )
+    tot = rs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_fp").cast("long").alias("total_fp"),
+        F.sum(F.col("rev_fp").cast("double") * F.col("rev_fp")).alias("sum_sq"),
+    )
+    return tot.select(
+        "brand",
+        "n_suppliers",
+        F.round(F.col("total_fp") / 10000.0, 2).alias("brand_revenue"),
+        F.round(
+            F.col("sum_sq")
+            / (F.col("total_fp").cast("double") * F.col("total_fp"))
+            * 10000,
+            6,
+        ).alias("hhi"),
+    ).orderBy("brand")
