@@ -580,3 +580,47 @@ def test_stateful_wallet_stream_equals_batch(spark, tmp_path):
         for r in capped_running_balance(spark, SF_SMALL).collect()
     }
     assert got == expected
+
+
+def test_streaming_daily_active_users_matches_batch(spark, events_dir):
+    """Streaming DAU — the streaming face of dau_mau_stickiness's daily
+    distinct count: watermarked dropDuplicates on (day, user) collapses
+    each user to one row per day, then a plain per-day count aggregates
+    the deduped stream. Two stateful operators chained (dedup state +
+    agg state), both watermark-bounded; the batch twin is the exact
+    distinct count."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_SMALL).events
+    stream = (
+        read_event_stream(spark, events_dir, watermark="365 days")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .dropDuplicates(["day", "user_id"])
+        .groupBy("day")
+        .count()
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_dau")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["day"]: r["count"]
+        for r in spark.sql("SELECT * FROM stream_dau").collect()
+    }
+    batch = {
+        r["day"]: r["dau"]
+        for r in ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+        .collect()
+    }
+    assert streamed == batch
