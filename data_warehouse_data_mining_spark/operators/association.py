@@ -198,3 +198,116 @@ def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "item_a", "item_b")
         .limit(20)
     )
+
+
+@register(
+    "association_rule_metrics",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM b),
+    isup AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup FROM b GROUP BY 1
+    ),
+    psup AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS sup_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {{MIN_PAIR_SUPPORT}}
+    ),
+    directed AS (
+      SELECT pa AS ante, pb AS cons, sup_ab FROM psup
+      UNION ALL
+      SELECT pb, pa, sup_ab FROM psup
+    )
+    SELECT d.ante AS antecedent, d.cons AS consequent,
+           d.sup_ab AS support_ab,
+           sa.sup AS support_ante, sc.sup AS support_cons,
+           round(d.sup_ab * 1.0 / sa.sup, 6) AS confidence,
+           round(CAST(d.sup_ab AS DOUBLE) * n.nb
+                 / (CAST(sa.sup AS DOUBLE) * sc.sup), 6) AS lift,
+           round(CAST(d.sup_ab AS DOUBLE) / n.nb
+                 - (CAST(sa.sup AS DOUBLE) / n.nb)
+                   * (CAST(sc.sup AS DOUBLE) / n.nb), 6) AS leverage,
+           CASE WHEN d.sup_ab = sa.sup THEN NULL
+                ELSE round((1.0 - CAST(sc.sup AS DOUBLE) / n.nb)
+                           / (1.0 - CAST(d.sup_ab AS DOUBLE) / sa.sup), 6)
+           END AS conviction
+    FROM directed d
+    JOIN isup sa ON sa.l_partkey = d.ante
+    JOIN isup sc ON sc.l_partkey = d.cons
+    CROSS JOIN n
+    ORDER BY antecedent, consequent
+    """.replace("{MIN_PAIR_SUPPORT}", str(MIN_PAIR_SUPPORT)),
+)
+def association_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules with the full metric set — confidence,
+    lift, leverage, conviction — from exact basket counts: the
+    DETERMINISTIC twin of ml_fpgrowth_rules (MLlib's rule miner is
+    rows-only checkable; this one is hash-exact), and the metrics
+    beyond confidence are what separate real signal from popularity
+    (lift > 1) and quantify rule strength without RNG.
+
+    One within-basket self-join produces pair supports (bounded by
+    basket size); item supports and the basket count are tiny
+    broadcastable aggregates; every metric is one double expression
+    over exact integers, with conviction's division-by-zero guarded by
+    the exact integer test sup_ab = sup_a."""
+    b = baskets(spark, sf_dir)
+    n = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    isup = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    c = b.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    psup = (
+        a.join(c, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= MIN_PAIR_SUPPORT)
+    )
+    directed = psup.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "sup_ab"
+    ).unionAll(
+        psup.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "sup_ab"
+        )
+    )
+    sa = isup.select(F.col("l_partkey").alias("ante"), F.col("sup").alias("sup_a"))
+    sc = isup.select(F.col("l_partkey").alias("cons"), F.col("sup").alias("sup_c"))
+    nb = F.col("nb").cast("double")
+    conf = F.col("sup_ab") * 1.0 / F.col("sup_a")
+    return (
+        directed.join(sa, "ante")
+        .join(sc, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("ante").alias("antecedent"),
+            F.col("cons").alias("consequent"),
+            F.col("sup_ab").alias("support_ab"),
+            F.col("sup_a").alias("support_ante"),
+            F.col("sup_c").alias("support_cons"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                F.col("sup_ab").cast("double")
+                * F.col("nb")
+                / (F.col("sup_a").cast("double") * F.col("sup_c")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("sup_ab").cast("double") / nb
+                - (F.col("sup_a").cast("double") / nb)
+                * (F.col("sup_c").cast("double") / nb),
+                6,
+            ).alias("leverage"),
+            F.when(F.col("sup_ab") == F.col("sup_a"), F.lit(None)).otherwise(
+                F.round(
+                    (1.0 - F.col("sup_c").cast("double") / nb)
+                    / (1.0 - F.col("sup_ab").cast("double") / F.col("sup_a")),
+                    6,
+                )
+            ).alias("conviction"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
