@@ -284,3 +284,102 @@ def scd2_merge_batch(dim: DataFrame, batch: DataFrame) -> DataFrame:
         )
     )
     return closed.unionByName(appended)
+
+
+@register(
+    "late_arriving_dimension",
+    oracle="""
+    WITH present AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             EXISTS (SELECT 1 FROM present p WHERE p.c_custkey = o_custkey)
+               AS has_dim
+      FROM orders
+    ),
+    inferred AS (
+      SELECT DISTINCT o_custkey FROM facts WHERE NOT has_dim
+    ),
+    backfill AS (
+      SELECT i.o_custkey,
+             EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = i.o_custkey)
+               AS arrived
+      FROM inferred i
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(sum(CASE WHEN has_dim THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_orphan_facts,
+           (SELECT CAST(count(*) AS BIGINT) FROM inferred)
+             AS n_inferred_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM backfill WHERE arrived)
+             AS n_members_backfilled,
+           (SELECT CAST(count(*) AS BIGINT) FROM backfill WHERE NOT arrived)
+             AS n_still_unknown
+    FROM facts
+    """,
+)
+def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball's late-arriving-dimension pattern as an auditable batch:
+    facts (orders) land before some dimension rows exist (simulated:
+    every 10th customer 'hasn't arrived'), so the load keys orphan
+    facts to INFERRED members (distinct orphan keys with placeholder
+    attributes) instead of dropping or stalling them; when the real
+    dimension rows arrive, the backfill re-resolves inferred members
+    in place. The one-row audit reports each stage: orphan facts,
+    inferred members created, members later backfilled, and keys still
+    unknown (referential debt).
+
+    Membership tests are broadcast LEFT SEMI/ANTI joins against the
+    dim-sized key sets — the fact table never shuffles; the inferred
+    set is orphan-key-sized and drives the backfill join, so the
+    reconciliation cost scales with the DEBT, not the fact table."""
+    t = load(spark, sf_dir)
+    present = t.customer.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey"
+    )
+    facts = t.orders.select("o_custkey").join(
+        F.broadcast(present.select(F.col("c_custkey").alias("o_custkey"))
+                    .withColumn("has_dim", F.lit(True))),
+        "o_custkey",
+        "left",
+    ).select(F.coalesce("has_dim", F.lit(False)).alias("has_dim"), "o_custkey")
+    facts = facts.localCheckpoint(eager=True)
+    inferred = (
+        facts.filter(~F.col("has_dim")).select("o_custkey").distinct()
+    )
+    backfill = inferred.join(
+        F.broadcast(
+            t.customer.select(F.col("c_custkey").alias("o_custkey"))
+            .withColumn("arrived", F.lit(True))
+        ),
+        "o_custkey",
+        "left",
+    ).select(F.coalesce("arrived", F.lit(False)).alias("arrived"))
+    backfill = backfill.localCheckpoint(eager=True)
+    agg = facts.agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.when(F.col("has_dim"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_orphan_facts"),
+    )
+    inf_n = inferred.agg(F.count(F.lit(1)).alias("n_inferred_members"))
+    bf = backfill.agg(
+        F.sum(F.when(F.col("arrived"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members_backfilled"),
+        F.sum(F.when(F.col("arrived"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_still_unknown"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(inf_n))
+        .crossJoin(F.broadcast(bf))
+        .select(
+            "n_facts",
+            "n_orphan_facts",
+            "n_inferred_members",
+            "n_members_backfilled",
+            "n_still_unknown",
+        )
+    )
