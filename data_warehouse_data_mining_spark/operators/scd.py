@@ -383,3 +383,76 @@ def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_still_unknown",
         )
     )
+
+
+@register(
+    "accumulating_snapshot_orders",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey,
+             min(l_shipdate) AS first_ship,
+             max(l_shipdate) AS last_ship,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(s.first_ship, '%Y-%m-%d') AS first_ship_date,
+           strftime(s.last_ship, '%Y-%m-%d') AS last_ship_date,
+           CAST(date_diff('day', o.o_orderdate, s.first_ship) AS BIGINT)
+             AS days_to_first_ship,
+           CAST(date_diff('day', s.first_ship, s.last_ship) AS BIGINT)
+             AS shipping_span_days,
+           coalesce(s.n_lines, 0) AS n_lines,
+           CASE WHEN s.l_orderkey IS NULL THEN 'PENDING'
+                WHEN o.o_orderstatus = 'F' THEN 'COMPLETE'
+                ELSE 'SHIPPING' END AS milestone_status
+    FROM orders o LEFT JOIN ship s ON s.l_orderkey = o.o_orderkey
+    ORDER BY orderkey
+    """,
+)
+def accumulating_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball's third fact-table type — the ACCUMULATING SNAPSHOT: one
+    row per order that collects its lifecycle milestones (placed →
+    first shipment → last shipment) with the lag columns analysts
+    actually query (days-to-first-ship, shipping span) and a milestone
+    status; transactional facts (lineitem) and periodic snapshots
+    (daily_kpi_build) are the other two types, so this completes the
+    trio. In production this table is MERGE-updated as milestones land
+    (merge_upsert's mechanics); here it materializes in one pass.
+
+    One lineitem aggregate to order grain + one LEFT join on the order
+    key — at 100 TB both sides co-shuffle on the natural key once
+    (bucketed layouts make even that free); lags are exact integer day
+    arithmetic and every milestone is emitted as a formatted date
+    string per the timestamp canon."""
+    t = load(spark, sf_dir)
+    ship = t.lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    o = t.orders
+    return (
+        o.join(ship, o.o_orderkey == ship.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("first_ship", "yyyy-MM-dd").alias(
+                "first_ship_date"
+            ),
+            F.date_format("last_ship", "yyyy-MM-dd").alias("last_ship_date"),
+            F.datediff("first_ship", "o_orderdate")
+            .cast("long")
+            .alias("days_to_first_ship"),
+            F.datediff("last_ship", "first_ship")
+            .cast("long")
+            .alias("shipping_span_days"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.when(F.col("l_orderkey").isNull(), "PENDING")
+            .when(F.col("o_orderstatus") == "F", "COMPLETE")
+            .otherwise("SHIPPING")
+            .alias("milestone_status"),
+        )
+        .orderBy("orderkey")
+    )
