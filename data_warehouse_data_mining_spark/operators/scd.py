@@ -456,3 +456,83 @@ def accumulating_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+@register(
+    "multivalued_bridge_allocation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_partkey, l_linenumber) AS rn,
+             CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n
+      FROM lineitem
+    ),
+    alloc AS (
+      SELECT l.l_partkey,
+             (o.total_c - o.total_c % l.n) / l.n
+               + CASE WHEN l.rn <= o.total_c % l.n THEN 1 ELSE 0 END
+               AS alloc_c
+      FROM lines l
+      JOIN (SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_c
+            FROM orders) o
+        ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(count(*) AS BIGINT) AS n_order_lines,
+           CAST(sum(CAST(alloc_c AS BIGINT)) AS BIGINT) AS allocated_cents
+    FROM alloc
+    GROUP BY l_partkey
+    ORDER BY allocated_cents DESC, partkey
+    LIMIT 50
+    """,
+)
+def multivalued_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball's multivalued-dimension BRIDGE with an allocation factor:
+    an order's header revenue splits equally across its line parts, and
+    the weights are materialized with LARGEST-REMAINDER integer cents —
+    base = total div n per line, plus one extra cent to the first
+    (total mod n) lines in deterministic line order — so every order's
+    allocations sum back to its header total EXACTLY (float weights
+    1/n leak cents and double-count under aggregation; the bridge's
+    whole point is that downstream sums reconcile).
+
+    One lineitem window pass (order-partitioned row_number + count) +
+    one key join to the order header; the per-part rollup is
+    part-bounded, top-50 with exact integer ordering."""
+    t = load(spark, sf_dir)
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey", "l_linenumber")
+    lines = t.lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("l_orderkey"))
+        .cast("long")
+        .alias("n"),
+    )
+    heads = t.orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "total_c"
+        ),
+    )
+    alloc = lines.join(
+        heads, lines.l_orderkey == heads.o_orderkey
+    ).select(
+        "l_partkey",
+        (
+            F.expr("(total_c - total_c % n) div n")
+            + F.when(F.col("rn") <= F.col("total_c") % F.col("n"), 1).otherwise(0)
+        ).alias("alloc_c"),
+    )
+    return (
+        alloc.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_order_lines"),
+            F.sum("alloc_c").cast("long").alias("allocated_cents"),
+        )
+        .orderBy(F.col("allocated_cents").desc(), "partkey")
+        .limit(50)
+    )

@@ -72,3 +72,54 @@ def test_scd2_incremental_merge_equals_rebuild(spark):
     rebuilt = scd2_build_history(spark, SF_SMALL)
     assert merged.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(merged).count() == 0
+
+
+def test_bridge_allocation_reconciles_exactly(spark):
+    """The largest-remainder bridge must conserve cents: the sum of ALL
+    per-line allocations equals the sum of order-header totals exactly
+    (orders with no lines allocate nothing) — the reconciliation
+    property float 1/n weights cannot give."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+
+    from .conftest import SF_SMALL
+
+    t = load(spark, SF_SMALL)
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey", "l_linenumber")
+    lines = t.lineitem.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("l_orderkey"))
+        .cast("long")
+        .alias("n"),
+    )
+    heads = t.orders.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("total_c"),
+    )
+    alloc_sum = (
+        lines.join(heads, lines.l_orderkey == heads.o_orderkey)
+        .select(
+            (
+                F.expr("(total_c - total_c % n) div n")
+                + F.when(
+                    F.col("rn") <= F.col("total_c") % F.col("n"), 1
+                ).otherwise(0)
+            ).alias("alloc_c")
+        )
+        .agg(F.sum("alloc_c").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    header_sum = (
+        heads.join(
+            lines.select("l_orderkey").distinct(),
+            heads.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .agg(F.sum("total_c").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert alloc_sum == header_sum
