@@ -1534,3 +1534,92 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("f_short", "f_stop", "f_rep")
     )
+
+
+TOKENIZE_VOCAB_K = 1000
+
+
+@register(
+    "tokenize_to_ids",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS tokn
+      FROM ws, unnest(range(1, len(w) + 1)) AS u(i)
+    ),
+    freq AS (
+      SELECT tokn, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY tokn
+    ),
+    vocab AS (
+      SELECT tokn, rk AS vid FROM (
+        SELECT tokn, row_number() OVER (ORDER BY f DESC, tokn) AS rk
+        FROM freq
+      ) r WHERE rk <= {TOKENIZE_VOCAB_K}
+    ),
+    ids AS (
+      SELECT t.doc_id, t.pos, coalesce(v.vid, 0) AS vid
+      FROM tok t LEFT JOIN vocab v ON v.tokn = t.tokn
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos)) AS ids_digest
+    FROM ids GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer step of a training pipeline made explicit: map
+    every document to its ORDERED sequence of vocabulary ids (top-1000
+    corpus tokens by frequency, deterministic freq-then-lex ranking; id
+    0 = OOV) and emit per doc the token/OOV counts plus an md5 digest
+    of the comma-joined id sequence — the digest makes the full ordered
+    id array hash-verifiable without shipping megabyte rows through the
+    compare.
+
+    Shapes: the vocabulary ranking is the distributed two-phase prefix
+    sum over the vocab-sized frequency table; the id join is
+    token-stream ⋈ vocab on the token key (AQE broadcasts the 1000-row
+    vocab); sequence order is reconstructed INSIDE the aggregate via
+    array_sort over (pos, id) structs — collect_list alone is
+    arrival-ordered (match_recognize_funnel's rule)."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    d = load(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tokn")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tokn")
+    freq = (
+        tok.groupBy("tokn")
+        .agg(F.count(F.lit(1)).alias("f"))
+        # vocab-sized; the ranking helper's branches share it
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        global_order_stats(freq, "f", "tokn", ascending=False)
+        .filter(F.col("global_rank") <= TOKENIZE_VOCAB_K)
+        .select("tokn", F.col("global_rank").alias("vid"))
+    )
+    ids = tok.join(vocab, "tokn", "left").select(
+        "doc_id", "pos", F.coalesce("vid", F.lit(0)).alias("vid")
+    )
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("vid") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort("
+                    "collect_list(struct(pos, vid))),"
+                    " x -> CAST(x.vid AS STRING)), ',')"
+                )
+            ).alias("ids_digest"),
+        )
+        .orderBy("doc_id")
+    )
