@@ -474,3 +474,129 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "forecast_backtest_mase",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation ORDER BY month) AS rn,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM m
+    ),
+    walk(nation, rn, s, b) AS (
+      SELECT nation, rn, x, CAST(0 AS BIGINT) FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.nation, q.rn, q.s_new,
+             (q.s_new - q.s_prev + q.b_prev
+              - (((q.s_new - q.s_prev + q.b_prev) % 2 + 2) % 2)) // 2
+      FROM (
+        SELECT seq.nation, seq.rn, w.s AS s_prev, w.b AS b_prev,
+               (seq.x + w.s + w.b
+                - (((seq.x + w.s + w.b) % 2 + 2) % 2)) // 2 AS s_new
+        FROM walk w
+        JOIN seq ON seq.nation = w.nation AND seq.rn = w.rn + 1
+        WHERE seq.rn <= seq.n - 3
+      ) q
+    ),
+    fitted AS (
+      SELECT w.nation, w.s, w.b, n.n, n.last_x
+      FROM walk w
+      JOIN (SELECT nation, CAST(max(rn) AS BIGINT) AS n,
+                   CAST(arg_max(x, rn) AS BIGINT) AS last_x
+            FROM seq WHERE rn <= n - 3 GROUP BY nation) n
+        ON n.nation = w.nation AND w.rn = n.n
+    ),
+    errs AS (
+      SELECT f.nation,
+             CAST(sum(abs(f.s + (a.rn - f.n) * f.b - a.x)) AS BIGINT)
+               AS holt_err,
+             CAST(sum(abs(f.last_x - a.x)) AS BIGINT) AS naive_err,
+             CAST(count(*) AS BIGINT) AS horizon
+      FROM fitted f
+      JOIN seq a ON a.nation = f.nation AND a.rn > f.n
+      GROUP BY f.nation
+    )
+    SELECT nation, horizon,
+           holt_err AS holt_abs_err_cents,
+           naive_err AS naive_abs_err_cents,
+           CASE WHEN naive_err = 0 THEN NULL
+                ELSE round(holt_err * 1.0 / naive_err, 6) END AS mase
+    FROM errs ORDER BY nation
+    """,
+)
+def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: hold out each nation's LAST 3 months, fit the
+    integer Holt recurrence (holt_step) on the training prefix, and
+    score the 3-step linear forecasts against the held-out actuals —
+    reported as summed absolute error vs the last-value NAIVE baseline
+    and their ratio (a horizon-summed MASE: < 1 means the model beats
+    naive). Forecast evaluation is the half of forecasting that
+    holt_linear_forecast alone doesn't give, and doing it deterministic
+    end-to-end makes model-selection itself oracle-checkable.
+
+    Same stateful-per-key shape as the fit (applyInPandas walks the
+    train prefix; errors are exact integer cents); the oracle reuses
+    the recursive-CTE walk bounded to rn ≤ n-3 and joins the three
+    actuals back."""
+    t = load(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        xs = [int(v) for v in pdf["x"].to_numpy()]
+        n_train = len(xs) - 3
+        train, test = xs[:n_train], xs[n_train:]
+        s, b = train[0], 0
+        for x in train[1:]:
+            s, b = holt_step(s, b, x)
+        holt_err = sum(abs(s + (h + 1) * b - a) for h, a in enumerate(test))
+        naive_err = sum(abs(train[-1] - a) for a in test)
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "horizon": [len(test)],
+                "holt_abs_err_cents": [holt_err],
+                "naive_abs_err_cents": [naive_err],
+                "mase": [
+                    round(holt_err / naive_err, 6) if naive_err else None
+                ],
+            }
+        )
+
+    return (
+        monthly.groupBy("nation")
+        .applyInPandas(
+            backtest,
+            "nation string, horizon long, holt_abs_err_cents long, "
+            "naive_abs_err_cents long, mase double",
+        )
+        .orderBy("nation")
+    )
