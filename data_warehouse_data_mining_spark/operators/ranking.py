@@ -835,3 +835,109 @@ def gini_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("year")
+
+
+@register(
+    "weighted_group_quartiles",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)
+               AS price_c,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (
+      SELECT flag, price_c, CAST(sum(w) AS BIGINT) AS w
+      FROM v GROUP BY flag, price_c
+    ),
+    c AS (
+      SELECT flag, price_c,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY price_c
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN cw * 4 >= tw THEN price_c END) / 100.0, 2)
+             AS q1_price,
+           round(min(CASE WHEN cw * 2 >= tw THEN price_c END) / 100.0, 2)
+             AS median_price,
+           round(min(CASE WHEN cw * 4 >= 3 * tw THEN price_c END) / 100.0, 2)
+             AS q3_price
+    FROM c GROUP BY flag ORDER BY flag
+    """,
+)
+def weighted_group_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles PER return flag — the grouped
+    generalization of weighted_median_unit_price: within each group,
+    the smallest price whose cumulative sold quantity reaches ¼/½/¾ of
+    the group total. Each group's cumulative weight is a full ordering
+    of that group's price domain; with 3 giant groups a plain
+    partitioned window serializes per group, so this composes BOTH
+    helper extensions — ``partition_cols`` (per-group two-phase prefix
+    sums) over the value-collapsed domain — and reads all three
+    quartiles from one conditional aggregate over exact integer
+    comparisons."""
+    li = load(spark, sf_dir).lineitem
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)"
+        ).alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = (
+        v.groupBy("flag", "price_c")
+        .agg(F.sum("w").cast("long").alias("w"))
+        # (flag, distinct-price)-sized; ranked pass + totals share it
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_order_stats(
+        g,
+        "price_c",
+        "price_c",
+        measure_col="w",
+        ascending=True,
+        partition_cols=["flag"],
+    )
+    tw = g.groupBy("flag").agg(F.sum("w").cast("long").alias("tw"))
+    cq = ranked.join(F.broadcast(tw), "flag")
+    return (
+        cq.groupBy("flag")
+        .agg(
+            F.min("tw").cast("long").alias("total_weight"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("global_cum") * 4 >= F.col("tw"),
+                        F.col("price_c"),
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("q1_price"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("global_cum") * 2 >= F.col("tw"),
+                        F.col("price_c"),
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("median_price"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("global_cum") * 4 >= 3 * F.col("tw"),
+                        F.col("price_c"),
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("q3_price"),
+        )
+        .orderBy("flag")
+    )
