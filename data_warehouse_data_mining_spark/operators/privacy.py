@@ -187,3 +187,67 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_nationkey AS nation,
+             c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+             c_custkey
+      FROM customer
+    ),
+    classes AS (
+      SELECT nation, segment, balance_band,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM quasi GROUP BY nation, segment, balance_band
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS k_anonymity,
+           CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_5,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_customers_at_risk,
+           round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                 * 1.0 / sum(class_size), 6) AS at_risk_share
+    FROM classes
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-
+    identifier set (nation, market segment, $1000 balance band): the
+    dataset's k is the SMALLEST equivalence class — any class below the
+    k=5 release threshold marks customers re-identifiable by joining
+    those three attributes against external data, which is precisely
+    what pseudonymize_customers' generalization step must defeat
+    BEFORE a release. One hash-agg to class sizes (bounded by the
+    quasi-identifier domain) + a 5-column rollup; the audit, not the
+    redaction, is what makes a privacy pipeline measurable."""
+    c = load(spark, sf_dir).customer
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "balance_band"
+            ),
+        )
+        .groupBy("nation", "segment", "balance_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    at_risk = F.sum(
+        F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+    ).cast("long")
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_5"),
+        at_risk.alias("n_customers_at_risk"),
+        F.round(
+            at_risk * 1.0 / F.sum("class_size").cast("long"), 6
+        ).alias("at_risk_share"),
+    )
