@@ -254,7 +254,10 @@ def association_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable aggregates; every metric is one double expression
     over exact integers, with conviction's division-by-zero guarded by
     the exact integer test sup_ab = sup_a."""
-    b = baskets(spark, sf_dir)
+    # basket-sized and consumed by four derivations (count, item
+    # supports, both self-join sides) — materialize once instead of
+    # seven lineitem scans (plan audit)
+    b = baskets(spark, sf_dir).localCheckpoint(eager=True)
     n = b.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("nb")
     )
