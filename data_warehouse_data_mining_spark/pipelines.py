@@ -411,3 +411,184 @@ def daily_kpi_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("purchases_per_active"),
     ).orderBy("day")
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle="""
+    WITH tok0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+      FROM tok0 GROUP BY doc_id
+    ),
+    s1 AS (
+      SELECT p.doc_id, p.n_tokens FROM per_doc p
+      WHERE p.n_tokens >= 25
+        AND p.n_stop * 10 < p.n_tokens
+        AND p.n_distinct * 2 > p.n_tokens
+    ),
+    s2 AS (
+      SELECT d.doc_id, s1.n_tokens FROM documents d
+      JOIN s1 ON s1.doc_id = d.doc_id
+      WHERE d.doc_id = (
+        SELECT min(d2.doc_id) FROM documents d2
+        JOIN s1 x ON x.doc_id = d2.doc_id
+        WHERE md5(d2.text) = md5(d.text)
+      )
+    ),
+    words AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS ws
+      FROM documents d JOIN s2 ON s2.doc_id = d.doc_id
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2] AS shingle
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS pos
+            FROM words WHERE len(ws) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS da, sb.doc_id AS db, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id <> sb.doc_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT i.da AS doc_id
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.da
+      JOIN sizes zb ON zb.doc_id = i.db
+      WHERE i.n_inter * 2 >= za.ns
+        AND (zb.ns > za.ns OR (zb.ns = za.ns AND i.db < i.da))
+    ),
+    s3 AS (
+      SELECT s2.doc_id, s2.n_tokens FROM s2
+      WHERE s2.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    stages AS (
+      SELECT 0 AS stage_n, 'ingest' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM per_doc
+      UNION ALL
+      SELECT 1, 'quality_filter', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'containment_prune', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT) FROM s3
+    )
+    SELECT stage_n, stage, n_docs, n_tokens,
+           round(n_docs * 1.0 /
+                 (SELECT count(*) FROM per_doc), 6) AS doc_survival
+    FROM stages ORDER BY stage_n
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation waterfall — the session's new stages composed
+    end-to-end and hash-checked as ONE query: ingest → joint quality
+    filter (quality_filter_ablation's three exact-integer thresholds) →
+    exact dedup (keep min doc per content hash) → asymmetric
+    containment prune (drop any survivor ≥½-contained in a strictly
+    bigger — or tie-smaller-id — survivor, containment_pairs'
+    semantics, which kills quote/subset duplication Jaccard-only
+    pipelines keep). One row per stage with doc/token counts and the
+    survival ratio: the waterfall view is what tells a pipeline owner
+    WHICH stage costs the corpus its tokens.
+
+    Every stage reuses the documented scale shape of its operator; the
+    containment stage runs on the post-dedup survivor set only (the
+    shingle inverted index shrinks with each preceding stage). The
+    drop rule's strict (size, id) order makes the prune deterministic
+    and acyclic."""
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    d = load(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("w").isin("the", "a").cast("int"))
+            .cast("long")
+            .alias("n_stop"),
+            F.countDistinct("w").alias("n_distinct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s1 = per_doc.filter(
+        (F.col("n_tokens") >= 25)
+        & (F.col("n_stop") * 10 < F.col("n_tokens"))
+        & (F.col("n_distinct") * 2 > F.col("n_tokens"))
+    ).select("doc_id", "n_tokens")
+    s1_docs = d.join(s1, "doc_id").select("doc_id", "text")
+    keep = s1_docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = (
+        s1.join(keep.select("doc_id"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    sh = shingle_table(
+        d.join(s2.select("doc_id"), "doc_id"), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
+    sa = sh.select(F.col("id").alias("da"), F.col("shingle").alias("x1"))
+    sb = sh.select(F.col("id").alias("db"), F.col("shingle").alias("x2"))
+    inter = (
+        sa.join(sb, (F.col("x1") == F.col("x2")) & (F.col("da") != F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    dropped = (
+        inter.join(sizes.select(F.col("id").alias("da"), F.col("ns").alias("ns_a")), "da")
+        .join(sizes.select(F.col("id").alias("db"), F.col("ns").alias("ns_b")), "db")
+        .filter(
+            (F.col("n_inter") * 2 >= F.col("ns_a"))
+            & (
+                (F.col("ns_b") > F.col("ns_a"))
+                | ((F.col("ns_b") == F.col("ns_a")) & (F.col("db") < F.col("da")))
+            )
+        )
+        .select(F.col("da").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dropped, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage_n"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select("stage_n", "stage", "n_docs", "n_tokens")
+
+    stages = (
+        stage(per_doc, 0, "ingest")
+        .unionAll(stage(s1, 1, "quality_filter"))
+        .unionAll(stage(s2, 2, "exact_dedup"))
+        .unionAll(stage(s3, 3, "containment_prune"))
+    )
+    total = per_doc.agg(F.count(F.lit(1)).alias("n0"))
+    return (
+        stages.crossJoin(F.broadcast(total))
+        .select(
+            "stage_n",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") * 1.0 / F.col("n0"), 6).alias(
+                "doc_survival"
+            ),
+        )
+        .orderBy("stage_n")
+    )
