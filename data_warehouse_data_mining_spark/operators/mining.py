@@ -2456,3 +2456,90 @@ def window_funnel_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+_GAP_THRESHOLDS_H = (1, 4, 12)
+
+
+@register(
+    "sessionize_sensitivity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    marks AS (
+      SELECT CASE WHEN gap_us IS NULL OR gap_us > 1 * 3600000000
+                  THEN 1 ELSE 0 END AS b1,
+             CASE WHEN gap_us IS NULL OR gap_us > 4 * 3600000000
+                  THEN 1 ELSE 0 END AS b4,
+             CASE WHEN gap_us IS NULL OR gap_us > 12 * 3600000000
+                  THEN 1 ELSE 0 END AS b12
+      FROM seq
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(b1) AS BIGINT) AS s1,
+             CAST(sum(b4) AS BIGINT) AS s4,
+             CAST(sum(b12) AS BIGINT) AS s12
+      FROM marks
+    )
+    SELECT CAST(gap_hours AS INT) AS gap_hours, n_sessions, n_events,
+           round(n_events * 1.0 / n_sessions, 6) AS mean_session_events
+    FROM (
+      SELECT 1 AS gap_hours, s1 AS n_sessions, n_events FROM t
+      UNION ALL SELECT 4, s4, n_events FROM t
+      UNION ALL SELECT 12, s12, n_events FROM t
+    )
+    ORDER BY gap_hours
+    """,
+)
+def sessionize_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-boundary sensitivity analysis: how many sessions (and
+    events per session) the corpus yields at 1 h / 4 h / 12 h
+    inactivity gaps — the parameter-tuning readout behind
+    sessionize_events' fixed 4 h rule (a threshold where session count
+    still swings steeply is a bad place to stand).
+
+    The trick: a session COUNT doesn't need the session-id cumsum at
+    all — every session has exactly one boundary row (first event or
+    gap > threshold), so ALL thresholds are counted from ONE lag pass
+    over ONE user_id shuffle, three conditional sums side by side.
+    Gaps compare as exact integer microseconds; the sweep costs the
+    same as a single sessionization."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marks = e.select(
+        *[
+            F.when(gap.isNull() | (gap > h * 3_600_000_000), 1)
+            .otherwise(0)
+            .alias(f"b{h}")
+            for h in _GAP_THRESHOLDS_H
+        ]
+    )
+    t = marks.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(f"b{h}").cast("long").alias(f"s{h}")
+            for h in _GAP_THRESHOLDS_H
+        ],
+    )
+    rows = None
+    for h in _GAP_THRESHOLDS_H:
+        r = t.select(
+            F.lit(h).cast("int").alias("gap_hours"),
+            F.col(f"s{h}").alias("n_sessions"),
+            "n_events",
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.select(
+        "gap_hours",
+        "n_sessions",
+        "n_events",
+        F.round(F.col("n_events") * 1.0 / F.col("n_sessions"), 6).alias(
+            "mean_session_events"
+        ),
+    ).orderBy("gap_hours")
