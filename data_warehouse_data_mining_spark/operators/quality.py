@@ -1112,3 +1112,82 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+@register(
+    "dq_freshness_audit",
+    oracle="""
+    WITH marks AS (
+      SELECT 'orders' AS tbl, max(o_orderdate) AS latest,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.ship', max(l_shipdate), CAST(count(*) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', max(ts), CAST(count(*) AS BIGINT) FROM events
+    ),
+    anchor AS (SELECT max(latest) AS global_latest FROM marks)
+    SELECT m.tbl,
+           strftime(m.latest, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST(date_diff('day', m.latest, a.global_latest) AS BIGINT)
+             AS staleness_days,
+           m.n_rows,
+           CASE WHEN date_diff('day', m.latest, a.global_latest) > 35
+                THEN 'STALE' ELSE 'FRESH' END AS verdict
+    FROM marks m CROSS JOIN anchor a
+    ORDER BY m.tbl
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness — the data-quality dimension the dq_* family didn't
+    yet measure (completeness, validity, uniqueness, consistency are
+    covered): each time-bearing table's latest watermark, its staleness
+    in days against the freshest table in the warehouse, and a
+    FRESH/STALE verdict at a 35-day SLA. A pipeline whose orders stop
+    advancing while events keep flowing fails HERE before any value
+    check can notice.
+
+    One max+count aggregate per table (map-side partials, no shuffle
+    beyond the 1-row finals) unioned into a 3-row report against the
+    broadcast global anchor. Timestamps emit as formatted strings per
+    the canon; the synthetic tables' epochs differ by design, which is
+    exactly what the verdict column surfaces."""
+    t = load(spark, sf_dir)
+    marks = (
+        t.orders.agg(
+            F.lit("orders").alias("tbl"),
+            F.max("o_orderdate").alias("latest"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .unionAll(
+            t.lineitem.agg(
+                F.lit("lineitem.ship").alias("tbl"),
+                F.max("l_shipdate").alias("latest"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        .unionAll(
+            t.events.agg(
+                F.lit("events").alias("tbl"),
+                F.max("ts").alias("latest"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    anchor = marks.agg(F.max("latest").alias("global_latest"))
+    stale = F.datediff(
+        F.col("global_latest").cast("date"), F.col("latest").cast("date")
+    ).cast("long")
+    return (
+        marks.crossJoin(F.broadcast(anchor))
+        .select(
+            "tbl",
+            F.date_format("latest", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            stale.alias("staleness_days"),
+            "n_rows",
+            F.when(stale > 35, "STALE").otherwise("FRESH").alias("verdict"),
+        )
+        .orderBy("tbl")
+    )
