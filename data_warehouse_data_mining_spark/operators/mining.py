@@ -2543,3 +2543,61 @@ def sessionize_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_session_events"
         ),
     ).orderBy("gap_hours")
+
+
+@register(
+    "event_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, n_hours, s AS n_events,
+           round(CAST(s AS DOUBLE) / n_hours, 6) AS mean_per_hour,
+           round((CAST(ss AS DOUBLE) * n_hours - CAST(s AS DOUBLE) * s)
+                 / (CAST(n_hours AS DOUBLE) * n_hours), 6) AS variance,
+           round(((CAST(ss AS DOUBLE) * n_hours - CAST(s AS DOUBLE) * s)
+                  / (CAST(n_hours AS DOUBLE) * n_hours))
+                 / (CAST(s AS DOUBLE) / n_hours), 6) AS fano_factor
+    FROM m ORDER BY event_type
+    """,
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of hourly counts) per
+    event type over hours WITH activity: a Poisson-like steady stream
+    sits near 1, clumpy/bursty traffic well above — the dispersion
+    diagnostic that decides whether rate alarms (event_rate_anomalies)
+    need burst-robust thresholds. Population variance assembles from
+    exact integer moment sums (Σc, Σc²) over the hour-grain rollup, so
+    both engines evaluate one identical double expression; two
+    hash-aggs total, the second over (type × hours) rows."""
+    e = load(spark, sf_dir).events
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    nh = F.col("n_hours").cast("double")
+    sd = F.col("s").cast("double")
+    var = (F.col("ss").cast("double") * F.col("n_hours") - sd * F.col("s")) / (
+        nh * F.col("n_hours")
+    )
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        F.round(sd / F.col("n_hours"), 6).alias("mean_per_hour"),
+        F.round(var, 6).alias("variance"),
+        F.round(var / (sd / F.col("n_hours")), 6).alias("fano_factor"),
+    ).orderBy("event_type")
