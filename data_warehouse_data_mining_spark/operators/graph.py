@@ -568,3 +568,127 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("peel")
+
+
+BFS_LAYERS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS rounds (MATERIALIZED — each layer is referenced by
+    the next frontier, the visited union, and its stats row)."""
+    steps = []
+    for i in range(BFS_LAYERS):
+        steps.append(
+            f"""l{i + 1} AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS node
+      FROM l{i} f JOIN edges e ON e.src = f.node
+      WHERE e.dst NOT IN (SELECT node FROM v{i})
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT node FROM v{i} UNION SELECT node FROM l{i + 1}
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    final = " UNION ALL ".join(
+        f"SELECT {i} AS layer, (SELECT CAST(count(*) AS BIGINT) FROM l{i}) AS n_nodes"
+        for i in range(BFS_LAYERS + 1)
+    )
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.item AS lo, b.item AS hi
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst FROM e0
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    l0 AS MATERIALIZED (
+      SELECT src AS node FROM deg ORDER BY d DESC, src LIMIT 1
+    ),
+    v0 AS MATERIALIZED (SELECT node FROM l0),
+    {unrolled}
+    SELECT layer, n_nodes FROM ({final}) ORDER BY layer
+    """
+
+
+@register(
+    "graph_bfs_layers",
+    oracle=_bfs_oracle(),
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability profile from the co-purchase graph's top hub
+    (max degree, min-id tiebreak): nodes first reached at each of 4
+    breadth layers — the expansion curve that measures effective
+    diameter and hub coverage (a layer that swallows most of the graph
+    by depth 2 is why label propagation converges in few supersteps
+    here).
+
+    Iterative frontier shape: each round joins the frontier against
+    the edge list and anti-joins the visited set (LEFT ANTI — never an
+    IN-list on the driver), with frontier AND visited checkpointed per
+    round; visited is node-bounded, frontiers shrink as the graph
+    saturates. The oracle unrolls the same rounds with MATERIALIZED
+    CTEs (each layer feeds three consumers)."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("lo"), F.col("b.item").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("lo", "hi")
+    )
+    edges = (
+        e0.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e0.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    root = (
+        deg.orderBy(F.col("d").desc(), F.col("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = root
+    visited = root
+    rows = [
+        root.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(0).alias("layer"), "n_nodes"
+        )
+    ]
+    for i in range(BFS_LAYERS):
+        frontier = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        rows.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+                F.lit(i + 1).alias("layer"), "n_nodes"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("layer")
