@@ -1191,3 +1191,96 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+@register(
+    "duplicate_payment_scan",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1990-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      FROM orders
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey, cents, d,
+             unnest([d - 1, d, d + 1]) AS bucket
+      FROM o
+    ),
+    pairs AS (
+      SELECT DISTINCT a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+             a.o_custkey AS custkey
+      FROM probe a JOIN o b
+        ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+       AND b.d = a.bucket AND a.o_orderkey < b.o_orderkey
+      WHERE abs(a.d - b.d) <= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(count(DISTINCT custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT ok_a) + count(DISTINCT ok_b) AS BIGINT)
+             AS n_orders_flagged_ub
+    FROM pairs
+    """,
+)
+def duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the payments-ops fraud/defect
+    scan: two orders by the SAME customer for the EXACT same amount
+    within ±1 day are suspect double-charges. The pair search is a
+    (customer, cents, day-bucket) equi-join with the ±1-day tolerance
+    handled by exploding each probe row into its 3 adjacent day
+    buckets (range_join_bucketized's trick) — never an unbounded
+    range join; amounts compare as exact cents.
+
+    The summary stays bounded (pair count, distinct customers, an
+    order upper bound); production would emit the pair table itself.
+    At 100 TB the join keys (cust, cents, day) are highly selective —
+    the shuffle matches near-duplicates only."""
+    o = load(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        "d",
+        F.explode(
+            F.array(F.col("d") - 1, F.col("d"), F.col("d") + 1)
+        ).alias("bucket"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("ok_b"),
+        F.col("o_custkey").alias("ck_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d_b"),
+    )
+    pairs = (
+        probe.join(
+            b,
+            (F.col("ck_b") == F.col("o_custkey"))
+            & (F.col("cents_b") == F.col("cents"))
+            & (F.col("d_b") == F.col("bucket"))
+            & (F.col("o_orderkey") < F.col("ok_b")),
+        )
+        .filter(F.abs(F.col("d") - F.col("d_b")) <= 1)
+        .select(
+            F.col("o_orderkey").alias("ok_a"),
+            "ok_b",
+            F.col("o_custkey").alias("custkey"),
+        )
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_suspect_pairs"),
+        F.countDistinct("custkey").alias("n_customers"),
+        (F.countDistinct("ok_a") + F.countDistinct("ok_b"))
+        .cast("long")
+        .alias("n_orders_flagged_ub"),
+    )
