@@ -2601,3 +2601,142 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("variance"),
         F.round(var / (sd / F.col("n_hours")), 6).alias("fano_factor"),
     ).orderBy("event_type")
+
+
+@register(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                                 0) AS BIGINT)) AS BIGINT) AS rev_fp
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_fp,
+             CAST(sum(rev_fp) OVER (ORDER BY rev_fp DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_fp,
+             CAST(sum(rev_fp) OVER () AS BIGINT) AS total_fp
+      FROM rev
+    ),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN cum_fp * 100 <= total_fp * 80 THEN 'A'
+                  WHEN cum_fp * 100 <= total_fp * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ),
+    weekly AS (
+      SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(q * q) AS BIGINT) AS sqq
+      FROM weekly GROUP BY pk
+    ),
+    xyz AS (
+      SELECT pk,
+             CASE WHEN 4 * (n * sqq - sq * sq) < sq * sq THEN 'X'
+                  WHEN n * sqq - sq * sq < sq * sq THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM m
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           a.abc_class || x.xyz_class AS cell,
+           CASE a.abc_class || x.xyz_class
+                WHEN 'AX' THEN 'automate'
+                WHEN 'AY' THEN 'automate_buffered'
+                WHEN 'AZ' THEN 'manual_review'
+                WHEN 'CX' THEN 'bulk_reorder'
+                WHEN 'CZ' THEN 'rationalize'
+                ELSE 'standard' END AS policy
+    FROM abc a JOIN xyz x ON x.pk = a.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC × XYZ inventory-policy matrix — the composition the two
+    single-axis classifications exist FOR: revenue importance
+    (abc_pareto_classification's distributed global cumsum) crossed
+    with demand steadiness (xyz_demand_variability's squared-integer CV
+    classes) yields the 9 planning cells and their standard policies
+    (AX automate, AZ manual review, CZ rationalize/drop).
+
+    Both classifications reuse their documented shapes over ONE
+    lineitem source each (revenue agg + weekly-demand agg); the matrix
+    join is part-keyed. Every boundary — the 80/95 revenue cuts and
+    the 0.5/1.0 CV cuts — is an exact integer inequality, so the cell
+    assignment is engine-identical part by part."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    li = load(spark, sf_dir).lineitem
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 10000,"
+                    " 0) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev_fp")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_order_stats(
+        rev, "rev_fp", "l_partkey", measure_col="rev_fp", ascending=False
+    )
+    total = rev.agg(F.sum("rev_fp").cast("long").alias("total_fp"))
+    abc = ranked.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        F.when(F.col("global_cum") * 100 <= F.col("total_fp") * 80, "A")
+        .when(F.col("global_cum") * 100 <= F.col("total_fp") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    weekly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    m = weekly.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    var_n = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    xyz = m.select(
+        "pk",
+        F.when(4 * var_n < F.col("sq") * F.col("sq"), "X")
+        .when(var_n < F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    cell = F.concat(F.col("abc_class"), F.col("xyz_class"))
+    return (
+        abc.join(xyz, abc.l_partkey == xyz.pk)
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            cell.alias("cell"),
+            F.when(cell == "AX", "automate")
+            .when(cell == "AY", "automate_buffered")
+            .when(cell == "AZ", "manual_review")
+            .when(cell == "CX", "bulk_reorder")
+            .when(cell == "CZ", "rationalize")
+            .otherwise("standard")
+            .alias("policy"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
