@@ -1254,3 +1254,126 @@ def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     ).orderBy("brand")
+
+
+@register(
+    "discount_elasticity",
+    oracle="""
+    WITH bands AS (
+      SELECT CASE WHEN l_discount < 0.001 THEN '0_none'
+                  WHEN l_discount < 0.05 THEN '1_low'
+                  ELSE '2_high' END AS band,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    m AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(q) AS BIGINT) AS sq
+      FROM bands GROUP BY band
+    ),
+    base AS (SELECT sq AS bsq, n_lines AS bn FROM m WHERE band = '0_none')
+    SELECT band, n_lines,
+           ((2 * sq * 100 + n_lines) // (2 * n_lines)) / 100.0 AS avg_qty,
+           round((CAST(sq AS DOUBLE) / n_lines)
+                 / (CAST(bsq AS DOUBLE) / bn) - 1.0, 6) AS qty_lift_vs_none
+    FROM m CROSS JOIN base
+    ORDER BY band
+    """,
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band demand readout — the pricing-analytics staple: mean
+    quantity per line in the no/low/high discount bands and each band's
+    quantity lift vs the undiscounted baseline (a crude but honest
+    elasticity proxy; positive lift under discount = demand responds).
+
+    One scan, one tiny rollup; band means use the half-up integer
+    formula and the lift is one double expression over exact integer
+    sums against the broadcast baseline row."""
+    li = load(spark, sf_dir).lineitem
+    bands = li.select(
+        F.when(F.col("l_discount") < 0.001, "0_none")
+        .when(F.col("l_discount") < 0.05, "1_low")
+        .otherwise("2_high")
+        .alias("band"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    m = bands.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("q").cast("long").alias("sq"),
+    ).localCheckpoint(eager=True)
+    base = m.filter(F.col("band") == "0_none").select(
+        F.col("sq").alias("bsq"), F.col("n_lines").alias("bn")
+    )
+    return (
+        m.crossJoin(F.broadcast(base))
+        .select(
+            "band",
+            "n_lines",
+            (
+                F.expr("(2 * sq * 100 + n_lines) div (2 * n_lines)") / 100.0
+            ).alias("avg_qty"),
+            F.round(
+                (F.col("sq").cast("double") / F.col("n_lines"))
+                / (F.col("bsq").cast("double") / F.col("bn"))
+                - 1.0,
+                6,
+            ).alias("qty_lift_vs_none"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "supplier_otif_rate",
+    oracle="""
+    WITH lines AS (
+      SELECT l_suppkey,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                  THEN 1 ELSE 0 END AS on_time
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    r AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(on_time) AS BIGINT) AS n_on_time,
+             round(sum(on_time) * 1.0 / count(*), 6) AS otif_rate
+      FROM lines GROUP BY l_suppkey
+    )
+    SELECT suppkey, n_lines, n_on_time, otif_rate
+    FROM r
+    ORDER BY otif_rate ASC, suppkey
+    LIMIT 25
+    """,
+)
+def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time rate under a 30-day ship SLA — the procurement
+    scorecard KPI (the schema has no promised-date column, so the SLA
+    anchors on the order date; the shape is identical with a real
+    commitment date): per supplier, the share of lines shipped within
+    SLA, reporting the 25 WORST suppliers — the actionable end of the
+    list. One fact join + supplier-keyed rollup; the rate is a single
+    division of exact counts and the bottom-25 cut orders by
+    (rate, suppkey)."""
+    t = load(spark, sf_dir)
+    lines = t.lineitem.join(
+        t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+    ).select(
+        "l_suppkey",
+        F.when(
+            F.datediff("l_shipdate", "o_orderdate") <= 30, 1
+        )
+        .otherwise(0)
+        .alias("on_time"),
+    )
+    return (
+        lines.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("on_time").cast("long").alias("n_on_time"),
+            F.round(F.sum("on_time") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "otif_rate"
+            ),
+        )
+        .orderBy(F.col("otif_rate").asc(), "suppkey")
+        .limit(25)
+    )
