@@ -2740,3 +2740,122 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ss
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ),
+    w AS (
+      SELECT nk, nh,
+             sqrt((CAST(ss AS DOUBLE) * nh - CAST(s AS DOUBLE) * s))
+               / nh * nh AS wt
+      FROM m
+    ),
+    q AS (
+      SELECT nk, nh, wt,
+             {_NEYMAN_BUDGET} * wt / (SELECT sum(wt) FROM w) AS quota
+      FROM w
+    ),
+    fl AS (
+      SELECT nk, nh, wt, quota,
+             CAST(floor(quota) AS BIGINT) AS base,
+             quota - floor(quota) AS rem
+      FROM q
+    ),
+    short AS (
+      SELECT {_NEYMAN_BUDGET} - CAST(sum(base) AS BIGINT) AS k FROM fl
+    ),
+    ranked AS (
+      SELECT nk, nh, quota, base,
+             row_number() OVER (ORDER BY rem DESC, nk) AS rr
+      FROM fl
+    )
+    SELECT nk AS nationkey, nh AS n_orders,
+           round(quota, 6) AS exact_quota,
+           CAST(base + CASE WHEN rr <= (SELECT k FROM short)
+                            THEN 1 ELSE 0 END AS BIGINT) AS allocated
+    FROM ranked
+    ORDER BY nationkey
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation: split a {_NEYMAN_BUDGET}-unit
+    audit budget across nation strata proportional to N_h·S_h (stratum
+    size × spend standard deviation) — the survey-design rule that
+    minimizes estimator variance for a fixed budget, and the statistical
+    sibling of token_budget_allocation's share-based split.
+
+    S_h comes from exact integer moment sums (one joined aggregate);
+    quotas are identical doubles on both engines, integerized with
+    LARGEST REMAINDER (floor + top-k remainders, nation tiebreak) so
+    allocations sum to exactly the budget. The remainder ranking runs
+    over the ≤25-row strata table — bounded by construction."""
+    t = load(spark, sf_dir)
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    m = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum(cents).cast("long").alias("s"),
+            F.sum(cents * cents).cast("long").alias("ss"),
+        )
+        # strata-sized; weight, total-weight and ranking all read it
+        .localCheckpoint(eager=True)
+    )
+    wt = (
+        F.sqrt(
+            F.col("ss").cast("double") * F.col("nh")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / F.col("nh")
+        * F.col("nh")
+    )
+    w = m.select("nk", "nh", wt.alias("wt"))
+    tot = w.agg(F.sum("wt").alias("twt"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "nh",
+        (F.lit(_NEYMAN_BUDGET) * F.col("wt") / F.col("twt")).alias("quota"),
+    )
+    fl = q.select(
+        "nk",
+        "nh",
+        "quota",
+        F.floor("quota").cast("long").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    ).localCheckpoint(eager=True)
+    short = fl.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base").cast("long")).alias("k")
+    )
+    wrk = W.orderBy(F.col("rem").desc(), F.col("nk"))  # ≤25 strata rows
+    return (
+        fl.withColumn("rr", F.row_number().over(wrk))
+        .crossJoin(F.broadcast(short))
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("nh").alias("n_orders"),
+            F.round("quota", 6).alias("exact_quota"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated"),
+        )
+        .orderBy("nationkey")
+    )
