@@ -2859,3 +2859,145 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+_LOOK_CUTS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00", "2024-02-01 00:00:00")
+_OBF_BOUNDS = (3.471, 2.454, 2.004)  # O'Brien-Fleming, 3 looks, two-sided 0.05
+
+
+def _interim_oracle() -> str:
+    looks = []
+    for i, (cut, bound) in enumerate(zip(_LOOK_CUTS, _OBF_BOUNDS)):
+        looks.append(f"""
+      SELECT {i + 1} AS look, '{cut[:10]}' AS cutoff,
+             CAST(sum(CASE WHEN arm = 'A' AND first_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'A' AND conv_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN arm = 'B' AND first_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 'B' AND conv_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
+             {bound} AS boundary
+      FROM per_user""")
+    union = " UNION ALL ".join(looks)
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    looks AS ({union}),
+    z AS (
+      SELECT look, cutoff, n_a, c_a, n_b, c_b, boundary,
+             CASE WHEN n_a = 0 OR n_b = 0
+                   OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0.0
+                  ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                              * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b))
+             END AS zval
+      FROM looks
+    )
+    SELECT look, cutoff, n_a, c_a, n_b, c_b,
+           round(zval, 6) AS z, boundary,
+           CASE WHEN abs(zval) > boundary THEN 1 ELSE 0 END AS crossed
+    FROM z ORDER BY look
+    """
+
+
+@register(
+    "ab_interim_monitoring",
+    oracle=_interim_oracle(),
+)
+def ab_interim_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring: the hash-split experiment
+    (ab_test_conversion's arms) evaluated at THREE interim looks (day
+    10 / 20 / end) against O'Brien-Fleming z-boundaries (3.471 / 2.454
+    / 2.004, two-sided α=0.05 over 3 looks) — the peeking-safe early-
+    stop protocol; a naive fixed 1.96 cut at every look inflates false
+    positives ~3×, which is the whole reason the spending boundaries
+    exist.
+
+    ONE per-user aggregate (first event, first conversion) feeds all
+    looks; each look is a conditional sum over the same user table, and
+    each z is the pooled two-proportion statistic over exact counts
+    with the degenerate-pool guard (the ab_test_conversion lesson).
+    Boundary crossings compare identical doubles against literal
+    thresholds."""
+    e = load(spark, sf_dir).events
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("conv_ts"),
+        )
+        .select(
+            F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+            .otherwise("B")
+            .alias("arm"),
+            "first_ts",
+            "conv_ts",
+        )
+        # user-count sized; all three looks read it
+        .localCheckpoint(eager=True)
+    )
+    rows = None
+    for i, (cut, bound) in enumerate(zip(_LOOK_CUTS, _OBF_BOUNDS)):
+        cutc = F.lit(cut).cast("timestamp")
+        r = per_user.agg(
+            F.lit(i + 1).alias("look"),
+            F.lit(cut[:10]).alias("cutoff"),
+            F.sum(
+                F.when((F.col("arm") == "A") & (F.col("first_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_a"),
+            F.sum(
+                F.when((F.col("arm") == "A") & (F.col("conv_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("c_a"),
+            F.sum(
+                F.when((F.col("arm") == "B") & (F.col("first_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_b"),
+            F.sum(
+                F.when((F.col("arm") == "B") & (F.col("conv_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("c_b"),
+            F.lit(bound).alias("boundary"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    zval = F.when(
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+        0.0,
+    ).otherwise(
+        (
+            F.col("c_a").cast("double") / F.col("n_a")
+            - F.col("c_b").cast("double") / F.col("n_b")
+        )
+        / F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    )
+    return rows.select(
+        "look",
+        "cutoff",
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(zval, 6).alias("z"),
+        "boundary",
+        F.when(F.abs(zval) > F.col("boundary"), 1).otherwise(0).alias(
+            "crossed"
+        ),
+    ).orderBy("look")
