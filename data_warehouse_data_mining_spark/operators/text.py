@@ -1623,3 +1623,61 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "hapax_ratio_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_ratio,
+           round(count(*) * 1.0 / CAST(sum(f) AS BIGINT), 6)
+             AS type_token_ratio
+    FROM vocab
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: hapax legomena share
+    (tokens occurring exactly once — high on natural/diverse text,
+    collapsing on templated output) and type-token ratio — the
+    corpus-linguistics companions to zipf_slope_fit for spotting
+    machine-generated or boilerplate-heavy sources before training.
+
+    One (source, token) hash-agg then a source rollup; both ratios are
+    single divisions of exact counts."""
+    d = load(spark, sf_dir).documents
+    vocab = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).groupBy("source", "w").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        vocab.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.round(
+                F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / F.sum("f").cast("long"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
