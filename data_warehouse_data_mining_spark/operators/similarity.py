@@ -748,3 +748,103 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+N_MARGIN_ANCHORS = 50
+
+
+@register(
+    "embedding_margin_audit",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+          WHERE vec_id < {N_MARGIN_ANCHORS}),
+    pairs AS (
+      SELECT q.q_id, q.q_label,
+             CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS same,
+             CAST(round({_ORACLE_COS} * 1000000, 0) AS BIGINT) AS cos_fp
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ),
+    per_anchor AS (
+      SELECT q_id, q_label,
+             CAST(sum(CASE WHEN same = 1 THEN cos_fp END) AS BIGINT) AS s_same,
+             CAST(sum(CASE WHEN same = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+             CAST(sum(CASE WHEN same = 0 THEN cos_fp END) AS BIGINT) AS s_diff,
+             CAST(sum(CASE WHEN same = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+      FROM pairs GROUP BY q_id, q_label
+    ),
+    margins AS (
+      SELECT q_label,
+             (s_same - (s_same % n_same + n_same) % n_same) / n_same
+             - (s_diff - (s_diff % n_diff + n_diff) % n_diff) / n_diff
+               AS margin_fp
+      FROM per_anchor WHERE n_same > 0 AND n_diff > 0
+    )
+    SELECT CAST(q_label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           round(avg(margin_fp) / 1000000.0, 6) AS mean_margin,
+           CAST(sum(CASE WHEN margin_fp <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM margins GROUP BY q_label ORDER BY label
+    """,
+)
+def embedding_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space margin audit: for each anchor vector, the mean
+    cosine to SAME-label vectors minus the mean to OTHER-label vectors;
+    per class report the average margin and how many anchors VIOLATE
+    (margin ≤ 0 — the anchor sits closer to foreign classes than its
+    own). A space that k-NN accuracy flatters can still fail here: the
+    margin is the metric-learning training objective itself, so this
+    audit says whether the space has separation to spare or is riding
+    ties.
+
+    Cosines quantize to exact 1e-6 fixed-point BIGINTs BEFORE any
+    summation, per-anchor means use sign-safe floor division, and the
+    per-class mean averages ≤{N_MARGIN_ANCHORS} exact integers — no
+    float accumulation order anywhere (the dominant_term_clusters
+    lesson). One broadcast of the anchor block against the corpus, the
+    same never-shuffle-the-corpus shape as knn_brute_force."""
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("id") < N_MARGIN_ANCHORS).select(
+        F.col("id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (
+        V.norm(F.col("qv")) * V.norm(F.col("v"))
+    )
+    pairs = e.join(F.broadcast(q), F.col("id") != F.col("q_id")).select(
+        "q_id",
+        "q_label",
+        (F.col("label") == F.col("q_label")).cast("int").alias("same"),
+        F.round(cos * 1_000_000, 0).cast("long").alias("cos_fp"),
+    )
+    per_anchor = pairs.groupBy("q_id", "q_label").agg(
+        F.sum(F.when(F.col("same") == 1, F.col("cos_fp"))).cast("long").alias("s_same"),
+        F.sum(F.when(F.col("same") == 1, 1).otherwise(0)).cast("long").alias("n_same"),
+        F.sum(F.when(F.col("same") == 0, F.col("cos_fp"))).cast("long").alias("s_diff"),
+        F.sum(F.when(F.col("same") == 0, 1).otherwise(0)).cast("long").alias("n_diff"),
+    )
+
+    def fdiv(a: str, b: str) -> F.Column:
+        return F.expr(f"({a} - pmod({a}, {b})) div {b}")
+
+    margins = per_anchor.filter(
+        (F.col("n_same") > 0) & (F.col("n_diff") > 0)
+    ).select(
+        "q_label",
+        (fdiv("s_same", "n_same") - fdiv("s_diff", "n_diff")).alias(
+            "margin_fp"
+        ),
+    )
+    return (
+        margins.groupBy(F.col("q_label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.round(F.avg("margin_fp") / 1_000_000.0, 6).alias("mean_margin"),
+            F.sum(F.when(F.col("margin_fp") <= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .orderBy("label")
+    )
