@@ -314,3 +314,152 @@ def association_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@register(
+    "recsys_coverage_novelty",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    item_n AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY item
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM item_n),
+    pair_n AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT item_a AS src, item_b AS rec, n_ab FROM pair_n
+      UNION ALL
+      SELECT item_b, item_a, n_ab FROM pair_n
+    ),
+    scored AS (
+      SELECT s.src, s.rec,
+             s.n_ab / sqrt(na.n * nb.n) AS score
+      FROM sym s
+      JOIN item_n na ON na.item = s.src
+      JOIN item_n nb ON nb.item = s.rec
+    ),
+    top3 AS (
+      SELECT src, rec FROM (
+        SELECT src, rec,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY score DESC, rec) AS rn
+        FROM scored
+      ) t WHERE rn <= 3
+    ),
+    pop AS (
+      SELECT item, row_number() OVER (ORDER BY n DESC, item) AS pop_rank
+      FROM item_n
+    )
+    SELECT t.n_items,
+           CAST(count(DISTINCT r.rec) AS BIGINT) AS n_items_recommended,
+           round(count(DISTINCT r.rec) * 1.0 / t.n_items, 6) AS coverage,
+           CAST(count(*) AS BIGINT) AS n_recommendations,
+           round(sum(p.pop_rank) * 1.0 / count(*), 6) AS mean_pop_rank,
+           round(sum(CASE WHEN p.pop_rank * 2 > t.n_items THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS tail_share
+    FROM top3 r
+    JOIN pop p ON p.item = r.rec
+    CROSS JOIN tot t
+    GROUP BY t.n_items
+    """,
+)
+def recsys_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender evaluation — catalog COVERAGE (what
+    share of items ever appear in a top-3 list), NOVELTY (mean
+    popularity rank of recommendations — a recommender stuck at rank
+    ~1 only resells bestsellers), and long-tail share (recs from the
+    unpopular half) for the deterministic co-occurrence recommender.
+    These are the metrics that expose popularity bias, which accuracy
+    metrics reward rather than catch.
+
+    The popularity ranking of every item uses the distributed two-phase
+    prefix sum; top-3 lists come from per-item partitioned windows over
+    the symmetric ≥2-support pair set; all three metrics are single
+    divisions of exact counts (pop ranks are exact integers)."""
+    from pyspark.sql import Window as W
+
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    b = baskets(spark, sf_dir).select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    item_n = (
+        b.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = item_n.agg(F.count(F.lit(1)).alias("n_items"))
+    a = b.select(F.col("basket").alias("bk"), F.col("item").alias("ia"))
+    c = b.select(F.col("basket").alias("bk2"), F.col("item").alias("ib"))
+    pair_n = (
+        a.join(c, (F.col("bk") == F.col("bk2")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    sym = pair_n.select(
+        F.col("ia").alias("src"), F.col("ib").alias("rec"), "n_ab"
+    ).unionAll(
+        pair_n.select(
+            F.col("ib").alias("src"), F.col("ia").alias("rec"), "n_ab"
+        )
+    )
+    scored = (
+        sym.join(item_n.select(F.col("item").alias("src"), F.col("n").alias("n_s")), "src")
+        .join(item_n.select(F.col("item").alias("rec"), F.col("n").alias("n_r")), "rec")
+        .select(
+            "src",
+            "rec",
+            (F.col("n_ab") / F.sqrt(F.col("n_s") * F.col("n_r"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.col("score").desc(), F.col("rec"))
+    top3 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "rec")
+    )
+    pop = global_order_stats(item_n, "n", "item", ascending=False).select(
+        F.col("item").alias("rec"), F.col("global_rank").alias("pop_rank")
+    )
+    joined = top3.join(pop, "rec")
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .groupBy("n_items")
+        .agg(
+            F.countDistinct("rec").alias("n_items_recommended"),
+            F.round(F.countDistinct("rec") * 1.0 / F.first("n_items"), 6).alias(
+                "coverage"
+            ),
+            F.count(F.lit(1)).alias("n_recommendations"),
+            F.round(F.sum("pop_rank") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "mean_pop_rank"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("pop_rank") * 2 > F.col("n_items"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("tail_share"),
+        )
+        .select(
+            "n_items",
+            "n_items_recommended",
+            "coverage",
+            "n_recommendations",
+            "mean_pop_rank",
+            "tail_share",
+        )
+    )
