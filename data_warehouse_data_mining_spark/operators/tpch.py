@@ -1377,3 +1377,89 @@ def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("otif_rate").asc(), "suppkey")
         .limit(25)
     )
+
+
+@register(
+    "credit_exposure_audit",
+    oracle="""
+    WITH open_exposure AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS open_cents,
+             CAST(count(*) AS BIGINT) AS n_open
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_custkey
+    ),
+    joined AS (
+      SELECT c.c_custkey,
+             CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+             coalesce(e.open_cents, 0) AS open_cents,
+             coalesce(e.n_open, 0) AS n_open
+      FROM customer c LEFT JOIN open_exposure e ON e.o_custkey = c.c_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN open_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_open_orders,
+           CAST(sum(CASE WHEN open_cents > bal_cents AND open_cents > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_exposed,
+           round(sum(CASE WHEN open_cents > bal_cents
+                          THEN open_cents - bal_cents ELSE 0 END) / 100.0, 2)
+             AS total_excess_exposure,
+           round(sum(CASE WHEN open_cents > bal_cents AND open_cents > 0
+                          THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN open_cents > 0 THEN 1 ELSE 0 END), 6)
+             AS over_exposure_rate
+    FROM joined
+    """,
+)
+def credit_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-exposure audit: customers whose OPEN-order exposure
+    (status 'O' order totals, exact cents) exceeds their account
+    balance — the receivables-risk snapshot a finance team pulls before
+    tightening terms, with the aggregate excess exposure in dollars.
+
+    One filtered fact aggregate LEFT-joined to the customer dimension
+    on its key (dim-sized, broadcastable); every threshold is an exact
+    integer cents comparison and the excess sums exactly before the one
+    display division."""
+    t = load(spark, sf_dir)
+    exp = (
+        t.orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("open_cents"),
+            F.count(F.lit(1)).alias("n_open"),
+        )
+    )
+    joined = t.customer.join(
+        exp, t.customer.c_custkey == exp.o_custkey, "left"
+    ).select(
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("bal_cents"),
+        F.coalesce("open_cents", F.lit(0)).alias("open_cents"),
+    )
+    over = F.col("open_cents") > F.col("bal_cents")
+    has_open = F.col("open_cents") > 0
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(has_open, 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_open_orders"),
+        F.sum(F.when(over & has_open, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_exposed"),
+        F.round(
+            F.sum(
+                F.when(over, F.col("open_cents") - F.col("bal_cents")).otherwise(0)
+            )
+            / 100.0,
+            2,
+        ).alias("total_excess_exposure"),
+        F.round(
+            F.sum(F.when(over & has_open, 1).otherwise(0))
+            * 1.0
+            / F.sum(F.when(has_open, 1).otherwise(0)),
+            6,
+        ).alias("over_exposure_rate"),
+    )
