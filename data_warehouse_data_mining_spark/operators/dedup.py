@@ -220,17 +220,27 @@ def jaccard_pairs_exact(
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash): 16-bit SimHash — per-token md5 hex digits vote on
+    """(id, simhash): 64-bit SimHash — per-token md5 hex digits vote on
     each fingerprint bit, weighted by token count. Entirely map+agg —
-    two shuffles total, independent of corpus size per-row."""
+    two shuffles total, independent of corpus size per-row.
+
+    64 bits (all 16 md5 hex digits), not fewer: the downstream banded
+    candidate join splits the fingerprint into 4 disjoint 16-bit bands,
+    so the bucket space is 4 × 65,536 — wide enough that bucket
+    occupancy (and hence candidate-pair count) stays near-linear in
+    corpus size. A 16-bit fingerprint with 4-bit bands has only 64
+    buckets TOTAL, which degenerates to all-pairs-with-a-constant once
+    the corpus dwarfs the bucket count. Bit 63 makes the signed BIGINT
+    negative; that is fine — band extraction masks with & 65535, which
+    is sign-agnostic, and Hamming uses bit_count(xor)."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
     )
     wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = wc.withColumn("h4", F.substring(F.md5("w"), 1, 4))
+    wc = wc.withColumn("h4", F.md5("w"))
 
-    # Expand each (doc, word) into 16 (bit_idx, bit_val) rows using only
-    # codegen'd expressions (no UDF): 4 hex digits × 4 bits.
+    # Expand each (doc, word) into 64 (bit_idx, bit_val) rows using only
+    # codegen'd expressions (no UDF): 16 hex digits × 4 bits.
     bit_pairs = F.array(
         *[
             F.struct(
@@ -240,7 +250,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     % 2
                 ).alias("bit_val"),
             )
-            for p in range(1, 5)
+            for p in range(1, 17)
             for b in range(0, 4)
         ]
     )
@@ -414,18 +424,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / CASE b WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
                   AS INT) % 2 AS bit_val
       FROM wc,
-           (SELECT unnest(range(1, 5)) AS p),
+           (SELECT unnest(range(1, 17)) AS p),
            (SELECT unnest(range(0, 4)) AS b)
     ),
     votes AS (
       SELECT doc_id, bit_idx,
              sum(CASE WHEN bit_val = 1 THEN cnt ELSE -cnt END) AS vote
       FROM bits GROUP BY doc_id, bit_idx
+    ),
+    -- bit 63 overflows a signed-BIGINT shift, so assemble unsigned in
+    -- HUGEINT then two's-complement-convert to the signed 64-bit value
+    -- Spark produces (shiftleft on a JVM long wraps to the sign bit).
+    raw AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << bit_idx
+                      ELSE CAST(0 AS HUGEINT) END) AS u
+      FROM votes GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit_idx ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM votes GROUP BY doc_id
+           CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+                     ELSE u END AS BIGINT) AS simhash
+    FROM raw
     """)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints on documents (generic: simhash_table)."""
@@ -1000,15 +1019,21 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_hamming_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash banding: the 16-bit simhash
-    splits into 4 disjoint 4-bit bands; any two fingerprints within
+    """Near-dup candidate pairs by SimHash banding: the 64-bit simhash
+    splits into 4 disjoint 16-bit bands; any two fingerprints within
     Hamming distance 3 differ in ≤ 3 bits, which can touch at most 3
     bands — so they MUST collide on at least one band. The band
     equi-join therefore has EXACT recall for hamming ≤ 3 while only
     comparing fingerprints inside the same (band_idx, band_val) bucket —
     the pigeonhole banding trick that replaces the all-pairs O(n²)
     Hamming scan with a shuffle join, same idea as MinHash-LSH but for
-    bit-fingerprint distance. Returns (id_a, id_b, hamming)."""
+    bit-fingerprint distance. 16-bit bands give 4 × 65,536 buckets, so
+    bucket occupancy — and the candidate-pair count, which grows with
+    the square of per-bucket occupancy — stays near-linear far past the
+    regime where the earlier 4-bit banding (64 buckets total) went
+    quadratic. The & 65535 mask makes band extraction sign-agnostic
+    (bit 63 makes the BIGINT negative; arithmetic vs logical shift only
+    differ above the masked bits). Returns (id_a, id_b, hamming)."""
     sh = simhash_table(df, id_col, text_col)
     bands = sh.select(
         "id",
@@ -1018,7 +1043,7 @@ def simhash_hamming_pairs(
                 F.struct(
                     F.lit(b).alias("band_idx"),
                     (
-                        F.shiftright("simhash", 4 * b).cast("long") % 16
+                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(65535)).cast("long")
                     ).alias("band_val"),
                 )
                 for b in range(4)
@@ -1065,7 +1090,7 @@ def simhash_hamming_pairs(
                         / CASE b WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
                   AS INT) % 2 AS bit_val
       FROM wc,
-           (SELECT unnest(range(1, 5)) AS p),
+           (SELECT unnest(range(1, 17)) AS p),
            (SELECT unnest(range(0, 4)) AS b)
     ),
     votes AS (
@@ -1073,15 +1098,22 @@ def simhash_hamming_pairs(
              sum(CASE WHEN bit_val = 1 THEN cnt ELSE -cnt END) AS vote
       FROM bits GROUP BY doc_id, bit_idx
     ),
+    raw AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << bit_idx
+                      ELSE CAST(0 AS HUGEINT) END) AS u
+      FROM votes GROUP BY doc_id
+    ),
     sh AS (
       SELECT doc_id,
-             CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit_idx
-                           ELSE 0 END) AS BIGINT) AS simhash
-      FROM votes GROUP BY doc_id
+             CAST(CASE WHEN u >= 9223372036854775808
+                       THEN u - 18446744073709551616
+                       ELSE u END AS BIGINT) AS simhash
+      FROM raw
     ),
     bands AS (
       SELECT doc_id, simhash, b AS band_idx,
-             (simhash >> (4 * b)) & 15 AS band_val
+             (simhash >> (16 * b)) & 65535 AS band_val
       FROM sh, (SELECT unnest(range(0, 4)) AS b)
     ),
     cand AS (

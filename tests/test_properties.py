@@ -66,11 +66,11 @@ def test_simhash_formula_is_order_invariant(words, rot):
     """The simhash bit-vote formula (operators/dedup.py oracle) depends
     only on token multiset, not order."""
     def simhash(ws):
-        votes = [0] * 16
+        votes = [0] * 64
         for w in ws:
-            h4 = _md5(w)[:4]
-            for p in range(4):
-                d = int(h4[p], 16)
+            hx = _md5(w)
+            for p in range(16):
+                d = int(hx[p], 16)
                 for b in range(4):
                     bit = (d >> (3 - b)) & 1
                     votes[p * 4 + b] += 1 if bit else -1
