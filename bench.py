@@ -5,9 +5,14 @@ ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect cost, no result materialization skew) and timed as
-the MEDIAN of 3 runs after a warm-up pass, so GC/scheduler jitter
-doesn't masquerade as a regression between rounds.
+no driver collect cost, no result materialization skew) and timed over
+5 runs after a warm-up pass. The headline "queries"/"value" report the
+MEDIAN; "queries_min"/"value_min" report the MIN. Both matter: this
+host has co-tenant interference (identical binaries have benched
+7.4-18.6 s across rounds), and the min-of-5 is the
+interference-resistant statistic — if the min regresses, it's the
+code; if only the median does, it's the machine. Raw samples are kept
+in "samples" so any future regression is attributable per-stage.
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ from data_warehouse_data_mining_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def _force(df) -> None:
@@ -44,6 +49,8 @@ def main() -> None:
     _force(qs[first].builder(spark, SF_DIR))
 
     total = 0.0
+    total_min = 0.0
+    timings_min: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     for name in sorted(qs):
         samples = []
@@ -53,16 +60,20 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         dt = statistics.median(samples)
         timings[name] = round(dt, 3)
+        timings_min[name] = round(min(samples), 3)
         all_samples[name] = [round(s, 3) for s in samples]
         total += dt
+        total_min += min(samples)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
+                "value_min": round(total_min, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "samples": all_samples,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }

@@ -14,7 +14,7 @@ north star). Shuffle discipline per family:
   candidate join is the only pairwise step and touches candidate pairs,
   not n² pairs.  Every hash is md5-based (functions/texthash.py) so the
   DuckDB oracle reproduces values bit-for-bit.
-* **SimHash** — 16-bit fingerprint via per-token hex-digit bit votes.
+* **SimHash** — 64-bit fingerprint via per-token hex-digit bit votes.
 * **n-gram Jaccard** — inverted-index self-join on shared shingles
   (exact, for when candidate recall must be 100%).
 
@@ -24,7 +24,7 @@ smote_sampling.py:9); everything else is north-star extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -163,6 +163,27 @@ def _jaccard_rerank(
     )
 
 
+def shingle_array_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, shingles): the distinct word-n-gram shingle SET per document
+    as one array row — the un-exploded twin of ``shingle_table``. Docs
+    with fewer than ``n`` words (empty shingle set) are dropped, exactly
+    as they vanish from the exploded table. No explode fan-out; the only
+    possible shuffle is the same small-corpus parallelism guard as
+    ``shingle_table`` (an unsplittable single-file input would otherwise
+    run the CPU-heavy md5 stage on one core; an already-wide 100 TB scan
+    is left untouched)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    ws = th.words(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(th.word_shingles(ws, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     id_col: str,
@@ -177,14 +198,42 @@ def near_duplicate_pairs(
     """MinHash-LSH near-duplicate pairs with exact Jaccard re-rank —
     (id_a, id_b, jaccard).
 
-    The shingle table feeds three consumers (signatures + both sides of
-    the intersection join), so it is persisted — on a cluster-scale
-    corpus stage it to a parquet temp table instead.
-    """
-    sh = shingle_table(df, id_col, text_col, shingle_n).persist()
+    Shuffle shape: signatures come from the exploded shingle table's
+    single hash-aggregate (whole-stage-codegen'd — the per-row
+    array_min/zip_with alternative falls back to interpreted
+    HigherOrderFunction eval and measures ~2× slower end-to-end); the
+    candidate (band, signature) equi-join is the only pairwise step; the
+    exact re-rank joins the SMALL candidate set back to the un-exploded
+    shingle-array table and scores size(array_intersect) per pair — AQE
+    broadcasts the candidate side, so the corpus is never re-shuffled
+    for the re-rank (the former inverted-index re-rank shuffled the
+    exploded table twice). The compact array table is the one persisted
+    artifact: the raw text is scanned/shingled ONCE, both consumers read
+    the cache, and the cached rows are shingle arrays, not the larger
+    exploded table the previous version cached. On a cluster-scale
+    corpus stage it to a parquet temp instead."""
+    sharr = shingle_array_table(df, id_col, text_col, shingle_n).persist()
+    sh = sharr.select("id", F.explode("shingles").alias("shingle"))
     sig = minhash_signatures_table(sh, num_hashes)
     candidates = lsh_candidate_pairs(lsh_band_table(sig, bands, rows_per_band))
-    return _jaccard_rerank(candidates, sh, sig.select("id", "ns"), threshold)
+    a = sharr.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("ns_a"),
+    )
+    b = sharr.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("ns_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("ns_a") + F.col("ns_b") - inter)
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 def jaccard_pairs_exact(

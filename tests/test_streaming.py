@@ -624,3 +624,34 @@ def test_streaming_daily_active_users_matches_batch(spark, events_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_only_session_pins_utc(spark, events_dir):
+    """A session that touches ONLY the streaming path must still get
+    UTC-correct windows: read_event_stream pins session.timeZone=UTC +
+    nanosAsLong itself (mirrors Catalog.table's guard) rather than
+    depending on a batch-catalog side effect having run first. Simulate
+    a fresh externally built session with newSession() (isolated
+    SQLConf, shared JVM), deliberately mis-pinned to a non-UTC zone."""
+    iso = spark.newSession()
+    iso.conf.set("spark.sql.session.timeZone", "America/New_York")
+    iso.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+    agg = streaming_tumbling_counts(iso, events_dir, watermark="365 days")
+    # the guard must have re-pinned the isolated session
+    assert iso.conf.get("spark.sql.session.timeZone") == "UTC"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_utc_guard")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        tuple(r) for r in iso.sql("SELECT * FROM stream_utc_guard").collect()
+    }
+    batch = {tuple(r) for r in tumbling_counts(load(spark, SF_SMALL).events).collect()}
+    assert streamed == batch
