@@ -1297,3 +1297,117 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tp") / F.col("n_truth"), 6).alias("recall"),
         )
     )
+
+
+@register(
+    "lsh_banding_recall_curve",
+    oracle="WITH "
+    + _ORACLE_SHINGLES
+    + ", "
+    + _ORACLE_MINHASH
+    + ", "
+    + _oracle_bands()
+    + ", "
+    + _ORACLE_CANDIDATES
+    + """,
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    inter_all AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles sa JOIN shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b,
+             i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter) AS jac
+      FROM inter_all i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.n_inter * 1.0 / (za.ns + zb.ns - i.n_inter) >= 0.05
+    ),
+    scored AS (
+      SELECT CAST(floor(t.jac * 10) AS BIGINT) AS bucket,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM truth t
+      LEFT JOIN candidates c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(caught) AS BIGINT) AS n_caught,
+           round(sum(caught) * 1.0 / count(*), 6) AS recall,
+           round(1 - (1 - (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05)
+                          * (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05))
+                   * (1 - (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05)
+                          * (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05))
+                   * (1 - (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05)
+                          * (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05))
+                   * (1 - (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05)
+                          * (bucket/10.0 + 0.05) * (bucket/10.0 + 0.05)),
+                 6) AS expected_collide_prob
+    FROM scored GROUP BY bucket
+    """,
+)
+def lsh_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical recall of the banded MinHash candidate stage per
+    exact-Jaccard decile, down into the low-similarity regime (truth
+    floor 0.05) where the 16-hash 4×4 banding S-curve
+    P(collide) = 1-(1-j⁴)⁴ is far below 1 and banding genuinely MISSES
+    pairs — the audit ``dedup_eval_precision_recall`` (which evaluates
+    only at the 0.35 operating threshold) cannot see. Each decile row
+    carries the measured recall next to the theoretical collision
+    probability at the decile midpoint, so a pipeline owner can check
+    the implementation tracks the S-curve before retuning bands at
+    corpus scale. The midpoint term is expanded with plain * and -
+    (no pow()) so both engines compute bit-identical doubles.
+
+    Scale: identical join shape to dedup_eval_precision_recall — the
+    exact all-pairs truth is the audit-scale component; the candidate
+    side stays the production banded join."""
+    d = load(spark, sf_dir).documents
+    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    sig = minhash_signatures_table(sh)
+    cand = (
+        lsh_candidate_pairs(lsh_band_table(sig))
+        .withColumn("caught_flag", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sig.select("id", "ns")
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        sa.join(
+            sb, (F.col("sh_a") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter"))
+    truth = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")),
+            "id_b",
+        )
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", jac.alias("jac"))
+    )
+    mid = F.col("bucket") / 10.0 + 0.05
+    j4 = mid * mid * mid * mid
+    expected = 1 - (1 - j4) * (1 - j4) * (1 - j4) * (1 - j4)
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            F.floor(F.col("jac") * 10).cast("long").alias("bucket"),
+            F.coalesce("caught_flag", F.lit(0)).alias("caught"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum("caught").alias("n_caught"),
+            F.round(F.sum("caught") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .withColumn("expected_collide_prob", F.round(expected, 6))
+    )

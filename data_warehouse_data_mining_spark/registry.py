@@ -175,6 +175,7 @@ def _ensure_loaded() -> None:
     from data_warehouse_data_mining_spark.operators import dedup  # noqa: F401
     from data_warehouse_data_mining_spark.streaming import windows as stream_windows  # noqa: F401
     from data_warehouse_data_mining_spark.streaming import joins as stream_joins  # noqa: F401
+    from data_warehouse_data_mining_spark.streaming import stateful as stream_stateful  # noqa: F401
     from data_warehouse_data_mining_spark.operators import advanced  # noqa: F401
     from data_warehouse_data_mining_spark.operators import mining  # noqa: F401
     from data_warehouse_data_mining_spark.operators import graph  # noqa: F401

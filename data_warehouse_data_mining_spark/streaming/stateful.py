@@ -191,3 +191,148 @@ def capped_wallet_stream(orders_stream: DataFrame, cap: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-backed batch twins of the stateful operators
+#
+# The true-streaming paths above are pinned by tests/test_streaming.py
+# (memory sink + processAllAvailable); these registered twins put the
+# SAME per-key state semantics under the driver's DuckDB hard-signal
+# gate, so the stateful surface has exact-oracle rows, not test-only
+# coverage.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_warehouse_data_mining_spark.catalog import load  # noqa: E402
+from data_warehouse_data_mining_spark.registry import register  # noqa: E402
+
+
+@register(
+    "stateful_running_totals_final",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``running_user_totals``: the last UPDATE each key
+    emits once the stream drains is exactly this aggregate (the
+    stream≡batch identity test_stateful_running_totals pins). Registered
+    so the per-key-state contract also has an exact DuckDB oracle row."""
+    ev = load(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "wallet_microbatch_replay",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT o_custkey AS ck,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             strftime(o_orderdate, '%Y') AS batch_id,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE -CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             END AS delta
+      FROM orders
+    ),
+    walk(ck, rn, bal, ncap, nfloor) AS (
+      SELECT ck, rn,
+             LEAST(GREATEST(delta, 0), 2000000),
+             CASE WHEN delta > 2000000 THEN 1 ELSE 0 END,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.ck, s.rn,
+             LEAST(GREATEST(w.bal + s.delta, 0), 2000000),
+             w.ncap   + CASE WHEN w.bal + s.delta > 2000000 THEN 1 ELSE 0 END,
+             w.nfloor + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
+    ),
+    batch_end AS (
+      SELECT ck, batch_id, max(rn) AS rn,
+             CAST(count(*) AS BIGINT) AS n_in_batch
+      FROM seq GROUP BY ck, batch_id
+    )
+    SELECT b.ck AS custkey, b.batch_id,
+           CAST(w.bal AS BIGINT) AS end_balance_cents,
+           CAST(w.ncap AS BIGINT) AS n_capped,
+           CAST(w.nfloor AS BIGINT) AS n_floored,
+           CAST(w.rn AS BIGINT) AS n_orders_cum
+    FROM batch_end b JOIN walk w ON w.ck = b.ck AND w.rn = b.rn
+    """,
+)
+def wallet_microbatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic replay of ``capped_wallet_stream``'s UPDATE-mode
+    emission history: treating each order YEAR as one micro-batch (a
+    chronological file feed), emit the per-customer wallet state the
+    stream would publish at every batch boundary — not just the final
+    state ``capped_running_balance`` checks. This is the streaming
+    backtest/audit shape: replaying a stateful operator over a bounded
+    log and checkpointing state at batch edges.
+
+    Spark shape: ONE shuffle (groupBy custkey), then an Arrow-batched
+    per-key walk via the SAME ``wallet_step`` recurrence the stream
+    executes, emitting a row whenever the batch id rolls over. The
+    oracle walks the identical recurrence as a recursive CTE and reads
+    the state at each (customer, year)'s last order."""
+    import pandas as pd  # noqa: F811  (module-level import is the same object)
+
+    from data_warehouse_data_mining_spark.operators.udfs import (
+        _BAL_CAP,
+        wallet_step,
+    )
+
+    o = load(spark, sf_dir).orders
+    src = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("batch_id"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        )
+        .otherwise(-F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("delta"),
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        ck = int(pdf["custkey"].iloc[0])
+        bal = ncap = nfloor = n = 0
+        out: list[tuple] = []
+        cur = None
+        for d, b in zip(pdf["delta"].to_numpy(), pdf["batch_id"].to_numpy()):
+            if cur is not None and b != cur:
+                out.append((ck, cur, bal, ncap, nfloor, n))
+            cur = b
+            bal, ncap, nfloor = wallet_step(bal, ncap, nfloor, int(d), _BAL_CAP)
+            n += 1
+        out.append((ck, cur, bal, ncap, nfloor, n))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "custkey",
+                "batch_id",
+                "end_balance_cents",
+                "n_capped",
+                "n_floored",
+                "n_orders_cum",
+            ],
+        )
+
+    return src.groupBy("custkey").applyInPandas(
+        replay,
+        "custkey long, batch_id string, end_balance_cents long, "
+        "n_capped long, n_floored long, n_orders_cum long",
+    )
