@@ -1681,3 +1681,93 @@ def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SPAN_LEN = 12      # tokens per exact-match window
+SPAN_MOD = 4       # mod-p fingerprint sampling density (keep 1/SPAN_MOD)
+SPAN_TOP = 100
+
+
+@register(
+    "repeated_span_census",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[i : i + {SPAN_LEN - 1}], ' ')) AS h
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {SPAN_LEN - 2})) AS i
+            FROM words WHERE len(ws) >= {SPAN_LEN})
+    ),
+    sel AS (
+      SELECT doc_id, h FROM wins
+      WHERE list_reduce(
+              list_transform(range(1, 9),
+                j -> CAST(strpos('0123456789abcdef',
+                                 substr(h, CAST(j AS INT), 1)) - 1 AS BIGINT)),
+              (a, b) -> a * 16 + b) % {SPAN_MOD} = 0
+    )
+    SELECT h AS span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM sel GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span_hash
+    LIMIT {SPAN_TOP}
+    """,
+)
+def repeated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection across documents — the scalable
+    approximation of suffix-array substring dedup (the Lee et al.
+    'Deduplicating Training Data' family): any {SPAN_LEN}-token window
+    repeated verbatim in ≥2 docs surfaces here, via mod-p fingerprint
+    sampling instead of a suffix array. Every sliding window is hashed
+    (md5 of the token join — engine-portable), then only windows whose
+    hash ≡ 0 (mod {SPAN_MOD}) are kept: identical spans select identical
+    fingerprints, so a repeated span of ≥ {SPAN_LEN}+{SPAN_MOD} tokens is
+    caught with near-certainty while the shuffle carries ~1/{SPAN_MOD}
+    of the window stream. The census groups the sampled fingerprints and
+    reports cross-doc repeats (top {SPAN_TOP} by spread, deterministic
+    hash tiebreak).
+
+    Scale: window hashing and sampling are map-only codegen expressions;
+    the only shuffle is the sampled-fingerprint groupBy (SPAN_MOD tunes
+    shuffle volume); the top-k is TakeOrdered, not a global sort. This
+    catches verbatim template/boilerplate repetition that shingle-SET
+    methods (MinHash on 3-gram sets) dilute away in long documents."""
+    d = load(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = th.words(F.col("text"))
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= SPAN_LEN,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (SPAN_LEN - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, SPAN_LEN))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    sel = wins.filter(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % SPAN_MOD == 0
+    )
+    return (
+        sel.groupBy(F.col("h").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span_hash"
+        )
+        .limit(SPAN_TOP)
+    )
