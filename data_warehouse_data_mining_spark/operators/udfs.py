@@ -347,8 +347,16 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Explicit repartition with a PINNED partition count: the walk stage
+    # is Python-CPU-bound, and AQE's byte-based coalescing (which skips
+    # user-specified repartitions but not plain groupBy shuffles) would
+    # squeeze the small shuffle onto a handful of partitions and
+    # serialize the per-customer walks onto that many Python workers —
+    # measured 3× slower at sf0.1 than keeping one partition per core.
+    par = spark.sparkContext.defaultParallelism
     return (
-        src.groupBy("custkey")
+        src.repartition(par, "custkey")
+        .groupBy("custkey")
         .applyInPandas(
             walk,
             "custkey long, end_balance_cents long, n_capped long, "

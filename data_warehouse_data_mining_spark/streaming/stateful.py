@@ -331,8 +331,17 @@ def wallet_microbatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
 
-    return src.groupBy("custkey").applyInPandas(
-        replay,
-        "custkey long, batch_id string, end_balance_cents long, "
-        "n_capped long, n_floored long, n_orders_cum long",
+    # Pinned-count repartition: the replay stage is Python-CPU-bound, so
+    # AQE's byte-based shuffle coalescing (skips user repartitions, not
+    # groupBy shuffles) must not squeeze the walks onto a few workers —
+    # same guard as capped_running_balance.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        src.repartition(par, "custkey")
+        .groupBy("custkey")
+        .applyInPandas(
+            replay,
+            "custkey long, batch_id string, end_balance_cents long, "
+            "n_capped long, n_floored long, n_orders_cum long",
+        )
     )
