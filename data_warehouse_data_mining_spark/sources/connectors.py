@@ -71,3 +71,31 @@ def read_jdbc(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def _datasource_registered(spark: SparkSession, name: str) -> bool:
+    """True iff ``format(name)`` would resolve. Class.forName is NOT a
+    sufficient probe: this image carries avro CLASSES without the
+    DataSourceRegister service wiring, so the class loads but
+    ``format("avro")`` still fails — lookupDataSource is the check the
+    reader itself performs."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # type: ignore[union-attr]
+            name, spark._jsparkSession.sessionState().conf()  # type: ignore[attr-defined]
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro reader — the row-oriented ingest format (Kafka archive dumps,
+    schema-registry pipelines). Avro moved out of core in Spark 2.4, so
+    it gates like the lakehouse formats; call sites are identical once
+    org.apache.spark:spark-avro is on the classpath."""
+    if not _datasource_registered(spark, "avro"):
+        raise ConnectorUnavailable(
+            "Avro module not on classpath; add org.apache.spark:spark-avro "
+            "via spark.jars.packages"
+        )
+    return spark.read.format("avro").load(path)

@@ -350,3 +350,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # no mergeSchema: one footer wins — the evolved column is either
     # absent (v1 footer) or present (v2); both legal, neither merged
     assert set(plain.columns) in ({"id", "val"}, {"id", "val", "score"})
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips the orders table bit-for-bit and the scan pushes
+    predicates down to the reader (stripe/row-group skipping at scale)."""
+    from data_warehouse_data_mining_spark.sources.orc import (
+        read_orc,
+        write_orc_sorted,
+    )
+
+    out = str(tmp_path / "orders_orc")
+    o = load(spark, SF_SMALL).orders
+    write_orc_sorted(o, out, ["o_orderdate"])
+
+    back = read_orc(spark, out)
+    assert back.schema == o.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in o.collect()}
+
+    plan = explain.formatted_plan(
+        back.filter(F.col("o_totalprice") > 200000.0).select("o_orderkey")
+    )
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0], "ORC scan must carry the pushed predicate"
+
+
+def test_avro_gates_cleanly_when_absent(spark, tmp_path):
+    """The image has no registered avro data source (it carries avro
+    CLASSES without the DataSourceRegister wiring — the trap the gate's
+    lookupDataSource probe exists for); the connector must raise the
+    actionable gate error, not an opaque 'Failed to find data source'."""
+    if connectors._datasource_registered(spark, "avro"):
+        pytest.skip("spark-avro registered on this classpath")
+    with pytest.raises(connectors.ConnectorUnavailable, match="spark-avro"):
+        connectors.read_avro(spark, str(tmp_path / "x.avro"))
