@@ -109,3 +109,86 @@ def streaming_attributed_pairs(
         F.col("event_type") == "purchase"
     )
     return attributed_pairs(clicks, purchases, horizon)
+
+
+def attributed_pairs_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = HORIZON
+) -> DataFrame:
+    """LEFT OUTER variant of ``attributed_pairs``: clicks with no
+    purchase in the horizon survive with NULL purchase columns. On
+    batch this is an ordinary outer join; on streaming it is the
+    semantics only a watermarked interval join can provide — the NULL
+    row for an unconverted click is emitted exactly when the watermark
+    passes ``click_ts + horizon`` and the engine can PROVE no match is
+    coming (the same eviction bound that keeps join state finite)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )
+
+
+@register(
+    "unconverted_clicks",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                    THEN click_id END) AS BIGINT) AS n_converted,
+           CAST(count(DISTINCT CASE WHEN purchase_id IS NULL
+                                    THEN click_id END) AS BIGINT) AS n_unconverted,
+           round(count(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                     THEN click_id END) * 1.0
+                 / count(DISTINCT click_id), 6) AS conversion_rate
+    FROM pairs GROUP BY user_id
+    """,
+)
+def unconverted_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of the LEFT OUTER stream-stream interval join
+    (generic: attributed_pairs_outer): per user, how many clicks
+    converted to a purchase within the horizon and how many never did.
+    The unconverted side is precisely the rows the streaming engine
+    emits on watermark expiry — the negative space the INNER
+    attribution join cannot see (funnel drop-off, retargeting feeds)."""
+    ev = load(spark, sf_dir).events
+    pairs = attributed_pairs_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+        ).alias("n_converted"),
+        F.countDistinct(
+            F.when(F.col("purchase_id").isNull(), F.col("click_id"))
+        ).alias("n_unconverted"),
+        F.round(
+            F.countDistinct(
+                F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+            )
+            / F.countDistinct("click_id"),
+            6,
+        ).alias("conversion_rate"),
+    )

@@ -655,3 +655,84 @@ def test_streaming_only_session_pins_utc(spark, events_dir):
     }
     batch = {tuple(r) for r in tumbling_counts(load(spark, SF_SMALL).events).collect()}
     assert streamed == batch
+
+
+def test_stream_outer_interval_join_emits_unmatched_after_watermark(
+    spark, events_dir
+):
+    """LEFT OUTER stream-stream interval join: inner pairs must equal
+    the batch join's, and the NULL rows for unconverted clicks must be
+    emitted once the watermark can prove no match is coming — exactly
+    the batch outer join's NULL rows for every click old enough that
+    ``click_ts + horizon < final watermark``. Clicks younger than that
+    may legally still sit in state when the stream drains, so the
+    comparison restricts to the provably-final region."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.streaming.joins import (
+        attributed_pairs_outer,
+    )
+    from data_warehouse_data_mining_spark.streaming.windows import (
+        read_event_stream,
+    )
+
+    wm = "1 hour"
+    clicks = read_event_stream(spark, events_dir, watermark=wm).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, events_dir, watermark=wm).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = attributed_pairs_outer(clicks, purchases)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_outer_attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql(
+            "SELECT click_id, purchase_id FROM stream_outer_attr"
+        ).collect()
+    }
+
+    ev = load(spark, SF_SMALL).events
+    batch = attributed_pairs_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    # Final watermark: the event_type filters push BELOW the watermark
+    # operator, so each side's watermark tracks only its own event type
+    # and the query's global watermark is min(last click, last purchase)
+    # minus the delay — NOT max(all events). The margin covers the
+    # engine's internal ms truncation of the boundary.
+    max_click = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    max_purch = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    final_wm = min(max_click, max_purch) - datetime.timedelta(hours=1, minutes=1)
+    horizon = datetime.timedelta(hours=1)
+
+    inner_batch = {
+        (r.click_id, r.purchase_id) for r in batch if r.purchase_id is not None
+    }
+    finalized_nulls = {
+        (r.click_id, None)
+        for r in batch
+        if r.purchase_id is None and r.click_ts + horizon < final_wm
+    }
+    streamed_inner = {p for p in streamed if p[1] is not None}
+    streamed_nulls = {p for p in streamed if p[1] is None}
+
+    assert streamed_inner == inner_batch and len(inner_batch) > 0
+    # every provably-final unconverted click was emitted...
+    assert finalized_nulls <= streamed_nulls and len(finalized_nulls) > 0
+    # ...and nothing was emitted that the batch outer join doesn't have
+    assert streamed_nulls <= {
+        (r.click_id, None) for r in batch if r.purchase_id is None
+    }
