@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -277,4 +277,82 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frames_digest"),
         )
         .orderBy("doc_id")
+    )
+
+
+SHARD_BYTES = 4096  # max payload bytes per webdataset-style shard
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle=f"""
+    WITH pay AS (
+      SELECT doc_id, source, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, source, n_bytes,
+             CAST(coalesce(sum(n_bytes) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // {SHARD_BYTES} AS BIGINT) AS shard_id
+      FROM pay
+    )
+    SELECT source, shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS member_digest
+    FROM placed GROUP BY source, shard_id
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webdataset-style shard manifest for a binary-payload corpus:
+    assign samples to ~{SHARD_BYTES}-byte shards per source (training
+    readers stream one shard per worker; shards never span sources) and
+    emit the manifest a shard-writer needs — member count, byte total,
+    doc range, and an order-sensitive member digest for reader-side
+    integrity checks.
+
+    Shard assignment is the scalable prefix-sum placement:
+    shard_id = floor(bytes_before / cap) over the deterministic
+    (source, doc_id) stream — each shard overflows by at most one
+    sample, which is the standard trade for making placement a WINDOW
+    expression instead of a sequential greedy walk (same trick as
+    ``operators/packing.py``). One shuffle on source for the window +
+    one hash-agg; payload bytes are measured, never moved."""
+    d = load(spark, sf_dir).documents
+    pay = with_payload(d).select(
+        "doc_id", "source", F.octet_length("payload").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = pay.withColumn(
+        "bytes_before", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    ).select(
+        "doc_id",
+        "source",
+        "n_bytes",
+        # integer div, not float-floor: exact at any cumsum magnitude
+        F.expr(f"bytes_before div {SHARD_BYTES}").cast("long").alias("shard_id"),
+    )
+    return placed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("member_digest"),
     )

@@ -251,3 +251,71 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             at_risk * 1.0 / F.sum("class_size").cast("long"), 6
         ).alias("at_risk_share"),
     )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+             c_mktsegment AS sensitive,
+             c_custkey
+      FROM customer
+    ),
+    classes AS (
+      SELECT nation, balance_band,
+             CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM quasi GROUP BY nation, balance_band
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_3,
+           CAST(sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_customers_exposed,
+           round(sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                 * 1.0 / sum(class_size), 6) AS exposed_share
+    FROM classes
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a class
+    can be large (k-safe) yet have every member share ONE sensitive
+    value, so membership alone discloses it (the homogeneity attack).
+    Quasi-identifiers (nation, $1000 balance band) index the classes;
+    the market segment plays the sensitive attribute; a class with
+    fewer than l=3 distinct sensitive values is exposed. Same
+    one-hash-agg shape as ``k_anonymity_audit`` (class table bounded by
+    the quasi-identifier domain) with a count-distinct per class."""
+    c = load(spark, sf_dir).customer
+    classes = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balance_band"),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .groupBy("nation", "balance_band")
+        .agg(
+            F.countDistinct("sensitive").alias("l_distinct"),
+            F.count(F.lit(1)).alias("class_size"),
+        )
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_3"),
+        F.sum(F.when(F.col("l_distinct") < 3, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_customers_exposed"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_distinct") < 3, F.col("class_size")).otherwise(0)
+            )
+            / F.sum("class_size"),
+            6,
+        ).alias("exposed_share"),
+    )

@@ -404,3 +404,109 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     ).orderBy("flag")
+
+
+@register(
+    "kmv_set_operations",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT o_custkey AS pk FROM orders
+      WHERE year(o_orderdate) = 1995
+    ),
+    b AS (
+      SELECT DISTINCT o_custkey AS pk FROM orders
+      WHERE year(o_orderdate) = 1996
+    ),
+    ha AS (SELECT md5(CAST(pk AS VARCHAR)) AS h FROM a
+           ORDER BY 1 LIMIT {KMV_K}),
+    hb AS (SELECT md5(CAST(pk AS VARCHAR)) AS h FROM b
+           ORDER BY 1 LIMIT {KMV_K}),
+    m AS (SELECT DISTINCT h
+          FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+          ORDER BY h LIMIT {KMV_K}),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS k_union, max(h) AS kth
+              FROM m),
+    rho AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM m
+            WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+    ex AS (SELECT CAST(count(DISTINCT pk) AS BIGINT) AS exact_union
+           FROM (SELECT pk FROM a UNION ALL SELECT pk FROM b)),
+    ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect
+           FROM a WHERE pk IN (SELECT pk FROM b))
+    SELECT k_union, n_both,
+           round((k_union - 1) * {float(_KMV_M)}
+                 / CAST('0x' || substr(kth, 1, 15) AS BIGINT), 2)
+             AS union_est,
+           round(n_both * 1.0 / k_union, 6) AS jaccard_est,
+           round((n_both * 1.0 / k_union)
+                 * ((k_union - 1) * {float(_KMV_M)}
+                    / CAST('0x' || substr(kth, 1, 15) AS BIGINT)), 2)
+             AS intersect_est,
+           exact_union, exact_intersect
+    FROM stats, rho, ex, ei
+    """,
+)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON SKETCHES — the reason mergeable sketches exist at
+    100 TB: estimate |A∪B| and |A∩B| for two customer cohorts (1995 vs
+    1996 orderers, ~64% Jaccard) from their k=256-minimum-values
+    summaries alone,
+    without ever co-shuffling the underlying sets. The merged sketch is
+    just the k smallest of the two sketches' union (KMV's closure under
+    union); the intersection comes from ρ = |both| / k over the merged
+    sketch (Beyer et al. 2007), intersect ≈ ρ·|A∪B|. Exact counts ride
+    along, so the accuracy contract is oracle-verified bit-for-bit —
+    possible because md5 gives both engines the same hash order.
+
+    Scale shape: each sketch is a distributed TakeOrdered (k per
+    partition, k merged on the driver-sized tail); everything after
+    operates on ≤3k rows. The exact side pays the real distinct
+    shuffles — precisely the cost the sketches avoid."""
+    o = load(spark, sf_dir).orders
+    a = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("pk"))
+        .distinct()
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("pk"))
+        .distinct()
+    )
+    ha = a.select(F.md5(F.col("pk").cast("string")).alias("h")).orderBy("h").limit(KMV_K)
+    hb = b.select(F.md5(F.col("pk").cast("string")).alias("h")).orderBy("h").limit(KMV_K)
+    m = ha.unionAll(hb).distinct().orderBy("h").limit(KMV_K)
+    stats = m.agg(
+        F.count(F.lit(1)).cast("long").alias("k_union"), F.max("h").alias("kth")
+    )
+    n_both = (
+        m.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    exact_union = (
+        a.unionAll(b).distinct().agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+    )
+    exact_intersect = a.join(b, "pk", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersect")
+    )
+    union_est = (
+        (F.col("k_union") - 1)
+        * F.lit(float(_KMV_M))
+        / F.conv(F.substring("kth", 1, 15), 16, 10).cast("long")
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_intersect))
+        .select(
+            "k_union",
+            "n_both",
+            F.round(union_est, 2).alias("union_est"),
+            F.round(F.col("n_both") / F.col("k_union"), 6).alias("jaccard_est"),
+            F.round((F.col("n_both") / F.col("k_union")) * union_est, 2).alias(
+                "intersect_est"
+            ),
+            "exact_union",
+            "exact_intersect",
+        )
+    )
