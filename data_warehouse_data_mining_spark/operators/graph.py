@@ -692,3 +692,140 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("layer")
+
+
+N_ITER_PPR = 5
+N_SEEDS = 5  # suppliers 1..5 seed the restart distribution
+TOP_K_PPR = 30
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank iterations: each step is the
+    contribution aggregate FULL OUTER JOINed with the seed teleport
+    mass, so nodes reached only by teleport (the seeds) and nodes
+    reached only by spread both survive — the sparse-vector walk."""
+    steps = []
+    for i in range(N_ITER_PPR):
+        steps.append(
+            f"""c{i + 1} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             (85 * CAST(sum(r{i}.rank // deg.d) AS BIGINT)) // 100 AS spread
+      FROM r{i}
+      JOIN deg   ON deg.src = r{i}.node
+      JOIN edges e ON e.src = r{i}.node
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS MATERIALIZED (
+      SELECT coalesce(c.node, s.node) AS node,
+             CAST(coalesce(c.spread, 0) + coalesce(s.b, 0) AS BIGINT) AS rank
+      FROM c{i + 1} c FULL OUTER JOIN seed_base s ON s.node = c.node
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT s AS src, p AS dst FROM pairs
+      UNION ALL
+      SELECT p AS src, s AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT DISTINCT src AS node FROM deg
+              WHERE src % 2 = 0 AND src // 2 <= {N_SEEDS}),
+    ns AS (SELECT count(*) AS n FROM seeds),
+    seed_base AS (
+      SELECT node,
+             CAST((15 * ({R_UNIT} // n)) // 100 AS BIGINT) AS b
+      FROM seeds CROSS JOIN ns
+    ),
+    r0 AS (SELECT node, CAST({R_UNIT} // (SELECT n FROM ns) AS BIGINT) AS rank
+           FROM seeds),
+    {unrolled}
+    SELECT node // 2 AS part_id, rank AS rank_fp
+    FROM r{N_ITER_PPR}
+    WHERE node % 2 = 1
+    ORDER BY rank_fp DESC, node
+    LIMIT {TOP_K_PPR}
+    """
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart from a seed set
+    (suppliers 1-{N_SEEDS}) over the supplier↔part co-supply graph: the
+    teleport returns to the SEEDS, not the uniform distribution, so the
+    stationary mass ranks parts by proximity to those suppliers — the
+    item-recommendation / related-entities workload, where global
+    PageRank (graph_pagerank) answers a different question (global
+    centrality).
+
+    The rank vector starts |seeds|-sparse and only grows along reached
+    edges — each superstep joins the CURRENT nonzero ranks against the
+    edge list (sparse-matrix × sparse-vector), then FULL OUTER-merges
+    the seed teleport mass so unreachable-but-seeded nodes persist.
+    At 100 TB the working set is the walk's frontier, not the graph.
+    Same integer fixed-point determinism contract as graph_pagerank
+    (module docstring); the oracle unrolls the identical recurrence."""
+    li = load(spark, sf_dir).lineitem
+    pairs = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionAll(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    seeds = (
+        deg.filter((F.col("src") % 2 == 0) & (F.expr("src div 2") <= N_SEEDS))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    ns = seeds.agg(F.count(F.lit(1)).alias("n"))
+    seed_base = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", F.expr(f"(15 * ({R_UNIT} div n)) div 100").cast("long").alias("b")
+    ).persist()
+    ranks = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", F.expr(f"{R_UNIT} div n").cast("long").alias("rank")
+    )
+    contrib_edges = edges.join(deg, "src")
+    for it in range(N_ITER_PPR):
+        spread = (
+            contrib_edges.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", F.expr("rank div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.expr("(85 * sum(contrib)) div 100").alias("spread"))
+            .select(F.col("dst").alias("node"), "spread")
+        )
+        ranks = (
+            spread.join(seed_base, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("spread"), F.lit(0))
+                    + F.coalesce(F.col("b"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
+    seed_base.unpersist()
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("node div 2").alias("part_id"),
+            F.col("rank").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), F.col("part_id"))
+        .limit(TOP_K_PPR)
+    )
