@@ -608,3 +608,76 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "arrow_group_apply_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment AS segment, c_custkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_used,
+           round(sum(cents) * 1.0 / count(*) / 100, 6) AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY segment
+    """,
+)
+def arrow_group_apply_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of customer balances per market segment via
+    ``applyInArrow`` — the Spark 4 arrow-NATIVE group apply: the worker
+    hands each group as a ``pyarrow.Table`` and everything (sort, slice,
+    fixed-point sum) runs in pyarrow.compute kernels with zero
+    pandas/NumPy conversion — the zero-copy twin of ``applyInPandas``
+    for columnar per-group logic. Balances fold to exact cents before
+    summing and the final division rounds half-away (DuckDB's rule, not
+    Python's banker's rounding), so both engines emit identical
+    doubles. One shuffle on segment; group state never leaves the
+    executor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def trimmed(table: "pa.Table") -> "pa.Table":
+        idx = pc.sort_indices(
+            table,
+            sort_keys=[("c_acctbal", "ascending"), ("c_custkey", "ascending")],
+        )
+        t = table.take(idx)
+        n = t.num_rows
+        cut = n // 10
+        sl = t.slice(cut, n - 2 * cut)
+        cents = pc.cast(
+            pc.round(pc.multiply(sl.column("c_acctbal"), 100.0)), pa.int64()
+        )
+        total = pc.sum(cents).as_py()
+        cnt = sl.num_rows
+        x = total / cnt / 100.0
+        # half-away-from-zero at 6 decimals (DuckDB round), not Python's
+        # banker's rounding
+        import math
+
+        scaled = x * 1_000_000
+        frac = scaled - math.floor(scaled)
+        mean6 = (
+            math.floor(scaled) + (1 if frac >= 0.5 else 0)
+        ) / 1_000_000
+        return pa.table(
+            {
+                "segment": [t.column("c_mktsegment")[0].as_py()],
+                "n_used": [cnt],
+                "trimmed_mean": [mean6],
+            }
+        )
+
+    c = load(spark, sf_dir).customer
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInArrow(trimmed, schema="segment string, n_used long, trimmed_mean double")
+    )
