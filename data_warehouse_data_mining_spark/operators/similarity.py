@@ -848,3 +848,98 @@ def embedding_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "semdedup_bucket_representatives",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+    ex AS (
+      SELECT vec_id, bucket,
+             CAST(generate_subscripts(v, 1) AS INT) AS pos,
+             unnest(v) AS val
+      FROM b
+    ),
+    cent AS (
+      SELECT bucket, pos, round(avg(val), 6) AS c
+      FROM ex GROUP BY bucket, pos
+    ),
+    normc AS (
+      SELECT bucket, sqrt(sum(c * c)) AS nc FROM cent GROUP BY bucket
+    ),
+    dots AS (
+      SELECT ex.vec_id, ex.bucket,
+             sum(ex.val * cent.c) AS dot,
+             sqrt(sum(ex.val * ex.val)) AS nv
+      FROM ex JOIN cent ON cent.bucket = ex.bucket AND cent.pos = ex.pos
+      GROUP BY ex.vec_id, ex.bucket
+    ),
+    scored AS (
+      SELECT d.bucket, d.vec_id,
+             d.dot / (d.nv * n.nc) AS cos,
+             row_number() OVER (PARTITION BY d.bucket
+                                ORDER BY d.dot / (d.nv * n.nc) DESC, d.vec_id)
+               AS rn,
+             count(*) OVER (PARTITION BY d.bucket) AS n_members
+      FROM dots d JOIN normc n ON n.bucket = d.bucket
+    )
+    SELECT bucket, CAST(n_members AS BIGINT) AS n_members,
+           CAST(vec_id AS BIGINT) AS rep_id,
+           round(cos, 6) AS rep_centroid_cos,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM scored
+    WHERE rn = 1 AND n_members >= 2
+    ORDER BY bucket
+    """,
+)
+def semdedup_bucket_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    embedding space (here: the deterministic sign-random-projection
+    buckets ann_lsh_hyperplane already uses — the oracle-checkable
+    stand-in for k-means cells), compute each cell's centroid, and keep
+    only the member closest to it; everything else in the cell is the
+    semantic-duplicate budget. Returns, per multi-member bucket, the
+    survivor and how many near-semantic-duplicates it absorbs.
+
+    Scale shape: centroids come from the posexplode + (bucket, dim)
+    hash-agg (map-side partial means — shuffle bounded by
+    buckets × dim, not corpus size); member-to-centroid cosines reuse
+    the exploded stream with one more join + agg; the per-bucket
+    argmax is a window over bucket-sized groups. No pairwise work at
+    all — O(n·d) total, which is the entire point of SemDeDup vs
+    pairwise near-dup at 100 TB."""
+    e = _corpus(spark, sf_dir)
+    b = e.withColumn("bucket", lsh_bucket_expr(F.col("v"), _PLANES))
+    ex = b.select(
+        "id", "bucket", F.posexplode("v").alias("pos0", "val")
+    ).select("id", "bucket", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+    cent = ex.groupBy("bucket", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    normc = cent.groupBy("bucket").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")
+    )
+    dots = (
+        ex.join(cent, ["bucket", "pos"])
+        .groupBy("id", "bucket")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    cos = F.col("dot") / (F.col("nv") * F.col("nc"))
+    w = W.partitionBy("bucket").orderBy(F.col("cos").desc(), F.col("id"))
+    return (
+        dots.join(normc, "bucket")
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(W.partitionBy("bucket")))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "bucket",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("id").cast("long").alias("rep_id"),
+            F.round("cos", 6).alias("rep_centroid_cos"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("bucket")
+    )
