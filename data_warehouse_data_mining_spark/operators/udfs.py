@@ -681,3 +681,43 @@ def arrow_group_apply_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_mktsegment")
         .applyInArrow(trimmed, schema="segment string, n_used long, trimmed_mean double")
     )
+
+
+@register(
+    "sql_udf_discounted_revenue",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    the discounted-price formula declared ONCE as a catalog function and
+    reused by name. Unlike a Python UDF, the body INLINES into Catalyst
+    at resolution time — the plan is identical to writing the expression
+    inline (whole-stage codegen, pushdown through it, zero
+    serialization), which is why this is the right tool for shared
+    business formulas and the oracle is simply the expanded expression.
+    Money canon: the sum routes through DECIMAL(28,4)
+    (operators/relational.py::money_sum contract)."""
+    load(spark, sf_dir).register_views()
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag,
+               CAST(round(sum(CAST(disc_price(l_extendedprice, l_discount)
+                                   AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_quantity < 30
+        GROUP BY l_returnflag
+        """
+    )
