@@ -252,3 +252,20 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_rerank_broadcasts_candidates(spark):
+    """The MinHash re-rank must join the SMALL candidate set against the
+    shingle-array table as a broadcast — never a sort-merge join that
+    re-shuffles the corpus (the r4 rewrite's contract: the exploded
+    inverted index is gone and nothing corpus-sized moves for the
+    re-rank)."""
+    from data_warehouse_data_mining_spark.registry import all_queries
+
+    from .conftest import SF_SMALL
+
+    df = all_queries()["dedup_minhash_lsh"].builder(spark, SF_SMALL)
+    plan = explain.formatted_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, "corpus re-shuffled for the re-rank"
+    assert "BroadcastHashJoin" in final
