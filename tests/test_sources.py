@@ -385,3 +385,29 @@ def test_avro_gates_cleanly_when_absent(spark, tmp_path):
         pytest.skip("spark-avro registered on this classpath")
     with pytest.raises(connectors.ConnectorUnavailable, match="spark-avro"):
         connectors.read_avro(spark, str(tmp_path / "x.avro"))
+
+
+def test_corrupt_parquet_file_quarantine(spark, tmp_path):
+    """A 100 TB ingest folder WILL contain the occasional truncated/
+    corrupt file; spark.sql.files.ignoreCorruptFiles=true must keep the
+    scan alive and return every row from the healthy files (the
+    file-level sibling of the JSONL PERMISSIVE row-level quarantine)."""
+    out = str(tmp_path / "mixed")
+    o = load(spark, SF_SMALL).orders.limit(100)
+    o.write.parquet(out)
+    # drop a corrupt file into the ingest folder
+    with open(f"{out}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    saved = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with _pytest.raises(Exception):
+            spark.read.parquet(out).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(out).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
