@@ -536,3 +536,52 @@ def multivalued_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("allocated_cents").desc(), "partkey")
         .limit(50)
     )
+
+
+@register(
+    "scd_type6_view",
+    oracle=f"""
+    WITH {_VERSIONS_CTE},
+    cur AS (
+      SELECT o_custkey, attr_value AS current_value
+      FROM versions WHERE eff_to IS NULL
+    )
+    SELECT v.o_custkey, v.version_n, v.attr_value, c.current_value,
+           strftime(v.eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(v.eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+           v.eff_to IS NULL AS is_current,
+           v.attr_value <> c.current_value AS is_restated
+    FROM versions v JOIN cur c ON c.o_custkey = v.o_custkey
+    """,
+)
+def scd_type6_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 (hybrid 1+2+3) read view: every Type 2 history row
+    carries the key's CURRENT attribute value alongside the historical
+    one — the \"as was\" and \"as is\" columns BI tools want on the same
+    row, without re-joining the dimension at query time. ``is_restated``
+    marks rows whose historical value differs from today's (the slice a
+    restatement-aware report filters on).
+
+    One extra window pass over the already-built version table: the
+    current value is the last version per key (max_by on version_n),
+    broadcast-joined back — the dimension is key-sized, so this is a
+    dim-side-only operation at any fact scale."""
+    o = load(spark, sf_dir).orders
+    v = scd2_versions(o)
+    cur = (
+        v.filter(F.col("eff_to").isNull())
+        .select("o_custkey", F.col("attr_value").alias("current_value"))
+    )
+    return (
+        v.join(cur, "o_custkey")
+        .select(
+            "o_custkey",
+            "version_n",
+            "attr_value",
+            "current_value",
+            F.date_format("eff_from", _FMT).alias("effective_from"),
+            F.date_format("eff_to", _FMT).alias("effective_to"),
+            F.col("eff_to").isNull().alias("is_current"),
+            (F.col("attr_value") != F.col("current_value")).alias("is_restated"),
+        )
+    )
