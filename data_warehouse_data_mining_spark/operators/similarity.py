@@ -914,7 +914,14 @@ def semdedup_bucket_representatives(spark: SparkSession, sf_dir: str) -> DataFra
     ex = b.select(
         "id", "bucket", F.posexplode("v").alias("pos0", "val")
     ).select("id", "bucket", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
-    cent = ex.groupBy("bucket", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    # buckets × dim rows — checkpointing the tiny centroid table stops
+    # its two consumers (norm + member-dot join) from re-deriving it,
+    # which would re-scan the corpus: 4 parquet scans drop to 2
+    cent = (
+        ex.groupBy("bucket", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     normc = cent.groupBy("bucket").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")
     )
