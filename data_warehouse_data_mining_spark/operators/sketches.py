@@ -462,15 +462,20 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     operates on ≤3k rows. The exact side pays the real distinct
     shuffles — precisely the cost the sketches avoid."""
     o = load(spark, sf_dir).orders
+    # cohort-sized sets, each feeding three consumers (sketch, exact
+    # union, exact intersection) — checkpointed so the fact table is
+    # scanned twice, not ten times
     a = (
         o.filter(F.year("o_orderdate") == 1995)
         .select(F.col("o_custkey").alias("pk"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     b = (
         o.filter(F.year("o_orderdate") == 1996)
         .select(F.col("o_custkey").alias("pk"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ha = a.select(F.md5(F.col("pk").cast("string")).alias("h")).orderBy("h").limit(KMV_K)
     hb = b.select(F.md5(F.col("pk").cast("string")).alias("h")).orderBy("h").limit(KMV_K)
