@@ -62,7 +62,11 @@ def clean_corpus(
     keepers = dedup.exact_duplicates(good, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    exact_kept = good.join(keepers, id_col)
+    # three consumers downstream (both near-dup scans + the final
+    # anti-join) — checkpointed so the quality+exact-dedup prefix runs
+    # once instead of re-deriving from the raw scan per consumer; on a
+    # cluster-scale corpus stage this to a parquet temp instead
+    exact_kept = good.join(keepers, id_col).localCheckpoint(eager=True)
 
     near = dedup.near_duplicate_pairs(
         exact_kept, id_col, text_col, threshold=neardup_threshold
