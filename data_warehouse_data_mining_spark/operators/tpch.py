@@ -730,18 +730,22 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     regional = costs.join(
         F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
-    best = regional.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    # per-part min via a window over the SAME derivation instead of a
+    # min-agg + self-join: the agg/self-join shape derives `regional`
+    # twice (two lineitem scans + two dim-join rebuilds at 100 TB); the
+    # window shares the one (l_partkey)-partitioned exchange and keeps
+    # ties identically (cost == min over untouched IEEE doubles)
+    from pyspark.sql import Window as W
+
+    best_w = W.partitionBy("l_partkey")
     # part is SF-proportional (200k rows × SF) — no broadcast hint even
     # for this heavily filtered slice; AQE broadcasts when it fits
     qual_parts = t.part.filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey")
     return (
-        regional.join(
-            best.withColumnRenamed("l_partkey", "b_partkey"),
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("cost") == F.col("best_cost")),
-        )
+        regional.withColumn("best_cost", F.min("cost").over(best_w))
+        .filter(F.col("cost") == F.col("best_cost"))
         .join(qual_parts, F.col("p_partkey") == F.col("l_partkey"))
         .select(
             "s_acctbal",
