@@ -1771,3 +1771,102 @@ def repeated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(SPAN_TOP)
     )
+
+
+BIGRAM_ALPHA = 0.5
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM words WHERE len(ws) >= 2)
+    ),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    cc AS (SELECT w1, count(*) AS cc FROM big GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln((cb.cb + {BIGRAM_ALPHA})
+                                         / (cc.cc + {BIGRAM_ALPHA} * v)), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_neg_logprob
+    FROM big b
+    JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+    JOIN cc ON cc.w1 = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-α smoothing — the
+    CCNet-style perplexity filter one order up from
+    ``doc_unigram_logprob``: per document, the average
+    -ln P(wᵢ | wᵢ₋₁) under the corpus bigram distribution,
+    P(w₂|w₁) = (c(w₁,w₂)+α) / (c(w₁·)+α·V). Catches garbled token
+    ORDER (shuffled/interleaved text) that any unigram model scores as
+    perfectly normal.
+
+    Numeric canon: identical to the unigram scorer — each term rounds
+    to 6 decimals and sums through DECIMAL, so the per-doc mean is
+    accumulation-order-independent and engine-exact.
+
+    Scale shape: the bigram stream is built map-side from the token
+    array (no self-join on position); bigram/context counts are two
+    hash-agg shuffles; the count-joins back onto the stream are
+    vocabulary²-sized on one side (AQE decides broadcast); the 1-row
+    vocabulary size rides a broadcast crossJoin."""
+    d = load(spark, sf_dir).documents.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ws = th.words(F.col("text"))
+    big = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = (
+        d.select(F.explode(ws).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    term6 = F.round(
+        -F.log(
+            (F.col("cb") + BIGRAM_ALPHA) / (F.col("cc") + BIGRAM_ALPHA * F.col("v"))
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(term6).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
+        )
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "avg_neg_logprob")
+        .orderBy("doc_id")
+    )
