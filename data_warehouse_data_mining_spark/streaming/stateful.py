@@ -20,6 +20,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -344,4 +345,90 @@ def wallet_microbatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey long, batch_id string, end_balance_cents long, "
             "n_capped long, n_floored long, n_orders_cum long",
         )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("n_events", LongType()),
+        StructField("last_event", StringType()),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def custom_sessionizer(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user inactivity sessionizer as an EXPLICIT state machine on
+    ``applyInPandasWithState`` with **EventTimeTimeout** — the API
+    surface the NoTimeout operators above don't exercise: the open
+    session's finalization is driven by the WATERMARK (the engine calls
+    the function with ``state.hasTimedOut`` once the watermark passes
+    ``last_event + gap``), not by more data for that key arriving. This
+    is how a custom stateful operator bounds both its state lifetime
+    and its output latency; sessions that close WITHIN a batch (the
+    next event is ≥ gap away) emit immediately.
+
+    Matches the native ``session_window`` semantics (strict gap: an
+    event at exactly last+gap starts a new session) and output columns,
+    so the two implementations are directly comparable — pinned in
+    tests/test_streaming.py."""
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fmt(ns: int) -> str:
+        return pd.Timestamp(ns).strftime("%Y-%m-%d %H:%M:%S")
+
+    def sessionize(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            start_ns, last_ns, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(int(user_id), fmt(start_ns), int(n), fmt(last_ns))],
+                columns=["user_id", "session_start", "n_events", "last_event"],
+            )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        if state.exists:
+            start_ns, last_ns, n = state.get
+        else:
+            start_ns = last_ns = int(ts_ns[0])
+            n = 1  # first row opens the fresh session
+            ts_ns = ts_ns[1:]
+        for t in ts_ns:
+            t = int(t)
+            if t - last_ns >= gap_ns:
+                out.append((int(user_id), fmt(start_ns), int(n), fmt(last_ns)))
+                start_ns = t
+                n = 0
+            last_ns = t
+            n += 1
+        state.update((start_ns, last_ns, n))
+        # finalize via watermark: fire once event time passes last + gap
+        state.setTimeoutTimestamp((last_ns + gap_ns) // 1_000_000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "n_events", "last_event"],
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

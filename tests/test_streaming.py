@@ -736,3 +736,69 @@ def test_stream_outer_interval_join_emits_unmatched_after_watermark(
     assert streamed_nulls <= {
         (r.click_id, None) for r in batch if r.purchase_id is None
     }
+
+
+def test_custom_sessionizer_event_time_timeout(spark, tmp_path):
+    """The applyInPandasWithState sessionizer with EventTimeTimeout must
+    reproduce the native session_window's finalized sessions: two
+    micro-batches separated by a 15-day silence — the second batch's
+    watermark jump fires the timeout for every batch-1 open session, so
+    all of batch-1's sessions (mid-batch closures AND the
+    timeout-finalized tails) must be emitted and equal the batch
+    sessionization. Batch-2 sessions may legally still sit in state."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        custom_sessionizer,
+    )
+    from data_warehouse_data_mining_spark.streaming.windows import session_windows
+
+    ev = load(spark, SF_SMALL).events
+    t_split = "2024-01-05 00:00:00"
+    t_resume = "2024-01-20 00:00:00"
+    batch1 = ev.filter(F.col("ts") < F.lit(t_split).cast("timestamp"))
+    batch2 = ev.filter(F.col("ts") >= F.lit(t_resume).cast("timestamp"))
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for i, b in enumerate([batch1, batch2]):
+        tmp_out = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        shutil.copy(part, staged / f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(str(staged)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        custom_sessionizer(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("custom_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in spark.sql("SELECT * FROM custom_sessions").collect()
+    }
+    batch1_sessions = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in session_windows(batch1).collect()
+    }
+    batch2_sessions = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in session_windows(batch2).collect()
+    }
+    assert batch1_sessions <= emitted and len(batch1_sessions) > 0
+    assert emitted <= batch1_sessions | batch2_sessions
