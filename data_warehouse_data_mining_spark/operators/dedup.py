@@ -1411,3 +1411,109 @@ def lsh_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("expected_collide_prob", F.round(expected, 6))
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="WITH "
+    + _ORACLE_SHINGLES
+    + ", "
+    + _ORACLE_MINHASH
+    + ", "
+    + _oracle_bands()
+    + ", "
+    + _ORACLE_CANDIDATES
+    + f""",
+    sizes AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+    near AS (
+      SELECT c.doc_a, c.doc_b
+      FROM candidates c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, za.ns, zb.ns
+      HAVING count(*) * 1.0 / (za.ns + zb.ns - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    split AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                  THEN 'train' ELSE 'val' END AS part
+      FROM documents
+    ),
+    exact_cross AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM split a JOIN split b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+       AND a.part <> b.part
+    ),
+    near_cross AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM near n
+      JOIN split a ON a.doc_id = n.doc_a
+      JOIN split b ON b.doc_id = n.doc_b
+      WHERE a.part <> b.part
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM split
+            WHERE part = 'train') AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM split
+            WHERE part = 'val') AS n_val,
+           (SELECT n FROM exact_cross) AS n_exact_cross,
+           (SELECT n FROM near_cross) AS n_neardup_cross
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit for a deterministic 80/20 content-hash
+    split of the corpus: how many EXACT duplicate pairs and how many
+    MinHash near-duplicate pairs (same banding + exact re-rank as
+    dedup_minhash_lsh) CROSS the split boundary. Dedup-before-split is
+    the rule this measures the violation of — a val document with a
+    train-side near-twin inflates eval scores exactly like benchmark
+    contamination, and random splits of un-deduped corpora leak at
+    roughly the corpus duplication rate.
+
+    Scale shape: the near-dup side is the production banded pipeline
+    (candidate equi-join, never all-pairs); the exact side joins on
+    md5 digests; split assignment is a pure map-side hash. One number
+    per leak class — the release-gate readout."""
+    d = load(spark, sf_dir).documents
+    part = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "cccc",
+        "train",
+    ).otherwise("val")
+    split = d.select("doc_id", "text", part.alias("part")).localCheckpoint(
+        eager=True
+    )
+    counts = split.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    n_train = counts.filter(F.col("part") == "train").select(
+        F.col("n").alias("n_train")
+    )
+    n_val = counts.filter(F.col("part") == "val").select(
+        F.col("n").alias("n_val")
+    )
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.md5("text").alias("h"), F.col("part").alias("pa")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.md5("text").alias("h"), F.col("part").alias("pb")
+    )
+    exact_cross = (
+        sa.join(sb, "h")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("pa") != F.col("pb")))
+        .agg(F.count(F.lit(1)).alias("n_exact_cross"))
+    )
+    near = near_duplicate_pairs(d, "doc_id", "text")
+    pa = split.select(F.col("doc_id").alias("id_a"), F.col("part").alias("pa"))
+    pb = split.select(F.col("doc_id").alias("id_b"), F.col("part").alias("pb"))
+    near_cross = (
+        near.join(pa, "id_a")
+        .join(pb, "id_b")
+        .filter(F.col("pa") != F.col("pb"))
+        .agg(F.count(F.lit(1)).alias("n_neardup_cross"))
+    )
+    return (
+        n_train.crossJoin(F.broadcast(n_val))
+        .crossJoin(F.broadcast(exact_cross))
+        .crossJoin(F.broadcast(near_cross))
+    )
