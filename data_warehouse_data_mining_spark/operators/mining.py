@@ -3001,3 +3001,86 @@ def ab_interim_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crossed"
         ),
     ).orderBy("look")
+
+
+@register(
+    "training_set_pit_features",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER w AS rn,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS label_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+           round(value, 2) AS label_value,
+           CAST(rn - 1 AS BIGINT) AS n_prior_events,
+           round(last_click_value, 2) AS last_click_value,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                     THEN floor(date_part('epoch', ts)
+                                - date_part('epoch', last_click_ts))
+                END AS BIGINT) AS secs_since_click
+    FROM seq
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, label_event_id
+    """,
+)
+def training_set_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    discipline that keeps label leakage out of ML data: for every
+    purchase (the label event), every feature is computed over STRICTLY
+    PRIOR events only (ROWS … 1 PRECEDING frames) — the as-of click
+    value, the prior-event count, and the staleness of the last click.
+    Using a plain groupBy-per-user aggregate here (the classic mistake)
+    would fold post-label events into the features.
+
+    One shuffle on user_id; all three features share the same
+    partitioned sort, so Catalyst plans a single Sort + one Window
+    operator — the PIT join at 100 TB is a window, not an interval
+    join, when features and labels live on the same event log."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(W.unboundedPreceding, -1)
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    click_v = F.when(F.col("event_type") == "click", F.col("value"))
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior_events"),
+        F.max(click_ts).over(prior).alias("last_click_ts"),
+        F.last(click_v, ignorenulls=True).over(prior).alias("last_click_value"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+            F.round("value", 2).alias("label_value"),
+            "n_prior_events",
+            F.round("last_click_value", 2).alias("last_click_value"),
+            # CAST(ts AS DOUBLE) keeps the microsecond fraction, matching
+            # DuckDB's fractional date_part('epoch'); unix_timestamp()
+            # would truncate each side first and drift by 1s when the
+            # fractional parts wrap
+            F.floor(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double")
+            )
+            .cast("long")
+            .alias("secs_since_click"),
+        )
+        .orderBy("user_id", "label_event_id")
+    )
