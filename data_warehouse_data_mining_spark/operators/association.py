@@ -14,7 +14,7 @@ Two tiers per family:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -462,4 +462,121 @@ def recsys_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pop_rank",
             "tail_share",
         )
+    )
+
+
+NEG_CANDIDATES = 12  # hash-derived candidates per user
+NEG_K = 5            # negatives kept per user
+
+
+@register(
+    "negative_sampling_training_pairs",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+    ni AS (SELECT count(*) AS n FROM part),
+    cand AS (
+      SELECT user_id, j,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                || CAST(j AS VARCHAR)),
+                            CAST(i AS INT), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % n AS item_id
+      FROM users, (SELECT unnest(range(1, {NEG_CANDIDATES + 1})) AS j),
+           ni
+    ),
+    pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    neg AS (
+      SELECT c.user_id, c.item_id, min(c.j) AS first_j
+      FROM cand c
+      LEFT JOIN pos p ON p.user_id = c.user_id AND p.item_id = c.item_id
+      WHERE p.user_id IS NULL
+      GROUP BY c.user_id, c.item_id
+    ),
+    ranked AS (
+      SELECT user_id, item_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY first_j, item_id) AS BIGINT)
+               AS neg_rank
+      FROM neg
+    )
+    SELECT user_id, CAST(item_id AS BIGINT) AS item_id, neg_rank
+    FROM ranked WHERE neg_rank <= {NEG_K}
+    ORDER BY user_id, neg_rank
+    """,
+)
+def negative_sampling_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training: {NEG_K} non-purchased items per customer, drawn by hashing
+    (user, j) into the item-id space and anti-joining the positives —
+    the industry-standard implicit-feedback negative generator, made
+    re-run-stable (hash, not RNG) so the training set is reproducible
+    and incrementally extensible.
+
+    Scale shape: candidates are generated ARITHMETICALLY per user
+    (explode of {NEG_CANDIDATES} hash slots — linear in users, never a
+    user × catalog cross join, and never an all-pairs hash evaluation);
+    the anti-join against positives is the only fact-sized shuffle; the
+    per-user top-k ranks ≤{NEG_CANDIDATES} rows per key. Assumes a
+    dense item-id space (ids 0..n-1, true of the part table); a sparse
+    catalog adds one ordinal→id rank join."""
+    t = load(spark, sf_dir)
+    users = t.orders.select(F.col("o_custkey").alias("user_id")).distinct()
+    ni = t.part.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        users.crossJoin(F.broadcast(ni))
+        .select(
+            "user_id",
+            "n",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, NEG_CANDIDATES + 1)])
+            ).alias("j"),
+        )
+        .select(
+            "user_id",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("user_id").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("item_id"),
+        )
+    )
+    pos = (
+        t.orders.join(
+            t.lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    neg = (
+        cand.join(pos, ["user_id", "item_id"], "left_anti")
+        .groupBy("user_id", "item_id")
+        .agg(F.min("j").alias("first_j"))
+    )
+    w = W.partitionBy("user_id").orderBy("first_j", "item_id")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("user_id", F.col("item_id").cast("long").alias("item_id"), "neg_rank")
+        .orderBy("user_id", "neg_rank")
     )
