@@ -1993,3 +1993,73 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+PAGE_SIZE = 50
+# deterministic "previous page ended here" cursor: the 100th row of the
+# (o_orderdate, o_orderkey) total order at any SF is a stable anchor
+_CURSOR_ROW = 100
+
+
+@register(
+    "keyset_pagination_page",
+    oracle=f"""
+    WITH cursor_row AS (
+      SELECT o_orderdate AS c_date, o_orderkey AS c_key
+      FROM orders ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET {_CURSOR_ROW - 1}
+    )
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           o_custkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+             AS total_price
+    FROM orders, cursor_row
+    WHERE (o_orderdate, o_orderkey) > (c_date, c_key)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {PAGE_SIZE}
+    """,
+)
+def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: fetch the next {PAGE_SIZE} rows
+    AFTER a (o_orderdate, o_orderkey) cursor instead of OFFSET-skipping.
+    OFFSET n forces the engine to materialize and discard n rows — cost
+    grows with page depth, and page 10⁶ of a 100 TB log is a full sort;
+    the keyset predicate is an ordinary filter (pushed to the scan,
+    min/max-stat prunable) plus a top-{PAGE_SIZE}, so every page costs
+    the same. The row-value comparison decomposes to
+    date > c OR (date = c AND key > k) — sargable in both engines."""
+    o = load(spark, sf_dir).orders
+    cursor = (
+        o.select("o_orderdate", "o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_CURSOR_ROW)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("c_date"),
+            F.col("o_orderkey").alias("c_key"),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("o_orderdate") > F.col("c_date"))
+            | (
+                (F.col("o_orderdate") == F.col("c_date"))
+                & (F.col("o_orderkey") > F.col("c_key"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "order_date"
+            ),
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("order_date", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )
