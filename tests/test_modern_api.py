@@ -127,3 +127,20 @@ def test_map_in_arrow_matches_expressions(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_group_by_all_order_by_all(spark):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4 SQL sugar): every
+    non-aggregate select item becomes a grouping key — must equal the
+    explicit grouping."""
+    load(spark, SF_SMALL).register_views()
+    sugar = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    explicit = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority "
+        "ORDER BY o_orderstatus, o_orderpriority, n"
+    ).collect()
+    assert sugar == explicit and len(sugar) > 1
