@@ -1741,21 +1741,35 @@ def repeated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir).documents.repartition(
         spark.sparkContext.defaultParallelism
     )
-    ws = th.words(F.col("text"))
-    wins = d.select(
-        "doc_id",
+    return repeated_spans(d, "doc_id", "text")
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = SPAN_LEN,
+    mod: int = SPAN_MOD,
+    top: int = SPAN_TOP,
+) -> DataFrame:
+    """Generic mod-p-sampled repeated-span detector (see
+    ``repeated_span_census`` for semantics and scale notes); works on
+    any (id, text) DataFrame."""
+    ws = th.words(F.col(text_col))
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
         F.explode(
             F.when(
-                F.size(ws) >= SPAN_LEN,
+                F.size(ws) >= span_len,
                 F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - (SPAN_LEN - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, SPAN_LEN))),
+                    F.sequence(F.lit(1), F.size(ws) - (span_len - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, span_len))),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("h"),
     )
     sel = wins.filter(
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % SPAN_MOD == 0
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % mod == 0
     )
     return (
         sel.groupBy(F.col("h").alias("span_hash"))
@@ -1769,7 +1783,7 @@ def repeated_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span_hash"
         )
-        .limit(SPAN_TOP)
+        .limit(top)
     )
 
 

@@ -541,3 +541,48 @@ def test_global_order_stats_partition_cols_matches_partitioned_window(spark):
             ).collect()
         }
         assert got == want, f"ascending={asc}"
+
+
+def test_repeated_spans_catch_planted_verbatim_block(spark):
+    """A 20-token block pasted verbatim into two otherwise-different
+    documents must surface in the repeated-span census (with mod=1 the
+    sampling keeps every window, so detection is certain; the default
+    mod only thins the fingerprint stream)."""
+    from data_warehouse_data_mining_spark.operators.text import repeated_spans
+
+    block = " ".join(f"tpl{k}" for k in range(20))
+    rows = [
+        (1, "aa bb cc " + block + " dd ee"),
+        (2, "xx yy " + block + " zz"),
+        (3, " ".join(f"solo{k}" for k in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, "doc_id", "text", span_len=12, mod=1).collect()
+    assert any(r.n_docs == 2 and {r.min_doc, r.max_doc} == {1, 2} for r in out)
+    assert all({r.min_doc, r.max_doc} != {3} for r in out)
+
+
+def test_negative_sampling_never_collides_with_positives(spark, duck):
+    """Structural contract of the negative sampler on the real corpus:
+    no emitted (user, item) pair was ever purchased, and each user gets
+    at most NEG_K deterministic negatives."""
+    from data_warehouse_data_mining_spark.operators.association import (
+        NEG_K,
+        negative_sampling_training_pairs,
+    )
+
+    from .conftest import SF_SMALL
+
+    out = negative_sampling_training_pairs(spark, SF_SMALL).collect()
+    pos = {
+        (r[0], r[1])
+        for r in duck.execute(
+            "SELECT DISTINCT o_custkey, l_partkey FROM orders "
+            "JOIN lineitem ON l_orderkey = o_orderkey"
+        ).fetchall()
+    }
+    assert out and all((r.user_id, r.item_id) not in pos for r in out)
+    from collections import Counter
+
+    per_user = Counter(r.user_id for r in out)
+    assert max(per_user.values()) <= NEG_K
