@@ -1517,3 +1517,83 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact_cross))
         .crossJoin(F.broadcast(near_cross))
     )
+
+
+def _sqrt_chain_sql(base: str, k: int) -> str:
+    """(base)^(1/2^k) as nested sqrt() — IEEE-754 sqrt is correctly
+    rounded, so unlike pow() the result is bit-identical across
+    engines."""
+    expr = base
+    for _ in range(k):
+        expr = f"sqrt({expr})"
+    return expr
+
+
+@register(
+    "lsh_banding_advisor",
+    oracle="""
+    WITH combos(bands, rows_per_band, threshold_j) AS (
+      VALUES (1, 16, """ + _sqrt_chain_sql("1.0", 4) + """),
+             (2, 8,  """ + _sqrt_chain_sql("0.5", 3) + """),
+             (4, 4,  """ + _sqrt_chain_sql("0.25", 2) + """),
+             (8, 2,  """ + _sqrt_chain_sql("0.125", 1) + """),
+             (16, 1, 0.0625)
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           round(threshold_j, 6) AS threshold_j,
+           round(1 - power_term_035, 6) AS p_collide_at_035,
+           round(1 - power_term_005, 6) AS p_collide_at_005
+    FROM (
+      SELECT bands, rows_per_band, threshold_j,
+             exp(bands * ln(1 - exp(rows_per_band * ln(0.35))))
+               AS power_term_035,
+             exp(bands * ln(1 - exp(rows_per_band * ln(0.05))))
+               AS power_term_005
+      FROM combos
+    )
+    ORDER BY bands
+    """,
+)
+def lsh_banding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter advisor for the 16-hash MinHash family: for
+    every (bands, rows_per_band) factorization, the S-curve threshold
+    j* = (1/b)^(1/r) (where collision probability crosses ~½) and the
+    collision probability 1-(1-j^r)^b at the 0.35 operating threshold
+    and at background similarity 0.05 — the two numbers that decide
+    recall vs candidate volume BEFORE re-running the corpus. The
+    current (4, 4) parameterization reads j* ≈ 0.707 / p₀.₃₅ ≈ 0.058 —
+    deliberately conservative, relying on the exact re-rank; (8, 2)
+    trades ~5× more background candidates for p₀.₃₅ ≈ 0.64.
+
+    Determinism: thresholds use nested sqrt (IEEE correctly rounded →
+    bit-identical across engines; pow() is not), and the probability
+    terms use the same exp/ln composition on BOTH sides. A pure
+    metadata query — no table scan; registered because pipeline owners
+    version it alongside the corpus-scale dedup config."""
+    rows = [
+        (1, 16, "sqrt(sqrt(sqrt(sqrt(1.0))))"),
+        (2, 8, "sqrt(sqrt(sqrt(0.5)))"),
+        (4, 4, "sqrt(sqrt(0.25))"),
+        (8, 2, "sqrt(0.125)"),
+        (16, 1, "CAST(0.0625 AS DOUBLE)"),
+    ]
+    parts = []
+    for b, r, thr in rows:
+        parts.append(
+            spark.range(1).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.round(F.expr(thr), 6).alias("threshold_j"),
+                F.round(
+                    1 - F.expr(f"exp({b} * ln(1 - exp({r} * ln(0.35))))"), 6
+                ).alias("p_collide_at_035"),
+                F.round(
+                    1 - F.expr(f"exp({b} * ln(1 - exp({r} * ln(0.05))))"), 6
+                ).alias("p_collide_at_005"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("bands")
