@@ -1581,7 +1581,7 @@ def lsh_banding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for b, r, thr in rows:
         parts.append(
-            spark.range(1).select(
+            spark.range(0, 1, 1, 1).select(
                 F.lit(b).cast("long").alias("bands"),
                 F.lit(r).cast("long").alias("rows_per_band"),
                 F.round(F.expr(thr), 6).alias("threshold_j"),
