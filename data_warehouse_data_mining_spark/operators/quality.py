@@ -1284,3 +1284,53 @@ def duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_orders_flagged_ub"),
     )
+
+
+RETENTION_DAYS = 14
+
+
+@register(
+    "retention_ttl_manifest",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS mt FROM events),
+    flagged AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             ts < mt - INTERVAL {RETENTION_DAYS} DAY AS expired
+      FROM events, mx
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired
+    FROM flagged GROUP BY day ORDER BY day
+    """,
+)
+def retention_ttl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL sweep manifest: per event-day, how many rows fall
+    outside the {RETENTION_DAYS}-day retention horizon (anchored to the
+    table's own max event time, so the audit is reproducible on static
+    testdata) — the deletion plan a GDPR/TTL job executes, grouped by
+    the partition key it would drop. Complements ``gdpr_erasure_audit``
+    (id-addressed deletes) with the time-addressed class, where the
+    scalable delete is dropping whole day partitions, never row-level
+    scans. One scan + one hash-agg; the max-ts anchor is a 1-row
+    broadcast."""
+    e = load(spark, sf_dir).events
+    mx = e.agg(F.max("ts").alias("mt"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            (
+                F.col("ts") < F.col("mt") - F.expr(f"INTERVAL {RETENTION_DAYS} DAYS")
+            ).alias("expired"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("expired"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired"),
+        )
+        .orderBy("day")
+    )
