@@ -31,6 +31,32 @@ from data_warehouse_data_mining_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _prior_mins(sf_label: str) -> dict[str, float]:
+    """Best-ever per-query min across prior rounds' BENCH_r*.json at
+    the same sf. The min-of-N is the interference-resistant statistic
+    on this co-tenant host, so regressions are judged min-vs-best-min,
+    never mean-vs-mean."""
+    import glob
+
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if str(rec.get("sf")) != sf_label:
+            continue
+        mins = rec.get("queries_min") or rec.get("queries") or {}
+        for name, v in mins.items():
+            if isinstance(v, (int, float)) and (
+                name not in best or v < best[name]
+            ):
+                best[name] = float(v)
+    return best
 
 
 def _force(df) -> None:
@@ -65,6 +91,15 @@ def main() -> None:
         total += dt
         total_min += min(samples)
 
+    # regression gate: current min vs best-ever prior min (>15% slower
+    # flags; the mean has proven uninformative under co-tenancy)
+    prior = _prior_mins(sf_label)
+    regressions = {
+        name: {"min": timings_min[name], "best_prior_min": prior[name]}
+        for name in timings_min
+        if name in prior and timings_min[name] > prior[name] * 1.15
+    }
+
     print(
         json.dumps(
             {
@@ -75,6 +110,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "samples": all_samples,
+                "min_regressions_vs_best_prior": regressions,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }
         )

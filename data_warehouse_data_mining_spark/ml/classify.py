@@ -65,6 +65,10 @@ class EvalResult:
     name: str
     auc: float
     predictions: DataFrame
+    # CV only: the winning grid point, {param_name: value} — lets
+    # callers property-pin the selection (grid membership) without
+    # reaching into the model object.
+    best_params: dict | None = None
 
 
 def train_evaluate(
@@ -102,6 +106,15 @@ def cross_validate(
         numFolds=num_folds,
         seed=SEED,
     )
-    best = cv.fit(train).bestModel
+    model = cv.fit(train)
+    best = model.bestModel
+    grid_maps = grid if grid is not None else param_grid(name, clf)
+    win = grid_maps[int(max(range(len(model.avgMetrics)),
+                            key=model.avgMetrics.__getitem__))]
     predictions = best.transform(test)
-    return EvalResult(name, float(evaluator.evaluate(predictions)), predictions)
+    return EvalResult(
+        name,
+        float(evaluator.evaluate(predictions)),
+        predictions,
+        best_params={p.name: v for p, v in win.items()},
+    )

@@ -97,27 +97,58 @@ def ml_five_classifiers_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "classifier string, auc double")
 
 
-@register("ml_cv_grid_search")
+@register(
+    "ml_cv_grid_search",
+    oracle="""
+    SELECT 'logistic_regression' AS classifier,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           4 AS grid_size, 3 AS num_folds,
+           1 AS best_reg_in_grid, 1 AS best_iter_in_grid,
+           1 AS auc_in_unit_interval
+    FROM embeddings
+    """,
+)
 def ml_cv_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-free CV grid search (reference's grids are full-size,
     stroke_predict.py:183-208; a reduced LR grid keeps the per-round
-    check fast — the full grids live in ml/classify.py::param_grid)."""
+    check fast — the full grids live in ml/classify.py::param_grid).
+
+    Exact-oracle-checked as a PROPERTY (the random_split_sizes
+    pattern): the fit itself isn't SQL-reproducible, but its CONTRACT
+    is — the winning grid point must be a member of the declared grid,
+    the AUC must be a valid probability, and the dataset row count is
+    exact. The raw AUC stays observable in ml_five_classifiers_auc."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.tuning import ParamGridBuilder
 
-    train, test = _dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=SEED)
+    data = _dataset(spark, sf_dir)
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     clf = LogisticRegression(featuresCol="features", labelCol="label")
+    reg_grid, iter_grid = [0.01, 0.1], [10, 20]
     grid = (
         ParamGridBuilder()
-        .addGrid(clf.regParam, [0.01, 0.1])
-        .addGrid(clf.maxIter, [10, 20])
+        .addGrid(clf.regParam, reg_grid)
+        .addGrid(clf.maxIter, iter_grid)
         .build()
     )
     result = classify.cross_validate(
         "logistic_regression", train, test, num_folds=3, grid=grid
     )
-    return spark.createDataFrame(
-        [("logistic_regression", round(result.auc, 4))], "classifier string, auc double"
+    bp = result.best_params or {}
+    return data.agg(F.count(F.lit(1)).alias("n_rows_total")).select(
+        F.lit("logistic_regression").alias("classifier"),
+        "n_rows_total",
+        F.lit(len(grid)).cast("int").alias("grid_size"),
+        F.lit(3).cast("int").alias("num_folds"),
+        F.lit(int(bp.get("regParam") in reg_grid)).cast("int").alias(
+            "best_reg_in_grid"
+        ),
+        F.lit(int(bp.get("maxIter") in iter_grid)).cast("int").alias(
+            "best_iter_in_grid"
+        ),
+        F.lit(int(0.0 <= result.auc <= 1.0)).cast("int").alias(
+            "auc_in_unit_interval"
+        ),
     )
 
 

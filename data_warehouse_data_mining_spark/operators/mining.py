@@ -2878,7 +2878,7 @@ def _interim_oracle() -> str:
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
              CAST(sum(CASE WHEN arm = 'B' AND conv_ts < TIMESTAMP '{cut}'
                            THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
-             {bound} AS boundary
+             CAST({bound} AS DOUBLE) AS boundary
       FROM per_user""")
     union = " UNION ALL ".join(looks)
     return f"""

@@ -317,10 +317,14 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "rfm_segment",
             "n_customers",
+            # the SQL literal 100.0 is DECIMAL(4,1) in Spark, so without the
+            # cast this column is DECIMAL(27,6) and stringifies with six
+            # trailing decimals while DuckDB's `/ 100.0` is DOUBLE — values
+            # match but the driver's stringified hash diverges.
             F.expr(
                 "((__sum_fp * 200 + n_customers * 100)"
                 " div (2 * n_customers * 100)) / 100.0"
-            ).alias("avg_monetary"),
+            ).cast("double").alias("avg_monetary"),
         )
         .orderBy("rfm_segment")
     )

@@ -409,6 +409,69 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_recall_exact",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+    q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM b
+           WHERE vec_id < {N_QUERIES}),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+        FROM (SELECT q_id, qv FROM q0) q JOIN e ON e.vec_id <> q.q_id
+      ) t WHERE rn <= 5
+    ),
+    q AS (SELECT q_id, qv, xor(qbucket, m.mask) AS probe
+          FROM q0, (SELECT unnest([{", ".join(str(m) for m in [0] + [1 << i for i in range(N_PLANES)])}]) AS mask) m),
+    lsh AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+        FROM q JOIN b e ON e.bucket = q.probe AND e.vec_id <> q.q_id
+      ) t WHERE rn <= 5
+    )
+    SELECT 'lsh_hyperplane' AS variant,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+           round(CAST((SELECT count(*) FROM exact e
+                       JOIN lsh l ON l.q_id = e.q_id
+                                 AND l.neighbor_id = e.neighbor_id)
+                      AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 4) AS recall_at_5
+    """,
+)
+def ann_lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH ANN against exact brute force,
+    with a FULL value oracle: the sign-random-projection buckets are
+    literal-plane deterministic, so the entire accuracy measurement —
+    bucketing, multiprobe, re-rank, set intersection, recall ratio —
+    is reproducible in SQL. This is the exact-checkable half of
+    ``ann_recall_at_k`` (the IVF half stays rows-only: k-means
+    centroids aren't SQL-reproducible).
+
+    Spark shape: both sides reuse the production builders; the hit
+    count is a left-semi join of two tiny (n_queries × 5) top-k sets —
+    all counting stays distributed, nothing collects."""
+    exact = knn_brute_force(spark, sf_dir).filter(F.col("rn") <= 5).select(
+        "q_id", "neighbor_id"
+    )
+    lsh = ann_lsh_hyperplane(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = exact.join(lsh, ["q_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    totals = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return totals.crossJoin(F.broadcast(hits)).select(
+        F.lit("lsh_hyperplane").alias("variant"),
+        "n_exact_pairs",
+        F.round(
+            F.col("hits").cast("double") / F.col("n_exact_pairs"), 4
+        ).alias("recall_at_5"),
+    )
+
+
+@register(
     "embedding_centroids_by_label",
     oracle="""
     SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS mean_v

@@ -27,9 +27,15 @@ def canon(v):
     Floats and ints canonicalize to DISTINCT strings (repr(44036.0) !=
     str(44036)): the external driver hashes stringified values, so a
     Spark LONG against a DuckDB DOUBLE must fail here too, not be
-    masked by Python's 44036 == 44036.0."""
+    masked by Python's 44036 == 44036.0.
+
+    Decimals likewise canonicalize scale-preserving (str), NOT via
+    float: the driver stringifies, so Spark DECIMAL(27,6)
+    '1290671.940000' vs DuckDB DOUBLE '1290671.94' must fail here too
+    (the r4 rfm_segmentation red row was exactly this class, masked by
+    the old Decimal->float collapse)."""
     if isinstance(v, Decimal):
-        v = float(v)
+        return str(v)
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):

@@ -348,6 +348,111 @@ def wallet_microbatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "custom_sessionizer_replay",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_event
+    FROM numbered
+    GROUP BY user_id, session_n
+    """,
+)
+def custom_sessionizer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of ``custom_sessionizer`` (the EventTimeTimeout
+    applyInPandasWithState operator below): every session the stream
+    would emit once the watermark drains past the log's end — closed
+    sessions AND the final open one per user — produced by feeding each
+    user's full history through the SAME ``session_walk`` recurrence
+    the streaming state machine executes per micro-batch. Strict-gap
+    (30 min) semantics; oracle is the standard lag+cumsum SQL
+    sessionization over exact integer microseconds.
+
+    Spark shape: one shuffle on user_id into an Arrow-batched
+    applyInPandas walk — per-key linear, state O(1), the same cost
+    profile the streaming operator has per batch. The pinned-count
+    repartition keeps AQE from byte-coalescing the Python-CPU-bound
+    walk stage onto a few threads (the wallet-replay lesson)."""
+    e = load(spark, sf_dir).events.select("user_id", "ts")
+    gap_ns = 30 * 60 * 1_000_000_000
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        uid = int(pdf["user_id"].iloc[0])
+        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        closed, open_state = session_walk(ts_ns, gap_ns)
+        return pd.DataFrame(
+            [
+                (uid, _fmt_ns(s), int(n), _fmt_ns(last))
+                for s, last, n in [*closed, open_state]
+            ],
+            columns=["user_id", "session_start", "n_events", "last_event"],
+        )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        e.repartition(par, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            replay,
+            "user_id long, session_start string, n_events long, "
+            "last_event string",
+        )
+    )
+
+
+def _fmt_ns(ns: int) -> str:
+    return pd.Timestamp(ns).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def session_walk(
+    ts_ns, gap_ns: int, state: tuple[int, int, int] | None = None
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """The strict-gap session recurrence shared VERBATIM by the
+    streaming ``custom_sessionizer`` (per micro-batch, state carried by
+    the engine) and its batch replay twin ``custom_sessionizer_replay``
+    (whole history in one pass, state carried locally) — the same
+    function body is what makes the stream≡batch identity a code-level
+    guarantee rather than two parallel implementations.
+
+    Takes epoch-ns event times (sorted ascending) and the open-session
+    state ``(start_ns, last_ns, n)`` or ``None``; returns
+    ``(closed_sessions, open_state)`` where an event at exactly
+    ``last + gap`` starts a NEW session (matching native
+    ``session_window`` strict-gap semantics)."""
+    closed: list[tuple[int, int, int]] = []
+    if state is None:
+        start_ns = last_ns = int(ts_ns[0])
+        n = 1  # first row opens the fresh session
+        ts_ns = ts_ns[1:]
+    else:
+        start_ns, last_ns, n = state
+    for t in ts_ns:
+        t = int(t)
+        if t - last_ns >= gap_ns:
+            closed.append((start_ns, last_ns, n))
+            start_ns = t
+            n = 0
+        last_ns = t
+        n += 1
+    return closed, (start_ns, last_ns, n)
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -383,15 +488,12 @@ def custom_sessionizer(
     so the two implementations are directly comparable — pinned in
     tests/test_streaming.py."""
     gap_ns = gap_minutes * 60 * 1_000_000_000
-
-    def fmt(ns: int) -> str:
-        return pd.Timestamp(ns).strftime("%Y-%m-%d %H:%M:%S")
+    fmt = _fmt_ns
 
     def sessionize(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        out: list[tuple] = []
         if state.hasTimedOut:
             start_ns, last_ns, n = state.get
             state.remove()
@@ -402,26 +504,18 @@ def custom_sessionizer(
             return
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
-        if state.exists:
-            start_ns, last_ns, n = state.get
-        else:
-            start_ns = last_ns = int(ts_ns[0])
-            n = 1  # first row opens the fresh session
-            ts_ns = ts_ns[1:]
-        for t in ts_ns:
-            t = int(t)
-            if t - last_ns >= gap_ns:
-                out.append((int(user_id), fmt(start_ns), int(n), fmt(last_ns)))
-                start_ns = t
-                n = 0
-            last_ns = t
-            n += 1
-        state.update((start_ns, last_ns, n))
+        closed, open_state = session_walk(
+            ts_ns, gap_ns, state.get if state.exists else None
+        )
+        state.update(open_state)
         # finalize via watermark: fire once event time passes last + gap
-        state.setTimeoutTimestamp((last_ns + gap_ns) // 1_000_000)
-        if out:
+        state.setTimeoutTimestamp((open_state[1] + gap_ns) // 1_000_000)
+        if closed:
             yield pd.DataFrame(
-                out,
+                [
+                    (int(user_id), fmt(s), int(n), fmt(last))
+                    for s, last, n in closed
+                ],
                 columns=["user_id", "session_start", "n_events", "last_event"],
             )
 

@@ -16,10 +16,12 @@ from data_warehouse_data_mining_spark import oracle, registry
 from .conftest import SF_SMALL
 
 # Types whose text rendering is engine/canonicalizer-sensitive. HUGEINT
-# is the proven offender; UHUGEINT is its unsigned sibling. (DECIMAL is
-# fine — oracles cast through DECIMAL deliberately and back to
-# BIGINT/DOUBLE at the output edge, which this test enforces.)
-_FORBIDDEN = ("HUGEINT", "UHUGEINT")
+# is the proven offender (r2); DECIMAL is the second proven offender
+# (r4: rfm_segmentation — Spark DECIMAL(27,6) stringifies
+# '1290671.940000' vs DuckDB DOUBLE '1290671.94'). Oracles may cast
+# THROUGH decimal internally, but the output edge must be
+# BIGINT/DOUBLE/etc.
+_FORBIDDEN = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 @pytest.fixture(scope="module")
@@ -53,7 +55,7 @@ def test_oracle_output_types_are_portable(duck):
     an explicit decision, not an accidental pass-through."""
     allowed_prefixes = (
         "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
-        "DOUBLE", "FLOAT", "DECIMAL", "VARCHAR", "BOOLEAN", "DATE",
+        "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE",
         "TIMESTAMP",
     )
     bad = {}
@@ -67,3 +69,48 @@ def test_oracle_output_types_are_portable(duck):
         if hits:
             bad[name] = hits
     assert not bad, f"oracle columns outside the portable type set: {bad!r}"
+
+
+def test_canon_distinguishes_decimal_from_double():
+    """The harness blind spot that let r4's red row pass locally for
+    two rounds: canon() collapsed Decimal->float, so Spark
+    DECIMAL(27,6) vs DuckDB DOUBLE hashed identically here while the
+    external driver (which stringifies) flagged them. canon() must
+    preserve decimal scale so the divergence fails LOCALLY."""
+    from decimal import Decimal
+
+    from data_warehouse_data_mining_spark.oracle import canon
+
+    assert canon(Decimal("1290671.940000")) != canon(1290671.94)
+    assert canon(Decimal("1290671.94")) == "1290671.94"
+    # same-scale decimal on both sides still agrees
+    assert canon(Decimal("3.471")) == canon(3.471)
+
+
+def test_no_decimal_typed_columns_in_any_spark_query(spark):
+    """Spark-side twin of the DuckDB DESCRIBE lint: bind every
+    registered query's builder at sf0.001 and assert no DecimalType
+    output column (the r4 rfm_segmentation class — a bare SQL literal
+    like `/ 100.0` inside F.expr silently makes the column
+    DECIMAL(27,6))."""
+    from pyspark.sql.types import DecimalType
+
+    bad = {}
+    for name, q in registry.all_queries().items():
+        try:
+            schema = q.builder(spark, SF_SMALL).schema
+        except Exception as exc:  # builder itself must bind
+            bad[name] = f"builder failed to bind: {exc!r}"
+            continue
+        hits = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        "Spark query outputs contain DECIMAL columns (append "
+        ".cast('double') / .cast('long') at the output edge): "
+        + repr(bad)
+    )
