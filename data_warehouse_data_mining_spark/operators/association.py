@@ -86,12 +86,55 @@ def frequent_itemsets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.unionByName(pairs)
 
 
-@register("ml_fpgrowth_rules")
+@register(
+    "ml_fpgrowth_rules",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    grow(ok, iset, last_item) AS (
+      SELECT ok, [item], item FROM b
+      UNION ALL
+      SELECT g.ok, list_append(g.iset, x.item), x.item
+      FROM grow g JOIN b x ON x.ok = g.ok AND x.item > g.last_item
+    ),
+    freq AS (
+      SELECT iset, count(*) AS support
+      FROM grow GROUP BY iset HAVING count(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    rules AS (
+      SELECT f.support::DOUBLE /
+             (SELECT fa.support FROM freq fa
+              WHERE fa.iset = list_filter(f.iset, x -> x <> u.item))
+               AS confidence
+      FROM freq f, unnest(f.iset) AS u(item)
+      WHERE len(f.iset) >= 2
+    ),
+    nr AS (SELECT count(*) AS n_rules FROM rules WHERE confidence >= 0.2)
+    SELECT CAST(len(iset) AS INT) AS set_size,
+           CAST(count(*) AS BIGINT) AS n_itemsets,
+           CAST(max(support) AS BIGINT) AS max_support,
+           (SELECT CAST(n_rules AS BIGINT) FROM nr) AS n_rules_total
+    FROM freq GROUP BY 1 ORDER BY 1
+    """,
+)
 def ml_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib FPGrowth over order baskets: frequent-itemset counts by
-    size plus the association-rule count — the full pattern-growth miner
-    behind the SQL-checkable first levels (rows-only: FP-tree projection
-    is not SQL). Deterministic: supports are exact counts."""
+    size plus the association-rule count — the full pattern-growth
+    miner behind the SQL-checkable first levels. EXACT-oracle-checked
+    (converted from rows-only in r5): FP-tree *projection* is not SQL,
+    but its OUTPUT is — every frequent itemset is a subset of some
+    basket, so a recursive CTE that grows item-sorted subsets within
+    each basket enumerates the identical candidate space (bounded by
+    2^basket_size ≈ 2^7 per order, linear in orders), and MLlib's
+    single-consequent rules are each freq itemset joined to its
+    size-(k−1) antecedent subsets with the same long/long double
+    confidence division.
+
+    minSupport is passed as (minCount − 0.5)/n_tx so MLlib's
+    ``ceil(minSupport · n_tx)`` lands robustly on {MIN_PAIR_SUPPORT}
+    at every SF (a bare 3/n_tx can float-round to 3.0000…004 whose
+    ceil is 4)."""
     from pyspark.ml.fpm import FPGrowth
 
     tx = baskets(spark, sf_dir).groupBy("l_orderkey").agg(
@@ -100,7 +143,7 @@ def ml_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tx = tx.count()
     model = FPGrowth(
         itemsCol="items",
-        minSupport=float(MIN_PAIR_SUPPORT) / n_tx,
+        minSupport=(MIN_PAIR_SUPPORT - 0.5) / n_tx,
         minConfidence=0.2,
     ).fit(tx)
     sets_by_size = (
@@ -111,19 +154,72 @@ def ml_fpgrowth_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sets_by_size.withColumn("n_rules_total", F.lit(n_rules)).orderBy("set_size")
 
 
-@register("ml_prefixspan_patterns")
+@register(
+    "ml_prefixspan_patterns",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    n AS (SELECT CAST(ceil(0.5 * count(DISTINCT user_id)) AS BIGINT)
+            AS min_count FROM events),
+    f AS (  -- earliest occurrence of each type per user
+      SELECT user_id, event_type AS a, min(rn) AS f_rn
+      FROM r GROUP BY 1, 2
+    ),
+    g AS (  -- earliest b strictly after the earliest a
+      SELECT f.user_id, f.a, r.event_type AS b, min(r.rn) AS g_rn
+      FROM f JOIN r ON r.user_id = f.user_id AND r.rn > f.f_rn
+      GROUP BY 1, 2, 3
+    ),
+    p3 AS (  -- (a,b,c) present iff any c strictly after that earliest b
+      SELECT DISTINCT g.user_id, g.a, g.b, r.event_type AS c
+      FROM g JOIN r ON r.user_id = g.user_id AND r.rn > g.g_rn
+    ),
+    pat AS (
+      SELECT a AS pattern, count(*) AS support FROM f GROUP BY 1
+      UNION ALL
+      SELECT a || '>' || b, count(*) FROM g GROUP BY a, b
+      UNION ALL
+      SELECT a || '>' || b || '>' || c, count(*) FROM p3 GROUP BY a, b, c
+    )
+    SELECT pattern, CAST(support AS BIGINT) AS support
+    FROM pat, n WHERE support >= n.min_count
+    ORDER BY support DESC, pattern
+    """,
+)
 def ml_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib PrefixSpan over per-user event-type sequences: frequent
     sequential patterns up to length 3 (the sequence-mining sibling of
-    event_sequence_bigrams' fixed-depth transitions). Rows-only."""
+    event_sequence_bigrams' fixed-depth transitions). EXACT-oracle-
+    checked (converted from rows-only in r5): projection-database
+    mining isn't SQL, but subsequence SUPPORT is — a pattern (a,b,c) is
+    contained in a sequence iff matching greedily succeeds (earliest a,
+    then earliest b after it, then any c), so per-user presence reduces
+    to three first-occurrence joins and support to a count, with
+    minCount = ceil(0.5·n_seq) exact in binary on both engines.
+
+    r5 also fixed a latent ordering hazard here: the old builder relied
+    on orderBy-before-groupBy to order collect_list — unguaranteed
+    after a shuffle; sequences are now array_sort(collect_list(struct))
+    which is order-correct by construction."""
     from pyspark.ml.fpm import PrefixSpan
 
     e = load(spark, sf_dir).events
     seqs = (
-        e.orderBy("user_id", "ts", "event_id")
-        .groupBy("user_id")
-        .agg(F.collect_list("event_type").alias("flat"))
-        .select(F.transform(F.col("flat"), lambda x: F.array(x)).alias("sequence"))
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.transform(
+                F.col("evs"), lambda s: F.array(s["event_type"])
+            ).alias("sequence")
+        )
     )
     ps = PrefixSpan(
         minSupport=0.5, maxPatternLength=3, maxLocalProjDBSize=32000000

