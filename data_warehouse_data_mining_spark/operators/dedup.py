@@ -1066,7 +1066,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_hamming_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash banding: the 64-bit simhash
     splits into 4 disjoint 16-bit bands; any two fingerprints within
@@ -1080,9 +1084,26 @@ def simhash_hamming_pairs(
     bucket occupancy — and the candidate-pair count, which grows with
     the square of per-bucket occupancy — stays near-linear far past the
     regime where the earlier 4-bit banding (64 buckets total) went
-    quadratic. The & 65535 mask makes band extraction sign-agnostic
-    (bit 63 makes the BIGINT negative; arithmetic vs logical shift only
-    differ above the masked bits). Returns (id_a, id_b, hamming)."""
+    quadratic. The mask makes band extraction sign-agnostic (bit 63
+    makes the BIGINT negative; arithmetic vs logical shift only differ
+    above the masked bits). Returns (id_a, id_b, hamming).
+
+    ``band_bits`` is the occupancy dial the r5 64× probe measured
+    (SCALING.md): candidate pairs grow with per-bucket occupancy
+    squared (5k docs → 191k pairs, 320k docs → 26.1M at 16-bit bands),
+    so pick band_bits ≳ log₂(n_docs / target_occupancy). The
+    pigeonhole exact-recall guarantee needs more bands than differing
+    bits — 64 // band_bits bands must exceed max_hamming — so e.g. a
+    100 TB corpus runs band_bits=21 with max_hamming ≤ 2, or keeps
+    max_hamming=3 at 16-bit bands and splits hot buckets by a second
+    fingerprint prefix."""
+    n_bands = 64 // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"band_bits={band_bits} gives {n_bands} bands; exact recall "
+            f"at max_hamming={max_hamming} needs bands > max_hamming"
+        )
+    mask = (1 << band_bits) - 1
     sh = simhash_table(df, id_col, text_col)
     bands = sh.select(
         "id",
@@ -1092,10 +1113,12 @@ def simhash_hamming_pairs(
                 F.struct(
                     F.lit(b).alias("band_idx"),
                     (
-                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(65535)).cast("long")
+                        F.shiftright("simhash", band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("long")
                     ).alias("band_val"),
                 )
-                for b in range(4)
+                for b in range(n_bands)
             ])
         ).alias("bd"),
     ).select("id", "simhash", "bd.band_idx", "bd.band_val")

@@ -450,6 +450,20 @@ def test_simhash_hamming_banding_exact_recall(spark):
     }
     assert got == brute
     assert brute  # the corpus actually produces near-dup pairs
+    # the 100-TB band-width dial (r5): wider bands = fewer, bigger
+    # band-spaces; recall stays exact as long as bands > max_hamming
+    got21 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(
+            df, "doc_id", "text", max_hamming=2, band_bits=21
+        ).collect()
+    }
+    assert got21 == {t for t in brute if t[2] <= 2}
+    # and the guard refuses parameterizations that break the pigeonhole
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(df, "doc_id", "text", max_hamming=3, band_bits=21)
 
 
 def test_containment_catches_subset_jaccard_misses(spark):

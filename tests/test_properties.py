@@ -176,3 +176,49 @@ def test_pareto_filter_matches_brute_force(points):
         1 for p in points if p in _brute_pareto(points)
     )
     assert len(got) == expect_rows
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=60),
+    st.integers(min_value=1, max_value=500),
+)
+def test_session_walk_invariants(deltas, gap):
+    """The recurrence shared by the streaming custom_sessionizer and
+    its batch replay twin: sessions partition the event stream in
+    order, no intra-session gap reaches the threshold, consecutive
+    sessions are separated by >= gap, and the walk is
+    batch-split-invariant (splitting the stream anywhere and carrying
+    the open state yields identical sessions — the stream≡batch
+    identity in pure form)."""
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        session_walk,
+    )
+
+    ts = []
+    t = 0
+    for d in deltas:
+        t += d
+        ts.append(t)
+
+    closed, open_s = session_walk(ts, gap)
+    sessions = closed + [open_s]
+    # partition: event counts sum to n, boundaries ordered
+    assert sum(s[2] for s in sessions) == len(ts)
+    for start, last, n in sessions:
+        assert start <= last and n >= 1
+    for (s1, l1, _), (s2, _, _) in zip(sessions, sessions[1:]):
+        assert l1 <= s2 and s2 - l1 >= gap
+    # intra-session gaps all < gap (check against the raw stream)
+    i = 0
+    for start, last, n in sessions:
+        seg = ts[i : i + n]
+        assert seg[0] == start and seg[-1] == last
+        assert all(b - a < gap for a, b in zip(seg, seg[1:]))
+        i += n
+    # batch-split invariance at every cut point
+    for cut in range(1, len(ts)):
+        c1, st1 = session_walk(ts[:cut], gap)
+        c2, st2 = session_walk(ts[cut:], gap, st1)
+        assert c1 + c2 + [st2] == sessions
