@@ -48,6 +48,9 @@ def _prior_mins(sf_label: str) -> dict[str, float]:
                 rec = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        # the external driver records bench output wrapped under "parsed"
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
         if str(rec.get("sf")) != sf_label:
             continue
         mins = rec.get("queries_min") or rec.get("queries") or {}
