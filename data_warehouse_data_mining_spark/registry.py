@@ -53,7 +53,7 @@ def register(
     return deco
 
 
-def _driver_history() -> tuple[frozenset[str], tuple[str, ...]]:
+def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
     """Derive sweep-ordering state from the in-repo driver artifacts.
 
     Reads every ``CORRECTNESS_r*.json`` at the repo root (the driver's
@@ -98,13 +98,18 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...]]:
 
     reds = tuple(sorted(n for n, rec in last.items() if is_red(rec)))
     greens = frozenset(n for n, rec in last.items() if not is_red(rec))
-    return greens, reds
+    rows_only = frozenset(
+        n for n, rec in last.items() if rec.get("err") == "no_oracle"
+    )
+    return greens, reds, rows_only
 
 
-# Names with a hard-signal green row at their latest driver check, and
+# Names with a hard-signal green row at their latest driver check,
 # names red at their latest check (re-verified immediately after the
-# headliners). Both derived from CORRECTNESS_r*.json — never hand-typed.
-_SEEN_IN_DRIVER_ROUNDS, _RECHECK_FIRST = _driver_history()
+# headliners), and names whose latest check was the weaker rows-only
+# form (re-queued as fresh if they have since gained an oracle). All
+# derived from CORRECTNESS_r*.json — never hand-typed.
+_SEEN_IN_DRIVER_ROUNDS, _RECHECK_FIRST, _ROWS_ONLY_AT_LATEST = _driver_history()
 
 
 def all_queries() -> dict[str, Query]:
@@ -135,9 +140,20 @@ def all_queries() -> dict[str, Query]:
             out.extend(q for q in wave if q is not None)
         return out
 
+    def is_seen(q: Query) -> bool:
+        if q.name not in _SEEN_IN_DRIVER_ROUNDS:
+            return False
+        # latest driver row was the weaker rows-only check but the query
+        # has since gained an oracle (r5: FPGrowth/PrefixSpan/CV-grid
+        # conversions) — re-queue as fresh so the upgrade lands an exact
+        # hash row instead of waiting behind every green
+        if q.name in _ROWS_ONLY_AT_LATEST and q.oracle is not None:
+            return False
+        return True
+
     rest = [q for q in _REGISTRY.values() if q.name not in pinned_names]
-    fresh = round_robin([q for q in rest if q.name not in _SEEN_IN_DRIVER_ROUNDS])
-    seen = round_robin([q for q in rest if q.name in _SEEN_IN_DRIVER_ROUNDS])
+    fresh = round_robin([q for q in rest if not is_seen(q)])
+    seen = round_robin([q for q in rest if is_seen(q)])
     ordered = pinned + fresh + seen
     return {q.name: q for q in ordered}
 
