@@ -1,7 +1,9 @@
 """Driver-style correctness sweep: run EVERY registered query on Spark
 and its DuckDB oracle side-by-side at a given SF, compare rows/schema/
 values with the driver's canon (sort columns by name, sort rows
-stringified, Decimal->float, timestamps->str, -0.0->0.0).
+stringified, Decimal->str scale-preserving — a Spark DECIMAL against a
+DuckDB DOUBLE must FAIL here like it fails externally (the r4
+rfm_segmentation lesson), timestamps->str, -0.0->0.0).
 
 Usage: python tools/driver_sweep.py [sf_dir] [--only name1,name2]
 Prints one status line per query and a final summary; exit 1 on any
@@ -21,7 +23,7 @@ import traceback
 
 def canon_cell(v):
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        return str(v)
     if isinstance(v, float):
         if v == 0.0:
             v = 0.0  # normalize -0.0
