@@ -53,7 +53,9 @@ def _prior_mins(sf_label: str) -> dict[str, float]:
             rec = rec["parsed"]
         if str(rec.get("sf")) != sf_label:
             continue
-        mins = rec.get("queries_min") or rec.get("queries") or {}
+        # strictly min-vs-min: rounds predating "queries_min" recorded
+        # mean-of-runs totals, which are not comparable baselines
+        mins = rec.get("queries_min") or {}
         for name, v in mins.items():
             if isinstance(v, (int, float)) and (
                 name not in best or v < best[name]
@@ -103,6 +105,18 @@ def main() -> None:
         if name in prior and timings_min[name] > prior[name] * 1.15
     }
 
+    # co-tenancy indicator: per-query relative spread of the 5 samples
+    # ((max-min)/min). On an idle machine spreads sit under ~0.15; a
+    # busy co-tenant inflates them past 0.3-0.5, so a flagged min
+    # regression accompanied by a high spread is machine noise, not a
+    # plan regression — this makes the environmental reading
+    # machine-checkable instead of a judgment call.
+    spread = {
+        name: round((max(s) - min(s)) / min(s), 3)
+        for name, s in all_samples.items()
+    }
+    noise = round(statistics.median(spread.values()), 3) if spread else 0.0
+
     print(
         json.dumps(
             {
@@ -113,6 +127,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "samples": all_samples,
+                "sample_spread": spread,
+                "cotenancy_noise_median_spread": noise,
                 "min_regressions_vs_best_prior": regressions,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }

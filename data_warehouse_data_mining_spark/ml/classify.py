@@ -69,6 +69,9 @@ class EvalResult:
     # callers property-pin the selection (grid membership) without
     # reaching into the model object.
     best_params: dict | None = None
+    # CV only: one mean-CV metric per fitted grid point — callers pin
+    # len(avg_metrics) == grid size (the CV really swept the grid).
+    avg_metrics: list[float] | None = None
 
 
 def train_evaluate(
@@ -108,13 +111,19 @@ def cross_validate(
     )
     model = cv.fit(train)
     best = model.bestModel
-    grid_maps = grid if grid is not None else param_grid(name, clf)
-    win = grid_maps[int(max(range(len(model.avgMetrics)),
-                            key=model.avgMetrics.__getitem__))]
+    # map the winning avgMetrics index back through the param maps the
+    # CV actually fitted with (not a rebuilt grid, whose ordering would
+    # only coincidentally match), honoring the metric's direction the
+    # same way CrossValidator picks bestModel
+    grid_maps = model.getEstimatorParamMaps()
+    pick = max if evaluator.isLargerBetter() else min
+    win = grid_maps[int(pick(range(len(model.avgMetrics)),
+                             key=model.avgMetrics.__getitem__))]
     predictions = best.transform(test)
     return EvalResult(
         name,
         float(evaluator.evaluate(predictions)),
         predictions,
         best_params={p.name: v for p, v in win.items()},
+        avg_metrics=[float(m) for m in model.avgMetrics],
     )
