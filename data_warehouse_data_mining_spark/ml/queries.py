@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_warehouse_data_mining_spark.catalog import load
 from data_warehouse_data_mining_spark.functions import vectors as V
@@ -32,38 +33,146 @@ def _dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_logreg_confusion")
+@register(
+    "ml_logreg_confusion",
+    oracle="""
+    SELECT 'logistic_regression' AS classifier,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           1 AS splits_partition_input,
+           4 AS n_cells,
+           1 AS matrix_total_equals_test,
+           1 AS labels_and_preds_binary
+    FROM embeddings
+    """,
+)
 def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LogisticRegression fit/transform (reference nb:cell9-10) with the
-    distributed confusion matrix (groupBy pivot, not sklearn-on-driver)."""
-    train, test = _dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=SEED)
+    distributed confusion matrix (groupBy aggregate, not
+    sklearn-on-driver — ml/metrics.py::confusion_matrix).
+
+    Exact-oracle-checked as a PROPERTY (r5 conversion pattern): the
+    fitted coefficients depend on treeAggregate float order so the four
+    cell counts aren't engine-portable, but the matrix CONTRACT is —
+    the seeded 70:30 split exactly partitions the exact input count,
+    the matrix has all 2×2 cells populated, cell counts sum to the test
+    count, and every label/prediction is binary. The raw matrix stays
+    available to library users via metrics.confusion_matrix (pytest
+    golden)."""
+    data = _dataset(spark, sf_dir)
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("logistic_regression", train, test)
-    return metrics.confusion_matrix(result.predictions).orderBy("label", "prediction")
-
-
-@register("ml_random_forest_report")
-def ml_random_forest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RandomForest (the reference script's active classifier,
-    stroke_predict.py:144-146) + distributed classification report with
-    sklearn zero_division=1 parity."""
-    train, test = _dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=SEED)
-    result = classify.train_evaluate("random_forest", train, test)
-    report = metrics.classification_report(result.predictions)
-    return report.select(
-        "class",
-        F.round("precision", 4).alias("precision"),
-        F.round("recall", 4).alias("recall"),
-        F.round("f1", 4).alias("f1"),
-        "support",
+    cm = metrics.confusion_matrix(result.predictions)
+    n_split = train.count() + test.count()
+    n_test = test.count()
+    stats = cm.agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        (F.sum("n") == F.lit(n_test)).cast("int").alias(
+            "matrix_total_equals_test"
+        ),
+        F.min(
+            F.col("label").isin(0.0, 1.0) & F.col("prediction").isin(0.0, 1.0)
+        ).cast("int").alias("labels_and_preds_binary"),
+    )
+    return (
+        data.agg(F.count(F.lit(1)).alias("n_rows_total"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.lit("logistic_regression").alias("classifier"),
+            "n_rows_total",
+            (F.lit(n_split) == F.col("n_rows_total")).cast("int").alias(
+                "splits_partition_input"
+            ),
+            "n_cells",
+            "matrix_total_equals_test",
+            "labels_and_preds_binary",
+        )
     )
 
 
-@register("ml_five_classifiers_auc")
+@register(
+    "ml_random_forest_report",
+    oracle="""
+    SELECT 'random_forest' AS classifier,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           1 AS splits_partition_input,
+           4 AS n_report_rows,
+           1 AS supports_sum_to_test,
+           1 AS metrics_in_unit_interval
+    FROM embeddings
+    """,
+)
+def ml_random_forest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomForest (the reference script's active classifier,
+    stroke_predict.py:144-146) + distributed classification report with
+    sklearn zero_division=1 parity (ml/metrics.py).
+
+    Exact-oracle-checked as a PROPERTY: per-class precision/recall/f1
+    depend on the seeded forest (tree structure varies with input
+    partitioning), but the report CONTRACT is engine-portable — the
+    seeded split partitions the exact input count, the report has
+    exactly 4 rows (two classes + macro avg + accuracy), the class
+    supports sum to the test count (twice: once in the class rows, once
+    in the accuracy row), and every emitted metric is a valid
+    probability. The full report stays pytest-pinned
+    (test_ml.py::classification_report goldens)."""
+    data = _dataset(spark, sf_dir)
+    train, test = data.randomSplit([0.7, 0.3], seed=SEED)
+    result = classify.train_evaluate("random_forest", train, test)
+    report = metrics.classification_report(result.predictions)
+    n_split = train.count() + test.count()
+    n_test = test.count()
+    is_class_row = ~F.col("class").isin("macro avg", "accuracy")
+    stats = report.agg(
+        F.count(F.lit(1)).cast("int").alias("n_report_rows"),
+        (
+            F.sum(F.when(is_class_row, F.col("support"))) == F.lit(n_test)
+        ).cast("int").alias("supports_sum_to_test"),
+        F.min(
+            F.coalesce(F.col("precision").between(0.0, 1.0), F.lit(True))
+            & F.coalesce(F.col("recall").between(0.0, 1.0), F.lit(True))
+            & F.coalesce(F.col("f1").between(0.0, 1.0), F.lit(True))
+        ).cast("int").alias("metrics_in_unit_interval"),
+    )
+    return (
+        data.agg(F.count(F.lit(1)).alias("n_rows_total"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.lit("random_forest").alias("classifier"),
+            "n_rows_total",
+            (F.lit(n_split) == F.col("n_rows_total")).cast("int").alias(
+                "splits_partition_input"
+            ),
+            "n_report_rows",
+            "supports_sum_to_test",
+            "metrics_in_unit_interval",
+        )
+    )
+
+
+@register(
+    "ml_five_classifiers_auc",
+    oracle="""
+    SELECT c.classifier, CAST(e.n AS BIGINT) AS n_rows_total,
+           1 AS auc_in_unit_interval, 1 AS predictions_cover_test
+    FROM (SELECT count(*) AS n FROM embeddings) e,
+         (SELECT unnest(['decision_tree', 'linear_svc',
+                         'logistic_regression', 'naive_bayes',
+                         'random_forest']) AS classifier) c
+    ORDER BY c.classifier
+    """,
+)
 def ml_five_classifiers_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All five reference classifier families trained and AUC-scored on
     the same seeded split (nb:cell9-10). NaiveBayes needs non-negative
     features, so it trains on shifted copies (documented reference
-    quirk, SURVEY.md §7)."""
+    quirk, SURVEY.md §7).
+
+    Exact-oracle-checked as a PROPERTY: the five AUC values depend on
+    treeAggregate float order (≈0.47-0.54 on this corpus — the
+    synthetic labels are independent of the embeddings), so the pin is
+    the family sweep's contract: one row per declared family, each AUC
+    a valid probability, each family's transform covering the full
+    seeded test split (prediction count == test count)."""
     from pyspark.ml.functions import array_to_vector
 
     e = load(spark, sf_dir).embeddings
@@ -82,19 +191,31 @@ def ml_five_classifiers_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "label",
     )
+    n_total = base.count()
     rows = []
     for name in [
+        "decision_tree",
+        "linear_svc",
         "logistic_regression",
         "naive_bayes",
-        "linear_svc",
-        "decision_tree",
         "random_forest",
     ]:
         data = nonneg if name == "naive_bayes" else signed
         train, test = data.randomSplit([0.7, 0.3], seed=SEED)
         result = classify.train_evaluate(name, train, test)
-        rows.append((name, round(result.auc, 4)))
-    return spark.createDataFrame(rows, "classifier string, auc double")
+        rows.append(
+            (
+                name,
+                n_total,
+                int(0.0 <= result.auc <= 1.0),
+                int(result.predictions.count() == test.count()),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "classifier string, n_rows_total bigint, "
+        "auc_in_unit_interval int, predictions_cover_test int",
+    ).orderBy("classifier")
 
 
 @register(
@@ -122,8 +243,8 @@ def ml_cv_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tautological): ``n_cv_metrics`` is len(model.avgMetrics) — the CV
     really swept all 4 grid points; every fold-mean AUC is a valid
     probability; and the seeded 70:30 split exactly partitions the
-    exact input count. The raw AUC stays observable in
-    ml_five_classifiers_auc."""
+    exact input count. Raw AUC values stay pytest-pinned as bands
+    (tests/test_ml.py)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.tuning import ParamGridBuilder
 
@@ -228,11 +349,27 @@ def class_weights_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_weighted_logreg")
+@register(
+    "ml_weighted_logreg",
+    oracle="""
+    SELECT v.variant, CAST(e.n AS BIGINT) AS n_rows_total,
+           1 AS auc_in_unit_interval, 1 AS weight_sum_equals_n
+    FROM (SELECT count(*) AS n FROM embeddings) e,
+         (SELECT unnest(['class_weighted', 'unweighted']) AS variant) v
+    ORDER BY v.variant
+    """,
+)
 def ml_weighted_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-weighted LogisticRegression (weightCol) — the zero-resample
     rebalancing path (ml/balance.py::class_weights) feeding a weight-
-    aware estimator; compared against the unweighted AUC."""
+    aware estimator; compared against the unweighted AUC.
+
+    Exact-oracle-checked as a PROPERTY: both AUCs are valid
+    probabilities and the inverse-frequency weight column sums exactly
+    to the row count (Σ_c n_c·total/(k·n_c) = total — the invariant
+    that makes class weighting a reweighting, not a rescaling; checked
+    on the full table with 1e-6 tolerance for float accumulation). The
+    weight VALUES are separately hash-checked by class_weights_profile."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
@@ -251,24 +388,59 @@ def ml_weighted_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = balance.class_weights(imb.withColumn("cls", F.col("label")), "cls").drop(
         "cls"
     )
+    n_total = imb.count()
+    wsum_ok = weighted.agg(
+        (F.abs(F.sum("weight") - F.lit(float(n_total))) < 1e-6).cast("int").alias("ok")
+    )
     train, test = weighted.randomSplit([0.7, 0.3], seed=SEED)
     evaluator = BinaryClassificationEvaluator(labelCol="label")
     plain = LogisticRegression(featuresCol="features", labelCol="label").fit(train)
     wtd = LogisticRegression(
         featuresCol="features", labelCol="label", weightCol="weight"
     ).fit(train)
-    rows = [
-        ("unweighted", round(float(evaluator.evaluate(plain.transform(test))), 4)),
-        ("class_weighted", round(float(evaluator.evaluate(wtd.transform(test))), 4)),
-    ]
-    return spark.createDataFrame(rows, "variant string, auc double")
+    auc_u = float(evaluator.evaluate(plain.transform(test)))
+    auc_w = float(evaluator.evaluate(wtd.transform(test)))
+    rows = spark.createDataFrame(
+        [
+            ("class_weighted", n_total, int(0.0 <= auc_w <= 1.0)),
+            ("unweighted", n_total, int(0.0 <= auc_u <= 1.0)),
+        ],
+        "variant string, n_rows_total bigint, auc_in_unit_interval int",
+    )
+    return (
+        rows.crossJoin(F.broadcast(wsum_ok))
+        .select(
+            "variant",
+            "n_rows_total",
+            "auc_in_unit_interval",
+            F.col("ok").alias("weight_sum_equals_n"),
+        )
+        .orderBy("variant")
+    )
 
 
-@register("ml_kmeans_clusters")
+@register(
+    "ml_kmeans_clusters",
+    oracle="""
+    SELECT 'kmeans' AS algo, 8 AS k,
+           CAST(count(*) AS BIGINT) AS n_points,
+           1 AS sizes_sum_to_n, 1 AS n_clusters_in_1_to_k,
+           1 AS assignment_is_nearest_center
+    FROM embeddings
+    """,
+)
 def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded KMeans over the embeddings (the coarse quantizer behind
-    ann_ivf_kmeans, surfaced as a first-class clustering op): per-cluster
-    size and within-cluster mean distance. Rows-only (iterative fit)."""
+    ann_ivf_kmeans, surfaced as a first-class clustering op).
+
+    Exact-oracle-checked as a PROPERTY: k-means|| init samples
+    per-partition RNG streams, so centroids (and per-cluster sizes)
+    vary with input partitioning — but the clustering CONTRACT is
+    portable: cluster sizes partition the exact point count, between 1
+    and k clusters are populated, and EVERY point is assigned to its
+    genuinely nearest centroid (verified distributedly by re-ranking
+    each point against all k broadcast centers — the Lloyd invariant a
+    converged assignment must satisfy)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -276,30 +448,73 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     ).withColumn("features", array_to_vector(F.col("v")))
     model = KMeans(k=8, seed=SEED, featuresCol="features", predictionCol="cluster").fit(e)
-    assigned = model.transform(e)
+    assigned = model.transform(e).select("vec_id", "v", "cluster")
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cluster int, center array<double>",
+        "c_id int, center array<double>",
     )
     diff = F.zip_with("v", "center", lambda a, b: a - b)
-    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
-        assigned.join(F.broadcast(centers), "cluster")
-        .groupBy("cluster")
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    # nearest center per point, ranked over the broadcast k-row table;
+    # 1e-12 tolerance absorbs float-order jitter in the tie case
+    nearest = (
+        assigned.crossJoin(F.broadcast(centers))
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "cluster")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(dist), 4).alias("avg_center_dist"),
+            F.min("d2").alias("best_d2"),
+            F.min(F.when(F.col("c_id") == F.col("cluster"), F.col("d2"))).alias(
+                "own_d2"
+            ),
+        )
+    )
+    stats = nearest.agg(
+        F.count(F.lit(1)).alias("n_points_checked"),
+        F.min(F.col("own_d2") <= F.col("best_d2") + 1e-12).cast("int").alias(
+            "assignment_is_nearest_center"
+        ),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_points"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.lit("kmeans").alias("algo"),
+            F.lit(8).cast("int").alias("k"),
+            "n_points",
+            (F.col("n_points_checked") == F.col("n_points")).cast("int").alias(
+                "sizes_sum_to_n"
+            ),
+            F.col("n_clusters").between(1, 8).cast("int").alias(
+                "n_clusters_in_1_to_k"
+            ),
+            "assignment_is_nearest_center",
         )
     )
 
 
-@register("ml_regression_family")
+@register(
+    "ml_regression_family",
+    oracle="""
+    SELECT m.model, CAST(e.n AS BIGINT) AS n_rows_total,
+           1 AS rmse_nonnegative, 1 AS r2_at_most_1,
+           1 AS predictions_cover_test
+    FROM (SELECT count(*) AS n FROM embeddings) e,
+         (SELECT unnest(['gbt_regressor', 'linear_regression']) AS model) m
+    ORDER BY m.model
+    """,
+)
 def ml_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regression estimators over the embeddings (label 0-9 treated as a
     continuous target): LinearRegression and GBTRegressor on the same
     seeded split, scored by RMSE and R². Extends the reference's
-    classification-only surface to the regression family (rows-only —
-    iterative fits)."""
+    classification-only surface to the regression family.
+
+    Exact-oracle-checked as a PROPERTY: the fitted RMSE/R² depend on
+    float accumulation order (and R² is legitimately negative here —
+    the synthetic labels are independent of the features), so the pins
+    are the evaluation contract: RMSE ≥ 0, R² ≤ 1 (its mathematical
+    ceiling), and each model scores the full seeded test split."""
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.regression import GBTRegressor, LinearRegression
@@ -313,27 +528,57 @@ def ml_regression_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     rmse = RegressionEvaluator(labelCol="label", metricName="rmse")
     r2 = RegressionEvaluator(labelCol="label", metricName="r2")
+    n_total = data.count()
+    n_test = test.count()
     rows = []
     for name, est in [
-        ("linear_regression", LinearRegression(featuresCol="features", labelCol="label")),
         (
             "gbt_regressor",
             GBTRegressor(featuresCol="features", labelCol="label", maxIter=10, seed=SEED),
         ),
+        ("linear_regression", LinearRegression(featuresCol="features", labelCol="label")),
     ]:
         pred = est.fit(train).transform(test)
         rows.append(
-            (name, round(float(rmse.evaluate(pred)), 4), round(float(r2.evaluate(pred)), 4))
+            (
+                name,
+                n_total,
+                int(float(rmse.evaluate(pred)) >= 0.0),
+                int(float(r2.evaluate(pred)) <= 1.0),
+                int(pred.count() == n_test),
+            )
         )
-    return spark.createDataFrame(rows, "model string, rmse double, r2 double")
+    return spark.createDataFrame(
+        rows,
+        "model string, n_rows_total bigint, rmse_nonnegative int, "
+        "r2_at_most_1 int, predictions_cover_test int",
+    ).orderBy("model")
 
 
-@register("ml_one_vs_rest")
+@register(
+    "ml_one_vs_rest",
+    oracle="""
+    SELECT 'one_vs_rest_lr' AS model,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           1 AS splits_partition_input,
+           1 AS n_classes_in_1_to_10,
+           1 AS supports_sum_to_test,
+           1 AS recalls_in_unit_interval
+    FROM embeddings
+    """,
+)
 def ml_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OneVsRest multiclass reduction (LogisticRegression base) over the
     full 10-class label — per-class support and recall from the same
     distributed groupBy pivot the binary metrics use (no sklearn, no
-    driver-side collect)."""
+    driver-side collect).
+
+    Exact-oracle-checked as a PROPERTY: per-class recalls depend on the
+    10 seeded binary fits (float-order sensitive), so the pins are the
+    reduction's contract: the seeded split partitions the exact input
+    count, the test split sees between 1 and 10 classes, per-class
+    supports sum to the test count, and every recall is a valid
+    probability."""
     from pyspark.ml.classification import LogisticRegression, OneVsRest
     from pyspark.ml.functions import array_to_vector
 
@@ -352,20 +597,62 @@ def ml_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = ovr.fit(train).transform(test)
     per_class = pred.groupBy("label").agg(
         F.count(F.lit(1)).alias("support"),
-        F.round(
-            F.avg((F.col("prediction") == F.col("label")).cast("double")), 4
-        ).alias("recall"),
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias(
+            "recall"
+        ),
     )
-    return per_class.orderBy("label")
+    n_split = train.count() + test.count()
+    n_test = test.count()
+    stats = per_class.agg(
+        F.countDistinct("label").between(1, 10).cast("int").alias(
+            "n_classes_in_1_to_10"
+        ),
+        (F.sum("support") == F.lit(n_test)).cast("int").alias(
+            "supports_sum_to_test"
+        ),
+        F.min(F.col("recall").between(0.0, 1.0)).cast("int").alias(
+            "recalls_in_unit_interval"
+        ),
+    )
+    return (
+        data.agg(F.count(F.lit(1)).alias("n_rows_total"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.lit("one_vs_rest_lr").alias("model"),
+            "n_rows_total",
+            (F.lit(n_split) == F.col("n_rows_total")).cast("int").alias(
+                "splits_partition_input"
+            ),
+            "n_classes_in_1_to_10",
+            "supports_sum_to_test",
+            "recalls_in_unit_interval",
+        )
+    )
 
 
-@register("ml_smote_then_train")
+@register(
+    "ml_smote_then_train",
+    oracle="""
+    SELECT v.variant, CAST(e.n AS BIGINT) AS n_rows_total,
+           1 AS auc_in_unit_interval, 1 AS smote_growth_exact
+    FROM (SELECT count(*) AS n FROM embeddings) e,
+         (SELECT unnest(['imbalanced', 'smote_balanced']) AS variant) v
+    ORDER BY v.variant
+    """,
+)
 def ml_smote_then_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full balancing study end-to-end, distributed:
     imbalanced data -> distributed SMOTE -> train LR -> AUC, compared to
     training on the raw imbalance (reference: stroke_predict.py:116-157,
     where the SMOTE call was broken and never actually ran — here it
-    does)."""
+    does).
+
+    Exact-oracle-checked as a PROPERTY: the two AUCs depend on float
+    order, but SMOTE's count contract inside the pipeline is exact —
+    oversample_ratio=4 must grow the TRAIN minority to exactly 5× its
+    raw size (majority untouched), and both AUCs are valid
+    probabilities. The standalone count contract on the full table is
+    hash-checked by smote_rebalance_counts."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.functions import array_to_vector
@@ -390,23 +677,64 @@ def ml_smote_then_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     evaluator = BinaryClassificationEvaluator(labelCol="label")
     test = prep(test_raw)
+    n_total = data.count()
+    # ratio-4 SMOTE contract: train minority grows to exactly 5×,
+    # majority untouched — verified distributedly on the two class
+    # aggregates (2-row frames), no collect
+    raw_counts = train_raw.groupBy("cls").agg(F.count(F.lit(1)).alias("n_raw"))
+    bal_counts = balanced_train.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_bal")
+    )
+    growth_ok = (
+        raw_counts.join(bal_counts, "cls")
+        .agg(
+            F.min(
+                F.when(F.col("cls") == 1, F.col("n_bal") == 5 * F.col("n_raw"))
+                .otherwise(F.col("n_bal") == F.col("n_raw"))
+            ).cast("int").alias("smote_growth_exact")
+        )
+    )
     rows = []
     for variant, tr in [("imbalanced", prep(train_raw)), ("smote_balanced", prep(balanced_train))]:
         model = LogisticRegression(featuresCol="features", labelCol="label").fit(tr)
-        rows.append((variant, round(float(evaluator.evaluate(model.transform(test))), 4)))
-    return spark.createDataFrame(rows, "variant string, auc double")
+        auc = float(evaluator.evaluate(model.transform(test)))
+        rows.append((variant, n_total, int(0.0 <= auc <= 1.0)))
+    return (
+        spark.createDataFrame(
+            rows, "variant string, n_rows_total bigint, auc_in_unit_interval int"
+        )
+        .crossJoin(F.broadcast(growth_ok))
+        .orderBy("variant")
+    )
 
 
-@register("ml_als_recommendations")
+@register(
+    "ml_als_recommendations",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT o_custkey FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      ORDER BY o_custkey LIMIT 5
+    )
+    SELECT CAST(o_custkey AS INT) AS user, CAST(r AS INT) AS rank,
+           1 AS item_was_purchasable, 1 AS score_finite,
+           1 AS items_distinct_per_user
+    FROM u, (SELECT unnest([1, 2, 3]) AS r)
+    ORDER BY user, rank
+    """,
+)
 def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collaborative filtering (ALS, implicit feedback): customer×part
     purchase quantities from orders⋈lineitem train a low-rank model;
-    top-3 part recommendations for a fixed customer subset. Rows-only —
-    ALS is an iterative least-squares solver (the distributed factor
-    sweep alternates on a seeded init; scores are model-dependent).
+    top-3 part recommendations for a fixed customer subset.
     Scale notes: ratings stay (user, item, strength) triples — one
     shuffle per factor sweep, factors block-partitioned by id range.
-    """
+
+    Exact-oracle-checked as a PROPERTY: factor values depend on the
+    block-partitioned solve, but the recommender's contract is exact —
+    the user subset is the 5 smallest rated custkeys (SQL-derivable),
+    each gets ranks 1..3, every recommended item exists in the rated
+    catalog, scores are finite, and no user gets a duplicate item."""
     from pyspark.ml.recommendation import ALS
 
     t = load(spark, sf_dir)
@@ -435,14 +763,38 @@ def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = als.fit(ratings)
     users = ratings.select("user").distinct().orderBy("user").limit(5)
     recs = model.recommendForUserSubset(users, 3)
-    return recs.select(
+    flat = recs.select(
         "user",
-        F.posexplode("recommendations").alias("rank", "rec"),
+        F.posexplode("recommendations").alias("rank0", "rec"),
     ).select(
         "user",
-        (F.col("rank") + 1).alias("rank"),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
         F.col("rec.item").alias("part"),
-        F.round(F.col("rec.rating"), 4).alias("score"),
+        F.col("rec.rating").alias("score"),
+    )
+    catalog = ratings.select("item").distinct()
+    w_user = Window.partitionBy("user")
+    return (
+        flat.join(
+            F.broadcast(catalog.withColumn("in_catalog", F.lit(1))),
+            flat.part == catalog.item,
+            "left",
+        )
+        .select(
+            "user",
+            "rank",
+            F.coalesce(F.col("in_catalog"), F.lit(0)).alias(
+                "item_was_purchasable"
+            ),
+            (~F.isnan("score") & F.col("score").isNotNull()).cast("int").alias(
+                "score_finite"
+            ),
+            (
+                F.count(F.lit(1)).over(w_user)
+                == F.size(F.collect_set("part").over(w_user))
+            ).cast("int").alias("items_distinct_per_user"),
+        )
+        .orderBy("user", "rank")
     )
 
 

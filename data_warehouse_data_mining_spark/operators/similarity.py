@@ -294,11 +294,37 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_mllib")
+@register(
+    "ann_lsh_mllib",
+    oracle=f"""
+    WITH {_ORACLE_E}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(sqrt(list_inner_product(
+               list_transform(range(1, {DIM + 1}), i -> a.v[i] - b.v[i]),
+               list_transform(range(1, {DIM + 1}), i -> a.v[i] - b.v[i])
+           )), 6) AS euclidean
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE sqrt(list_inner_product(
+               list_transform(range(1, {DIM + 1}), i -> a.v[i] - b.v[i]),
+               list_transform(range(1, {DIM + 1}), i -> a.v[i] - b.v[i])
+           )) < 1.0
+    ORDER BY vec_a, vec_b
+    """,
+)
 def ann_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approx similarity self-join
-    (euclidean < 1.0), seeded. Rows-only: MLlib's hash family is not
-    reproducible in ANSI SQL."""
+    (euclidean < 1.0), seeded.
+
+    Exact-oracle-checked against the GROUND-TRUTH pair set (brute-force
+    all-pairs euclidean < 1.0 in SQL): approxSimilarityJoin re-checks
+    the exact distance on every candidate, so its output is always a
+    SUBSET of the truth — the hash-equality is therefore a live recall
+    assertion (OR-amplified over 3 seeded tables, the join recovers
+    every true sub-threshold pair on this corpus) plus a no-false-
+    positives proof. The oracle's O(n²) join is the audit-scale cost
+    the LSH join avoids in production; MLlib's hash family itself stays
+    non-SQL (plane draws are JVM-seeded) but the seed pins it across
+    runs and partitionings."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -324,13 +350,11 @@ def ann_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans")
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: seeded KMeans partitions the corpus into nlist
     coarse cells; each query probes its nprobe=4 nearest cells — the
     inverted-file index shape (train once, assign map-side, search =
-    one equi-join on cell id). Rows-only: KMeans isn't SQL-mirrorable;
-    determinism comes from the fixed seed.
+    one equi-join on cell id). Returns (q_id, neighbor_id, cosine, rn).
 
     At 100 TB: centroids broadcast (nlist ≪ corpus), assignment is
     map-side, and each query touches nprobe/nlist of the corpus."""
@@ -378,34 +402,69 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_recall_at_k")
-def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of both ANN variants (hyperplane-LSH, IVF-KMeans)
-    against the exact brute-force top-5 — the accuracy/cost dial every
-    ANN deployment is tuned by. Deterministic; rows-only (composition of
-    a non-SQL stage).
+@register(
+    "ann_ivf_kmeans",
+    oracle=f"""
+    SELECT 'ivf_kmeans' AS variant, 16 AS nlist, 4 AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           1 AS five_neighbors_per_query, 1 AS cosines_in_range,
+           1 AS no_self_matches, 1 AS recall_at_least_0_3
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-KMeans ANN search contract (the scale tier above hyperplane
+    LSH — see _ivf_neighbors for the index shape and 100 TB notes).
 
-    Context for the numbers on THIS corpus: the synthetic embeddings are
-    i.i.d. uniform, so "nearest" neighbors sit near cosine 0.4 — almost
-    orthogonal. Data-independent sign-LSH shares few bucket bits with
-    such neighbors (recall stays low even with Hamming-1 multiprobe),
-    while data-adaptive IVF centroids reach ~0.7 recall at nprobe=4/16.
-    On real embedding clusters both rise sharply; the dial is the point.
-    """
-    exact = knn_brute_force(spark, sf_dir).filter(F.col("rn") <= 5)
-    results = []
-    for variant, df in [
-        ("lsh_hyperplane", ann_lsh_hyperplane(spark, sf_dir)),
-        ("ivf_kmeans", ann_ivf_kmeans(spark, sf_dir)),
-    ]:
-        hits = (
-            df.select("q_id", "neighbor_id")
-            .join(exact.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"])
-            .count()
+    Exact-oracle-checked as a PROPERTY (the k-means fit varies with
+    input partitioning, so neighbor identities aren't SQL-mirrorable):
+    the exact query count, every query returning exactly 5 ranked
+    neighbors, cosines in [-1, 1], no query matched to itself, and —
+    the model-behavior pin — recall@5 vs the exact brute-force top-5 of
+    at least 0.3, comfortably below the ~0.7 the data-adaptive cells
+    deterministically achieve here but above the nprobe/nlist = 0.25 a
+    data-BLIND routing would expect on this i.i.d.-uniform corpus (the
+    hash-exact recall twin for the deterministic LSH tier is
+    ann_lsh_recall_exact)."""
+    ivf = _ivf_neighbors(spark, sf_dir)
+    exact = knn_brute_force(spark, sf_dir).filter(F.col("rn") <= 5).select(
+        "q_id", "neighbor_id"
+    )
+    hits = exact.join(
+        ivf.select("q_id", "neighbor_id"), ["q_id", "neighbor_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    per_q = ivf.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col("cosine").between(-1.0, 1.0)).alias("cos_ok"),
+        F.min(F.col("neighbor_id") != F.col("q_id")).alias("no_self"),
+        F.min(F.col("rn")).alias("rn_min"),
+        F.max(F.col("rn")).alias("rn_max"),
+    )
+    stats = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min(
+            (F.col("n_rows") == 5) & (F.col("rn_min") == 1) & (F.col("rn_max") == 5)
+        ).cast("int").alias("five_neighbors_per_query"),
+        F.min("cos_ok").cast("int").alias("cosines_in_range"),
+        F.min("no_self").cast("int").alias("no_self_matches"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit("ivf_kmeans").alias("variant"),
+            F.lit(16).cast("int").alias("nlist"),
+            F.lit(4).cast("int").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            "five_neighbors_per_query",
+            "cosines_in_range",
+            "no_self_matches",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact") >= 0.3
+            ).cast("int").alias("recall_at_least_0_3"),
         )
-        total = exact.count()
-        results.append((variant, round(hits / total, 4) if total else 0.0))
-    return spark.createDataFrame(results, "variant string, recall_at_5 double")
+    )
 
 
 @register(
@@ -447,9 +506,9 @@ def ann_lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a FULL value oracle: the sign-random-projection buckets are
     literal-plane deterministic, so the entire accuracy measurement —
     bucketing, multiprobe, re-rank, set intersection, recall ratio —
-    is reproducible in SQL. This is the exact-checkable half of
-    ``ann_recall_at_k`` (the IVF half stays rows-only: k-means
-    centroids aren't SQL-reproducible).
+    is reproducible in SQL. The IVF tier's recall is pinned as a
+    property band instead (``ann_ivf_kmeans``: k-means centroids aren't
+    SQL-reproducible, so its recall flag bounds rather than mirrors).
 
     Spark shape: both sides reuse the production builders; the hit
     count is a left-semi join of two tiny (n_queries × 5) top-k sets —
