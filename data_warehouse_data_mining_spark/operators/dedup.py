@@ -321,6 +321,165 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash128_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh_hi, sh_lo): 128-bit SimHash as two BIGINT halves — all 32
+    md5 hex digits vote (the 64-bit table uses only the first 16). Same
+    two-shuffle map+agg shape as simhash_table.
+
+    Why 128 bits exist at all: banding's exact-recall pigeonhole needs
+    more bands than differing bits, so a 64-bit fingerprint at
+    max_hamming=3 can never band wider than 16 bits — 4 × 65,536
+    buckets, whose per-bucket occupancy (and occupancy-squared
+    candidate count) starts super-linear growth near 10⁶ docs (the r5
+    64× probe measured it). 128 bits allow 4 × 2³² buckets at the same
+    max_hamming=3, keeping occupancy ≪ 1 past 10¹⁰ docs — the decade
+    headroom a 100 TB corpus needs."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
+    )
+    wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = wc.withColumn("h4", F.md5("w"))
+    bit_pairs = F.array(
+        *[
+            F.struct(
+                F.lit((p - 1) * 4 + b).alias("bit_idx"),
+                (
+                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
+                    % 2
+                ).alias("bit_val"),
+            )
+            for p in range(1, 33)
+            for b in range(0, 4)
+        ]
+    )
+    bits = wc.select("id", "cnt", F.explode(bit_pairs).alias("bv")).select(
+        "id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
+    )
+    votes = bits.groupBy("id", "bit_idx").agg(
+        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
+            "vote"
+        )
+    )
+    up = F.col("vote") > 0
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(
+                up & (F.col("bit_idx") >= 64),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx - 64)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).cast("bigint").alias("sh_hi"),
+        F.sum(
+            F.when(
+                up & (F.col("bit_idx") < 64),
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).cast("bigint").alias("sh_lo"),
+    )
+
+
+# Auto-banding target: keep expected per-band bucket occupancy at or
+# below ~4 docs, the regime where candidate pairs stay near-linear
+# (pairs/bucket grows with occupancy², SCALING.md r5 probe). 16-bit
+# bands hold occupancy ≤ 4 up to 2^18 docs; past that, 32-bit bands
+# hold occupancy ≪ 1 to ~10^10 docs.
+SIMHASH128_OCC_KNEE = (1 << 16) * 4
+
+
+def simhash128_band_bits(n_docs: int, max_hamming: int = 3) -> int:
+    """The SCALING.md sizing rule, band_bits ≳ log₂(n_docs/occupancy),
+    quantized to the two 128-divisor widths that keep bands >
+    max_hamming at max_hamming ≤ 3: 16 (8 bands) below the occupancy
+    knee, 32 (4 bands) above it."""
+    if max_hamming > 3:
+        # 32-bit bands give only 4 bands; fall back to the widest
+        # banding whose band count still exceeds max_hamming
+        return 16 if max_hamming < 8 else 8
+    return 32 if n_docs > SIMHASH128_OCC_KNEE else 16
+
+
+def simhash128_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by 128-bit SimHash banding with
+    AUTO-SIZED band width (band_bits=None, the default): the band width
+    follows the corpus count via simhash128_band_bits, so the operator
+    is scale-safe by default instead of by caller knowledge. The final
+    (id_a, id_b, hamming ≤ max_hamming) result is IDENTICAL for every
+    valid band width — banding is pure candidate generation and the
+    pigeonhole guarantee (bands > max_hamming ⇒ every qualifying pair
+    shares a band) makes recall exact — so auto-sizing changes cost,
+    never answers."""
+    if band_bits is None:
+        if n_docs is None:
+            n_docs = df.count()
+        band_bits = simhash128_band_bits(n_docs, max_hamming)
+    n_bands = 128 // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"band_bits={band_bits} gives {n_bands} bands; exact recall "
+            f"at max_hamming={max_hamming} needs bands > max_hamming"
+        )
+    mask = (1 << band_bits) - 1
+    per_half = 64 // band_bits
+    sh = simhash128_table(df, id_col, text_col)
+
+    def band_val(b: int):
+        if b < per_half:
+            src, off = "sh_lo", band_bits * b
+        else:
+            src, off = "sh_hi", band_bits * (b - per_half)
+        return (
+            F.shiftright(src, off).bitwiseAND(F.lit(mask)).cast("long")
+        )
+
+    bands = sh.select(
+        "id",
+        "sh_hi",
+        "sh_lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    band_val(b).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bd"),
+    ).select("id", "sh_hi", "sh_lo", "bd.band_idx", "bd.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_hi").alias("ha"),
+            F.col("a.sh_lo").alias("la"),
+            F.col("b.sh_hi").alias("hb"),
+            F.col("b.sh_lo").alias("lb"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr("bit_count(ha ^ hb)") + F.expr("bit_count(la ^ lb)")
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries (documents-table instantiations with oracle mirrors)
 # ---------------------------------------------------------------------------
@@ -1210,9 +1369,108 @@ def simhash_hamming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for the exact-recall pigeonhole argument). The registered
     query aggregates to per-distance pair counts because the raw pair
     set grows quadratically inside hot fingerprint buckets; pipelines
-    that need the pairs call the generic function."""
+    that need the pairs call the generic function.
+
+    Scale note (the r5 64x probe's knee): 16-bit bands are already the
+    WIDEST banding a 64-bit fingerprint admits at max_hamming=3 (the
+    pigeonhole needs > 3 bands), so this operator has no wider dial to
+    turn — past ~2^18 docs its 4 x 65,536 bucket space saturates and
+    per-bucket occupancy-squared candidate growth sets in. The
+    scale-safe escalation is simhash128_hamming_stats, whose 128-bit
+    fingerprint admits 32-bit bands (4 x 2^32 buckets, auto-sized from
+    the corpus count) with identical semantics."""
     d = load(spark, sf_dir).documents
     pairs = simhash_hamming_pairs(d, "doc_id", "text")
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("id_a").cast("long").alias("min_doc_a"),
+            F.max("id_b").cast("long").alias("max_doc_b"),
+        )
+        .orderBy("hamming")
+    )
+
+
+@register(
+    "simhash128_hamming_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+    bits AS (
+      SELECT doc_id, cnt,
+             (p - 1) * 4 + b AS bit_idx,
+             CAST(floor((strpos('0123456789abcdef', substr(md5(w), p, 1)) - 1)
+                        / CASE b WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+                  AS INT) % 2 AS bit_val
+      FROM wc,
+           (SELECT unnest(range(1, 33)) AS p),
+           (SELECT unnest(range(0, 4)) AS b)
+    ),
+    votes AS (
+      SELECT doc_id, bit_idx,
+             sum(CASE WHEN bit_val = 1 THEN cnt ELSE -cnt END) AS vote
+      FROM bits GROUP BY doc_id, bit_idx
+    ),
+    raw AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 AND bit_idx < 64
+                      THEN CAST(1 AS HUGEINT) << bit_idx
+                      ELSE CAST(0 AS HUGEINT) END) AS u_lo,
+             sum(CASE WHEN vote > 0 AND bit_idx >= 64
+                      THEN CAST(1 AS HUGEINT) << (bit_idx - 64)
+                      ELSE CAST(0 AS HUGEINT) END) AS u_hi
+      FROM votes GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u_lo >= 9223372036854775808
+                       THEN u_lo - 18446744073709551616
+                       ELSE u_lo END AS BIGINT) AS lo,
+             CAST(CASE WHEN u_hi >= 9223372036854775808
+                       THEN u_hi - 18446744073709551616
+                       ELSE u_hi END AS BIGINT) AS hi
+      FROM raw
+    ),
+    bands AS (
+      SELECT doc_id, lo, hi, b AS band_idx,
+             CASE WHEN b < 4 THEN (lo >> (16 * b)) & 65535
+                  ELSE (hi >> (16 * (b - 4))) & 65535 END AS band_val
+      FROM sh, (SELECT unnest(range(0, 8)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT)
+             AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(da) AS BIGINT) AS min_doc_a,
+           CAST(max(db) AS BIGINT) AS max_doc_b
+    FROM cand
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def simhash128_hamming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair census by 128-bit SimHash Hamming distance (0-3)
+    with AUTO-SIZED banding — the scale-safe-by-default sibling of
+    simhash_hamming_stats. The band width follows the corpus count
+    (simhash128_band_bits: 16-bit bands below the 2¹⁸-doc occupancy
+    knee, 32-bit bands above — 4 × 2³² buckets, occupancy ≪ 1 past
+    10¹⁰ docs), and because banding is pure candidate generation under
+    the exact-recall pigeonhole, the answer is band-width-invariant:
+    the oracle mirrors the fingerprint, not the banding. The oracle's
+    fixed 16-bit banding and Spark's auto-sized banding must therefore
+    hash-identically — which is itself the invariance check."""
+    d = load(spark, sf_dir).documents
+    pairs = simhash128_hamming_pairs(d, "doc_id", "text")
     return (
         pairs.groupBy("hamming")
         .agg(

@@ -600,3 +600,103 @@ def test_negative_sampling_never_collides_with_positives(spark, duck):
 
     per_user = Counter(r.user_id for r in out)
     assert max(per_user.values()) <= NEG_K
+
+
+def test_simhash128_banding_exact_recall_and_band_invariance(spark):
+    """The 128-bit sibling's pigeonhole join must (a) find EVERY pair
+    within Hamming distance 3 (brute-force comparison), and (b) return
+    the IDENTICAL pair set at 16-bit and 32-bit bands — the
+    band-width-invariance claim that lets the registered query
+    auto-size banding without touching the answer."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        simhash128_hamming_pairs,
+        simhash128_table,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got16 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash128_hamming_pairs(
+            df, "doc_id", "text", band_bits=16
+        ).collect()
+    }
+    got32 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash128_hamming_pairs(
+            df, "doc_id", "text", band_bits=32
+        ).collect()
+    }
+    assert got16 == got32
+    sh = simhash128_table(df, "doc_id", "text")
+    a = sh.select(
+        F.col("id").alias("ia"),
+        F.col("sh_hi").alias("ha"),
+        F.col("sh_lo").alias("la"),
+    )
+    b = sh.select(
+        F.col("id").alias("ib"),
+        F.col("sh_hi").alias("hb"),
+        F.col("sh_lo").alias("lb"),
+    )
+    brute = {
+        (r["ia"], r["ib"], r["h"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (F.expr("bit_count(ha ^ hb)") + F.expr("bit_count(la ^ lb)"))
+            .cast("int")
+            .alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got16 == brute
+    assert brute  # the corpus actually produces near-dup pairs
+    # guard: a banding that breaks the pigeonhole is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash128_hamming_pairs(df, "doc_id", "text", max_hamming=3, band_bits=64)
+
+
+def test_simhash128_low_bits_match_64bit_simhash(spark):
+    """The 128-bit fingerprint's low 64 bits come from the same first-16
+    md5 hex digits as the 64-bit simhash_table, so sh_lo must EQUAL the
+    64-bit fingerprint doc-for-doc — the compatibility pin that makes
+    the 128-bit operator a strict widening, not a different hash."""
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        simhash128_table,
+        simhash_table,
+    )
+
+    rows = [(i, f"alpha beta w{i} gamma{i % 5} delta") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lo = {r.id: r.sh_lo for r in simhash128_table(df, "doc_id", "text").collect()}
+    sh = {r.id: r.simhash for r in simhash_table(df, "doc_id", "text").collect()}
+    assert lo == sh
+
+
+def test_simhash128_band_bits_sizing_rule():
+    """Auto-sizing follows the SCALING.md rule: 16-bit bands below the
+    2^18-doc occupancy knee, 32-bit above; looser banding when
+    max_hamming demands more bands than 32-bit widths provide."""
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        SIMHASH128_OCC_KNEE,
+        simhash128_band_bits,
+    )
+
+    assert simhash128_band_bits(1_000) == 16
+    assert simhash128_band_bits(SIMHASH128_OCC_KNEE) == 16
+    assert simhash128_band_bits(SIMHASH128_OCC_KNEE + 1) == 32
+    assert simhash128_band_bits(10_000_000_000) == 32
+    # max_hamming > 3: 32-bit bands (4 bands) no longer satisfy the
+    # pigeonhole; the sizer falls back to widths whose band count does
+    assert simhash128_band_bits(10_000_000, max_hamming=5) == 16
+    assert simhash128_band_bits(10_000_000, max_hamming=9) == 8
