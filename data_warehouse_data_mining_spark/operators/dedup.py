@@ -1184,12 +1184,20 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index shape as jaccard_pairs_exact — pairs form only
     by joining on shared shingles, intersections are computed ONCE per
-    unordered pair (the shingle/size/intersection tables are shared
-    scans) and then expanded to the two directed readings. The ½
-    threshold is the exact integer test 2·|A∩B| ≥ |A| — no float
-    boundary."""
+    unordered pair and exploded into the two directed readings in a
+    SINGLE pass (no dual consumption of the pair table, so nothing
+    needs pinning). The ½ threshold is the exact integer test
+    2·|A∩B| ≥ |A| — no float boundary.
+
+    Scale note (r6 64× probe): this operator previously
+    localCheckpoint-ed both the shingle stream and the pair table;
+    at 64× sf0.1 (320k docs) the pinned deserialized blocks ate the
+    heap and the pair-join OOMed. Data-proportional streams are now
+    recomputed (shingling is linear map work — at 100 TB you cannot
+    pin the token stream anywhere), and only bounded tables may be
+    checkpointed. See SCALING.md."""
     d = load(spark, sf_dir).documents
-    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = shingle_table(d, "doc_id", "text")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
@@ -1200,28 +1208,41 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sized = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")), "id_b")
-        # pair-sized; both directed readings below consume it
-        .localCheckpoint(eager=True)
-    )
+    sized = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b")), "id_b")
     jac = F.round(
         F.col("n_inter") / (F.col("ns_a") + F.col("ns_b") - F.col("n_inter")), 6
     )
-    fwd = sized.filter(F.col("n_inter") * 2 >= F.col("ns_a")).select(
-        F.col("id_a").alias("doc_contained"),
-        F.col("id_b").alias("doc_container"),
-        F.round(F.col("n_inter") / F.col("ns_a"), 6).alias("containment"),
+    # one row per unordered pair -> explode to the two directed
+    # readings, then threshold: a single pass over `sized`, so the
+    # expensive pair join has exactly one consumer and needs no pin
+    directed = sized.select(
+        F.col("n_inter"),
         jac.alias("jaccard"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_contained"),
+                    F.col("id_b").alias("doc_container"),
+                    F.col("ns_a").alias("ns_contained"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_contained"),
+                    F.col("id_a").alias("doc_container"),
+                    F.col("ns_b").alias("ns_contained"),
+                ),
+            )
+        ).alias("dr"),
     )
-    rev = sized.filter(F.col("n_inter") * 2 >= F.col("ns_b")).select(
-        F.col("id_b").alias("doc_contained"),
-        F.col("id_a").alias("doc_container"),
-        F.round(F.col("n_inter") / F.col("ns_b"), 6).alias("containment"),
-        jac.alias("jaccard"),
+    return directed.filter(
+        F.col("n_inter") * 2 >= F.col("dr.ns_contained")
+    ).select(
+        F.col("dr.doc_contained").alias("doc_contained"),
+        F.col("dr.doc_container").alias("doc_container"),
+        F.round(F.col("n_inter") / F.col("dr.ns_contained"), 6).alias("containment"),
+        "jaccard",
     )
-    return fwd.unionAll(rev)
 
 
 def simhash_hamming_pairs(
@@ -1533,11 +1554,14 @@ def dedup_eval_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-oracle-checkable: truth comes from the inverted-index
     all-pairs Jaccard (viable at audit scale; the POINT of LSH is to
     avoid it in production), candidates from the banded signature join,
-    and the intersection is one more equi-join. One shared shingle
-    scan (checkpointed) feeds signatures and both truth joins; all
-    ratios are single divisions of exact counts."""
+    and the intersection is one more equi-join. The shingle stream is
+    token-proportional so it is recomputed per consumer rather than
+    pinned (unevictable lineage-truncated blocks OOMed the 64× probe
+    on containment_pairs — same shape); the pair tables below are
+    thresholded/audit-bounded and stay pinned. All ratios are single
+    divisions of exact counts."""
     d = load(spark, sf_dir).documents
-    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = shingle_table(d, "doc_id", "text")
     sig = minhash_signatures_table(sh)
     cand = lsh_candidate_pairs(lsh_band_table(sig)).localCheckpoint(
         eager=True
@@ -1643,9 +1667,11 @@ def lsh_banding_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical join shape to dedup_eval_precision_recall — the
     exact all-pairs truth is the audit-scale component; the candidate
-    side stays the production banded join."""
+    side stays the production banded join. The shingle stream itself
+    is recomputed per consumer, not pinned (token-proportional —
+    see containment_pairs scale note)."""
     d = load(spark, sf_dir).documents
-    sh = shingle_table(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = shingle_table(d, "doc_id", "text")
     sig = minhash_signatures_table(sh)
     cand = (
         lsh_candidate_pairs(lsh_band_table(sig))
@@ -1763,9 +1789,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "cccc",
         "train",
     ).otherwise("val")
-    split = d.select("doc_id", "text", part.alias("part")).localCheckpoint(
-        eager=True
-    )
+    # carries raw text — never pinned (unevictable once
+    # lineage-truncated; see containment_pairs scale note); the split
+    # assignment is a pure map over the scan, recompute is free
+    split = d.select("doc_id", "text", part.alias("part"))
     counts = split.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
     n_train = counts.filter(F.col("part") == "train").select(
         F.col("n").alias("n_train")

@@ -103,12 +103,12 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_data_mining_spark.operators.text import token_table
 
     capacity = 256
-    # localCheckpoint, not persist: the token table feeds both the MG
-    # pass and the exact recount, and checkpoint blocks are GC-released
-    # after the query instead of lingering across a sweep
-    tokens = token_table(
-        load(spark, sf_dir).documents, "doc_id", "text"
-    ).localCheckpoint(eager=True)
+    # the token table feeds the MG pass, the total count, and the
+    # recount join — deliberately NOT pinned: it is token-proportional
+    # and lineage-truncated blocks are unevictable (the r6 64× probe
+    # OOMed containment_pairs on exactly this pattern); its upstream is
+    # a pure map (explode), so recomputing is linear scan work
+    tokens = token_table(load(spark, sf_dir).documents, "doc_id", "text")
     candidates = misra_gries(tokens, "w", capacity=capacity).select("key")
     total = tokens.agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
@@ -268,9 +268,9 @@ def count_min_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny-vocab testdata makes it cheap); production consumers query
     the 768-row sketch alone."""
     d = load(spark, sf_dir).documents
-    tok = d.select(F.explode(F.split("text", " ")).alias("w")).localCheckpoint(
-        eager=True
-    )
+    # token-proportional — never pinned (unevictable once
+    # lineage-truncated); the explode is map-only, recompute is cheap
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
     seeds = F.array([F.lit(s) for s in (1, 2, 3)])
     bucket = F.substring(
         F.md5(F.concat(F.col("w"), F.lit(":"), F.col("s").cast("string"))), 1, 2
