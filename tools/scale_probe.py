@@ -81,18 +81,25 @@ def median_time(fn, runs: int = 3) -> float:
 
 
 def main() -> int:
-    name = sys.argv[1]
+    names = sys.argv[1].split(",")
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    spark = get_session(app_name=f"scale_probe_{name}")
-    q = all_queries()[name]
+    spark = get_session(app_name=f"scale_probe_{names[0]}")
+    qs = all_queries()
     scaled_dir = stage(spark, replicas)
     base_rows = spark.read.parquet(f"{BASE}/lineitem.parquet").count()
-    t1 = median_time(lambda: q.builder(spark, BASE).count())
-    tn = median_time(lambda: q.builder(spark, scaled_dir).count())
-    print(
-        f"{name}: sf0.1 ({base_rows} lineitem rows) {t1:.2f}s | "
-        f"{replicas}x {tn:.2f}s | time ratio {tn / t1:.2f}x for {replicas}x data"
-    )
+    for name in names:
+        q = qs[name]
+        try:
+            t1 = median_time(lambda: q.builder(spark, BASE).count())
+            tn = median_time(lambda: q.builder(spark, scaled_dir).count())
+        except Exception as exc:  # noqa: BLE001 — a probe OOM/failure is a finding
+            print(f"{name}: PROBE FAILED at {replicas}x — {type(exc).__name__}: {exc}", flush=True)
+            continue
+        print(
+            f"{name}: sf0.1 ({base_rows} lineitem rows) {t1:.2f}s | "
+            f"{replicas}x {tn:.2f}s | time ratio {tn / t1:.2f}x for {replicas}x data",
+            flush=True,
+        )
     return 0
 
 
