@@ -54,25 +54,38 @@ def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted coefficients depend on treeAggregate float order so the four
     cell counts aren't engine-portable, but the matrix CONTRACT is —
     the seeded 70:30 split exactly partitions the exact input count,
-    the matrix has all 2×2 cells populated, cell counts sum to the test
-    count, and every label/prediction is binary. The raw matrix stays
-    available to library users via metrics.confusion_matrix (pytest
-    golden)."""
+    the matrix DENSIFIED to the full binary 2×2 grid has exactly 4
+    cells (a model that collapses to predicting one class still
+    satisfies the pin — zero cells are zero, not absent), cell counts
+    sum to the test count, and every label/prediction the model emitted
+    is binary (checked on the raw matrix BEFORE densification, so a
+    stray class would fail the flag rather than silently drop in the
+    grid join). The raw matrix stays available to library users via
+    metrics.confusion_matrix (pytest golden)."""
     data = _dataset(spark, sf_dir)
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("logistic_regression", train, test)
     cm = metrics.confusion_matrix(result.predictions)
-    n_split = train.count() + test.count()
     n_test = test.count()
-    stats = cm.agg(
+    n_split = train.count() + n_test
+    grid = spark.createDataFrame(
+        [(a, b) for a in (0.0, 1.0) for b in (0.0, 1.0)],
+        ["label", "prediction"],
+    )
+    cm_dense = grid.join(cm, ["label", "prediction"], "left").select(
+        "label", "prediction", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    binary_flag = cm.agg(
+        F.min(
+            F.col("label").isin(0.0, 1.0) & F.col("prediction").isin(0.0, 1.0)
+        ).cast("int").alias("labels_and_preds_binary")
+    )
+    stats = cm_dense.agg(
         F.count(F.lit(1)).cast("int").alias("n_cells"),
         (F.sum("n") == F.lit(n_test)).cast("int").alias(
             "matrix_total_equals_test"
         ),
-        F.min(
-            F.col("label").isin(0.0, 1.0) & F.col("prediction").isin(0.0, 1.0)
-        ).cast("int").alias("labels_and_preds_binary"),
-    )
+    ).crossJoin(F.broadcast(binary_flag))
     return (
         data.agg(F.count(F.lit(1)).alias("n_rows_total"))
         .crossJoin(F.broadcast(stats))
@@ -119,8 +132,8 @@ def ml_random_forest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("random_forest", train, test)
     report = metrics.classification_report(result.predictions)
-    n_split = train.count() + test.count()
     n_test = test.count()
+    n_split = train.count() + n_test
     is_class_row = ~F.col("class").isin("macro avg", "accuracy")
     stats = report.agg(
         F.count(F.lit(1)).cast("int").alias("n_report_rows"),
@@ -373,9 +386,6 @@ def ml_weighted_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    data = _dataset(spark, sf_dir).withColumn(
-        "label", (F.col("label") == 1.0).cast("double")
-    )
     # make it imbalanced: treat only a thin slice as positive
     e = load(spark, sf_dir).embeddings
     from pyspark.ml.functions import array_to_vector
@@ -601,8 +611,8 @@ def ml_one_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
-    n_split = train.count() + test.count()
     n_test = test.count()
+    n_split = train.count() + n_test
     stats = per_class.agg(
         F.countDistinct("label").between(1, 10).cast("int").alias(
             "n_classes_in_1_to_10"

@@ -268,6 +268,44 @@ def jaccard_pairs_exact(
     )
 
 
+def _simhash_votes(
+    df: DataFrame, id_col: str, text_col: str, n_hex_digits: int
+) -> DataFrame:
+    """(id, bit_idx, vote): the shared SimHash bit-vote pipeline — per
+    (doc, token) md5 hex digits expand into (bit_idx, bit_val) rows via
+    codegen-only expressions (no UDF), weighted by token count, then
+    vote-summed per bit. n_hex_digits=16 yields the 64-bit fingerprint
+    domain, 32 the 128-bit one; everything else is identical, which is
+    why the low 64 bits of the 128-bit fingerprint EQUAL the 64-bit
+    fingerprint (test-pinned)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
+    )
+    wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = wc.withColumn("h4", F.md5("w"))
+    bit_pairs = F.array(
+        *[
+            F.struct(
+                F.lit((p - 1) * 4 + b).alias("bit_idx"),
+                (
+                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
+                    % 2
+                ).alias("bit_val"),
+            )
+            for p in range(1, n_hex_digits + 1)
+            for b in range(0, 4)
+        ]
+    )
+    bits = wc.select("id", "cnt", F.explode(bit_pairs).alias("bv")).select(
+        "id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
+    )
+    return bits.groupBy("id", "bit_idx").agg(
+        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
+            "vote"
+        )
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 64-bit SimHash — per-token md5 hex digits vote on
     each fingerprint bit, weighted by token count. Entirely map+agg —
@@ -282,35 +320,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the corpus dwarfs the bucket count. Bit 63 makes the signed BIGINT
     negative; that is fine — band extraction masks with & 65535, which
     is sign-agnostic, and Hamming uses bit_count(xor)."""
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
-    )
-    wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = wc.withColumn("h4", F.md5("w"))
-
-    # Expand each (doc, word) into 64 (bit_idx, bit_val) rows using only
-    # codegen'd expressions (no UDF): 16 hex digits × 4 bits.
-    bit_pairs = F.array(
-        *[
-            F.struct(
-                F.lit((p - 1) * 4 + b).alias("bit_idx"),
-                (
-                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
-                    % 2
-                ).alias("bit_val"),
-            )
-            for p in range(1, 17)
-            for b in range(0, 4)
-        ]
-    )
-    bits = wc.select("id", "cnt", F.explode(bit_pairs).alias("bv")).select(
-        "id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
-    )
-    votes = bits.groupBy("id", "bit_idx").agg(
-        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
-            "vote"
-        )
-    )
+    votes = _simhash_votes(df, id_col, text_col, n_hex_digits=16)
     return votes.groupBy("id").agg(
         F.sum(
             F.when(
@@ -334,32 +344,7 @@ def simhash128_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     64× probe measured it). 128 bits allow 4 × 2³² buckets at the same
     max_hamming=3, keeping occupancy ≪ 1 past 10¹⁰ docs — the decade
     headroom a 100 TB corpus needs."""
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
-    )
-    wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = wc.withColumn("h4", F.md5("w"))
-    bit_pairs = F.array(
-        *[
-            F.struct(
-                F.lit((p - 1) * 4 + b).alias("bit_idx"),
-                (
-                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
-                    % 2
-                ).alias("bit_val"),
-            )
-            for p in range(1, 33)
-            for b in range(0, 4)
-        ]
-    )
-    bits = wc.select("id", "cnt", F.explode(bit_pairs).alias("bv")).select(
-        "id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
-    )
-    votes = bits.groupBy("id", "bit_idx").agg(
-        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
-            "vote"
-        )
-    )
+    votes = _simhash_votes(df, id_col, text_col, n_hex_digits=32)
     up = F.col("vote") > 0
     return votes.groupBy("id").agg(
         F.sum(
@@ -386,15 +371,19 @@ SIMHASH128_OCC_KNEE = (1 << 16) * 4
 
 
 def simhash128_band_bits(n_docs: int, max_hamming: int = 3) -> int:
-    """The SCALING.md sizing rule, band_bits ≳ log₂(n_docs/occupancy),
-    quantized to the two 128-divisor widths that keep bands >
-    max_hamming at max_hamming ≤ 3: 16 (8 bands) below the occupancy
-    knee, 32 (4 bands) above it."""
-    if max_hamming > 3:
-        # 32-bit bands give only 4 bands; fall back to the widest
-        # banding whose band count still exceeds max_hamming
-        return 16 if max_hamming < 8 else 8
-    return 32 if n_docs > SIMHASH128_OCC_KNEE else 16
+    """The SCALING.md sizing rule, band_bits ≳ log₂(n_docs/occupancy):
+    prefer the occupancy-driven width (32 above the knee, 16 below),
+    then clamp DOWN through every valid width (64-divisors, so bands
+    tile both 64-bit halves) to the widest one whose band count still
+    exceeds max_hamming — the pigeonhole exact-recall requirement."""
+    preferred = 32 if n_docs > SIMHASH128_OCC_KNEE else 16
+    for w in (32, 16, 8, 4, 2, 1):
+        if w <= preferred and 128 // w > max_hamming:
+            return w
+    raise ValueError(
+        f"max_hamming={max_hamming} needs more than 128 bands; a 128-bit "
+        "fingerprint cannot guarantee exact recall at that radius"
+    )
 
 
 def simhash128_hamming_pairs(

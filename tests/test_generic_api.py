@@ -4,6 +4,7 @@ with planted ground truth."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.operators import dedup, similarity
@@ -700,3 +701,13 @@ def test_simhash128_band_bits_sizing_rule():
     # pigeonhole; the sizer falls back to widths whose band count does
     assert simhash128_band_bits(10_000_000, max_hamming=5) == 16
     assert simhash128_band_bits(10_000_000, max_hamming=9) == 8
+    # the full clamp-down ladder: every radius that admits ANY valid
+    # 64-divisor width must resolve instead of raising (r6 review fix —
+    # the old three-width sizer raised for max_hamming in [16, 31])
+    assert simhash128_band_bits(1_000, max_hamming=16) == 4
+    assert simhash128_band_bits(10_000_000, max_hamming=16) == 4
+    assert simhash128_band_bits(1_000, max_hamming=31) == 4
+    assert simhash128_band_bits(1_000, max_hamming=63) == 2
+    assert simhash128_band_bits(1_000, max_hamming=127) == 1
+    with pytest.raises(ValueError):
+        simhash128_band_bits(1_000, max_hamming=128)

@@ -88,8 +88,8 @@ def main() -> int:
     scaled_dir = stage(spark, replicas)
     base_rows = spark.read.parquet(f"{BASE}/lineitem.parquet").count()
     for name in names:
-        q = qs[name]
         try:
+            q = qs[name]
             t1 = median_time(lambda: q.builder(spark, BASE).count())
             tn = median_time(lambda: q.builder(spark, scaled_dir).count())
         except Exception as exc:  # noqa: BLE001 — a probe OOM/failure is a finding
