@@ -269,3 +269,40 @@ def test_minhash_rerank_broadcasts_candidates(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final, "corpus re-shuffled for the re-rank"
     assert "BroadcastHashJoin" in final
+
+
+def test_no_pins_on_token_proportional_tables():
+    """The r6 pinning rule: localCheckpoint only BOUNDED tables. The
+    64x probe OOMed containment_pairs because lineage-truncated blocks
+    are unevictable, so token-stream / raw-text tables must be
+    recomputed, never pinned. This lint keeps the fixed functions
+    honest — if one of them regains a localCheckpoint, it must pin a
+    bounded table and update this list with a justification."""
+    import inspect
+
+    from data_warehouse_data_mining_spark.operators import dedup, sketches
+
+    # functions whose ONLY multi-consumer tables are token-proportional
+    # (or raw text): no pin at all is allowed
+    for fn in (
+        dedup.containment_pairs,
+        dedup.split_leakage_audit,
+        sketches.heavy_hitters_sketch,
+        sketches.count_min_sketch_counts,
+    ):
+        src = inspect.getsource(fn)
+        assert "localCheckpoint" not in src.replace(
+            "localCheckpoint-ed", ""  # docstrings may narrate the fix
+        ), f"{fn.__name__} re-pinned a token-proportional table"
+
+    # functions that legitimately pin bounded pair/audit tables but
+    # must NOT pin the shingle stream: the shingle_table(...) call and
+    # .localCheckpoint must not be chained
+    for fn in (dedup.dedup_eval_precision_recall, dedup.lsh_banding_recall_curve):
+        src = inspect.getsource(fn)
+        assert "shingle_table" in src
+        for line in src.splitlines():
+            if "shingle_table" in line and "localCheckpoint" in line:
+                raise AssertionError(
+                    f"{fn.__name__} pins the shingle stream again"
+                )
