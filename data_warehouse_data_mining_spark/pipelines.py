@@ -53,9 +53,18 @@ def clean_corpus(
     text_col: str = "text",
     quality_min: float = QUALITY_MIN,
     neardup_threshold: float = dedup.JACCARD_THRESHOLD,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """The cleaned corpus: quality-filtered, exact-deduped (keep min id),
-    near-dup-removed (keep the lower id of each near-dup pair)."""
+    near-dup-removed (keep the lower id of each near-dup pair).
+
+    ``staging_dir`` is the cluster-scale path: the exact-deduped
+    corpus (the three-consumer intermediate) is written to parquet
+    there and re-read, so nothing corpus-sized is ever pinned in
+    executor storage — localCheckpoint blocks are unevictable once
+    lineage-truncated (SCALING.md r6 pinning rule), which is fine for
+    this stage at audit scale but not for a 100 TB corpus. The two
+    modes return identical results (test-pinned)."""
     scored = quality_scored(df, id_col, text_col)
     good = scored.filter(F.col("quality") >= quality_min)
 
@@ -63,10 +72,15 @@ def clean_corpus(
         F.col("keep_id").alias(id_col)
     )
     # three consumers downstream (both near-dup scans + the final
-    # anti-join) — checkpointed so the quality+exact-dedup prefix runs
-    # once instead of re-deriving from the raw scan per consumer; on a
-    # cluster-scale corpus stage this to a parquet temp instead
-    exact_kept = good.join(keepers, id_col).localCheckpoint(eager=True)
+    # anti-join): compute the quality+exact-dedup prefix once — via a
+    # parquet stage when staging_dir is given (corpus-sized, the 100 TB
+    # path), via localCheckpoint otherwise (audit scale)
+    exact_kept = good.join(keepers, id_col)
+    if staging_dir is not None:
+        exact_kept.write.mode("overwrite").parquet(staging_dir)
+        exact_kept = df.sparkSession.read.parquet(staging_dir)
+    else:
+        exact_kept = exact_kept.localCheckpoint(eager=True)
 
     near = dedup.near_duplicate_pairs(
         exact_kept, id_col, text_col, threshold=neardup_threshold

@@ -711,3 +711,24 @@ def test_simhash128_band_bits_sizing_rule():
     assert simhash128_band_bits(1_000, max_hamming=127) == 1
     with pytest.raises(ValueError):
         simhash128_band_bits(1_000, max_hamming=128)
+
+
+def test_clean_corpus_parquet_staging_equals_pinned(spark, tmp_path):
+    """clean_corpus(staging_dir=...) — the 100 TB path that stages the
+    exact-deduped intermediate to parquet instead of localCheckpoint —
+    must return exactly the pinned mode's rows (the staging is pure
+    materialization, never semantics)."""
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.pipelines import clean_corpus
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL).documents
+    pinned = clean_corpus(docs).select("doc_id").orderBy("doc_id").collect()
+    staged = (
+        clean_corpus(docs, staging_dir=str(tmp_path / "exact_kept"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert pinned == staged and len(pinned) > 0
