@@ -24,10 +24,16 @@ HORIZON = "1 hour"
 
 
 def attributed_pairs(
-    clicks: DataFrame, purchases: DataFrame, horizon: str = HORIZON
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = HORIZON,
+    how: str = "inner",
 ) -> DataFrame:
     """Join each click to the same user's purchases within ``horizon``
-    after it. Works identically on batch and streaming inputs."""
+    after it. Works identically on batch and streaming inputs. ``how``
+    selects the join type so the inner attribution and the LEFT OUTER
+    unconverted-click variants share ONE condition — a change to the
+    horizon bound or keys can never desynchronize them."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -44,6 +50,7 @@ def attributed_pairs(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
 
 
@@ -104,10 +111,12 @@ def streaming_attributed_pairs(
     from data_warehouse_data_mining_spark.streaming.windows import read_event_stream
 
     stream = read_event_stream(spark, source_dir, watermark=watermark)
+    # one reader, two filtered branches: a streaming self-join works on
+    # branches of the SAME source DataFrame (the event-type filters push
+    # below the watermark operator — test-pinned), so the second
+    # schema-inference read the old second reader paid is gone
     clicks = stream.filter(F.col("event_type") == "click")
-    purchases = read_event_stream(spark, source_dir, watermark=watermark).filter(
-        F.col("event_type") == "purchase"
-    )
+    purchases = stream.filter(F.col("event_type") == "purchase")
     return attributed_pairs(clicks, purchases, horizon)
 
 
@@ -121,24 +130,7 @@ def attributed_pairs_outer(
     row for an unconverted click is emitted exactly when the watermark
     passes ``click_ts + horizon`` and the engine can PROVE no match is
     coming (the same eviction bound that keeps join state finite)."""
-    c = clicks.select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    p = purchases.select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    return c.join(
-        p,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "left_outer",
-    )
+    return attributed_pairs(clicks, purchases, horizon, how="left_outer")
 
 
 @register(

@@ -114,8 +114,8 @@ def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
     except ImportError as ex:  # pragma: no cover - env-dependent
         raise ModuleNotFoundError(
             "transformWithStateInPandas needs the 'protobuf' package "
-            "(pip install protobuf); falling back to "
-            "running_user_totals (applyInPandasWithState) which has no "
+            "(pip install protobuf); use running_user_totals "
+            "(applyInPandasWithState) instead — same semantics, no "
             "extra dependency"
         ) from ex
     return events_stream.groupBy("user_id").transformWithStateInPandas(
@@ -216,7 +216,7 @@ from data_warehouse_data_mining_spark.registry import register  # noqa: E402
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -224,11 +224,15 @@ def stateful_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame
     """Batch twin of ``running_user_totals``: the last UPDATE each key
     emits once the stream drains is exactly this aggregate (the
     stream≡batch identity test_stateful_running_totals pins). Registered
-    so the per-key-state contract also has an exact DuckDB oracle row."""
+    so the per-key-state contract also has an exact DuckDB oracle row.
+    total_value sums through exact DECIMAL before the 2-place round —
+    the .xx5-tie canon rule (see tumbling_counts)."""
     ev = load(spark, sf_dir).events
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+        ).alias("total_value"),
     )
 
 
@@ -260,8 +264,7 @@ def stateful_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM walk w JOIN seq s ON s.ck = w.ck AND s.rn = w.rn + 1
     ),
     batch_end AS (
-      SELECT ck, batch_id, max(rn) AS rn,
-             CAST(count(*) AS BIGINT) AS n_in_batch
+      SELECT ck, batch_id, max(rn) AS rn
       FROM seq GROUP BY ck, batch_id
     )
     SELECT b.ck AS custkey, b.batch_id,
@@ -286,8 +289,6 @@ def wallet_microbatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes, emitting a row whenever the batch id rolls over. The
     oracle walks the identical recurrence as a recursive CTE and reads
     the state at each (customer, year)'s last order."""
-    import pandas as pd  # noqa: F811  (module-level import is the same object)
-
     from data_warehouse_data_mining_spark.operators.udfs import (
         _BAL_CAP,
         wallet_step,
@@ -434,8 +435,23 @@ def session_walk(
     state ``(start_ns, last_ns, n)`` or ``None``; returns
     ``(closed_sessions, open_state)`` where an event at exactly
     ``last + gap`` starts a NEW session (matching native
-    ``session_window`` strict-gap semantics)."""
+    ``session_window`` strict-gap semantics).
+
+    Cross-batch disorder (streaming only — a watermark longer than the
+    gap admits events BEFORE the carried state's interval; the sorted
+    batch-replay path never reaches these branches):
+
+    * an event within ``gap`` of the open interval MERGES it — start
+      extends backward, last never regresses — exactly what native
+      ``session_window``'s window-merge does;
+    * an event ≥ ``gap`` before the open start forms its own EARLIER
+      session, finalized at the end of this walk (single-interval
+      state cannot hold it open for even-later arrivals; native
+      multi-window state could additionally merge it with the open
+      session via a bridging event — the one documented divergence,
+      reachable only when disorder exceeds the gap)."""
     closed: list[tuple[int, int, int]] = []
+    early: tuple[int, int, int] | None = None
     if state is None:
         start_ns = last_ns = int(ts_ns[0])
         n = 1  # first row opens the fresh session
@@ -444,12 +460,26 @@ def session_walk(
         start_ns, last_ns, n = state
     for t in ts_ns:
         t = int(t)
-        if t - last_ns >= gap_ns:
-            closed.append((start_ns, last_ns, n))
-            start_ns = t
-            n = 0
-        last_ns = t
-        n += 1
+        if t >= last_ns:
+            # the ordered fast path — the ONLY path sorted input takes
+            if t - last_ns >= gap_ns:
+                closed.append((start_ns, last_ns, n))
+                start_ns = t
+                n = 0
+            last_ns = t
+            n += 1
+        elif t > start_ns - gap_ns:
+            # late event inside/within-gap-of the open interval: merge
+            start_ns = min(start_ns, t)
+            n += 1
+        elif early is not None and t - early[1] < gap_ns:
+            early = (early[0], max(early[1], t), early[2] + 1)
+        else:
+            if early is not None:
+                closed.append(early)
+            early = (t, t, 1)
+    if early is not None:
+        closed.append(early)
     return closed, (start_ns, last_ns, n)
 
 

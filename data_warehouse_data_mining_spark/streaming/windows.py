@@ -26,10 +26,21 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
-    """Tumbling event-time window aggregation (works on batch & stream)."""
+    """Tumbling event-time window aggregation (works on batch & stream).
+
+    total_value routes through an exact DECIMAL sum before the 2-place
+    round (value is a 6-decimal rational): a double sum accumulates in
+    partition order, and a group whose exact sum sits on a .xx5 round-2
+    tie can round differently across engines — the canon risk
+    sliding_counts already defuses."""
     return (
         events.groupBy(F.window("ts", width).alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
         .select(
             F.date_format("win.start", _FMT).alias("window_start"),
             "event_type",
@@ -82,7 +93,7 @@ def session_windows(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -222,3 +222,34 @@ def test_session_walk_invariants(deltas, gap):
         c1, st1 = session_walk(ts[:cut], gap)
         c2, st2 = session_walk(ts[cut:], gap, st1)
         assert c1 + c2 + [st2] == sessions
+
+
+def test_session_walk_cross_batch_disorder_merges_like_session_window():
+    """r6 review fix: a late event admitted by a watermark longer than
+    the gap must MERGE the open session (start extends backward, last
+    never regresses) — the exact scenario that previously corrupted
+    state: (10:00 open), next batch [09:50, 10:25], gap 30 min used to
+    regress last to 09:50 and close a bogus session with
+    last_event < session_start."""
+    from data_warehouse_data_mining_spark.streaming.stateful import (
+        session_walk,
+    )
+
+    m = 60  # minutes as integer ticks
+    gap = 30 * m
+    closed, open_s = session_walk([600 * m], gap)  # event at 10:00
+    assert closed == [] and open_s == (600 * m, 600 * m, 1)
+    closed, open_s = session_walk([590 * m, 625 * m], gap, open_s)
+    # native session_window: ONE open session 09:50-10:25 with 3 events
+    assert closed == []
+    assert open_s == (590 * m, 625 * m, 3)
+
+    # an event >= gap BEFORE the open start is its own earlier session,
+    # finalized in this walk; two such events within gap merge together
+    closed, open_s = session_walk([540 * m, 550 * m], gap, open_s)
+    assert closed == [(540 * m, 550 * m, 2)]
+    assert open_s == (590 * m, 625 * m, 3)
+
+    # a late event inside the open interval only bumps the count
+    closed, open_s = session_walk([600 * m], gap, open_s)
+    assert closed == [] and open_s == (590 * m, 625 * m, 4)
