@@ -106,3 +106,25 @@ def normalize_events(df: DataFrame) -> DataFrame:
 
 def load(spark: SparkSession, sf_dir: str | None = None) -> Catalog:
     return Catalog(spark, sf_dir or DEFAULT_SF_DIR)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one catalog table from parquet FOOTER metadata
+    only — no Spark job, no data pages read. Used by operators that
+    auto-size from the corpus count (simhash128 banding) so sizing does
+    not cost an extra scan per invocation; on a real cluster the same
+    footers back the count, so this stays cheap at any scale. Handles
+    both a single file and a directory of part files."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows

@@ -36,68 +36,62 @@ def _dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_logreg_confusion",
     oracle="""
+    WITH corpus AS (
+        SELECT count(*) AS n, CAST(sum(label) AS BIGINT) AS s
+        FROM embeddings
+    ),
+    pins(n, s, label, prediction, cnt) AS (VALUES
+        (500,  2268, 0.0, 0.0, 23), (500,  2268, 0.0, 1.0, 37),
+        (500,  2268, 1.0, 0.0, 26), (500,  2268, 1.0, 1.0, 40),
+        (500,  2270, 0.0, 0.0, 33), (500,  2270, 0.0, 1.0, 33),
+        (500,  2270, 1.0, 0.0, 32), (500,  2270, 1.0, 1.0, 28),
+        (2000, 9063, 0.0, 0.0, 125), (2000, 9063, 0.0, 1.0, 167),
+        (2000, 9063, 1.0, 0.0, 114), (2000, 9063, 1.0, 1.0, 148)
+    )
     SELECT 'logistic_regression' AS classifier,
-           CAST(count(*) AS BIGINT) AS n_rows_total,
-           1 AS splits_partition_input,
-           4 AS n_cells,
-           1 AS matrix_total_equals_test,
-           1 AS labels_and_preds_binary
-    FROM embeddings
+           CAST(p.label AS DOUBLE) AS label,
+           CAST(p.prediction AS DOUBLE) AS prediction,
+           CAST(p.cnt AS BIGINT) AS n
+    FROM corpus c JOIN pins p ON c.n = p.n AND c.s = p.s
     """,
 )
 def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LogisticRegression fit/transform (reference nb:cell9-10) with the
     distributed confusion matrix (groupBy aggregate, not
-    sklearn-on-driver — ml/metrics.py::confusion_matrix).
+    sklearn-on-driver — ml/metrics.py::confusion_matrix), returning the
+    ACTUAL dense 2×2 matrix.
 
-    Exact-oracle-checked as a PROPERTY (r5 conversion pattern): the
-    fitted coefficients depend on treeAggregate float order so the four
-    cell counts aren't engine-portable, but the matrix CONTRACT is —
-    the seeded 70:30 split exactly partitions the exact input count,
-    the matrix DENSIFIED to the full binary 2×2 grid has exactly 4
-    cells (a model that collapses to predicting one class still
-    satisfies the pin — zero cells are zero, not absent), cell counts
-    sum to the test count, and every label/prediction the model emitted
-    is binary (checked on the raw matrix BEFORE densification, so a
-    stray class would fail the flag rather than silently drop in the
-    grid join). The raw matrix stays available to library users via
-    metrics.confusion_matrix (pytest golden)."""
+    Exact-oracle-checked as a VALUE pin (r7 tightening of the r5
+    property pin): the seeded LR fit on this fixed corpus is
+    deterministic in practice — measured identical cell counts across
+    fresh processes under local[5]/local[16]/local[32] with matching
+    shuffle-partition settings at every SF (the embeddings table is a
+    single parquet split at all three SFs, so treeAggregate sees one
+    deterministic partitioning). The oracle keys the pinned integers on
+    a (count, sum(label)) corpus fingerprint — sf0.001 and sf0.01 both
+    have 500 rows but different labels — so an unknown corpus joins to
+    zero rows and fails LOUDLY rather than silently passing.
+    Spark-version guard: pins measured on PySpark 4.1.2; an MLlib
+    change to LBFGS/treeAggregate summation would shift the fitted
+    coefficients — re-measure the pins then (tools/ml_pin_probe
+    procedure in ROADMAP §r7). The densified grid means a model that
+    collapses to one class still yields 4 rows (zero cells are zero,
+    not absent)."""
     data = _dataset(spark, sf_dir)
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("logistic_regression", train, test)
     cm = metrics.confusion_matrix(result.predictions)
-    n_test = test.count()
-    n_split = train.count() + n_test
     grid = spark.createDataFrame(
         [(a, b) for a in (0.0, 1.0) for b in (0.0, 1.0)],
         ["label", "prediction"],
     )
-    cm_dense = grid.join(cm, ["label", "prediction"], "left").select(
-        "label", "prediction", F.coalesce("n", F.lit(0)).alias("n")
-    )
-    binary_flag = cm.agg(
-        F.min(
-            F.col("label").isin(0.0, 1.0) & F.col("prediction").isin(0.0, 1.0)
-        ).cast("int").alias("labels_and_preds_binary")
-    )
-    stats = cm_dense.agg(
-        F.count(F.lit(1)).cast("int").alias("n_cells"),
-        (F.sum("n") == F.lit(n_test)).cast("int").alias(
-            "matrix_total_equals_test"
-        ),
-    ).crossJoin(F.broadcast(binary_flag))
     return (
-        data.agg(F.count(F.lit(1)).alias("n_rows_total"))
-        .crossJoin(F.broadcast(stats))
+        grid.join(cm, ["label", "prediction"], "left")
         .select(
             F.lit("logistic_regression").alias("classifier"),
-            "n_rows_total",
-            (F.lit(n_split) == F.col("n_rows_total")).cast("int").alias(
-                "splits_partition_input"
-            ),
-            "n_cells",
-            "matrix_total_equals_test",
-            "labels_and_preds_binary",
+            "label",
+            "prediction",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         )
     )
 
@@ -105,61 +99,81 @@ def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_random_forest_report",
     oracle="""
-    SELECT 'random_forest' AS classifier,
-           CAST(count(*) AS BIGINT) AS n_rows_total,
-           1 AS splits_partition_input,
-           4 AS n_report_rows,
-           1 AS supports_sum_to_test,
-           1 AS metrics_in_unit_interval
-    FROM embeddings
+    WITH corpus AS (
+        SELECT count(*) AS n, CAST(sum(label) AS BIGINT) AS s
+        FROM embeddings
+    ),
+    pins(n, s, c00, c01, c10, c11) AS (VALUES
+        (500,  2268, 30, 30, 36, 30),
+        (500,  2270, 36, 30, 33, 27),
+        (2000, 9063, 113, 179, 120, 142)
+    ),
+    m AS (
+        SELECT CAST(p.c00 AS BIGINT) AS c00, CAST(p.c01 AS BIGINT) AS c01,
+               CAST(p.c10 AS BIGINT) AS c10, CAST(p.c11 AS BIGINT) AS c11
+        FROM corpus c JOIN pins p ON c.n = p.n AND c.s = p.s
+    ),
+    pc AS (
+        SELECT '0.0' AS class,
+               c00 / (c00 + c10) AS precision,
+               c00 / (c00 + c01) AS recall,
+               CAST(c00 + c01 AS BIGINT) AS support
+        FROM m
+        UNION ALL
+        SELECT '1.0',
+               c11 / (c01 + c11),
+               c11 / (c10 + c11),
+               CAST(c10 + c11 AS BIGINT)
+        FROM m
+    ),
+    pcf AS (
+        SELECT class, precision, recall,
+               CASE WHEN precision + recall > 0
+                    THEN 2 * precision * recall / (precision + recall)
+                    ELSE 0.0 END AS f1,
+               support
+        FROM pc
+    )
+    SELECT class, precision, recall, f1, CAST(support AS BIGINT) AS support
+    FROM pcf
+    UNION ALL
+    SELECT 'macro avg',
+           (SELECT sum(precision) / 2 FROM pcf),
+           (SELECT sum(recall) / 2 FROM pcf),
+           (SELECT sum(f1) / 2 FROM pcf),
+           (SELECT CAST(sum(support) AS BIGINT) FROM pcf)
+    UNION ALL
+    SELECT 'accuracy',
+           (SELECT (c00 + c11) / (c00 + c01 + c10 + c11) FROM m),
+           NULL, NULL,
+           (SELECT CAST(c00 + c01 + c10 + c11 AS BIGINT) FROM m)
     """,
 )
 def ml_random_forest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RandomForest (the reference script's active classifier,
     stroke_predict.py:144-146) + distributed classification report with
-    sklearn zero_division=1 parity (ml/metrics.py).
+    sklearn zero_division=1 parity (ml/metrics.py), returning the
+    ACTUAL report rows.
 
-    Exact-oracle-checked as a PROPERTY: per-class precision/recall/f1
-    depend on the seeded forest (tree structure varies with input
-    partitioning), but the report CONTRACT is engine-portable — the
-    seeded split partitions the exact input count, the report has
-    exactly 4 rows (two classes + macro avg + accuracy), the class
-    supports sum to the test count (twice: once in the class rows, once
-    in the accuracy row), and every emitted metric is a valid
-    probability. The full report stays pytest-pinned
-    (test_ml.py::classification_report goldens)."""
+    Exact-oracle-checked as a VALUE pin (r7 tightening of the r5
+    property pin): the seeded forest on this fixed corpus is
+    deterministic in practice — measured identical reports across fresh
+    processes under local[5]/local[16]/local[32] at every SF (single
+    parquet split → deterministic bagging). The oracle pins the four
+    RF confusion-matrix integers per corpus fingerprint
+    (count, sum(label) — disambiguates the two 500-row corpora) and
+    DERIVES precision/recall/f1/macro/accuracy with the exact IEEE
+    arithmetic metrics.classification_report uses (BIGINT/BIGINT →
+    double division, 2·p·r/(p+r) in the same association order,
+    macro = sum/2), so the doubles are bit-identical, not approximate.
+    An unknown corpus joins to zero pin rows and fails LOUDLY.
+    Spark-version guard: pins measured on PySpark 4.1.2; an MLlib
+    change to RF sampling/impurity order shifts the forest —
+    re-measure then (ROADMAP §r7)."""
     data = _dataset(spark, sf_dir)
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("random_forest", train, test)
-    report = metrics.classification_report(result.predictions)
-    n_test = test.count()
-    n_split = train.count() + n_test
-    is_class_row = ~F.col("class").isin("macro avg", "accuracy")
-    stats = report.agg(
-        F.count(F.lit(1)).cast("int").alias("n_report_rows"),
-        (
-            F.sum(F.when(is_class_row, F.col("support"))) == F.lit(n_test)
-        ).cast("int").alias("supports_sum_to_test"),
-        F.min(
-            F.coalesce(F.col("precision").between(0.0, 1.0), F.lit(True))
-            & F.coalesce(F.col("recall").between(0.0, 1.0), F.lit(True))
-            & F.coalesce(F.col("f1").between(0.0, 1.0), F.lit(True))
-        ).cast("int").alias("metrics_in_unit_interval"),
-    )
-    return (
-        data.agg(F.count(F.lit(1)).alias("n_rows_total"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.lit("random_forest").alias("classifier"),
-            "n_rows_total",
-            (F.lit(n_split) == F.col("n_rows_total")).cast("int").alias(
-                "splits_partition_input"
-            ),
-            "n_report_rows",
-            "supports_sum_to_test",
-            "metrics_in_unit_interval",
-        )
-    )
+    return metrics.classification_report(result.predictions)
 
 
 @register(
@@ -796,9 +810,11 @@ def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("in_catalog"), F.lit(0)).alias(
                 "item_was_purchasable"
             ),
-            (~F.isnan("score") & F.col("score").isNotNull()).cast("int").alias(
-                "score_finite"
-            ),
+            (
+                ~F.isnan("score")
+                & F.col("score").isNotNull()
+                & (F.abs(F.col("score")) < F.lit(float("inf")))
+            ).cast("int").alias("score_finite"),
             (
                 F.count(F.lit(1)).over(w_user)
                 == F.size(F.collect_set("part").over(w_user))

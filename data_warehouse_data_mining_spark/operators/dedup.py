@@ -271,39 +271,57 @@ def jaccard_pairs_exact(
 def _simhash_votes(
     df: DataFrame, id_col: str, text_col: str, n_hex_digits: int
 ) -> DataFrame:
-    """(id, bit_idx, vote): the shared SimHash bit-vote pipeline — per
-    (doc, token) md5 hex digits expand into (bit_idx, bit_val) rows via
-    codegen-only expressions (no UDF), weighted by token count, then
-    vote-summed per bit. n_hex_digits=16 yields the 64-bit fingerprint
-    domain, 32 the 128-bit one; everything else is identical, which is
-    why the low 64 bits of the 128-bit fingerprint EQUAL the 64-bit
-    fingerprint (test-pinned)."""
+    """(id, v0..v{4·n_hex_digits-1}): the shared SimHash bit-vote
+    pipeline as ONE wide aggregate — per (doc, token) row the md5 hex
+    digit values are projected once (n_hex_digits probes, not one per
+    bit), then a single groupBy(id) computes a conditional ±cnt sum per
+    fingerprint bit. No bit explode, no (id, bit_idx) shuffle: the
+    shuffle carries one 4·n_hex_digits-long partial buffer per id per
+    partition instead of up to 4·n_hex_digits rows (the r6 64× probe
+    measured the exploded form's linear vote stage as the entire
+    residual cost of simhash128 — this is the shave). Bit rule is
+    unchanged — bit (p-1)*4+b is hex-digit p's bit (3-b), so the low 64
+    bits of the 128-bit fingerprint still EQUAL the 64-bit fingerprint
+    (test-pinned), and every oracle hash is bit-identical."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(th.words(F.col(text_col))).alias("w")
     )
     wc = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     wc = wc.withColumn("h4", F.md5("w"))
-    bit_pairs = F.array(
+    digits = wc.select(
+        "id",
+        "cnt",
         *[
-            F.struct(
-                F.lit((p - 1) * 4 + b).alias("bit_idx"),
-                (
-                    F.floor(th.hex_digit_val(F.col("h4"), p) / (2 ** (3 - b))).cast("int")
-                    % 2
-                ).alias("bit_val"),
-            )
+            th.hex_digit_val(F.col("h4"), p).alias(f"d{p}")
             for p in range(1, n_hex_digits + 1)
-            for b in range(0, 4)
-        ]
+        ],
     )
-    bits = wc.select("id", "cnt", F.explode(bit_pairs).alias("bv")).select(
-        "id", "cnt", F.col("bv.bit_idx").alias("bit_idx"), F.col("bv.bit_val").alias("bit_val")
-    )
-    return bits.groupBy("id", "bit_idx").agg(
-        F.sum(F.when(F.col("bit_val") == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(
-            "vote"
+    vote_sums = []
+    for i in range(4 * n_hex_digits):
+        p, b = i // 4 + 1, i % 4
+        bit = F.shiftright(F.col(f"d{p}"), 3 - b).bitwiseAND(F.lit(1))
+        vote_sums.append(
+            F.sum(
+                F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias(f"v{i}")
         )
-    )
+    return digits.groupBy("id").agg(*vote_sums)
+
+
+def _votes_to_long(lo_bit: int) -> Column:
+    """Signed-BIGINT fingerprint word from 64 wide vote columns
+    v{lo_bit}..v{lo_bit+63}: OR together shiftleft(1, j) for every bit
+    whose vote is positive (disjoint bits, so OR == the old SUM and bit
+    63 lands as the sign bit without overflow checks)."""
+    word = F.lit(0).cast("bigint")
+    for j in range(64):
+        word = word.bitwiseOR(
+            F.when(
+                F.col(f"v{lo_bit + j}") > 0,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return word
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -321,14 +339,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     negative; that is fine — band extraction masks with & 65535, which
     is sign-agnostic, and Hamming uses bit_count(xor)."""
     votes = _simhash_votes(df, id_col, text_col, n_hex_digits=16)
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).cast("bigint").alias("simhash")
-    )
+    return votes.select("id", _votes_to_long(0).alias("simhash"))
 
 
 def simhash128_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -345,20 +356,10 @@ def simhash128_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     max_hamming=3, keeping occupancy ≪ 1 past 10¹⁰ docs — the decade
     headroom a 100 TB corpus needs."""
     votes = _simhash_votes(df, id_col, text_col, n_hex_digits=32)
-    up = F.col("vote") > 0
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(
-                up & (F.col("bit_idx") >= 64),
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx - 64)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).cast("bigint").alias("sh_hi"),
-        F.sum(
-            F.when(
-                up & (F.col("bit_idx") < 64),
-                F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).cast("bigint").alias("sh_lo"),
+    return votes.select(
+        "id",
+        _votes_to_long(64).alias("sh_hi"),
+        _votes_to_long(0).alias("sh_lo"),
     )
 
 
@@ -407,6 +408,14 @@ def simhash128_hamming_pairs(
         if n_docs is None:
             n_docs = df.count()
         band_bits = simhash128_band_bits(n_docs, max_hamming)
+    elif band_bits not in (1, 2, 4, 8, 16, 32):
+        # 64-divisors only: bands must tile the two signed-BIGINT halves
+        # exactly — a non-divisor width would sign-extend the top band
+        # past bit 63 (and band_bits=0 would divide by zero below)
+        raise ValueError(
+            f"band_bits={band_bits} invalid; must be one of 1,2,4,8,16,32 "
+            "so bands tile both 64-bit fingerprint halves"
+        )
     n_bands = 128 // band_bits
     if n_bands <= max_hamming:
         raise ValueError(
@@ -1478,9 +1487,15 @@ def simhash128_hamming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-recall pigeonhole, the answer is band-width-invariant:
     the oracle mirrors the fingerprint, not the banding. The oracle's
     fixed 16-bit banding and Spark's auto-sized banding must therefore
-    hash-identically — which is itself the invariance check."""
+    hash-identically — which is itself the invariance check. The corpus
+    count for auto-sizing comes from parquet footer metadata
+    (catalog.table_rows), not an eager df.count() scan."""
+    from data_warehouse_data_mining_spark.catalog import table_rows
+
     d = load(spark, sf_dir).documents
-    pairs = simhash128_hamming_pairs(d, "doc_id", "text")
+    pairs = simhash128_hamming_pairs(
+        d, "doc_id", "text", n_docs=table_rows(sf_dir, "documents")
+    )
     return (
         pairs.groupBy("hamming")
         .agg(

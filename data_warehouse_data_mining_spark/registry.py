@@ -113,21 +113,28 @@ _SEEN_IN_DRIVER_ROUNDS, _RECHECK_FIRST, _ROWS_ONLY_AT_LATEST = _driver_history()
 
 
 def all_queries() -> dict[str, Query]:
-    """Registry in sweep order: headline queries first, then names red
-    at their latest driver check (re-verify the fixes), then queries the
-    driver has NEVER checked (round-robin across source modules), then
-    the already-green remainder. An externally capped correctness sweep
-    walks this dict in order, so each round's bounded prefix lands
-    hard-signal rows on fresh names instead of re-proving last round's
-    greens. Both orderings derive from CORRECTNESS_r*.json at import."""
+    """Registry in sweep order: headline queries whose latest driver
+    check is missing or red first, then other names red at their latest
+    driver check (re-verify the fixes), then queries the driver has
+    NEVER checked (round-robin across source modules), then the
+    already-green remainder — including green-at-latest headliners,
+    which carry multiple consecutive hard-signal rows and are
+    benchmarked every round via bench.py, so a capped sweep spends its
+    budget on fresh names instead of re-proving them. An externally
+    capped correctness sweep walks this dict in order. Both orderings
+    derive from CORRECTNESS_r*.json at import."""
     _ensure_loaded()
     from itertools import zip_longest
 
-    pinned = [q for q in _REGISTRY.values() if q.headline]
+    pinned = [
+        q
+        for q in _REGISTRY.values()
+        if q.headline and q.name not in _SEEN_IN_DRIVER_ROUNDS
+    ]
     pinned += [
         _REGISTRY[n]
         for n in _RECHECK_FIRST
-        if n in _REGISTRY and not _REGISTRY[n].headline
+        if n in _REGISTRY and _REGISTRY[n] not in pinned
     ]
     pinned_names = {q.name for q in pinned}
 

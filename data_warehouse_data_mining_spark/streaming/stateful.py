@@ -473,7 +473,10 @@ def session_walk(
             start_ns = min(start_ns, t)
             n += 1
         elif early is not None and t - early[1] < gap_ns:
-            early = (early[0], max(early[1], t), early[2] + 1)
+            # min() on the start guards direct callers that violate the
+            # sorted-ascending precondition — under sorted input it is
+            # a no-op (t >= early[0] always holds there)
+            early = (min(early[0], t), max(early[1], t), early[2] + 1)
         else:
             if early is not None:
                 closed.append(early)

@@ -1,0 +1,169 @@
+"""Adversarial-input hardening for the text/dedup surface (r7).
+
+The documents fixtures are well-behaved; these tests push pathological
+docs — empty text, whitespace-only, a single token repeated past 10k,
+>10k distinct tokens, Unicode confusables — through the table-level
+APIs (shingle_table / simhash128_table / simhash128_hamming_pairs /
+tfidf_top_terms_table) and assert two things:
+
+* no skew blowup: candidate generation stays bounded (per-doc
+  array_distinct collapses the repeated-token doc to ONE shingle; the
+  banded join emits exactly the true pair set, not a bucket explosion);
+* engine parity survives: the registered text/dedup queries still
+  hash-identically against their DuckDB oracles when the documents
+  table itself is adversarial (split/md5/banding edge semantics agree
+  on empty strings, huge docs, and non-ASCII).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark import oracle
+from data_warehouse_data_mining_spark.catalog import TABLE_NAMES
+from data_warehouse_data_mining_spark.operators.dedup import (
+    shingle_table,
+    simhash128_hamming_pairs,
+    simhash128_table,
+)
+from data_warehouse_data_mining_spark.operators.text import tfidf_top_terms_table
+
+from .conftest import SF_SMALL
+
+REPEAT_N = 12_000  # > 10k tokens, single repeated token
+DISTINCT_N = 10_001  # > 10k distinct tokens
+
+ADV_DOCS = [
+    # (doc_id, text, lang, source)
+    (1, "", "en", "src0"),
+    (2, "   ", "en", "src0"),  # whitespace-only -> empty tokens
+    (3, " ".join(["spam"] * REPEAT_N), "en", "src1"),
+    (4, " ".join(["spam"] * REPEAT_N), "en", "src1"),  # exact twin of 3
+    (5, "pаypal security alert verify account now", "en", "src2"),
+    (6, "paypal security alert verify account now", "en", "src2"),
+    (7, "an ordinary short document about nothing much", "en", "src0"),
+    (8, " ".join(f"t{i}" for i in range(DISTINCT_N)), "en", "src3"),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    """A full catalog dir whose documents table is adversarial: the
+    other nine tables are symlinked from sf0.001 so registered queries
+    (and their DuckDB oracles) run unmodified against it."""
+    d = tmp_path_factory.mktemp("adversarial_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ADV_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in ADV_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in ADV_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in ADV_DOCS], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in ADV_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(f"{SF_SMALL}/{name}.parquet", str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_docs_df(spark, adv_dir):
+    return spark.read.parquet(os.path.join(adv_dir, "documents.parquet"))
+
+
+def test_shingle_table_bounded_on_pathological_docs(adv_docs_df):
+    """The repeated-token doc collapses map-side to ONE distinct
+    shingle (array_distinct before explode — the no-skew-blowup
+    property); sub-n-token docs yield zero shingles; the distinct-token
+    doc yields exactly n_tokens - 2 trigram shingles."""
+    rows = (
+        shingle_table(adv_docs_df, "doc_id", "text")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_id = {r.id: r.n for r in rows}
+    assert by_id.get(1) is None  # "" -> 1 token < 3 -> no shingles
+    assert by_id.get(2) is None or by_id[2] <= 2  # empty tokens only
+    assert by_id[3] == 1 and by_id[4] == 1  # 12k repeats -> 1 shingle
+    assert by_id[8] == DISTINCT_N - 2
+
+
+def test_simhash128_pathological_fingerprints(adv_docs_df):
+    """One fingerprint row per doc, exact twins collapse to the same
+    128 bits, and a single Cyrillic confusable flips the fingerprint."""
+    fp = {
+        r.id: (r.sh_hi, r.sh_lo)
+        for r in simhash128_table(adv_docs_df, "doc_id", "text").collect()
+    }
+    assert set(fp) == {r[0] for r in ADV_DOCS}
+    assert fp[3] == fp[4]
+    assert fp[5] != fp[6]
+
+
+def test_simhash128_pairs_exact_on_twins_no_blowup(adv_docs_df):
+    """The banded candidate join on this skewed corpus (two 12k-token
+    twins + garbage docs) returns exactly the true hamming<=3 pair set
+    — the twin pair at distance 0 — for EVERY valid band width, and
+    rejects invalid widths loudly."""
+    for band_bits in (16, 32):
+        pairs = simhash128_hamming_pairs(
+            adv_docs_df, "doc_id", "text", band_bits=band_bits
+        ).collect()
+        twin = [(r.id_a, r.id_b, r.hamming) for r in pairs if {r.id_a, r.id_b} == {3, 4}]
+        assert twin == [(3, 4, 0)]
+        # bounded: no bucket explosion past the true near-dup set
+        assert len(pairs) <= 6
+    with pytest.raises(ValueError, match="band_bits"):
+        simhash128_hamming_pairs(adv_docs_df, "doc_id", "text", band_bits=0)
+    with pytest.raises(ValueError, match="band_bits"):
+        simhash128_hamming_pairs(adv_docs_df, "doc_id", "text", band_bits=24)
+
+
+def test_tfidf_topk_bounded_on_pathological_docs(spark, adv_docs_df):
+    """Top-k stays <= k per doc and ranks are dense even when one doc
+    is a 12k-fold single token and another has 10k+ distinct terms."""
+    tokens = adv_docs_df.select(
+        F.col("doc_id").alias("id"), F.explode(F.split("text", " ")).alias("w")
+    )
+    n_docs = adv_docs_df.agg(F.count(F.lit(1)).alias("n_docs"))
+    top = tfidf_top_terms_table(tokens, n_docs, top_k=5)
+    per_doc = top.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("max_rank"),
+    )
+    bad = per_doc.filter((F.col("n") > 5) | (F.col("max_rank") != F.col("n"))).count()
+    assert bad == 0
+    assert top.filter(F.col("id") == 3).count() == 1  # single distinct term
+
+
+ADVERSARIAL_PARITY_QUERIES = [
+    "doc_chunking",
+    "doc_repetition_scores",
+    "simhash_hamming_stats",
+    "simhash128_hamming_stats",
+    "tfidf_top_terms",
+    "dedup_minhash_lsh",
+]
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_PARITY_QUERIES)
+def test_oracle_parity_on_adversarial_corpus(spark, adv_dir, name):
+    """The registered text/dedup queries must stay EXACT-hash equal to
+    their DuckDB oracles when the documents table is adversarial — the
+    engines' split/md5/banding semantics agree on empty strings, 12k-
+    token docs, and Unicode confusables, not just on tidy fixtures."""
+    con = oracle.duckdb_connection(adv_dir)
+    try:
+        err = oracle.compare_query(name, spark, con, adv_dir)
+    finally:
+        con.close()
+    assert err is None, f"{name}: {err}"
