@@ -556,9 +556,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.join(keep.select("doc_id"), "doc_id")
         .localCheckpoint(eager=True)
     )
+    # shingle stream is token-proportional: persist (EVICTABLE blocks,
+    # spills under pressure), never localCheckpoint-pin — the r6 rule;
+    # lineage-truncated blocks are unevictable and OOM at corpus scale.
+    # Three consumers (sizes, sa, sb) make caching worth it; eviction
+    # just degrades to recompute.
     sh = shingle_table(
         d.join(s2.select("doc_id"), "doc_id"), "doc_id", "text"
-    ).localCheckpoint(eager=True)
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     sa = sh.select(F.col("id").alias("da"), F.col("shingle").alias("x1"))
     sb = sh.select(F.col("id").alias("db"), F.col("shingle").alias("x2"))

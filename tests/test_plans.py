@@ -306,3 +306,51 @@ def test_no_pins_on_token_proportional_tables():
                 raise AssertionError(
                     f"{fn.__name__} pins the shingle stream again"
                 )
+
+    # repo-wide sweep (r7, after corpus_curation_funnel slipped past the
+    # per-function list above): NO source file anywhere may chain a
+    # shingle_table(...) result into .localCheckpoint — the shingle
+    # stream is token-proportional by construction. AST-based: flags
+    # X.localCheckpoint(...) where X's call chain bottoms out in a
+    # shingle_table(...) call (pins on other tables in the same block
+    # stay legal).
+    import ast
+    import os
+
+    def chain_base_calls(node):
+        while True:
+            if isinstance(node, ast.Call):
+                if isinstance(node.func, ast.Name):
+                    yield node.func.id
+                    return
+                if isinstance(node.func, ast.Attribute):
+                    node = node.func.value
+                    continue
+            if isinstance(node, ast.Attribute):
+                node = node.value
+                continue
+            return
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(dedup.__file__))
+    )
+    for root, _dirs, files in os.walk(pkg_root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as fh:
+                tree = ast.parse(fh.read(), filename=path)
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "localCheckpoint"
+                ):
+                    continue
+                assert "shingle_table" not in set(
+                    chain_base_calls(node.func.value)
+                ), (
+                    f"{path}:{node.lineno} pins the shingle stream "
+                    "(token-proportional; recompute it instead)"
+                )
