@@ -68,7 +68,37 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _preflight_load() -> dict:
+    """Machine-state snapshot BEFORE the JVM starts: 1/5/15-min loadavg
+    and cpu count. r2 and r7 both burned a round's bench signal
+    adjudicating co-tenancy after the fact; recording the load at
+    measurement time makes a noisy round machine-attributed in the
+    BENCH json itself. `busy_at_start` flags 1-min loadavg above half
+    the cpus — on that start, treat the medians as unusable and the
+    mins as suspect."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    ncpu = os.cpu_count() or 1
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "cpus": ncpu,
+        "busy_at_start": la1 > ncpu / 2,
+    }
+
+
 def main() -> None:
+    preflight = _preflight_load()
+    if preflight["busy_at_start"]:
+        print(
+            f"# WARNING: 1-min loadavg {preflight['loadavg_1m']} > "
+            f"{preflight['cpus']}/2 cpus at bench start — co-tenant "
+            "active; medians unusable, mins suspect",
+            file=sys.stderr,
+        )
     spark = get_session(app_name="bench", master=f"local[{CPUS}]")
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
 
@@ -129,6 +159,7 @@ def main() -> None:
                 "samples": all_samples,
                 "sample_spread": spread,
                 "cotenancy_noise_median_spread": noise,
+                "preflight_load": preflight,
                 "min_regressions_vs_best_prior": regressions,
                 "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
             }

@@ -74,9 +74,13 @@ def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-version guard: pins measured on PySpark 4.1.2; an MLlib
     change to LBFGS/treeAggregate summation would shift the fitted
     coefficients — re-measure the pins then (tools/ml_pin_probe
-    procedure in ROADMAP §r7). The densified grid means a model that
-    collapses to one class still yields 4 rows (zero cells are zero,
-    not absent)."""
+    procedure in ROADMAP §r7). BLAS guard: pins measured under the
+    pure-Java netlib fallback (this image has no native BLAS); a host
+    with OpenBLAS/MKL reorders LBFGS float accumulation and shifts the
+    cells — ml_pin_probe prints the active BLAS implementation and
+    warns, so a red pin there means re-measure, not regression. The
+    densified grid means a model that collapses to one class still
+    yields 4 rows (zero cells are zero, not absent)."""
     data = _dataset(spark, sf_dir)
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("logistic_regression", train, test)
@@ -85,8 +89,12 @@ def ml_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(a, b) for a in (0.0, 1.0) for b in (0.0, 1.0)],
         ["label", "prediction"],
     )
+    # FULL outer, not left: a stray non-binary label/prediction class
+    # must surface as a visible 5th row carrying its actual class
+    # values (self-describing rows-mismatch), not silently vanish and
+    # fail later as an unexplained cell-count redistribution (ADVICE r7)
     return (
-        grid.join(cm, ["label", "prediction"], "left")
+        grid.join(cm, ["label", "prediction"], "full_outer")
         .select(
             F.lit("logistic_regression").alias("classifier"),
             "label",
@@ -169,7 +177,9 @@ def ml_random_forest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     An unknown corpus joins to zero pin rows and fails LOUDLY.
     Spark-version guard: pins measured on PySpark 4.1.2; an MLlib
     change to RF sampling/impurity order shifts the forest —
-    re-measure then (ROADMAP §r7)."""
+    re-measure then (ROADMAP §r7). BLAS guard: see ml_logreg_confusion
+    — ml_pin_probe prints the active BLAS implementation; a native-BLAS
+    host shifts the cells and means re-measure, not regression."""
     data = _dataset(spark, sf_dir)
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
     result = classify.train_evaluate("random_forest", train, test)

@@ -1,0 +1,361 @@
+"""Training-corpus curation operators beyond filtering/dedup removal:
+rule-based quality gates (Gopher), importance resampling (DSIR), and
+duplication-aware soft weighting (SoftDeDup) — the selection/weighting
+stage that sits between raw-crawl cleaning and tokenization in an LLM
+data pipeline.
+
+All three are pure DataFrame programs (zero Python UDFs): token
+explodes, hash-bucket equi-joins, and integer fixed-point arithmetic so
+every output value is bit-identical to the DuckDB oracle regardless of
+accumulation order. Scale notes per operator; none carries an all-pairs
+stage or a driver-side loop.
+
+Reference parity: the reference corpus (stroke_predict.py /
+smote_sampling.py) has no text pipeline; these extend the mandated
+LLM-data-pipeline surface (BASELINE.json north star) alongside
+operators/text.py and operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.operators.text import token_table
+from data_warehouse_data_mining_spark.registry import register
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 quality heuristics), adapted to the
+# synthetic corpus scale. All boundary tests are exact integer
+# inequalities (sum_len vs k*n_words, 5*n_distinct vs n_words) so the
+# pass/fail bits are engine-portable.
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MIN_STOPWORD_HITS = 2  # >=2 occurrences of common stopwords
+GOPHER_MAX_WORD_LEN = 20  # longest token <= 20 chars (symbol-run proxy)
+GOPHER_MIN_TTR_PCT = 20  # type/token ratio >= 0.20 (repetition proxy)
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+
+
+def gopher_rule_flags(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-document Gopher rule bits from ONE token pass: (id,
+    [extra...], n_words, fail_word_count, fail_mean_word_len,
+    fail_stopwords, fail_max_word_len, fail_ttr, pass_all).
+
+    100 TB shape: explode -> groupBy(id) is one shuffle on the doc key
+    with full map-side partial aggregation (every agg here is
+    sum/count/max — distributive); countDistinct(w) per doc is the only
+    non-distributive term and Spark plans it as the standard two-phase
+    expand, still keyed by id. No global stage, no driver state."""
+    toks = token_table(df, id_col, text_col, extra_cols)
+    per_doc = toks.groupBy("id", *(extra_cols or [])).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("sum_len"),
+        F.max(F.length("w")).alias("max_len"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.sum(F.when(F.col("w").isin(*GOPHER_STOPWORDS), 1).otherwise(0)).alias(
+            "n_stop"
+        ),
+    )
+    n, sl = F.col("n_words"), F.col("sum_len")
+    return per_doc.select(
+        "id",
+        *(extra_cols or []),
+        "n_words",
+        (~n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("fail_word_count"),
+        (
+            (sl < GOPHER_MIN_MEAN_WORD_LEN * n) | (sl > GOPHER_MAX_MEAN_WORD_LEN * n)
+        ).alias("fail_mean_word_len"),
+        (F.col("n_stop") < GOPHER_MIN_STOPWORD_HITS).alias("fail_stopwords"),
+        (F.col("max_len") > GOPHER_MAX_WORD_LEN).alias("fail_max_word_len"),
+        (F.col("n_distinct") * 100 < GOPHER_MIN_TTR_PCT * n).alias("fail_ttr"),
+    ).withColumn(
+        "pass_all",
+        ~(
+            F.col("fail_word_count")
+            | F.col("fail_mean_word_len")
+            | F.col("fail_stopwords")
+            | F.col("fail_max_word_len")
+            | F.col("fail_ttr")
+        ),
+    )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             count(*) AS n_words,
+             sum(length(w)) AS sum_len,
+             max(length(w)) AS max_len,
+             count(DISTINCT w) AS n_distinct,
+             sum(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END) AS n_stop
+      FROM tok GROUP BY 1, 2
+    ),
+    flags AS (
+      SELECT source,
+             (n_words NOT BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AS f_wc,
+             (sum_len < {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+              OR sum_len > {GOPHER_MAX_MEAN_WORD_LEN} * n_words) AS f_mwl,
+             (n_stop < {GOPHER_MIN_STOPWORD_HITS}) AS f_stop,
+             (max_len > {GOPHER_MAX_WORD_LEN}) AS f_maxw,
+             (n_distinct * 100 < {GOPHER_MIN_TTR_PCT} * n_words) AS f_ttr
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_word_count,
+           CAST(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_mean_word_len,
+           CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_stopwords,
+           CAST(sum(CASE WHEN f_maxw THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_max_word_len,
+           CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_ttr,
+           CAST(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_stop OR f_maxw OR f_ttr)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality census per source: how many documents
+    each of the five heuristic gates (word-count bounds, mean-word-length
+    bounds, stopword presence, max-word-length, type-token ratio) would
+    remove, and how many pass all five — the per-dump report a corpus
+    owner reads before committing a filter config.
+
+    Every rule boundary is an exact integer inequality (mean word length
+    as sum_len vs k*n_words, TTR as 100*n_distinct vs 20*n_words), so
+    the counts hash-match the oracle bit-for-bit with no float
+    accumulation anywhere. Two shuffles total: token->doc, doc->source;
+    both fully map-side-combinable."""
+    d = load(spark, sf_dir).documents
+    flags = gopher_rule_flags(d, "doc_id", "text", ["source"])
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("bigint").alias(c)  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("fail_word_count"),
+            cnt("fail_mean_word_len"),
+            cnt("fail_stopwords"),
+            cnt("fail_max_word_len"),
+            cnt("fail_ttr"),
+            F.sum(F.col("pass_all").cast("int")).cast("bigint").alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# DSIR hashed-n-gram importance resampling (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score each
+# raw document by how much more likely its hashed-unigram profile is
+# under a target-domain distribution than under the raw pool. Bucket
+# count and smoothing are fixed so both engines derive identical
+# per-bucket log-ratios.
+DSIR_BUCKETS = 64
+DSIR_ALPHA_NUM = 1  # add-1/2 smoothing as exact rational: alpha = 1/2
+DSIR_TARGET_SOURCE = "src0"  # stand-in target domain in the test corpus
+
+# portable token -> bucket hash: first 8 md5 hex digits as an integer,
+# mod DSIR_BUCKETS (same value in Spark and DuckDB)
+_BUCKET_SPARK = (
+    lambda col: F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    % DSIR_BUCKETS
+)
+_BUCKET_SQL = f"CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {DSIR_BUCKETS}"
+
+
+def dsir_bucket_logratios(
+    tokens: DataFrame, target_filter,
+) -> DataFrame:
+    """(bucket, ratio_micro): per-bucket floor(1e6 * ln(p_target/p_raw))
+    with add-1/2 smoothing, from ONE pass over the token stream
+    (conditional sums give target and raw counts together). The result
+    is DSIR_BUCKETS rows — broadcastable at any corpus size."""
+    per_bucket = tokens.select(
+        _BUCKET_SPARK(F.col("w")).alias("bucket"),
+        F.when(target_filter, 1).otherwise(0).alias("is_t"),
+    ).groupBy("bucket").agg(
+        F.sum("is_t").alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = per_bucket.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    # p = (c + 1/2) / (n + B/2)  ->  ln p = ln(2c+1) - ln(2n+B)
+    # (kept in integers until the single ln per side)
+    lr = (
+        F.log(2 * F.col("ct") + 1)
+        - F.log(2 * F.col("nt") + DSIR_BUCKETS)
+        - F.log(2 * F.col("cr") + 1)
+        + F.log(2 * F.col("nr") + DSIR_BUCKETS)
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(lr * 1_000_000).cast("bigint").alias("ratio_micro"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, source, {_BUCKET_SQL} AS bucket FROM tok
+    ),
+    per_bucket AS (
+      SELECT bucket,
+             sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+               AS ct,
+             count(*) AS cr
+      FROM bt GROUP BY bucket
+    ),
+    tots AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM per_bucket),
+    ratios AS (
+      SELECT bucket,
+             CAST(floor((ln(2*ct + 1) - ln(2*nt + {DSIR_BUCKETS})
+                   - ln(2*cr + 1) + ln(2*nr + {DSIR_BUCKETS})) * 1000000)
+                  AS BIGINT) AS ratio_micro
+      FROM per_bucket CROSS JOIN tots
+    ),
+    doc_buckets AS (
+      SELECT doc_id, source, bucket, count(*) AS cnt
+      FROM bt GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(d.cnt * r.ratio_micro) AS BIGINT) AS weight_micro
+      FROM doc_buckets d JOIN ratios r ON r.bucket = d.bucket
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_tokens, weight_micro,
+           round(weight_micro / 1000000.0 / n_tokens, 6) AS per_token_logratio
+    FROM scored
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT 50
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: rank raw documents by the hashed-unigram
+    log-likelihood ratio between a target domain (the DSIR_TARGET_SOURCE
+    source, 'src0') and the raw pool — the data-selection step that
+    picks pretraining documents "closest to" a trusted domain without
+    training a classifier.
+
+    Engine-portable by construction: the 64 bucket log-ratios are each
+    ONE ln() of exact integer counts (no accumulation), floored to
+    1e-6 fixed point; per-doc scores are then integer dot products
+    cnt x ratio_micro, summed exactly. 100 TB shape: the ratio table is
+    64 rows (force-broadcast); the expensive stages are two token-keyed
+    hash aggs and one broadcast join — no shuffle ever carries more
+    than (doc, bucket) rows, and the top-50 cut is a distributed
+    TakeOrdered, not a global sort."""
+    d = load(spark, sf_dir).documents
+    toks = token_table(d, "doc_id", "text", ["source"])
+    ratios = dsir_bucket_logratios(
+        toks, F.col("source") == DSIR_TARGET_SOURCE
+    )
+    doc_buckets = (
+        toks.select(
+            "id", "source", _BUCKET_SPARK(F.col("w")).alias("bucket")
+        )
+        .groupBy("id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("ratio_micro"))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "source",
+            "n_tokens",
+            "weight_micro",
+            F.round(
+                F.col("weight_micro") / 1_000_000.0 / F.col("n_tokens"), 6
+            ).alias("per_token_logratio"),
+        )
+        .orderBy(F.col("weight_micro").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "softdedup_weights",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, md5(text) AS f FROM documents
+    ),
+    grp AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CAST(floor(1000000 / g.c) AS BIGINT)) AS BIGINT)
+             AS effective_micro,
+           round(sum(CAST(floor(1000000 / g.c) AS BIGINT)) / 1000000.0, 6)
+             AS effective_docs
+    FROM fp JOIN grp g ON g.f = fp.f
+    GROUP BY fp.source ORDER BY fp.source
+    """,
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware soft weighting (SoftDeDup): instead of DROPPING
+    exact duplicates, weight every copy by 1/(global copy count) so the
+    corpus keeps its coverage while repeated content stops dominating
+    the loss — reported per source as the effective (weight-summed)
+    dataset size next to the raw doc count.
+
+    Weights are floor(1e6/c) integer micro-units, so the per-source sums
+    are exact and hash-identical to the oracle. 100 TB shape: fingerprint
+    -> groupBy(fingerprint) count (one shuffle on the hash key, uniform
+    by construction), join back on the same key (co-partitioned, AQE
+    turns the count side into a broadcast when the dup-group table is
+    small), then one source-keyed agg. No collect, no skew risk beyond
+    pathological single-document floods, which the dup-count cap in
+    operators/dedup.py::clean_corpus already documents."""
+    d = load(spark, sf_dir).documents
+    fp = d.select("doc_id", "source", F.md5("text").alias("f"))
+    grp = fp.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
+    w = F.floor(1_000_000 / F.col("c")).cast("bigint")
+    return (
+        fp.join(grp, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_groups"),
+            F.sum(w).cast("bigint").alias("effective_micro"),
+            F.round(F.sum(w) / 1_000_000.0, 6).alias("effective_docs"),
+        )
+        .orderBy("source")
+    )

@@ -890,7 +890,8 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT w AS term,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-           list_slice(list_sort(list(DISTINCT doc_id)), 1, 10) AS postings_head
+           array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 10), ',')
+             AS postings_head
     FROM tok GROUP BY w ORDER BY term
     """,
 )
@@ -905,16 +906,24 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash compare; production writes the full `collect_set` (or,
     at 100 TB, a per-shard postings segment per term — the same
     groupBy with a shard key, merged lazily at read like Lucene
-    segments). One shuffle on the term key."""
+    segments). One shuffle on the term key.
+
+    The head is emitted as a comma-joined STRING, not ARRAY<BIGINT>:
+    the external canonicalizer sorts rows via pandas, which cannot
+    hash list cells (r7's only red row). Registered outputs must be
+    scalar-typed — enforced repo-wide by tools/driver_sweep.py."""
     d = load(spark, sf_dir).documents
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     return (
         tok.groupBy(F.col("w").alias("term"))
         .agg(
             F.count_distinct("doc_id").alias("df"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("postings_head"),
         )
         .orderBy("term")
     )

@@ -74,11 +74,15 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
     fresh round-robin queue.
     """
     import json
+    import re
     from pathlib import Path
 
     last: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     root = Path(__file__).resolve().parents[1]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -87,6 +91,7 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
             for name, rec in rows.items():
                 if isinstance(rec, dict):
                     last[name] = rec
+                    last_round[name] = rnd
 
     def is_red(rec: dict) -> bool:
         if rec.get("err") not in (None, "no_oracle"):
@@ -101,6 +106,26 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
     rows_only = frozenset(
         n for n, rec in last.items() if rec.get("err") == "no_oracle"
     )
+    # One-round recheck requests: names whose local test pins were
+    # materially tightened in round N, so their pre-N driver greens no
+    # longer prove the CURRENT assertion under the driver's JVM/BLAS.
+    # Pinned to the sweep front until a driver row from round >= N
+    # exists, then they expire back into the ordinary green pool —
+    # never hand-removed, never pinned forever.
+    recheck_requests = {
+        # r7 (commit ca458bd) moved these two from property pins to
+        # exact seeded confusion-cell pins; latest driver green is r6.
+        "ml_logreg_confusion": 8,
+        "ml_random_forest_report": 8,
+    }
+    stale = tuple(
+        sorted(
+            n
+            for n, since in recheck_requests.items()
+            if last_round.get(n, 0) < since
+        )
+    )
+    reds = reds + tuple(n for n in stale if n not in reds)
     return greens, reds, rows_only
 
 
@@ -211,6 +236,7 @@ def _ensure_loaded() -> None:
     from data_warehouse_data_mining_spark.operators import scd  # noqa: F401
     from data_warehouse_data_mining_spark.operators import packing  # noqa: F401
     from data_warehouse_data_mining_spark.operators import ranking  # noqa: F401
+    from data_warehouse_data_mining_spark.operators import curation  # noqa: F401
     from data_warehouse_data_mining_spark.ml import queries as ml_queries  # noqa: F401
     from data_warehouse_data_mining_spark import pipelines  # noqa: F401
 

@@ -114,3 +114,38 @@ def test_no_decimal_typed_columns_in_any_spark_query(spark):
         ".cast('double') / .cast('long') at the output edge): "
         + repr(bad)
     )
+
+
+def test_no_container_typed_columns_in_any_spark_query(spark):
+    """r7's only red row: `inverted_index_postings` emitted a raw
+    ARRAY<BIGINT> column. The external driver canonicalizes via pandas
+    sort_values, which raises `unhashable type: 'list'` on container
+    cells — but OUR canon stringifies lists, so the query was green
+    locally and red externally. Registered outputs must be scalar-only;
+    arrays become `array_join`ed strings, structs/maps become digests.
+    tools/driver_sweep.py enforces the same rule at run time."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_sweep",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "driver_sweep.py"),
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    bad = {}
+    for name, q in registry.all_queries().items():
+        try:
+            schema = q.builder(spark, SF_SMALL).schema
+        except Exception as exc:
+            bad[name] = f"builder failed to bind: {exc!r}"
+            continue
+        hits = sweep.nonscalar_columns(schema)
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        "Spark query outputs contain container columns that crash the "
+        "external pandas canonicalizer (array_join / digest them at "
+        "the output edge): " + repr(bad)
+    )

@@ -308,28 +308,120 @@ def test_no_pins_on_token_proportional_tables():
                 )
 
     # repo-wide sweep (r7, after corpus_curation_funnel slipped past the
-    # per-function list above): NO source file anywhere may chain a
-    # shingle_table(...) result into .localCheckpoint — the shingle
-    # stream is token-proportional by construction. AST-based: flags
-    # X.localCheckpoint(...) where X's call chain bottoms out in a
-    # shingle_table(...) call (pins on other tables in the same block
-    # stay legal).
+    # per-function list above): NO source file anywhere may pin a
+    # shingle_table(...) result with .localCheckpoint — the shingle
+    # stream is token-proportional by construction. AST-based with
+    # per-function name-taint dataflow (r8, per ADVICE: the chain-only
+    # version missed `sh = shingle_table(...); sh.localCheckpoint()`):
+    # any local name assigned — directly or through further chained
+    # calls — from shingle_table is tainted, and a localCheckpoint whose
+    # receiver chain bottoms out in shingle_table or a tainted name is
+    # flagged. Pins on other tables in the same block stay legal.
     import ast
     import os
 
-    def chain_base_calls(node):
+    # ops that collapse the token-proportional cardinality: a shingle
+    # stream piped through one of these is no longer token-sized (a
+    # groupBy().agg() pair/count table is bounded by the entity/pair
+    # domain), so taint stops there — dedup_eval_precision_recall's
+    # pinned thresholded pair tables stay legal. select/filter/join
+    # do NOT clear taint: a filtered shingle stream is still
+    # token-proportional in the worst case.
+    _COLLAPSING = {
+        "groupBy", "agg", "distinct", "dropDuplicates", "summary",
+        "describe", "limit",
+    }
+
+    def chain_walk(node):
+        """(bases, attrs) a call/attribute chain bottoms out in: bases
+        are function names for direct calls (`shingle_table(...)`) or
+        bare variable names for chained receivers
+        (`sh.select(...).localCheckpoint()` -> `sh`); attrs are the
+        method names traversed on the way."""
+        bases, attrs = set(), set()
         while True:
             if isinstance(node, ast.Call):
                 if isinstance(node.func, ast.Name):
-                    yield node.func.id
-                    return
+                    bases.add(node.func.id)
+                    return bases, attrs
                 if isinstance(node.func, ast.Attribute):
+                    attrs.add(node.func.attr)
                     node = node.func.value
                     continue
             if isinstance(node, ast.Attribute):
+                attrs.add(node.attr)
                 node = node.value
                 continue
-            return
+            if isinstance(node, ast.Name):
+                bases.add(node.id)
+                return bases, attrs
+            return bases, attrs
+
+    def tainted_names(scope_nodes):
+        """Fixpoint over simple assignments: names whose value chain
+        bottoms out in shingle_table or an already-tainted name WITHOUT
+        passing through a cardinality-collapsing op."""
+        taint = {"shingle_table"}
+        changed = True
+        while changed:
+            changed = False
+            for node in scope_nodes:
+                if not isinstance(node, ast.Assign):
+                    continue
+                bases, attrs = chain_walk(node.value)
+                if taint & bases and not attrs & _COLLAPSING:
+                    for tgt in node.targets:
+                        if isinstance(tgt, ast.Name) and tgt.id not in taint:
+                            taint.add(tgt.id)
+                            changed = True
+        return taint
+
+    def scope_violations(tree):
+        hits = []
+        scopes = [tree] + [
+            n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+        ]
+        for scope in scopes:
+            if isinstance(scope, ast.Module):
+                nodes = [
+                    n
+                    for stmt in scope.body
+                    if not isinstance(stmt, ast.FunctionDef)
+                    for n in ast.walk(stmt)
+                ]
+            else:
+                nodes = list(ast.walk(scope))
+            taint = tainted_names(nodes)
+            for node in nodes:
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "localCheckpoint"
+                ):
+                    continue
+                bases, attrs = chain_walk(node.func.value)
+                if taint & bases and not attrs & _COLLAPSING:
+                    hits.append(node.lineno)
+        return hits
+
+    # lint self-test (positive AND negative controls) so a refactor
+    # that silently stops it firing fails here, not in a future OOM
+    control = ast.parse(
+        "def direct():\n"
+        "    shingle_table(d).localCheckpoint()\n"  # line 2: flag
+        "def one_hop():\n"
+        "    sh = shingle_table(d, 'id', 'text')\n"
+        "    sh2 = sh.select('x')\n"
+        "    sh2.localCheckpoint(eager=True)\n"  # line 6: flag (ADVICE r7)
+        "def collapsed_ok():\n"
+        "    sh = shingle_table(d)\n"
+        "    pairs = sh.join(sh, 'k').groupBy('a', 'b').agg(c)\n"
+        "    pairs.filter(f).localCheckpoint()\n"  # bounded: no flag
+        "def unrelated_ok():\n"
+        "    sh = other_table(d)\n"
+        "    sh.localCheckpoint()\n"  # different base: no flag
+    )
+    assert scope_violations(control) == [2, 6]
 
     pkg_root = os.path.dirname(
         os.path.dirname(os.path.abspath(dedup.__file__))
@@ -341,16 +433,11 @@ def test_no_pins_on_token_proportional_tables():
             path = os.path.join(root, fname)
             with open(path) as fh:
                 tree = ast.parse(fh.read(), filename=path)
-            for node in ast.walk(tree):
-                if not (
-                    isinstance(node, ast.Call)
-                    and isinstance(node.func, ast.Attribute)
-                    and node.func.attr == "localCheckpoint"
-                ):
-                    continue
-                assert "shingle_table" not in set(
-                    chain_base_calls(node.func.value)
-                ), (
-                    f"{path}:{node.lineno} pins the shingle stream "
-                    "(token-proportional; recompute it instead)"
-                )
+            # taint is scoped per function (module level included) so a
+            # bounded table named `sh` in one function is not condemned
+            # by a shingle stream named `sh` in another
+            hits = scope_violations(tree)
+            assert not hits, (
+                f"{path}:{hits} pins the shingle stream "
+                "(token-proportional; recompute it instead)"
+            )

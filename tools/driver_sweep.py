@@ -39,6 +39,23 @@ def canon_cell(v):
     return str(v)
 
 
+def nonscalar_columns(schema):
+    """Top-level array/map/struct columns in a Spark schema.
+
+    The external harness canonicalizes results with pandas sort_values,
+    which raises `unhashable type: 'list'` on container cells — so a
+    query emitting one passes locally (our canon stringifies lists) but
+    crashes externally (r7 `inverted_index_postings`). Any registered
+    output with a container column is therefore a hard FAIL here:
+    local-green must imply driver-green."""
+    bad = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in ("array", "map", "struct"):
+            bad.append(f"{f.name}:{t}")
+    return bad
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = ["\x00".join(canon_cell(r[i]) for i in order) for r in rows]
@@ -89,6 +106,15 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            bad_cols = nonscalar_columns(sdf.schema)
+            if bad_cols:
+                n_fail += 1
+                results[name] = "FAIL"
+                print(
+                    f"FAIL      {name}: non-scalar output column(s) "
+                    f"{bad_cols} would crash the external canonicalizer"
+                )
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 n_rowsonly += 1

@@ -45,7 +45,30 @@ spark.sparkContext.setLogLevel("ERROR")
 from data_warehouse_data_mining_spark.ml import classify, metrics
 from data_warehouse_data_mining_spark.ml.queries import SEED, _dataset
 
-out = {}
+# The pins are BLAS-sensitive: MLlib's LBFGS accumulates through
+# dev.ludovic.netlib, and a different backend (native OpenBLAS/MKL, or
+# the plain-Java fallback vs the vector-API impl) orders float
+# reductions differently. PINS_MEASURED_UNDER is the implementation the
+# ml/queries.py pins were measured with; the probe records the active
+# one and warns on mismatch so a red pin on such a host is diagnosed as
+# "re-measure here", not "regression".
+PINS_MEASURED_UNDER = "dev.ludovic.netlib.blas.VectorBLAS"
+try:
+    _blas = (
+        spark._jvm.dev.ludovic.netlib.blas.BLAS.getInstance()
+        .getClass()
+        .getName()
+    )
+except Exception:
+    _blas = "unknown"
+if _blas != PINS_MEASURED_UNDER:
+    print(
+        f"WARNING: active BLAS is {_blas}; pins in ml/queries.py were "
+        f"measured under {PINS_MEASURED_UNDER} — expect different "
+        "cells; re-measure, do not chase a phantom regression."
+    )
+
+out = {"blas": _blas}
 for sf in sfs:
     data = _dataset(spark, sf)
     train, test = data.randomSplit([0.7, 0.3], seed=SEED)
