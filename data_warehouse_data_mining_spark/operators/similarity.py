@@ -1072,3 +1072,109 @@ def semdedup_bucket_representatives(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("bucket")
     )
+
+
+N_ANCHORS = 20
+HARDNEG_K = 3
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchor_filter: Column,
+    planes: np.ndarray,
+    k: int = HARDNEG_K,
+    id_col: str = "id",
+    vec_col: str = "v",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-anchor top-k most-similar vectors with a DIFFERENT label —
+    the hard-negative mining step of contrastive / metric-learning data
+    prep (a positive pair's loss is only informative next to negatives
+    the model currently confuses).
+
+    Same 100 TB shape as lsh_topk: bucket the corpus once by
+    sign-random-projection, explode Hamming-1 multiprobes on the tiny
+    anchor side, broadcast it into one bucket equi-join, exact-rerank
+    only the probed buckets. The label-differs predicate rides the same
+    join, so cross-label candidates are pruned before the window.
+    Returns (anchor_id, anchor_label, negative_id, negative_label,
+    cosine, rn)."""
+    n_planes = planes.shape[0]
+    b = corpus.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    q = b.filter(anchor_filter).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    masks = [0] + [1 << i for i in range(n_planes)]
+    q = (
+        q.withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("probe", F.col("mask").bitwiseXOR(F.col("qbucket")))
+        .drop("mask")
+    )
+    cos = V.dot(F.col("qv"), F.col(vec_col)) / (
+        V.norm(F.col("qv")) * V.norm(F.col(vec_col))
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col(label_col) != F.col("anchor_label")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            cos.alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    b AS (SELECT vec_id, label, v, {_sql_bucket('v')} AS bucket FROM e),
+    q0 AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv,
+                  bucket AS qbucket
+           FROM b WHERE vec_id < {N_ANCHORS}),
+    q AS (SELECT anchor_id, anchor_label, qv, xor(qbucket, m.mask) AS probe
+          FROM q0, (SELECT unnest([{", ".join(str(m) for m in [0] + [1 << i for i in range(N_PLANES)])}]) AS mask) m)
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           round(cos, 6) AS cosine, rn
+    FROM (
+      SELECT q.anchor_id, q.anchor_label, e.vec_id AS negative_id,
+             e.label AS negative_label,
+             {_ORACLE_COS} AS cos,
+             row_number() OVER (PARTITION BY q.anchor_id
+                                ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+      FROM q JOIN b e ON e.bucket = q.probe AND e.label <> q.anchor_label
+    ) t WHERE rn <= {HARDNEG_K}
+    ORDER BY anchor_id, rn
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for the first N_ANCHORS vectors: top-3
+    cross-label cosine neighbors found through the deterministic
+    LSH bucket join (generic: hard_negatives). The contrastive-training
+    sibling of embedding_margin_audit — that one measures how separable
+    labels currently are; this one emits the pairs a trainer would add
+    to fix it."""
+    return hard_negatives(
+        _corpus(spark, sf_dir), F.col("id") < N_ANCHORS, _PLANES
+    ).orderBy("anchor_id", "rn")

@@ -60,6 +60,29 @@ def test_brute_force_topk_generic(spark):
     assert ranked == [1, 2, 3]
 
 
+def test_hard_negatives_generic(spark):
+    """Negatives never share the anchor's label, rank by cosine, and the
+    anchor side is broadcast so the corpus never shuffles."""
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),   # anchor, label 0
+        (1, 0, [0.99, 0.14, 0.0]),  # same label: excluded
+        (2, 1, [0.9, 0.1, 0.0]),   # cross-label, closest -> rn 1
+        (3, 1, [0.0, 1.0, 0.0]),   # cross-label, orthogonal-ish
+        (4, 1, [-1.0, 0.0, 0.0]),  # cross-label, opposite
+    ]
+    df = spark.createDataFrame(rows, "id long, label int, v array<double>")
+    planes = similarity.random_hyperplanes(4, 3)
+    out = similarity.hard_negatives(
+        df, F.col("id") == 0, planes, k=3
+    ).orderBy("rn")
+    got = [(r.negative_id, r.negative_label) for r in out.collect()]
+    assert all(lbl != 0 for _, lbl in got)
+    assert got and got[0][0] == 2  # hardest negative first
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_blocked_cosine_pairs_generic(spark):
     rows = [
         (0, 0, [1.0, 0.0]),
