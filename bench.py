@@ -30,7 +30,11 @@ from data_warehouse_data_mining_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+# 7 runs (r8, was 5): this host's co-tenant is hypervisor-level
+# (SCALING.md r8 — ±35% min wobble at 0.35 in-guest loadavg), and the
+# min is the only interference-resistant statistic; two more samples
+# per query materially improve the chance one lands in a quiet window.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 

@@ -181,19 +181,35 @@ _BUCKET_SPARK = (
 _BUCKET_SQL = f"CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {DSIR_BUCKETS}"
 
 
-def dsir_bucket_logratios(
-    tokens: DataFrame, target_filter,
-) -> DataFrame:
+def dsir_doc_buckets(tokens: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """(id, [extra...], bucket, cnt): per-document hashed-bucket token
+    counts — the scoring-side aggregate the importance weights fold
+    from."""
+    return (
+        tokens.select(
+            "id", *extra_cols, _BUCKET_SPARK(F.col("w")).alias("bucket")
+        )
+        .groupBy("id", *extra_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
     """(bucket, ratio_micro): per-bucket floor(1e6 * ln(p_target/p_raw))
-    with add-1/2 smoothing, from ONE pass over the token stream
-    (conditional sums give target and raw counts together). The result
-    is DSIR_BUCKETS rows — broadcastable at any corpus size."""
-    per_bucket = tokens.select(
-        _BUCKET_SPARK(F.col("w")).alias("bucket"),
-        F.when(target_filter, 1).otherwise(0).alias("is_t"),
-    ).groupBy("bucket").agg(
-        F.sum("is_t").alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    with add-1/2 smoothing, from ONE token pass (conditional sums give
+    target and raw counts together; the shuffle carries only
+    DSIR_BUCKETS keys with full map-side combine). The DSIR_BUCKETS-row
+    result is localCheckpoint-ed — a bounded pin, never
+    token-proportional — so its two consumers (the totals fold and the
+    ratio select) never re-scan the corpus."""
+    per_bucket = (
+        tokens.select(
+            _BUCKET_SPARK(F.col("w")).alias("bucket"),
+            F.when(target_filter, 1).otherwise(0).alias("is_t"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("is_t").alias("ct"), F.count(F.lit(1)).alias("cr"))
+        .localCheckpoint(eager=True)
     )
     totals = per_bucket.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
@@ -268,22 +284,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-portable by construction: the 64 bucket log-ratios are each
     ONE ln() of exact integer counts (no accumulation), floored to
     1e-6 fixed point; per-doc scores are then integer dot products
-    cnt x ratio_micro, summed exactly. 100 TB shape: the ratio table is
-    64 rows (force-broadcast); the expensive stages are two token-keyed
-    hash aggs and one broadcast join — no shuffle ever carries more
-    than (doc, bucket) rows, and the top-50 cut is a distributed
-    TakeOrdered, not a global sort."""
+    cnt x ratio_micro, summed exactly. 100 TB shape: two token passes
+    total — the ratio pass shuffles only DSIR_BUCKETS keys (map-side
+    combined) into a pinned 64-row table, the scoring pass shuffles
+    (doc, bucket) rows once and takes the ratios as a force-broadcast;
+    the top-50 cut is a distributed TakeOrdered, not a global sort.
+    (Pinning doc_buckets to make it one pass would pin a
+    corpus-proportional table — the r6 rule says stage that to parquet
+    instead when the corpus is reused; see clean_corpus(staging_dir).)"""
     d = load(spark, sf_dir).documents
     toks = token_table(d, "doc_id", "text", ["source"])
+    doc_buckets = dsir_doc_buckets(toks, ["source"])
     ratios = dsir_bucket_logratios(
         toks, F.col("source") == DSIR_TARGET_SOURCE
-    )
-    doc_buckets = (
-        toks.select(
-            "id", "source", _BUCKET_SPARK(F.col("w")).alias("bucket")
-        )
-        .groupBy("id", "source", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
         doc_buckets.join(F.broadcast(ratios), "bucket")

@@ -73,14 +73,12 @@ def test_dsir_target_docs_score_higher(spark):
         (100 + i, "one two three four", "raw") for i in range(30)
     ]
     toks = curation.token_table(_docs(spark, rows), "doc_id", "text", ["source"])
+    db = curation.dsir_doc_buckets(toks, ["source"])
     ratios = curation.dsir_bucket_logratios(toks, F.col("source") == "tgt")
     scored = (
-        toks.select(
-            "id", "source", curation._BUCKET_SPARK(F.col("w")).alias("bucket")
-        )
-        .join(ratios, "bucket")
+        db.join(ratios, "bucket")
         .groupBy("id", "source")
-        .agg(F.sum("ratio_micro").alias("w"))
+        .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("w"))
         .groupBy("source")
         .agg(F.avg("w").alias("mean_w"))
     )
