@@ -116,3 +116,139 @@ def test_gopher_census_sums_to_doc_count(spark):
     assert sum(r["n_docs"] for r in rows) == d.count()
     for r in rows:
         assert 0 <= r["n_pass_all"] <= r["n_docs"]
+
+
+def test_curation_matches_python_mirror(spark, tmp_path):
+    """Independent full-value check on a seeded RANDOM corpus (not the
+    fixture parquet): gopher flags, dsir weights and softdedup sums are
+    recomputed in pure Python from the same definitions and compared
+    exactly. Catches any Spark-expression drift the fixed-oracle corpus
+    might not exercise (empty docs, single-token docs, all-dup
+    sources)."""
+    import hashlib
+    import math
+    import random
+
+    rng = random.Random(7)
+    vocab = ["the", "a", "of", "data", "spark", "row", "x" * 25, "key",
+             "value", "merge", "scan", "zz"]
+    rows = []
+    for i in range(120):
+        src = f"s{rng.randrange(3)}"
+        n = rng.choice([0, 1, 5, 45, 60])
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((i, text, src))
+    rows.append((120, "", "s0"))          # empty text -> one "" token
+    rows.append((121, rows[0][1], "s1"))  # cross-source exact dup
+    df = _docs(spark, rows)
+
+    # --- python mirror -----------------------------------------------
+    stop = set(curation.GOPHER_STOPWORDS)
+
+    def toks(t):
+        return t.split(" ")
+
+    def flags(t):
+        ws = toks(t)
+        n, sl = len(ws), sum(len(w) for w in ws)
+        return (
+            not (curation.GOPHER_MIN_WORDS <= n <= curation.GOPHER_MAX_WORDS),
+            sl < curation.GOPHER_MIN_MEAN_WORD_LEN * n
+            or sl > curation.GOPHER_MAX_MEAN_WORD_LEN * n,
+            sum(w in stop for w in ws) < curation.GOPHER_MIN_STOPWORD_HITS,
+            max(len(w) for w in ws) > curation.GOPHER_MAX_WORD_LEN,
+            len(set(ws)) * 100 < curation.GOPHER_MIN_TTR_PCT * n,
+        )
+
+    exp_gopher = {}
+    for _i, t, s in rows:
+        f = flags(t)
+        g = exp_gopher.setdefault(s, [0] * 7)
+        g[0] += 1
+        for j in range(5):
+            g[1 + j] += f[j]
+        g[6] += not any(f)
+
+    got_gopher = {
+        r["source"]: [
+            r["n_docs"], r["fail_word_count"], r["fail_mean_word_len"],
+            r["fail_stopwords"], r["fail_max_word_len"], r["fail_ttr"],
+            r["n_pass_all"],
+        ]
+        for r in curation.gopher_rule_flags(df, "doc_id", "text", ["source"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(F.col(c).cast("int")).alias(c)
+                for c in (
+                    "fail_word_count", "fail_mean_word_len", "fail_stopwords",
+                    "fail_max_word_len", "fail_ttr",
+                )
+            ],
+            F.sum(F.col("pass_all").cast("int")).alias("n_pass_all"),
+        )
+        .collect()
+    }
+    assert got_gopher == exp_gopher
+
+    # --- dsir mirror ---------------------------------------------------
+    B = curation.DSIR_BUCKETS
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+    ct, cr = [0] * B, [0] * B
+    for _i, t, s in rows:
+        for w in toks(t):
+            b = bucket(w)
+            cr[b] += 1
+            if s == "s0":
+                ct[b] += 1
+    nt, nr = sum(ct), sum(cr)
+    ratio = [
+        math.floor(
+            (math.log(2 * ct[b] + 1) - math.log(2 * nt + B)
+             - math.log(2 * cr[b] + 1) + math.log(2 * nr + B)) * 1_000_000
+        )
+        for b in range(B)
+    ]
+    exp_w = {
+        i: sum(ratio[bucket(w)] for w in toks(t)) for i, t, _s in rows
+    }
+    toks_df = curation.token_table(df, "doc_id", "text", ["source"])
+    ratios = curation.dsir_bucket_logratios(toks_df, F.col("source") == "s0")
+    got_w = {
+        r["id"]: r["w"]
+        for r in curation.dsir_doc_buckets(toks_df, [])
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("ratio_micro")).alias("w"))
+        .collect()
+    }
+    assert got_w == exp_w
+
+    # --- softdedup mirror ----------------------------------------------
+    from collections import Counter
+
+    cnt = Counter(t for _i, t, _s in rows)
+    exp_soft = {}
+    for _i, t, s in rows:
+        g = exp_soft.setdefault(s, [0, 0, 0])
+        g[0] += 1
+        g[1] += cnt[t] > 1
+        g[2] += 1_000_000 // cnt[t]
+    fp = df.select("doc_id", "source", F.md5("text").alias("f"))
+    grp = fp.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
+    got_soft = {
+        r["source"]: [r["n"], r["d"], r["e"]]
+        for r in fp.join(grp, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("d"),
+            F.sum(F.floor(1_000_000 / F.col("c")).cast("bigint")).alias("e"),
+        )
+        .collect()
+    }
+    assert got_soft == exp_soft
