@@ -319,3 +319,125 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exposed_share"),
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_nationkey AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    counts AS (
+      SELECT nation, balance_band, sensitive, CAST(count(*) AS BIGINT) AS cnt
+      FROM quasi GROUP BY 1, 2, 3
+    ),
+    classes AS (
+      SELECT nation, balance_band, CAST(sum(cnt) AS BIGINT) AS class_size
+      FROM counts GROUP BY 1, 2
+    ),
+    globals AS (
+      SELECT sensitive, CAST(sum(cnt) AS BIGINT) AS g FROM counts GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM globals),
+    grid AS (
+      SELECT c.nation, c.balance_band, c.class_size, s.sensitive, s.g,
+             COALESCE(k.cnt, 0) AS cnt
+      FROM classes c
+      CROSS JOIN globals s
+      LEFT JOIN counts k
+        ON k.nation = c.nation AND k.balance_band = c.balance_band
+       AND k.sensitive = s.sensitive
+    ),
+    per_class AS (
+      SELECT nation, balance_band, class_size,
+             CAST(sum(abs(cnt * n - g * class_size)) AS BIGINT) AS numer
+      FROM grid CROSS JOIN tot
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           round(max(numer * 1.0 / (2 * class_size * n)), 6) AS max_t,
+           CAST(sum(CASE WHEN 5 * numer > 2 * class_size * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_above_t02,
+           CAST(sum(CASE WHEN 5 * numer > 2 * class_size * n
+                         THEN class_size ELSE 0 END) AS BIGINT)
+             AS n_customers_exposed,
+           round(sum(CASE WHEN 5 * numer > 2 * class_size * n
+                          THEN class_size ELSE 0 END) * 1.0 / sum(class_size), 6)
+             AS exposed_share
+    FROM per_class CROSS JOIN tot
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third release gate after k-anonymity and
+    l-diversity: a class can be k-large AND l-diverse yet still leak if
+    its sensitive-value DISTRIBUTION differs sharply from the table's
+    (the skewness attack — e.g. a class where 90% share the rarest
+    segment). t per class is the variational distance
+    ½·Σ|p_class − p_global| over the categorical sensitive attribute
+    (the EMD form for unordered domains); the audit reports the worst
+    class and how many customers sit in classes past t = 0.2.
+
+    Exactness: the distance numerator Σ|cnt·N − g·n_c| stays in BIGINT
+    (one |a−b| per grid cell, summed exactly); each reported t is a
+    single double division of exact integers, and the t > 0.2 gate is
+    the exact integer inequality 5·numer > 2·n_c·N — no float ever
+    decides a count. Scale shape: ONE customer scan into the
+    (class, sensitive) hash agg; everything after operates on the
+    bounded counts table (quasi-identifier domain × 5 segments):
+    class sizes and global marginals re-fold from it, the dense grid is
+    a bounded-×-5 crossJoin, and the 1-row total rides a broadcast."""
+    c = load(spark, sf_dir).customer
+    counts = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balance_band"),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .groupBy("nation", "balance_band", "sensitive")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # bounded: |QI domain| x 5 segments
+    )
+    classes = counts.groupBy("nation", "balance_band").agg(
+        F.sum("cnt").alias("class_size")
+    )
+    globals_ = counts.groupBy("sensitive").agg(F.sum("cnt").alias("g"))
+    tot = globals_.agg(F.sum("g").alias("n"))
+    grid = (
+        classes.crossJoin(F.broadcast(globals_))
+        .join(counts, ["nation", "balance_band", "sensitive"], "left")
+        .select(
+            "nation",
+            "balance_band",
+            "class_size",
+            "g",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    per_class = (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("nation", "balance_band", "class_size", "n")
+        .agg(
+            F.sum(F.abs(F.col("cnt") * F.col("n") - F.col("g") * F.col("class_size")))
+            .cast("long")
+            .alias("numer")
+        )
+    )
+    above = 5 * F.col("numer") > 2 * F.col("class_size") * F.col("n")
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(
+            F.max(F.col("numer") / (2.0 * F.col("class_size") * F.col("n"))), 6
+        ).alias("max_t"),
+        F.sum(above.cast("int")).cast("long").alias("n_classes_above_t02"),
+        F.sum(F.when(above, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_customers_exposed"),
+        F.round(
+            F.sum(F.when(above, F.col("class_size")).otherwise(0))
+            / F.sum("class_size"),
+            6,
+        ).alias("exposed_share"),
+    )
