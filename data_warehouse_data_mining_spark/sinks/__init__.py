@@ -3,6 +3,8 @@ from data_warehouse_data_mining_spark.sinks.writers import (
     write_bucketed_table,
     write_partitioned,
     write_sorted_for_skipping,
+    write_with_bloom_filters,
+    write_zordered,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "write_bucketed_table",
     "write_partitioned",
     "write_sorted_for_skipping",
+    "write_with_bloom_filters",
+    "write_zordered",
 ]
