@@ -152,6 +152,13 @@ ADVERSARIAL_PARITY_QUERIES = [
     "simhash128_hamming_stats",
     "tfidf_top_terms",
     "dedup_minhash_lsh",
+    # r8 curation stage: empty/whitespace docs exercise the zero-length
+    # token edge in the gopher integer bounds, the "" token's md5 bucket
+    # in dsir, and the exact-twin pair (docs 3/4) in softdedup's 1/c
+    # weights — all must stay hash-identical to DuckDB
+    "gopher_quality_rules",
+    "dsir_importance_weights",
+    "softdedup_weights",
 ]
 
 
