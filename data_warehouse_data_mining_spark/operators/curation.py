@@ -49,11 +49,13 @@ def gopher_rule_flags(
     [extra...], n_words, fail_word_count, fail_mean_word_len,
     fail_stopwords, fail_max_word_len, fail_ttr, pass_all).
 
-    100 TB shape: explode -> groupBy(id) is one shuffle on the doc key
-    with full map-side partial aggregation (every agg here is
-    sum/count/max — distributive); countDistinct(w) per doc is the only
-    non-distributive term and Spark plans it as the standard two-phase
-    expand, still keyed by id. No global stage, no driver state."""
+    This is the exploded/codegen form, kept as the parity yardstick for
+    the shuffle-free expression twin (gopher_rule_flags_expr) that the
+    registered census actually runs on — the twin measured 2.8× faster
+    at sf0.1 because it has no (doc, token) shuffle at all. Shape here:
+    explode -> groupBy(id) is one shuffle on the doc key with full
+    map-side partial aggregation; countDistinct(w) per doc is the only
+    non-distributive term (standard two-phase expand)."""
     toks = token_table(df, id_col, text_col, extra_cols)
     per_doc = toks.groupBy("id", *(extra_cols or [])).agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -77,6 +79,50 @@ def gopher_rule_flags(
         (F.col("max_len") > GOPHER_MAX_WORD_LEN).alias("fail_max_word_len"),
         (F.col("n_distinct") * 100 < GOPHER_MIN_TTR_PCT * n).alias("fail_ttr"),
     ).withColumn(
+        "pass_all",
+        ~(
+            F.col("fail_word_count")
+            | F.col("fail_mean_word_len")
+            | F.col("fail_stopwords")
+            | F.col("fail_max_word_len")
+            | F.col("fail_ttr")
+        ),
+    )
+
+
+def gopher_rule_flags_expr(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Shuffle-FREE twin of gopher_rule_flags: the same five rule bits
+    computed as per-row array expressions (split → size / aggregate /
+    array_max / array_distinct / filter), so the whole gate is a
+    map-only projection — no token explode, no groupBy(id) shuffle, and
+    therefore directly usable as a STATELESS Structured Streaming
+    filter (a crawl stream can drop failing docs before they ever land).
+    Equality with the exploded form is test-pinned. Measured 2.8×
+    faster than the exploded form at sf0.1 (0.228 s vs 0.633 s census,
+    min-of-5) — killing the (doc,token) shuffle beats staying in
+    codegen here — so the REGISTERED census runs on this form; the
+    exploded twin remains as the parity yardstick."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    sl = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    max_len = F.array_max(F.transform(ws, F.length))
+    n_distinct = F.size(F.array_distinct(ws))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (extra_cols or [])],
+        n.cast("long").alias("n_words"),
+        (~n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("fail_word_count"),
+        (
+            (sl < GOPHER_MIN_MEAN_WORD_LEN * n) | (sl > GOPHER_MAX_MEAN_WORD_LEN * n)
+        ).alias("fail_mean_word_len"),
+        (n_stop < GOPHER_MIN_STOPWORD_HITS).alias("fail_stopwords"),
+        (max_len > GOPHER_MAX_WORD_LEN).alias("fail_max_word_len"),
+        (n_distinct * 100 < GOPHER_MIN_TTR_PCT * n).alias("fail_ttr"),
+    )
+    return out.withColumn(
         "pass_all",
         ~(
             F.col("fail_word_count")
@@ -142,10 +188,12 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every rule boundary is an exact integer inequality (mean word length
     as sum_len vs k*n_words, TTR as 100*n_distinct vs 20*n_words), so
     the counts hash-match the oracle bit-for-bit with no float
-    accumulation anywhere. Two shuffles total: token->doc, doc->source;
-    both fully map-side-combinable."""
+    accumulation anywhere. ONE shuffle total: the rule bits come from
+    the shuffle-free expression twin (gopher_rule_flags_expr — measured
+    2.8× faster than the exploded form at sf0.1), leaving only the
+    map-side-combinable doc->source census agg."""
     d = load(spark, sf_dir).documents
-    flags = gopher_rule_flags(d, "doc_id", "text", ["source"])
+    flags = gopher_rule_flags_expr(d, "doc_id", "text", ["source"])
     cnt = lambda c: F.sum(F.col(c).cast("int")).cast("bigint").alias(c)  # noqa: E731
     return (
         flags.groupBy("source")

@@ -43,6 +43,32 @@ def test_gopher_rule_flags_bits(spark):
     assert r9["fail_mean_word_len"]
 
 
+def test_gopher_expr_twin_equals_exploded_form(spark):
+    """The registered census runs on the shuffle-free expression twin;
+    this pins it bit-equal to the exploded/codegen yardstick on the
+    real fixture corpus (and the census plan must carry exactly ONE
+    exchange — the source agg)."""
+    d = curation.load(spark, SF_SMALL).documents
+    a = curation.gopher_rule_flags(d, "doc_id", "text", ["source"])
+    b = curation.gopher_rule_flags_expr(d, "doc_id", "text", ["source"]).drop(
+        "n_words"
+    )
+    a = a.drop("n_words") if "n_words" in a.columns else a
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    import re
+
+    plan = (
+        curation.gopher_quality_rules(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    assert n_exchanges <= 2, plan  # census agg (+ optional output sort)
+    assert "Generate" not in plan  # no token explode anywhere
+
+
 def test_dsir_ratio_table_is_bounded_and_broadcast(spark):
     """The bucket-ratio side must stay DSIR_BUCKETS rows (broadcastable
     at any corpus size) and the doc-score join must broadcast it, never
