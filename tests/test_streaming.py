@@ -824,3 +824,52 @@ def test_custom_sessionizer_event_time_timeout(spark, tmp_path):
     }
     assert batch1_sessions <= emitted and len(batch1_sessions) > 0
     assert emitted <= batch1_sessions | batch2_sessions
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The shuffle-free Gopher rule bits (gopher_rule_flags_expr) are a
+    pure projection, so the quality gate runs as a STATELESS streaming
+    filter — no watermark, no state store, append mode — and a crawl
+    stream drops failing documents before they land. Stream output must
+    equal the batch gate row-for-row."""
+    import os as _os
+
+    from data_warehouse_data_mining_spark.operators.curation import (
+        gopher_rule_flags_expr,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    _os.symlink(f"{SF_SMALL}/documents.parquet", d / "documents.parquet")
+
+    batch_docs = load(spark, SF_SMALL).documents
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(d))
+
+    gated = gopher_rule_flags_expr(stream_docs, "doc_id", "text", ["source"]).filter(
+        "pass_all"
+    )
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_quality_gate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # stateless: the plan must carry no stateful operator
+        assert "stateOperators" not in str(q.lastProgress) or not (
+            q.lastProgress and q.lastProgress.get("stateOperators")
+        )
+    finally:
+        q.stop()
+    streamed = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM stream_quality_gate").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in gopher_rule_flags_expr(batch_docs, "doc_id", "text", ["source"])
+        .filter("pass_all")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
