@@ -367,7 +367,11 @@ def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("features", array_to_vector(F.col("v")))
     kmeans = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
     model = kmeans.fit(e)
-    assigned = model.transform(e).select("vec_id", "v", "cell")
+    # three consumers (query filter, search join, and their lineage)
+    # would each re-scan parquet AND re-run the model transform;
+    # persist() is the evictable cache (never localCheckpoint — the
+    # assignment table is corpus-proportional)
+    assigned = model.transform(e).select("vec_id", "v", "cell").persist()
 
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
