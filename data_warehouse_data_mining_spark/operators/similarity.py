@@ -1182,3 +1182,109 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         _corpus(spark, sf_dir), F.col("id") < N_ANCHORS, _PLANES
     ).orderBy("anchor_id", "rn")
+
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_K = 16
+
+
+@register(
+    "embedding_pq_quantization",
+    oracle=f"""
+    SELECT m.subspace,
+           {PQ_SUBDIM} AS dims_per_subspace,
+           {PQ_K} AS codebook_size,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           1 AS codes_in_range, 1 AS mse_leq_variance, 1 AS mse_nonneg
+    FROM (SELECT unnest(range(0, {PQ_SUBSPACES})) AS subspace) m
+    ORDER BY m.subspace
+    """,
+)
+def embedding_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the ANN compression tier above int8
+    scalar quantization (embedding_quantization): the 64-d vector is
+    split into {PQ_SUBSPACES} subspaces of {PQ_SUBDIM} dims, each
+    k-means-coded with a {PQ_K}-entry codebook, so a vector stores as
+    {PQ_SUBSPACES} bytes (64× cut vs float64) and asymmetric distances
+    evaluate from {PQ_SUBSPACES} table lookups — the FAISS IVF-PQ
+    memory layout.
+
+    Exact-oracle-checked as a PROPERTY (seeded k-means centroids are
+    partitioning-sensitive, so the codes aren't SQL-mirrorable): per
+    subspace, every vector gets a code in [0, {PQ_K}), and the
+    reconstruction MSE must not exceed the subspace variance — the
+    k-means objective at k={PQ_K} can never lose to k=1, so a violated
+    flag means the coding is broken, not just suboptimal.
+
+    Scale shape: codebooks train on the subspace slice (MLlib KMeans —
+    sampled/sketched at real corpus scale), assignment is a map-side
+    transform, per-subspace stats are 1-row aggregates over one
+    persisted pass of the corpus; centroids stay driver-side tiny
+    ({PQ_SUBSPACES}×{PQ_K}×{PQ_SUBDIM} floats)."""
+    from functools import reduce
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = (
+        load(spark, sf_dir)
+        .embeddings.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+        .persist()
+    )
+    outs = []
+    for m in range(PQ_SUBSPACES):
+        sub = e.select(
+            "vec_id",
+            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        ).withColumn("features", array_to_vector(F.col("sv")))
+        model = KMeans(
+            k=PQ_K, seed=42 + m, featuresCol="features", predictionCol="code"
+        ).fit(sub)
+        centers = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "code int, center array<double>",
+        )
+        coded = model.transform(sub).select(
+            "vec_id", "sv", vector_to_array(F.col("features")).alias("fv"), "code"
+        )
+        d2 = V.dot(
+            F.zip_with("sv", "center", lambda a, b: a - b),
+            F.zip_with("sv", "center", lambda a, b: a - b),
+        )
+        mean_vec = sub.select(
+            F.array(
+                *[F.avg(F.col("sv")[i]) for i in range(PQ_SUBDIM)]
+            ).alias("mu")
+        )
+        var_term = V.dot(
+            F.zip_with("sv", "mu", lambda a, b: a - b),
+            F.zip_with("sv", "mu", lambda a, b: a - b),
+        )
+        stats = (
+            coded.join(F.broadcast(centers), "code")
+            .crossJoin(F.broadcast(mean_vec))
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.avg(d2).alias("mse"),
+                F.avg(var_term).alias("variance"),
+                F.sum(
+                    F.when(
+                        (F.col("code") >= 0) & (F.col("code") < PQ_K), 0
+                    ).otherwise(1)
+                ).alias("bad_codes"),
+            )
+            .select(
+                F.lit(m).alias("subspace"),
+                F.lit(PQ_SUBDIM).alias("dims_per_subspace"),
+                F.lit(PQ_K).alias("codebook_size"),
+                F.col("n_vectors").cast("long").alias("n_vectors"),
+                (F.col("bad_codes") == 0).cast("int").alias("codes_in_range"),
+                (F.col("mse") <= F.col("variance") * 1.0000001)
+                .cast("int")
+                .alias("mse_leq_variance"),
+                (F.col("mse") >= 0).cast("int").alias("mse_nonneg"),
+            )
+        )
+        outs.append(stats)
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("subspace")
