@@ -1191,3 +1191,58 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .drop("event_type")
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a monthly revenue
+    rollup is maintained from a BASE partial aggregate (orders before
+    1997) merged with a DELTA batch's partial aggregate (1997 onward) by
+    algebraic re-aggregation — sum of sums, sum of counts — and the
+    oracle is the full single-pass rebuild, so the hash check IS the
+    proof that incremental == full. This is how a nightly pipeline
+    avoids reprocessing years of history: distributive/algebraic
+    measures (count, sum; avg as sum+count) merge exactly per partition,
+    so each refresh touches only the delta's partitions.
+
+    Scale shape: both branches carry their date filter into the scan
+    (PushedFilters; with a date-partitioned layout this is partition
+    pruning — the delta branch reads only new partitions), each branch
+    pre-aggregates map-side before its shuffle, and the merge is a
+    re-agg on the tiny (year, month) key space. Money stays in exact
+    integer cents end to end."""
+    o = load(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("yr", "mon")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("yr", "mon")
+    )
