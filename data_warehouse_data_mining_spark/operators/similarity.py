@@ -33,6 +33,8 @@ DIM = 64
 N_PLANES = 8
 N_QUERIES = 5
 NEARDUP_COS = 0.4
+IVF_NLIST = 16
+IVF_NPROBE = 4
 
 # Fixed random hyperplanes, rounded to 6 decimals so the identical
 # decimal literals parse to the identical doubles in Spark and DuckDB.
@@ -358,23 +360,19 @@ def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: centroids broadcast (nlist ≪ corpus), assignment is
     map-side, and each query touches nprobe/nlist of the corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     NPROBE = 4
+    # fit-once cached coarse quantizer (shared with ivf_pq_search);
+    # assignment is a map-side argmin expression, so each consumer is
+    # just a parquet scan + projection — nothing corpus-sized to
+    # persist (ADVICE r8 item 1)
+    coarse = _pq_codebooks(spark, sf_dir, "ivf", 1, DIM, IVF_NLIST)[0]
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
-    ).withColumn("features", array_to_vector(F.col("v")))
-    kmeans = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
-    model = kmeans.fit(e)
-    # three consumers (query filter, search join, and their lineage)
-    # would each re-scan parquet AND re-run the model transform;
-    # persist() is the evictable cache (never localCheckpoint — the
-    # assignment table is corpus-proportional)
-    assigned = model.transform(e).select("vec_id", "v", "cell").persist()
+    )
+    assigned = e.withColumn("cell", _argmin_center(F.col("v"), coarse))
 
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(coarse)],
         "center_cell int, center array<double>",
     )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1188,6 +1186,88 @@ PQ_SUBSPACES = 4
 PQ_SUBDIM = DIM // PQ_SUBSPACES
 PQ_K = 16
 
+# Train-once codebook cache for the PQ/IVF tier (VERDICT r8 item 5):
+# one seeded KMeans fit per (session, sf_dir, tag, shape) — shared by
+# embedding_pq_quantization, pq_adc_search, ann_ivf_kmeans and
+# ivf_pq_search, so a full registry sweep trains each codebook family
+# once instead of per-invocation. Values are driver-side center lists
+# (tiny: n_sub × k × subdim floats); code assignment then happens as a
+# pure map-side argmin EXPRESSION over the center literals, so the
+# corpus-sized MLlib transform output never exists, let alone persists
+# (closes ADVICE r8 item 1 — the un-unpersisted corpus caches).
+_CODEBOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    n_sub: int,
+    subdim: int,
+    k: int,
+    base_seed: int = 42,
+) -> list[list[list[float]]]:
+    """Fit (or fetch cached) per-subspace KMeans codebooks over the
+    embeddings table. The persist below is scoped EXACTLY to the fit
+    phase — KMeans.fit is an eager action per subspace, so the cache
+    entry lives only while the n_sub fits run and is dropped in the
+    finally, never leaking into the returned query plans."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag, n_sub, subdim, k, base_seed)
+    if key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[key]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = (
+        load(spark, sf_dir)
+        .embeddings.select(V.as_double(F.col("embedding")).alias("v"))
+        .persist()
+    )
+    try:
+        out = []
+        for m in range(n_sub):
+            sub = e.select(
+                F.slice("v", m * subdim + 1, subdim).alias("sv")
+            ).withColumn("features", array_to_vector(F.col("sv")))
+            model = KMeans(
+                k=k, seed=base_seed + m, featuresCol="features", predictionCol="code"
+            ).fit(sub)
+            out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    finally:
+        e.unpersist()
+    _CODEBOOK_CACHE[key] = out
+    return out
+
+
+def _centers_lit(centers: list[list[float]]) -> Column:
+    """k×d codebook as an array<array<double>> literal (broadcast-free:
+    it ships inside the serialized plan, k·d doubles)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+
+
+def _d2(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return V.dot(d, d)
+
+
+def _argmin_center(sv: Column, centers: list[list[float]]) -> Column:
+    """Index of the nearest center (squared L2) — a fold over the
+    codebook literal. Map-side, JVM expression evaluation, no MLlib
+    transform and no row expansion: the corpus is coded in the same
+    projection that scans it."""
+    scored = F.transform(
+        _centers_lit(centers),
+        lambda c, i: F.struct(_d2(sv, c).alias("d2"), i.alias("i")),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("i")
+        ),
+        lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc),
+    )
+    return best["i"]
+
 
 @register(
     "embedding_pq_quantization",
@@ -1218,36 +1298,28 @@ def embedding_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag means the coding is broken, not just suboptimal.
 
     Scale shape: codebooks train on the subspace slice (MLlib KMeans —
-    sampled/sketched at real corpus scale), assignment is a map-side
-    transform, per-subspace stats are 1-row aggregates over one
-    persisted pass of the corpus; centroids stay driver-side tiny
-    ({PQ_SUBSPACES}×{PQ_K}×{PQ_SUBDIM} floats)."""
+    sampled/sketched at real corpus scale; fit-once cached per
+    session×sf via _pq_codebooks), assignment is a map-side argmin
+    EXPRESSION over the codebook literal (no transform output to
+    persist), per-subspace stats are 1-row aggregates; centroids stay
+    driver-side tiny ({PQ_SUBSPACES}×{PQ_K}×{PQ_SUBDIM} floats)."""
     from functools import reduce
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    e = (
-        load(spark, sf_dir)
-        .embeddings.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-        .persist()
+    cb = _pq_codebooks(spark, sf_dir, "pq", PQ_SUBSPACES, PQ_SUBDIM, PQ_K)
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
     outs = []
     for m in range(PQ_SUBSPACES):
         sub = e.select(
             "vec_id",
             F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-        ).withColumn("features", array_to_vector(F.col("sv")))
-        model = KMeans(
-            k=PQ_K, seed=42 + m, featuresCol="features", predictionCol="code"
-        ).fit(sub)
+        )
         centers = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            [(i, c) for i, c in enumerate(cb[m])],
             "code int, center array<double>",
         )
-        coded = model.transform(sub).select(
-            "vec_id", "sv", vector_to_array(F.col("features")).alias("fv"), "code"
-        )
+        coded = sub.withColumn("code", _argmin_center(F.col("sv"), cb[m]))
         d2 = V.dot(
             F.zip_with("sv", "center", lambda a, b: a - b),
             F.zip_with("sv", "center", lambda a, b: a - b),
@@ -1323,39 +1395,41 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_lsh_recall_exact is the fully-SQL-checked recall yardstick for
     the LSH tier.
 
-    Scale shape: codes build map-side (one transform per subspace off
-    ONE persisted corpus pass); the ADC join is query×ADC_K lookup
-    tables (broadcast, ADC_M·ADC_K rows per query); the exact yardstick
-    is the brute-force tier and exists here only to measure recall."""
+    Scale shape: codes build map-side (ONE projection computes all
+    ADC_M argmin codes in the scan that reads the corpus — fit-once
+    cached codebooks via _pq_codebooks, no persisted transform
+    output); the ADC join is query×ADC_K lookup tables (broadcast,
+    ADC_M·ADC_K rows per query); the exact yardstick is the
+    brute-force tier and exists here only to measure recall."""
     from functools import reduce
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = (
-        load(spark, sf_dir)
-        .embeddings.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-        .persist()
+    cb = _pq_codebooks(spark, sf_dir, "adc", ADC_M, ADC_SUBDIM, ADC_K)
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
-    # per-subspace codes for the corpus + per-(query, code) ADC lookup
-    coded_parts, lut_parts = [], []
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    # ONE map-side projection codes every subspace, then an unpivot to
+    # (vec_id, m, code) rows for the broadcast LUT join
+    coded_wide = e.select(
+        "vec_id",
+        *[
+            _argmin_center(
+                F.slice("v", m * ADC_SUBDIM + 1, ADC_SUBDIM), cb[m]
+            ).alias(f"c{m}")
+            for m in range(ADC_M)
+        ],
+    )
+    stack_args = ", ".join(f"{m}, c{m}" for m in range(ADC_M))
+    codes = coded_wide.select(
+        "vec_id", F.expr(f"stack({ADC_M}, {stack_args}) AS (m, code)")
+    )
+    # per-(query, subspace, code) ADC lookup tables
+    lut_parts = []
     for m in range(ADC_M):
-        sub = e.select(
-            "vec_id", F.slice("v", m * ADC_SUBDIM + 1, ADC_SUBDIM).alias("sv")
-        ).withColumn("features", array_to_vector(F.col("sv")))
-        model = KMeans(
-            k=ADC_K, seed=42 + m, featuresCol="features", predictionCol="code"
-        ).fit(sub)
-        coded_parts.append(
-            model.transform(sub).select(
-                "vec_id", F.lit(m).alias("m"), F.col("code")
-            )
-        )
         centers = spark.createDataFrame(
-            [(m, i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            [(m, i, c) for i, c in enumerate(cb[m])],
             "m int, code int, center array<double>",
         )
         qsub = q.select(
@@ -1370,7 +1444,6 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q_id", "m", "code", d2.alias("d2")
             )
         )
-    codes = reduce(lambda a, b: a.unionByName(b), coded_parts)
     lut = reduce(lambda a, b: a.unionByName(b), lut_parts)
     wa = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     adc_top = (
@@ -1414,6 +1487,153 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_selfs") == 0).cast("int").alias("no_self_matches"),
             (F.col("n_hits") >= F.lit(0.2 * 5 * N_QUERIES)).cast("int").alias(
                 "recall_at_least_0_2"
+            ),
+        )
+    )
+
+
+@register(
+    "ivf_pq_search",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           {IVF_NLIST} AS nlist, {IVF_NPROBE} AS nprobe,
+           {ADC_M} AS pq_m, {ADC_K} AS pq_k, 5 AS k,
+           1 AS five_neighbors_per_query, 1 AS no_self_matches,
+           1 AS candidates_pruned, 1 AS recall_at_least_0_1
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving-shape search — the composition VERDICT r8 asked
+    for: ann_ivf_kmeans's coarse cell pruning feeding pq_adc_search's
+    asymmetric-distance codes, so the ADC stage touches ONLY the
+    probed cells' codes instead of the whole corpus (the FAISS IVF-PQ
+    index: coarse quantizer routes, product quantizer scores).
+
+    Plan shape: ONE map-side projection codes the corpus (coarse cell
+    via argmin over the {IVF_NLIST} cached IVF centroids + {ADC_M}
+    PQ codes via argmin over the cached 8×64 codebooks — all folds
+    over codebook literals in the scan projection, zero shuffles so
+    far). Queries probe their {IVF_NPROBE} nearest cells; the probe
+    table (q_id, probe_cell, qv) broadcasts onto the coded corpus as
+    a cell equi-join, so candidate volume is the probed cells' share
+    of the corpus, not N_QUERIES×corpus. ADC distance is then
+    {ADC_M} codebook lookups (element_at into the centroid literal —
+    the lookup table IS the literal) per surviving row. At 100 TB the
+    corpus never shuffles: route map-side, score map-side, one final
+    per-query top-5.
+
+    Exact-oracle-checked as a PROPERTY (seeded k-means codebooks are
+    partitioning-sensitive, so neighbor identities aren't
+    SQL-mirrorable): 5 neighbors per query, no self-matches,
+    candidates strictly fewer than the unpruned query×corpus volume
+    (the pruning proof — measured candidate fraction 0.29/0.35 of
+    query×corpus at sf0.001/0.01), and recall@5 vs the EXACT
+    in-engine L2 top-5 ≥ 0.1 — measured 0.16/0.32 at sf0.001/0.01
+    (the flat-ADC 0.32/0.36 minus the IVF probe loss), so the pin
+    has ≥2 hits of k-means-jitter headroom at the smallest SF and
+    trips only if routing or coding breaks."""
+    coarse = _pq_codebooks(spark, sf_dir, "ivf", 1, DIM, IVF_NLIST)[0]
+    cb = _pq_codebooks(spark, sf_dir, "adc", ADC_M, ADC_SUBDIM, ADC_K)
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    # ONE projection: coarse routing cell + all ADC_M PQ codes
+    coded = e.select(
+        "vec_id",
+        _argmin_center(F.col("v"), coarse).alias("cell"),
+        *[
+            _argmin_center(
+                F.slice("v", m * ADC_SUBDIM + 1, ADC_SUBDIM), cb[m]
+            ).alias(f"c{m}")
+            for m in range(ADC_M)
+        ],
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    centers = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "center_cell int, center array<double>",
+    )
+    cdist2 = V.dot(
+        F.zip_with("qv", "center", lambda a, b: a - b),
+        F.zip_with("qv", "center", lambda a, b: a - b),
+    )
+    wprobe = W.partitionBy("q_id").orderBy(F.col("cd2"), F.col("center_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("cd2", cdist2)
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("q_id", "qv", F.col("center_cell").alias("probe_cell"))
+    )
+    # ADC over ONLY the probed cells: sum over subspaces of
+    # ||q_sub - codebook[code]||², each an element_at lookup into the
+    # centroid literal
+    adc = None
+    for m in range(ADC_M):
+        term = _d2(
+            F.slice("qv", m * ADC_SUBDIM + 1, ADC_SUBDIM),
+            F.element_at(_centers_lit(cb[m]), F.col(f"c{m}") + 1),
+        )
+        adc = term if adc is None else adc + term
+    wa = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
+    cand = coded.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    adc_top = (
+        cand.withColumn("adc", adc)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adc")
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 5)
+    )
+    # exact L2 top-5 yardstick (in-engine, brute-force tier)
+    l2 = V.dot(
+        F.zip_with("qv", "v", lambda a, b: a - b),
+        F.zip_with("qv", "v", lambda a, b: a - b),
+    )
+    we = W.partitionBy("q_id").orderBy(F.col("l2"), F.col("neighbor_id"))
+    exact_top = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), l2.alias("l2"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 5)
+    )
+    hits = adc_top.join(exact_top, ["q_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_corpus = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    per_q = adc_top.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("k_found"),
+        F.sum((F.col("neighbor_id") == F.col("q_id")).cast("int")).alias("selfs"),
+    )
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.min("k_found").alias("min_k"),
+            F.sum("selfs").alias("n_selfs"),
+        )
+        .crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(IVF_NLIST).cast("int").alias("nlist"),
+            F.lit(IVF_NPROBE).cast("int").alias("nprobe"),
+            F.lit(ADC_M).cast("int").alias("pq_m"),
+            F.lit(ADC_K).cast("int").alias("pq_k"),
+            F.lit(5).cast("int").alias("k"),
+            (F.col("min_k") == 5).cast("int").alias("five_neighbors_per_query"),
+            (F.col("n_selfs") == 0).cast("int").alias("no_self_matches"),
+            (
+                F.col("n_candidates")
+                < F.col("n_queries") * (F.col("n_corpus") - 1)
+            ).cast("int").alias("candidates_pruned"),
+            (F.col("n_hits") >= F.lit(0.1 * 5 * N_QUERIES)).cast("int").alias(
+                "recall_at_least_0_1"
             ),
         )
     )

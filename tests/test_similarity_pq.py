@@ -1,0 +1,88 @@
+"""PQ/IVF ANN tier: expression-based code assignment, the fit-once
+codebook cache, and the IVF-PQ serving composition (VERDICT r8 item 1
+/ ADVICE r8 item 1 — no corpus-sized persists left behind)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.operators import similarity as S
+
+from .conftest import SF_SMALL
+
+
+def test_argmin_center_matches_numpy(spark):
+    """The map-side argmin fold must assign every vector to its true
+    nearest center (squared L2), matching a numpy reference."""
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 8)).round(6)
+    centers = rng.standard_normal((5, 8)).round(6).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id int, v array<double>",
+    )
+    got = {
+        r["id"]: r["code"]
+        for r in df.select(
+            "id", S._argmin_center(F.col("v"), centers).alias("code")
+        ).collect()
+    }
+    c = np.array(centers)
+    for i, v in enumerate(vecs):
+        want = int(np.argmin(((v[None, :] - c) ** 2).sum(axis=1)))
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_codebook_cache_fits_once_per_session(spark):
+    """Two calls with the same (sf, tag, shape) must return the same
+    cached object — the second call performs zero KMeans fits, which
+    is what keeps full registry sweeps cheap as PQ queries multiply."""
+    a = S._pq_codebooks(spark, SF_SMALL, "ivf", 1, S.DIM, S.IVF_NLIST)
+    b = S._pq_codebooks(spark, SF_SMALL, "ivf", 1, S.DIM, S.IVF_NLIST)
+    assert a is b
+    assert len(a) == 1 and len(a[0]) == S.IVF_NLIST and len(a[0][0]) == S.DIM
+
+
+def test_codebook_fit_leaves_no_persisted_rdds(spark):
+    """The fit-phase persist must be scoped to the fits (ADVICE r8:
+    the PQ queries previously leaked corpus-sized cached RDDs across a
+    330-query sweep). After building codebooks + binding the three PQ/
+    IVF query plans, the storage cache must hold nothing new."""
+    before = {
+        rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    S._pq_codebooks(spark, SF_SMALL, "adc", S.ADC_M, S.ADC_SUBDIM, S.ADC_K)
+    S.embedding_pq_quantization(spark, SF_SMALL).schema
+    S.pq_adc_search(spark, SF_SMALL).schema
+    S.ivf_pq_search(spark, SF_SMALL).schema
+    after = {
+        rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    assert after - before == set(), "PQ tier left persisted RDDs behind"
+
+
+def test_ivf_pq_plan_broadcasts_probes_never_shuffles_corpus_on_cell(spark):
+    """The serving shape: routing is a BROADCAST of the tiny probe
+    table onto the coded corpus — the corpus must never hash-exchange
+    on the cell key (that would shuffle 100 TB to route 5 queries)."""
+    plan = (
+        S.ivf_pq_search(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(cell" not in plan
+
+
+def test_ivf_pq_search_pins_green(spark):
+    """All property pins (5 neighbors/query, no self matches, pruning
+    strictly below query×corpus, recall@5 ≥ 0.1) hold at sf0.001 —
+    measured recall there is 0.16, so the pin has jitter headroom."""
+    row = S.ivf_pq_search(spark, SF_SMALL).collect()[0].asDict()
+    assert row["five_neighbors_per_query"] == 1
+    assert row["no_self_matches"] == 1
+    assert row["candidates_pruned"] == 1
+    assert row["recall_at_least_0_1"] == 1
+    assert row["nlist"] == S.IVF_NLIST and row["nprobe"] == S.IVF_NPROBE
