@@ -274,7 +274,13 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
         per_bucket.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
-            F.floor(lr * 1_000_000).cast("bigint").alias("ratio_micro"),
+            # +1e-9 half-ulp guard (mirrored in the oracle SQL): the
+            # four ln() terms come from different libm implementations
+            # (JVM java.lang.Math.log vs DuckDB libm); a last-ulp
+            # divergence could flip the floor when lr*1e6 lands within
+            # ~1e-8 of an integer, so both engines nudge identically
+            # before flooring (ADVICE r8)
+            F.floor(lr * 1_000_000 + 1e-9).cast("bigint").alias("ratio_micro"),
         )
     )
 
@@ -300,7 +306,8 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
     ratios AS (
       SELECT bucket,
              CAST(floor((ln(2*ct + 1) - ln(2*nt + {DSIR_BUCKETS})
-                   - ln(2*cr + 1) + ln(2*nr + {DSIR_BUCKETS})) * 1000000)
+                   - ln(2*cr + 1) + ln(2*nr + {DSIR_BUCKETS})) * 1000000
+                   + 1e-9)
                   AS BIGINT) AS ratio_micro
       FROM per_bucket CROSS JOIN tots
     ),
@@ -331,7 +338,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-portable by construction: the 64 bucket log-ratios are each
     ONE ln() of exact integer counts (no accumulation), floored to
-    1e-6 fixed point; per-doc scores are then integer dot products
+    1e-6 fixed point with a +1e-9 pre-floor nudge mirrored on both
+    engines (JVM Math.log and libm ln can differ in the last ulp;
+    without the guard a ratio landing within ~1e-8 of an integer
+    could floor differently per engine); per-doc scores are then
+    integer dot products
     cnt x ratio_micro, summed exactly. 100 TB shape: two token passes
     total — the ratio pass shuffles only DSIR_BUCKETS keys (map-side
     combined) into a pinned 64-row table, the scoring pass shuffles

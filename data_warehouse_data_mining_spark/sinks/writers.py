@@ -80,6 +80,7 @@ def write_with_bloom_filters(
     bloom_cols: Sequence[str],
     expected_ndv: int = 100_000,
     mode: str = "overwrite",
+    options: dict[str, str] | None = None,
 ) -> None:
     """Write parquet with per-column BLOOM FILTERS for point-lookup
     skipping on high-cardinality columns that the sort order can't
@@ -97,6 +98,8 @@ def write_with_bloom_filters(
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
             f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
         )
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     w.parquet(path)
 
 

@@ -46,8 +46,9 @@ def test_gopher_rule_flags_bits(spark):
 def test_gopher_expr_twin_equals_exploded_form(spark):
     """The registered census runs on the shuffle-free expression twin;
     this pins it bit-equal to the exploded/codegen yardstick on the
-    real fixture corpus (and the census plan must carry exactly ONE
-    exchange — the source agg)."""
+    real fixture corpus (and the census plan must carry exactly TWO
+    exchanges — the source-key agg plus the ordered-output range
+    partition; both move only |sources| rows, never tokens)."""
     d = curation.load(spark, SF_SMALL).documents
     a = curation.gopher_rule_flags(d, "doc_id", "text", ["source"])
     b = curation.gopher_rule_flags_expr(d, "doc_id", "text", ["source"]).drop(
@@ -65,7 +66,12 @@ def test_gopher_expr_twin_equals_exploded_form(spark):
         .toString()
     )
     n_exchanges = len(re.findall(r"\bExchange\b", plan))
-    assert n_exchanges <= 2, plan  # census agg (+ optional output sort)
+    # exactly: hashpartitioning(source) for the agg + rangepartitioning
+    # for the ordered output — a third would mean map-side combine or
+    # the expression-twin shape regressed (ADVICE r8: the old <= 2
+    # bound couldn't catch a regression that ADDED a shuffle)
+    assert n_exchanges == 2, plan
+    assert "Exchange hashpartitioning(source" in plan, plan
     assert "Generate" not in plan  # no token explode anywhere
 
 

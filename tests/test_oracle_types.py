@@ -87,7 +87,23 @@ def test_canon_distinguishes_decimal_from_double():
     assert canon(Decimal("3.471")) == canon(3.471)
 
 
-def test_no_decimal_typed_columns_in_any_spark_query(spark):
+@pytest.fixture(scope="module")
+def spark_query_schemas(spark):
+    """ONE binding pass over every registered builder, shared by the
+    decimal and container lints below (ADVICE r8: each lint used to
+    re-invoke all 33x builders — including the eagerly-training PQ/
+    IVF ones — just to re-read .schema). Values are either a bound
+    StructType or an error string."""
+    out = {}
+    for name, q in registry.all_queries().items():
+        try:
+            out[name] = q.builder(spark, SF_SMALL).schema
+        except Exception as exc:  # builder itself must bind
+            out[name] = f"builder failed to bind: {exc!r}"
+    return out
+
+
+def test_no_decimal_typed_columns_in_any_spark_query(spark_query_schemas):
     """Spark-side twin of the DuckDB DESCRIBE lint: bind every
     registered query's builder at sf0.001 and assert no DecimalType
     output column (the r4 rfm_segmentation class — a bare SQL literal
@@ -96,11 +112,9 @@ def test_no_decimal_typed_columns_in_any_spark_query(spark):
     from pyspark.sql.types import DecimalType
 
     bad = {}
-    for name, q in registry.all_queries().items():
-        try:
-            schema = q.builder(spark, SF_SMALL).schema
-        except Exception as exc:  # builder itself must bind
-            bad[name] = f"builder failed to bind: {exc!r}"
+    for name, schema in spark_query_schemas.items():
+        if isinstance(schema, str):
+            bad[name] = schema
             continue
         hits = [
             (f.name, f.dataType.simpleString())
@@ -116,7 +130,7 @@ def test_no_decimal_typed_columns_in_any_spark_query(spark):
     )
 
 
-def test_no_container_typed_columns_in_any_spark_query(spark):
+def test_no_container_typed_columns_in_any_spark_query(spark_query_schemas):
     """r7's only red row: `inverted_index_postings` emitted a raw
     ARRAY<BIGINT> column. The external driver canonicalizes via pandas
     sort_values, which raises `unhashable type: 'list'` on container
@@ -135,11 +149,9 @@ def test_no_container_typed_columns_in_any_spark_query(spark):
     spec.loader.exec_module(sweep)
 
     bad = {}
-    for name, q in registry.all_queries().items():
-        try:
-            schema = q.builder(spark, SF_SMALL).schema
-        except Exception as exc:
-            bad[name] = f"builder failed to bind: {exc!r}"
+    for name, schema in spark_query_schemas.items():
+        if isinstance(schema, str):
+            bad[name] = schema
             continue
         hits = sweep.nonscalar_columns(schema)
         if hits:

@@ -239,3 +239,62 @@ def test_bloom_filter_write_adds_bloom_and_preserves_reads(spark, tmp_path):
     )
     want = c.filter(F.col("c_custkey") == key).collect()
     assert got == want
+
+
+def _leaf_scan_output_rows(df) -> int:
+    """numOutputRows of the parquet scan leaf after executing `df` —
+    for the vectorized reader (record-level filtering off, Spark's
+    default) this counts every row DECODED from row groups that
+    survived footer-level pruning, so it is a direct row-group-skip
+    meter. The plan is shuffle-free (filter + collect), so no AQE
+    wrapper sits between us and the leaf."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    assert leaves.size() == 1
+    metrics = leaves.apply(0).metrics()
+    return metrics.apply("numOutputRows").value()
+
+
+def test_bloom_point_lookup_skips_row_groups(spark, tmp_path):
+    """VERDICT r8 stretch: the READ-SIDE proof that blooms skip row
+    groups. Layout chosen so nothing else can serve the lookup: keys
+    are EVEN and hash-scrambled (every row group spans ~the full key
+    range, so row-group/page min-max stats cannot prune an in-range
+    probe) and dictionary encoding is disabled (so parquet-mr's
+    dictionary-page filter cannot answer absence either). Probing an
+    ODD in-range key then decodes EVERY row without blooms, and ZERO
+    rows with blooms — the parquet reader consults the per-row-group
+    bloom transparently and skips all of them."""
+    from data_warehouse_data_mining_spark.sinks import write_with_bloom_filters
+
+    n = 300_000
+    base = (
+        spark.range(n)
+        .select((F.col("id") * 2).alias("k"), F.col("id").alias("payload"))
+        .orderBy(F.hash("k"))  # scramble: defeat min/max + column-index
+        .coalesce(1)
+    )
+    common = {
+        "parquet.block.size": str(512 * 1024),  # many row groups per file
+        "parquet.enable.dictionary": "false",
+        "parquet.page.write-checksum.enabled": "false",
+    }
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    w = base.write.mode("overwrite")
+    for key, val in common.items():
+        w = w.option(key, val)
+    w.parquet(plain)
+    write_with_bloom_filters(
+        base, bloomed, ["k"], expected_ndv=n, options=common
+    )
+
+    probe = 150_001  # odd -> absent, but inside [0, 2n-2] everywhere
+    lookup = lambda p: spark.read.parquet(p).filter(F.col("k") == probe)  # noqa: E731
+    assert lookup(plain).collect() == [] and lookup(bloomed).collect() == []
+
+    rows_plain = _leaf_scan_output_rows(lookup(plain))
+    rows_bloom = _leaf_scan_output_rows(lookup(bloomed))
+    # without blooms every row group is decoded; with blooms none are
+    assert rows_plain == n, rows_plain
+    assert rows_bloom == 0, rows_bloom
