@@ -1334,3 +1334,136 @@ def retention_ttl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+ZORDER_BITS = 8          # per-dimension resolution (256 buckets)
+ZORDER_FILES = 64        # simulated file count for the layout audit
+
+
+def _zorder_interleave_sql(xcol: str, ycol: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave expression (x in odd positions, y in even) —
+    IDENTICAL text for Spark SQL and DuckDB: both support >> << & and
+    the terms occupy disjoint bits, so the sum is the OR."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
+             min(o_orderkey) AS mny, max(o_orderkey) AS mxy
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CAST(floor((o_custkey - mnx) * {1 << ZORDER_BITS}.0
+                        / (mxx - mnx + 1)) AS BIGINT) AS axb,
+             CAST(floor((o_orderkey - mny) * {1 << ZORDER_BITS}.0
+                        / (mxy - mny + 1)) AS BIGINT) AS ayb
+      FROM orders CROSS JOIN s
+    ),
+    z AS (
+      SELECT o_orderkey, axb, ayb,
+             {_zorder_interleave_sql('axb', 'ayb')} AS zval
+      FROM b
+    ),
+    f AS (
+      SELECT 'zorder' AS layout,
+             ntile({ZORDER_FILES}) OVER (ORDER BY zval, o_orderkey) AS file_id,
+             axb, ayb
+      FROM z
+      UNION ALL
+      SELECT 'xsort' AS layout,
+             ntile({ZORDER_FILES}) OVER (ORDER BY axb, o_orderkey) AS file_id,
+             axb, ayb
+      FROM z
+    ),
+    pf AS (
+      SELECT layout, file_id,
+             (max(axb) - min(axb) + 1) / {1 << ZORDER_BITS}.0 AS sx,
+             (max(ayb) - min(ayb) + 1) / {1 << ZORDER_BITS}.0 AS sy
+      FROM f GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           round(avg(sx), 6) AS avg_span_frac_custkey,
+           round(avg(sy), 6) AS avg_span_frac_orderkey
+    FROM pf GROUP BY layout ORDER BY layout
+    """,
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit: does interleaving the bits
+    of two filter columns give BALANCED file-level data skipping on
+    both, where a single-key sort prunes one column perfectly and the
+    other not at all? Buckets o_custkey and o_orderkey to {ZORDER_BITS}
+    bits, interleaves them into a z-value, splits each candidate layout
+    into {ZORDER_FILES} equal "files" (ntile over the layout's sort
+    key), and reports the average fraction of each column's domain a
+    file spans — exactly the min/max zone-map width a reader would
+    consult (zone_map_manifest is the manifest this audit sizes;
+    write_sorted_for_skipping is the writer that realizes a layout).
+
+    Exact-oracle-checked with measured VALUES, not property pins: the
+    bucket math is one float multiply/divide + floor (IEEE-identical
+    per engine), the interleave is integer bit ops from the SAME
+    generated expression text, ntile orders by (sort key, o_orderkey)
+    — a total order — and every span fraction is a dyadic rational
+    (multiples of 2^-{ZORDER_BITS}), so the {ZORDER_FILES}-term
+    average is EXACT in both engines regardless of accumulation order.
+
+    Scale shape: the audit is decision support — run it on a sample or
+    one partition of the 100 TB table (the span statistics converge
+    fast); the global ntile window here is the yardstick's
+    deterministic stand-in for "equal-sized files". The production
+    write path is repartitionByRange(zval) + sortWithinPartitions,
+    which is one range shuffle, identical to any sorted write."""
+    o = load(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    stats = o.agg(
+        F.min("o_custkey").alias("mnx"),
+        F.max("o_custkey").alias("mxx"),
+        F.min("o_orderkey").alias("mny"),
+        F.max("o_orderkey").alias("mxy"),
+    )
+    scale = float(1 << ZORDER_BITS)
+    b = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.floor(
+            (F.col("o_custkey") - F.col("mnx")) * scale
+            / (F.col("mxx") - F.col("mnx") + 1)
+        ).alias("axb"),
+        F.floor(
+            (F.col("o_orderkey") - F.col("mny")) * scale
+            / (F.col("mxy") - F.col("mny") + 1)
+        ).alias("ayb"),
+    )
+    z = b.withColumn("zval", F.expr(_zorder_interleave_sql("axb", "ayb")))
+    layouts = []
+    for name, key in (("zorder", "zval"), ("xsort", "axb")):
+        w = W.orderBy(F.col(key), F.col("o_orderkey"))
+        layouts.append(
+            z.select(
+                F.lit(name).alias("layout"),
+                F.ntile(ZORDER_FILES).over(w).alias("file_id"),
+                "axb",
+                "ayb",
+            )
+        )
+    f = layouts[0].unionByName(layouts[1])
+    pf = f.groupBy("layout", "file_id").agg(
+        ((F.max("axb") - F.min("axb") + 1) / scale).alias("sx"),
+        ((F.max("ayb") - F.min("ayb") + 1) / scale).alias("sy"),
+    )
+    return (
+        pf.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.round(F.avg("sx"), 6).alias("avg_span_frac_custkey"),
+            F.round(F.avg("sy"), 6).alias("avg_span_frac_orderkey"),
+        )
+        .orderBy("layout")
+    )

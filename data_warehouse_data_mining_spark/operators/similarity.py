@@ -352,7 +352,9 @@ def ann_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_neighbors(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF-style ANN: seeded KMeans partitions the corpus into nlist
     coarse cells; each query probes its nprobe=4 nearest cells — the
     inverted-file index shape (train once, assign map-side, search =
@@ -360,7 +362,6 @@ def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: centroids broadcast (nlist ≪ corpus), assignment is
     map-side, and each query touches nprobe/nlist of the corpus."""
-    NPROBE = 4
     # fit-once cached coarse quantizer (shared with ivf_pq_search);
     # assignment is a map-side argmin expression, so each consumer is
     # just a parquet scan + projection — nothing corpus-sized to
@@ -387,7 +388,7 @@ def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(centers))
         .withColumn("d2", dist2)
         .withColumn("pr", F.row_number().over(wprobe))
-        .filter(F.col("pr") <= NPROBE)
+        .filter(F.col("pr") <= nprobe)
         .select("q_id", "qv", F.col("center_cell").alias("probe_cell"))
     )
     cos = V.dot(F.col("qv"), F.col("v")) / (V.norm(F.col("qv")) * V.norm(F.col("v")))
@@ -1636,4 +1637,95 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_least_0_1"
             ),
         )
+    )
+
+
+IVF_CURVE_PROBES = (1, 2, 4, 8, 16)
+
+
+@register(
+    "ivf_nprobe_recall_curve",
+    oracle=f"""
+    SELECT p.nprobe, {IVF_NLIST} AS nlist, 5 AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id < {N_QUERIES}) AS n_queries,
+           1 AS recall_ge_prev, 1 AS recall_ge_floor
+    FROM (SELECT unnest([{", ".join(str(p) for p in IVF_CURVE_PROBES)}])
+          AS nprobe) p
+    ORDER BY p.nprobe
+    """,
+)
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@5 vs exact brute force as nprobe
+    sweeps 1→nlist — the accuracy/cost dial every IVF deployment sets
+    (probing p of {IVF_NLIST} cells scans ~p/{IVF_NLIST} of the
+    corpus). The LSH tier's twin is lsh_banding_recall_curve.
+
+    Exact-oracle-checked as PROPERTIES with two provable pins per row
+    (recall itself is k-means-model-dependent, so its value isn't
+    SQL-mirrorable):
+
+    * ``recall_ge_prev`` — monotone non-decreasing in nprobe. Provable:
+      probe lists for smaller nprobe are prefixes of larger ones (same
+      distance ordering, same tie-break), so candidate sets are NESTED,
+      and any exact-top-5 member inside a candidate set always enters
+      the IVF top-5 (it outranks every other candidate by cosine) —
+      recall = |exact∩candidates|/5 can only grow.
+    * ``recall_ge_floor`` — 0.3 at nprobe={IVF_NPROBE} (the
+      ann_ivf_kmeans pin) and EXACTLY 1.0 at nprobe=nlist: probing
+      every cell makes the candidate set the whole corpus, so IVF
+      degenerates to exact search by construction. A failed floor at
+      nprobe=16 is a routing bug, full stop.
+
+    Scale shape: the 5 sweeps share the cached coarse centroids and
+    the same map-side assignment expression; each sweep is the
+    ann_ivf_kmeans plan at a different probe count, and the exact
+    yardstick is computed once and joined to all five."""
+    from functools import reduce
+
+    exact = (
+        knn_brute_force(spark, sf_dir)
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "neighbor_id")
+    )
+    n_exact_total = 5 * N_QUERIES
+    floors = {1: 0.0, 2: 0.0, 4: 0.3, 8: 0.3, IVF_NLIST: 1.0}
+    rows = []
+    for p in IVF_CURVE_PROBES:
+        ivf = _ivf_neighbors(spark, sf_dir, nprobe=p).select(
+            "q_id", "neighbor_id"
+        )
+        hits = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        rows.append(
+            hits.select(
+                F.lit(p).cast("int").alias("nprobe"),
+                (F.col("n_hits") / F.lit(n_exact_total)).alias("recall"),
+            )
+        )
+    curve = reduce(lambda a, b: a.unionByName(b), rows)
+    wprev = W.orderBy("nprobe")
+    nq = load(spark, sf_dir).embeddings.filter(
+        F.col("vec_id") < N_QUERIES
+    ).agg(F.count(F.lit(1)).alias("n_queries"))
+    floor_col = F.create_map(
+        *[F.lit(x) for kv in floors.items() for x in kv]
+    )[F.col("nprobe")]
+    return (
+        curve.withColumn(
+            "prev_recall", F.lag("recall", 1, 0.0).over(wprev)
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            F.lit(IVF_NLIST).cast("int").alias("nlist"),
+            F.lit(5).cast("int").alias("k"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            (F.col("recall") >= F.col("prev_recall")).cast("int").alias(
+                "recall_ge_prev"
+            ),
+            (F.col("recall") >= floor_col).cast("int").alias("recall_ge_floor"),
+        )
+        .orderBy("nprobe")
     )
