@@ -1207,23 +1207,32 @@ def _pq_codebooks(
     subdim: int,
     k: int,
     base_seed: int = 42,
+    residual_centers: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Fit (or fetch cached) per-subspace KMeans codebooks over the
-    embeddings table. The persist below is scoped EXACTLY to the fit
-    phase — KMeans.fit is an eager action per subspace, so the cache
-    entry lives only while the n_sub fits run and is dropped in the
-    finally, never leaking into the returned query plans."""
+    embeddings table — or, when ``residual_centers`` is given, over the
+    RESIDUALS x − C[argmin_cell(x)] against that coarse codebook (the
+    FAISS IVF-PQ encoding: the quantizer codes what the cell centroid
+    missed, which carries far less variance than the raw vector). The
+    persist below is scoped EXACTLY to the fit phase — KMeans.fit is an
+    eager action per subspace, so the cache entry lives only while the
+    n_sub fits run and is dropped in the finally, never leaking into
+    the returned query plans."""
     key = (spark.sparkContext.applicationId, sf_dir, tag, n_sub, subdim, k, base_seed)
     if key in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[key]
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = (
-        load(spark, sf_dir)
-        .embeddings.select(V.as_double(F.col("embedding")).alias("v"))
-        .persist()
-    )
+    v = V.as_double(F.col("embedding"))
+    if residual_centers is not None:
+        cell = _argmin_center(v, residual_centers)
+        v = F.zip_with(
+            v,
+            F.element_at(_centers_lit(residual_centers), cell + 1),
+            lambda a, b: a - b,
+        )
+    e = load(spark, sf_dir).embeddings.select(v.alias("v")).persist()
     try:
         out = []
         for m in range(n_sub):
@@ -1506,23 +1515,28 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving-shape search — the composition VERDICT r8 asked
-    for: ann_ivf_kmeans's coarse cell pruning feeding pq_adc_search's
-    asymmetric-distance codes, so the ADC stage touches ONLY the
-    probed cells' codes instead of the whole corpus (the FAISS IVF-PQ
-    index: coarse quantizer routes, product quantizer scores).
+    for: ann_ivf_kmeans's coarse cell pruning feeding asymmetric-
+    distance PQ codes, so the ADC stage touches ONLY the probed cells'
+    codes instead of the whole corpus. The PQ codes the RESIDUAL
+    x − C[cell(x)] against the coarse centroid (the actual FAISS
+    IVF-PQ encoding): the residual carries far less variance than the
+    raw vector, which lifts measured recall@5 from 0.16/0.32
+    (flat-vector coding) to 0.24/0.36 at sf0.001/0.01.
 
     Plan shape: ONE map-side projection codes the corpus (coarse cell
-    via argmin over the {IVF_NLIST} cached IVF centroids + {ADC_M}
-    PQ codes via argmin over the cached 8×64 codebooks — all folds
-    over codebook literals in the scan projection, zero shuffles so
-    far). Queries probe their {IVF_NPROBE} nearest cells; the probe
-    table (q_id, probe_cell, qv) broadcasts onto the coded corpus as
-    a cell equi-join, so candidate volume is the probed cells' share
-    of the corpus, not N_QUERIES×corpus. ADC distance is then
-    {ADC_M} codebook lookups (element_at into the centroid literal —
-    the lookup table IS the literal) per surviving row. At 100 TB the
-    corpus never shuffles: route map-side, score map-side, one final
-    per-query top-5.
+    via argmin over the {IVF_NLIST} cached IVF centroids, residual by
+    subtracting that centroid, then {ADC_M} PQ codes via argmin over
+    the cached residual codebooks — all folds over codebook literals
+    in the scan projection, zero shuffles so far). Queries probe
+    their {IVF_NPROBE} nearest cells; the probe table
+    (q_id, probe_cell, query-residual-vs-that-cell) broadcasts onto
+    the coded corpus as a cell equi-join, so candidate volume is the
+    probed cells' share of the corpus, not N_QUERIES×corpus. ADC
+    distance is then {ADC_M} codebook lookups (element_at into the
+    centroid literal — the lookup table IS the literal) per surviving
+    row, between the query's PER-CELL residual and the code's
+    centroid. At 100 TB the corpus never shuffles: route map-side,
+    score map-side, one final per-query top-5.
 
     Exact-oracle-checked as a PROPERTY (seeded k-means codebooks are
     partitioning-sensitive, so neighbor identities aren't
@@ -1530,25 +1544,37 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates strictly fewer than the unpruned query×corpus volume
     (the pruning proof — measured candidate fraction 0.29/0.35 of
     query×corpus at sf0.001/0.01), and recall@5 vs the EXACT
-    in-engine L2 top-5 ≥ 0.1 — measured 0.16/0.32 at sf0.001/0.01
-    (the flat-ADC 0.32/0.36 minus the IVF probe loss), so the pin
-    has ≥2 hits of k-means-jitter headroom at the smallest SF and
-    trips only if routing or coding breaks."""
+    in-engine L2 top-5 ≥ 0.1; the pin needs 3 of 25 hits — three
+    below the sf0.001 measurement, six below sf0.01's — so it trips
+    only if routing or coding breaks."""
     coarse = _pq_codebooks(spark, sf_dir, "ivf", 1, DIM, IVF_NLIST)[0]
-    cb = _pq_codebooks(spark, sf_dir, "adc", ADC_M, ADC_SUBDIM, ADC_K)
+    cb = _pq_codebooks(
+        spark, sf_dir, "adcres", ADC_M, ADC_SUBDIM, ADC_K,
+        residual_centers=coarse,
+    )
+    clit = _centers_lit(coarse)
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
-    # ONE projection: coarse routing cell + all ADC_M PQ codes
-    coded = e.select(
-        "vec_id",
-        _argmin_center(F.col("v"), coarse).alias("cell"),
-        *[
-            _argmin_center(
-                F.slice("v", m * ADC_SUBDIM + 1, ADC_SUBDIM), cb[m]
-            ).alias(f"c{m}")
-            for m in range(ADC_M)
-        ],
+    # ONE projection: coarse routing cell, residual, all ADC_M PQ codes
+    coded = (
+        e.withColumn("cell", _argmin_center(F.col("v"), coarse))
+        .withColumn(
+            "r",
+            F.zip_with(
+                "v", F.element_at(clit, F.col("cell") + 1), lambda a, b: a - b
+            ),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            *[
+                _argmin_center(
+                    F.slice("r", m * ADC_SUBDIM + 1, ADC_SUBDIM), cb[m]
+                ).alias(f"c{m}")
+                for m in range(ADC_M)
+            ],
+        )
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -1567,15 +1593,22 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cd2", cdist2)
         .withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= IVF_NPROBE)
-        .select("q_id", "qv", F.col("center_cell").alias("probe_cell"))
+        .select(
+            "q_id",
+            "qv",
+            F.col("center_cell").alias("probe_cell"),
+            # the query's residual AGAINST THE PROBED CELL — ADC then
+            # compares residual to residual-codebook centroid
+            F.zip_with("qv", "center", lambda a, b: a - b).alias("qr"),
+        )
     )
     # ADC over ONLY the probed cells: sum over subspaces of
-    # ||q_sub - codebook[code]||², each an element_at lookup into the
-    # centroid literal
+    # ||q_residual_sub - residual_codebook[code]||², each an element_at
+    # lookup into the centroid literal
     adc = None
     for m in range(ADC_M):
         term = _d2(
-            F.slice("qv", m * ADC_SUBDIM + 1, ADC_SUBDIM),
+            F.slice("qr", m * ADC_SUBDIM + 1, ADC_SUBDIM),
             F.element_at(_centers_lit(cb[m]), F.col(f"c{m}") + 1),
         )
         adc = term if adc is None else adc + term

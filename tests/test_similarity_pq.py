@@ -79,7 +79,8 @@ def test_ivf_pq_plan_broadcasts_probes_never_shuffles_corpus_on_cell(spark):
 def test_ivf_pq_search_pins_green(spark):
     """All property pins (5 neighbors/query, no self matches, pruning
     strictly below query×corpus, recall@5 ≥ 0.1) hold at sf0.001 —
-    measured recall there is 0.16, so the pin has jitter headroom."""
+    measured recall there is 0.24 with residual encoding, so the pin
+    has three hits of jitter headroom."""
     row = S.ivf_pq_search(spark, SF_SMALL).collect()[0].asDict()
     assert row["five_neighbors_per_query"] == 1
     assert row["no_self_matches"] == 1
