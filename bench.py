@@ -38,11 +38,25 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+# Floors deliberately given up for correctness: best-prior mins below
+# these values predate the cited change and are structurally
+# unreachable, so the regression gate clamps to the reset instead of
+# flagging the same accepted delta every round.
+ACCEPTED_FLOOR_RESETS: dict[str, tuple[float, str]] = {
+    # r7 d059f86: total_value routes through an exact DECIMAL(28,6)
+    # sum before the 2-place round (round-tie canon hole); costs ~45ms
+    # at sf0.1. Old floor 0.243 + 0.045; quiet-window 12-sample hunts
+    # in r9 reproduced 0.281/0.287 against this reset.
+    "tumbling_window_counts": (0.28, "r7 DECIMAL tie-safe sum (d059f86)"),
+}
+
+
 def _prior_mins(sf_label: str) -> dict[str, float]:
     """Best-ever per-query min across prior rounds' BENCH_r*.json at
-    the same sf. The min-of-N is the interference-resistant statistic
-    on this co-tenant host, so regressions are judged min-vs-best-min,
-    never mean-vs-mean."""
+    the same sf, clamped up to any ACCEPTED_FLOOR_RESETS entry. The
+    min-of-N is the interference-resistant statistic on this co-tenant
+    host, so regressions are judged min-vs-best-min, never
+    mean-vs-mean."""
     import glob
 
     best: dict[str, float] = {}
@@ -65,6 +79,11 @@ def _prior_mins(sf_label: str) -> dict[str, float]:
                 name not in best or v < best[name]
             ):
                 best[name] = float(v)
+    # sf-label guard: resets are calibrated at the default sf0.1
+    if sf_label == "0.1":
+        for name, (floor, _why) in ACCEPTED_FLOOR_RESETS.items():
+            if name in best and best[name] < floor:
+                best[name] = floor
     return best
 
 
