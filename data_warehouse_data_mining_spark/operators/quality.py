@@ -1406,7 +1406,8 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), and reports the average fraction of each column's domain a
     file spans — exactly the min/max zone-map width a reader would
     consult (zone_map_manifest is the manifest this audit sizes;
-    write_sorted_for_skipping is the writer that realizes a layout).
+    sinks.write_zordered realizes the z-order layout and
+    write_sorted_for_skipping the single-key one).
 
     Exact-oracle-checked with measured VALUES, not property pins: the
     bucket math is one float multiply/divide + floor (IEEE-identical

@@ -1217,7 +1217,11 @@ def _pq_codebooks(
     persist below is scoped EXACTLY to the fit phase — KMeans.fit is an
     eager action per subspace, so the cache entry lives only while the
     n_sub fits run and is dropped in the finally, never leaking into
-    the returned query plans."""
+    the returned query plans.
+
+    The cache key is (app, sf, tag, shape, seed) — ``tag`` MUST encode
+    the input variant (raw "adc" vs residual "adcres"), because
+    ``residual_centers`` itself is not part of the key."""
     key = (spark.sparkContext.applicationId, sf_dir, tag, n_sub, subdim, k, base_seed)
     if key in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[key]
