@@ -1402,8 +1402,11 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, where a single-key sort prunes one column perfectly and the
     other not at all? Buckets o_custkey and o_orderkey to {ZORDER_BITS}
     bits, interleaves them into a z-value, splits each candidate layout
-    into {ZORDER_FILES} equal "files" (ntile over the layout's sort
-    key), and reports the average fraction of each column's domain a
+    into {ZORDER_FILES} equal "files" (SQL-ntile semantics over the
+    layout's sort key, computed DISTRIBUTED via the two-phase bucketed
+    prefix sum + exact ntile reconstruction in operators/ranking.py —
+    no single-partition window), and reports the average fraction of
+    each column's domain a
     file spans — exactly the min/max zone-map width a reader would
     consult (zone_map_manifest is the manifest this audit sizes;
     sinks.write_zordered realizes the z-order layout and
@@ -1419,10 +1422,12 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the audit is decision support — run it on a sample or
     one partition of the 100 TB table (the span statistics converge
-    fast); the global ntile window here is the yardstick's
-    deterministic stand-in for "equal-sized files". The production
-    write path is repartitionByRange(zval) + sortWithinPartitions,
-    which is one range shuffle, identical to any sorted write."""
+    fast) — but nothing in it is single-task even at full size: the
+    ntile ranks come from partition-parallel bucket windows, the span
+    aggregate is map-side-combinable, and the final table is
+    2×{ZORDER_FILES} rows. The production write path is
+    repartitionByRange(zval) + sortWithinPartitions
+    (sinks.write_zordered), one range shuffle like any sorted write."""
     o = load(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
     stats = o.agg(
         F.min("o_custkey").alias("mnx"),
@@ -1443,13 +1448,38 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ayb"),
     )
     z = b.withColumn("zval", F.expr(_zorder_interleave_sql("axb", "ayb")))
+    # distributed ntile: two-phase bucketed prefix sum + the exact
+    # SQL-ntile reconstruction (operators/ranking.py) — the oracle runs
+    # REAL ntile, so the hash match proves the distributed form equal.
+    # Equal-width buckets over the (uniform-ish) key domains keep
+    # phase-1 windows balanced where the default log2 would put half
+    # the rows in one bucket.
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+        ntile_from_rank,
+    )
+
+    n = z.agg(F.count(F.lit(1)).alias("n_pop"))
     layouts = []
-    for name, key in (("zorder", "zval"), ("xsort", "axb")):
-        w = W.orderBy(F.col(key), F.col("o_orderkey"))
+    for name, key, domain in (
+        ("zorder", "zval", 1 << (2 * ZORDER_BITS)),
+        ("xsort", "axb", 1 << ZORDER_BITS),
+    ):
+        ranked = global_order_stats(
+            z,
+            key,
+            "o_orderkey",
+            ascending=True,
+            bucket_expr=F.floor(
+                F.col(key).cast("double") * ZORDER_FILES / float(domain)
+            ),
+        )
         layouts.append(
-            z.select(
+            ranked.crossJoin(F.broadcast(n)).select(
                 F.lit(name).alias("layout"),
-                F.ntile(ZORDER_FILES).over(w).alias("file_id"),
+                ntile_from_rank(
+                    F.col("global_rank"), F.col("n_pop"), ZORDER_FILES
+                ).alias("file_id"),
                 "axb",
                 "ayb",
             )
