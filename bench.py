@@ -135,6 +135,14 @@ def main() -> None:
         # with extra samples); the driver's per-round record always
         # runs the full set
         keep = {n.strip() for n in only.split(",")}
+        unknown = keep - set(qs)
+        if unknown:
+            print(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the headline set: "
+                f"{sorted(unknown)}; available: {sorted(qs)}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         qs = {n: q for n, q in qs.items() if n in keep}
     first = sorted(qs)[0]
     _force(qs[first].builder(spark, SF_DIR))

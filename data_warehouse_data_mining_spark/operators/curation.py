@@ -274,13 +274,16 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
         per_bucket.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
-            # +1e-9 half-ulp guard (mirrored in the oracle SQL): the
+            # +1e-3 pre-floor nudge (mirrored in the oracle SQL): the
             # four ln() terms come from different libm implementations
             # (JVM java.lang.Math.log vs DuckDB libm); a last-ulp
-            # divergence could flip the floor when lr*1e6 lands within
-            # ~1e-8 of an integer, so both engines nudge identically
-            # before flooring (ADVICE r8)
-            F.floor(lr * 1_000_000 + 1e-9).cast("bigint").alias("ratio_micro"),
+            # divergence per term puts the engines up to ~1e-8 apart in
+            # micro units, so the nudge must EXCEED that bound (1e-3 is
+            # 10^5 x the divergence yet 10^-3 of the 1-unit quantum —
+            # a 1e-9 log-ratio bias, far below any consumer's
+            # resolution) for both engines to floor identically
+            # (ADVICE r8; magnitude fixed in r9 review)
+            F.floor(lr * 1_000_000 + 1e-3).cast("bigint").alias("ratio_micro"),
         )
     )
 
@@ -307,7 +310,7 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
       SELECT bucket,
              CAST(floor((ln(2*ct + 1) - ln(2*nt + {DSIR_BUCKETS})
                    - ln(2*cr + 1) + ln(2*nr + {DSIR_BUCKETS})) * 1000000
-                   + 1e-9)
+                   + 1e-3)
                   AS BIGINT) AS ratio_micro
       FROM per_bucket CROSS JOIN tots
     ),
@@ -338,10 +341,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-portable by construction: the 64 bucket log-ratios are each
     ONE ln() of exact integer counts (no accumulation), floored to
-    1e-6 fixed point with a +1e-9 pre-floor nudge mirrored on both
-    engines (JVM Math.log and libm ln can differ in the last ulp;
-    without the guard a ratio landing within ~1e-8 of an integer
-    could floor differently per engine); per-doc scores are then
+    1e-6 fixed point with a +1e-3 pre-floor nudge mirrored on both
+    engines (JVM Math.log and libm ln can differ in the last ulp,
+    which is ~1e-8 in micro units across the four terms; the nudge is
+    10^5 x that divergence but only 10^-3 of the quantum, so both
+    engines floor identically at a negligible 1e-9 log-ratio bias); per-doc scores are then
     integer dot products
     cnt x ratio_micro, summed exactly. 100 TB shape: two token passes
     total — the ratio pass shuffles only DSIR_BUCKETS keys (map-side

@@ -1280,7 +1280,15 @@ def _argmin_center(sv: Column, centers: list[list[float]]) -> Column:
         ),
         lambda acc, s: F.when(s["d2"] < acc["d2"], s).otherwise(acc),
     )
-    return best["i"]
+    # NaN in any component makes every d2 NaN (NaN sorts above inf, so
+    # the fold would return the initial i=-1 and a downstream
+    # element_at(codebook, 0) would raise the opaque
+    # INVALID_INDEX_OF_ZERO) — fail fast with a diagnosable message at
+    # the first corrupt vector instead
+    valid = F.assert_true(
+        best["i"] >= 0, F.lit("_argmin_center: all distances NaN (corrupt vector?)")
+    )
+    return F.when(valid.isNull(), best["i"])
 
 
 @register(
@@ -1468,7 +1476,8 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") <= 5)
     )
-    # exact L2 top-5 yardstick on the same persisted corpus
+    # exact L2 top-5 yardstick (recomputed from the scan — nothing
+    # is persisted in this query anymore; ADVICE r8)
     l2 = V.dot(
         F.zip_with("qv", "v", lambda a, b: a - b),
         F.zip_with("qv", "v", lambda a, b: a - b),
@@ -1544,7 +1553,9 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-oracle-checked as a PROPERTY (seeded k-means codebooks are
     partitioning-sensitive, so neighbor identities aren't
-    SQL-mirrorable): 5 neighbors per query, no self-matches,
+    SQL-mirrorable): 5 neighbors per query, no self-matches (held by
+    construction — the candidate join excludes vec_id == q_id — so
+    the flag pins the output contract, not an independent check),
     candidates strictly fewer than the unpruned query×corpus volume
     (the pruning proof — measured candidate fraction 0.29/0.35 of
     query×corpus at sf0.001/0.01), and recall@5 vs the EXACT
@@ -1717,13 +1728,18 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 5 sweeps share the cached coarse centroids and
     the same map-side assignment expression; each sweep is the
     ann_ivf_kmeans plan at a different probe count, and the exact
-    yardstick is computed once and joined to all five."""
+    yardstick is computed once (localCheckpoint-pinned — it is
+    5·N_QUERIES rows, a bounded pin) and joined to all five."""
     from functools import reduce
 
+    # the exact yardstick is 5*N_QUERIES rows — localCheckpoint pins it
+    # (bounded, never corpus-sized) so the brute-force join/window runs
+    # ONCE instead of being replanned into all five sweep branches
     exact = (
         knn_brute_force(spark, sf_dir)
         .filter(F.col("rn") <= 5)
         .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     n_exact_total = 5 * N_QUERIES
     floors = {1: 0.0, 2: 0.0, 4: 0.3, 8: 0.3, IVF_NLIST: 1.0}
