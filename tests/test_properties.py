@@ -253,3 +253,39 @@ def test_session_walk_cross_batch_disorder_merges_like_session_window():
     # a late event inside the open interval only bumps the count
     closed, open_s = session_walk([600 * m], gap, open_s)
     assert closed == [] and open_s == (590 * m, 625 * m, 4)
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """dp_noisy_group_counts: the release must actually perturb (no
+    group's released_count equals its true count — Laplace noise is
+    continuous, a zero draw means the mechanism silently vanished),
+    the noise must respect the seeded-uniform's worst-case bound
+    b·ln(2^32/0.5) (u is quantized to (k+0.5)/2^32, so |noise| is
+    capped by the tail at the smallest representable offset), and the
+    micro/double columns must agree."""
+    import math
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.privacy import (
+        DP_SCALE,
+        dp_noisy_group_counts,
+    )
+    from .conftest import SF_SMALL
+
+    rows = dp_noisy_group_counts(spark, SF_SMALL).collect()
+    true = {
+        r["o_orderpriority"]: r["n"]
+        for r in load(spark, SF_SMALL)
+        .orders.groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert len(rows) == len(true)
+    bound = DP_SCALE * math.log(2**32 / 0.5) + 1e-6
+    for r in rows:
+        noise = r["released_count_micro"] / 1e6 - true[r["o_orderpriority"]]
+        assert noise != 0.0, r
+        assert abs(noise) <= bound, (r, noise)
+        assert abs(r["released_count"] - r["released_count_micro"] / 1e6) < 1e-9
+        assert r["epsilon"] == 0.5 and r["sensitivity"] == 1

@@ -873,3 +873,44 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_gopher_filter_stateless(spark, tmp_path_factory):
+    """curation.gopher_rule_flags_expr documents itself as usable as a
+    STATELESS Structured Streaming filter (map-only: no token explode,
+    no groupBy, so no watermark or state store needed). Prove the
+    claim: run it as an append-mode streaming query over the documents
+    parquet and pin (a) stream output == batch output exactly and
+    (b) zero stateful operators in the executed streaming plan."""
+    import os as _os
+
+    from data_warehouse_data_mining_spark.operators import curation
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    _os.symlink(f"{SF_SMALL}/documents.parquet", d / "documents.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    flags = curation.gopher_rule_flags_expr(stream, "doc_id", "text", ["source"])
+    q = (
+        flags.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_gopher")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    assert progress is not None and progress["stateOperators"] == []
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM stream_gopher").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in curation.gopher_rule_flags_expr(
+            load(spark, SF_SMALL).documents, "doc_id", "text", ["source"]
+        ).collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
