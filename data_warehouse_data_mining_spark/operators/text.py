@@ -1893,3 +1893,88 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "n_bigrams", "avg_neg_logprob")
         .orderBy("doc_id")
     )
+
+
+BPE_TOP_MERGES = 10
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, count(*) AS cnt FROM tok WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+             substr(w, CAST(i AS INT) + 1, 1) AS right_sym,
+             cnt
+      FROM wc, unnest(range(1, length(w))) AS t(i)
+    ),
+    agg AS (
+      SELECT left_sym, right_sym,
+             CAST(sum(cnt) AS BIGINT) AS pair_freq
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT left_sym, right_sym, pair_freq,
+           CAST(row_number() OVER (ORDER BY pair_freq DESC, left_sym,
+                                   right_sym) AS BIGINT) AS merge_rank
+    FROM agg
+    ORDER BY merge_rank
+    LIMIT {BPE_TOP_MERGES}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step: the corpus-weighted frequency
+    of every ADJACENT symbol pair, ranked — the top row is the merge a
+    BPE trainer would perform next (Sennrich et al. 2016). Symbols
+    here are the initial character alphabet; pairs never cross word
+    boundaries (standard word pre-tokenization).
+
+    The scale trick IS the classic one: pair counting runs over the
+    word-FREQUENCY table, not the corpus — one corpus-sized token
+    aggregate collapses 100 TB of text into a vocabulary-sized
+    (word, count) table, and the pair explode + weighted sum happen on
+    that bounded table (each distinct word contributes its pairs once,
+    weighted by cnt). A naive per-document pair explode would be
+    corpus-sized; this is vocab-sized. Two shuffles total, both
+    map-side combinable: token→word counts, then pair→freq; the top-10
+    cut is a distributed TakeOrdered on the (alphabet²)-bounded pair
+    table, with merge_rank re-derived on the 10-row result.
+
+    Exact-oracle-checked end to end: counts are exact integers and the
+    (freq DESC, left, right) order is total."""
+    tok = load(spark, sf_dir).documents.select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = (
+        tok.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # len >= 2 guarantees sequence(1, len-1) is ascending (never the
+    # descending-sequence surprise of sequence(1, 0))
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.col("w").substr(i, F.lit(1)).alias("left_sym"),
+            F.col("w").substr(i + 1, F.lit(1)).alias("right_sym"),
+        ),
+    )
+    agg = (
+        wc.select(F.explode(pair_arr).alias("p"), "cnt")
+        .groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("cnt").cast("bigint").alias("pair_freq"))
+    )
+    order = [F.col("pair_freq").desc(), F.col("left_sym"), F.col("right_sym")]
+    top = agg.orderBy(*order).limit(BPE_TOP_MERGES)
+    wr = W.orderBy(*order)
+    return (
+        top.withColumn("merge_rank", F.row_number().over(wr).cast("bigint"))
+        .orderBy("merge_rank")
+    )
