@@ -435,3 +435,102 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+NOVELTY_SHINGLE_N = 3
+
+
+@register(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT source,
+             ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2] AS shingle
+      FROM (SELECT source, ws,
+                   unnest(range(1, len(ws) - {NOVELTY_SHINGLE_N - 2})) AS pos
+            FROM words WHERE len(ws) >= {NOVELTY_SHINGLE_N})
+    ),
+    per_shingle AS (
+      SELECT shingle, min(source) AS first_source FROM pairs GROUP BY shingle
+    ),
+    novel AS (
+      SELECT first_source AS source, CAST(count(*) AS BIGINT) AS novel_ngrams
+      FROM per_shingle GROUP BY first_source
+    ),
+    dist AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS distinct_ngrams
+      FROM pairs GROUP BY source
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM per_shingle)
+    SELECT d.source, d.distinct_ngrams,
+           CAST(coalesce(n.novel_ngrams, 0) AS BIGINT) AS novel_ngrams,
+           CAST(sum(coalesce(n.novel_ngrams, 0))
+                OVER (ORDER BY d.source) AS BIGINT) AS cum_novel,
+           round(sum(coalesce(n.novel_ngrams, 0)) OVER (ORDER BY d.source)
+                 * 100.0 / t.total, 6) AS cum_coverage_pct
+    FROM dist d LEFT JOIN novel n ON n.source = d.source
+    CROSS JOIN tot t
+    ORDER BY d.source
+    """,
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diminishing-returns curve for corpus growth: process sources in
+    a deterministic order (lexicographic) and attribute each distinct
+    word-3-gram to the FIRST source containing it; per source report
+    its distinct-shingle count, its novel-shingle contribution, and the
+    cumulative fraction of the corpus shingle vocabulary covered — the
+    standard diagnostic for "does adding this source buy new content
+    or re-buy what we have" when composing a training mixture.
+
+    Scale shape: one shingle explode (map-side array_distinct per doc
+    first), one (source, shingle) dedup shuffle, then a shingle-keyed
+    min-agg — the same inverted-index shuffles as dedup's n-gram
+    Jaccard, nothing all-pairs; the per-source rollup and the
+    cumulative window run on a #sources-sized table (bounded, here
+    20). First-occurrence attribution via min(source) is exact and
+    engine-portable (plain string order, no floats anywhere except
+    the final rounded percentage)."""
+    d = load(spark, sf_dir).documents
+    from data_warehouse_data_mining_spark.functions import texthash as th
+
+    ws = th.words(F.col("text"))
+    pairs = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(th.word_shingles(ws, NOVELTY_SHINGLE_N))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    per_shingle = pairs.groupBy("shingle").agg(
+        F.min("source").alias("first_source")
+    )
+    novel = per_shingle.groupBy(F.col("first_source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("novel_ngrams")
+    )
+    dist = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams")
+    )
+    tot = per_shingle.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    from pyspark.sql import Window as W
+
+    wcum = W.orderBy("source").rowsBetween(W.unboundedPreceding, 0)
+    nn = F.coalesce(F.col("novel_ngrams"), F.lit(0))
+    return (
+        dist.join(novel, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "distinct_ngrams",
+            nn.cast("long").alias("novel_ngrams"),
+            F.sum(nn).over(wcum).cast("long").alias("cum_novel"),
+            F.round(
+                F.sum(nn).over(wcum) * 100.0 / F.col("total"), 6
+            ).alias("cum_coverage_pct"),
+        )
+        .orderBy("source")
+    )

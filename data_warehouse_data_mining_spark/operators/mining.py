@@ -3084,3 +3084,128 @@ def training_set_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "label_event_id")
     )
+
+
+@register(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN arm = 'A' THEN c * c ELSE 0 END) AS BIGINT) AS ssa,
+             CAST(sum(CASE WHEN arm = 'B' THEN c * c ELSE 0 END) AS BIGINT) AS ssb
+      FROM per_user
+    ),
+    x AS (
+      SELECT na, nb,
+             sa / (CAST(na AS DOUBLE) * 100) AS mean_a,
+             sb / (CAST(nb AS DOUBLE) * 100) AS mean_b,
+             (CAST(na AS DOUBLE) * ssa - CAST(sa AS DOUBLE) * sa)
+               / (CAST(na AS DOUBLE) * (na - 1)) / 10000.0 / na AS sq_a,
+             (CAST(nb AS DOUBLE) * ssb - CAST(sb AS DOUBLE) * sb)
+               / (CAST(nb AS DOUBLE) * (nb - 1)) / 10000.0 / nb AS sq_b
+      FROM m
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(CASE WHEN sq_a + sq_b = 0 THEN 0.0
+                      ELSE (mean_a - mean_b) / sqrt(sq_a + sq_b) END, 6)
+             AS t_stat,
+           round(CASE WHEN sq_a + sq_b = 0 THEN 0.0
+                      ELSE (sq_a + sq_b) * (sq_a + sq_b)
+                           / (sq_a * sq_a / (na - 1) + sq_b * sq_b / (nb - 1))
+                 END, 6) AS welch_df
+    FROM x
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the hash-split arms
+    (ab_test_conversion's assignment) on per-user total spend: the
+    t statistic and the Welch-Satterthwaite degrees of freedom — the
+    default two-sample test when arm variances differ (Welch 1947).
+
+    Same discipline as ab_cuped_adjustment: ONE per-user aggregation
+    pass (cents fixed-point), exact bigint moment sums (n, sum, sum of
+    squares per arm via conditional aggregation — no second shuffle),
+    then t and df as single identical double expressions on both
+    engines; the degenerate zero-variance pool guards to 0 with a CASE
+    on the double standard error (ANSI Spark raises on double/0).
+    p-values need the t CDF (not expressible identically in both
+    engines) — consumers threshold |t| against a fixed critical value,
+    which at these df is 1.96 for alpha=0.05."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    one_if = lambda a: F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+    c_if = lambda a: F.sum(F.when(F.col("arm") == a, F.col("c")).otherwise(0))
+    cc_if = lambda a: F.sum(
+        F.when(F.col("arm") == a, F.col("c") * F.col("c")).otherwise(0)
+    )
+    m = per_user.agg(
+        one_if("A").cast("long").alias("na"),
+        one_if("B").cast("long").alias("nb"),
+        c_if("A").cast("long").alias("sa"),
+        c_if("B").cast("long").alias("sb"),
+        cc_if("A").cast("long").alias("ssa"),
+        cc_if("B").cast("long").alias("ssb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    x = m.select(
+        "na",
+        "nb",
+        (F.col("sa") / (nad * 100)).alias("mean_a"),
+        (F.col("sb") / (nbd * 100)).alias("mean_b"),
+        (
+            (nad * F.col("ssa") - sad * F.col("sa"))
+            / (nad * (F.col("na") - 1))
+            / 10000.0
+            / F.col("na")
+        ).alias("sq_a"),
+        (
+            (nbd * F.col("ssb") - sbd * F.col("sb"))
+            / (nbd * (F.col("nb") - 1))
+            / 10000.0
+            / F.col("nb")
+        ).alias("sq_b"),
+    )
+    se2 = F.col("sq_a") + F.col("sq_b")
+    return x.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            F.when(se2 == 0, 0.0).otherwise(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+            ),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.when(se2 == 0, 0.0).otherwise(
+                se2
+                * se2
+                / (
+                    F.col("sq_a") * F.col("sq_a") / (F.col("na") - 1)
+                    + F.col("sq_b") * F.col("sq_b") / (F.col("nb") - 1)
+                )
+            ),
+            6,
+        ).alias("welch_df"),
+    )

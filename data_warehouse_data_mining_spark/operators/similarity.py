@@ -1782,3 +1782,100 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (truncated-prefix) retrieval audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = [8, 16, 32, DIM]
+MRL_K = 5
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    dims AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS d),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT dims.d, q.q_id, e.vec_id AS neighbor_id,
+             list_inner_product(q.qv[1:dims.d], e.v[1:dims.d]) /
+             (sqrt(list_inner_product(q.qv[1:dims.d], q.qv[1:dims.d])) *
+              sqrt(list_inner_product(e.v[1:dims.d], e.v[1:dims.d]))) AS cos
+      FROM q CROSS JOIN dims JOIN e ON e.vec_id <> q.q_id
+    ),
+    topk AS (
+      SELECT d, q_id, neighbor_id FROM (
+        SELECT d, q_id, neighbor_id,
+               row_number() OVER (PARTITION BY d, q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored) t
+      WHERE rn <= {MRL_K}
+    ),
+    exact AS (SELECT q_id, neighbor_id FROM topk WHERE d = {DIM})
+    SELECT t.d AS trunc_dim, t.q_id,
+           CAST(count(x.neighbor_id) AS BIGINT) AS hits,
+           round(count(x.neighbor_id) / {MRL_K}.0, 6) AS recall
+    FROM topk t LEFT JOIN exact x
+      ON x.q_id = t.q_id AND x.neighbor_id = t.neighbor_id
+    GROUP BY t.d, t.q_id
+    ORDER BY trunc_dim, t.q_id
+    """,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval audit: recall@5 of top-5-by-PREFIX-cosine
+    (first d dims, d in 8/16/32/64) against the full-dim exact top-5,
+    per query — the measurement behind Matryoshka Representation
+    Learning serving (Kusupati et al. 2022): score with a cheap prefix
+    first, rerank the shortlist with full vectors only if the audited
+    recall supports it.
+
+    Scale shape: the (query x trunc_dim) side is tiny (N_QUERIES x 4
+    rows) and BROADCAST, so the corpus is scanned once, never shuffled,
+    and every prefix cosine is a map-side slice + double fold; the
+    top-5 window runs on q_id-partitioned slivers. At 100 TB this is
+    the same never-shuffle-the-corpus shape as knn_brute_force. The
+    d=64 partition IS the exact reference, so its recall is 1.0 by
+    construction (test-pinned); prefix dots fold left-to-right in
+    double to match DuckDB's list_inner_product over list slices.
+    """
+    e = _corpus(spark, sf_dir)
+    q = (
+        e.filter(F.col("id") < N_QUERIES)
+        .select(F.col("id").alias("q_id"), F.col("v").alias("qv"))
+        .withColumn("d", F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])))
+    )
+    qv_d = F.slice(F.col("qv"), F.lit(1), F.col("d"))
+    v_d = F.slice(F.col("v"), F.lit(1), F.col("d"))
+    cos = V.dot(qv_d, v_d) / (V.norm(qv_d) * V.norm(v_d))
+    w = W.partitionBy("d", "q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    topk = (
+        e.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+        .select(
+            "d",
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MRL_K)
+        .select("d", "q_id", "neighbor_id")
+        # 4 dims x N_QUERIES x 5 rows; read twice (exact branch + join)
+        .localCheckpoint(eager=True)
+    )
+    exact = topk.filter(F.col("d") == DIM).select(
+        F.col("q_id").alias("x_qid"), F.col("neighbor_id").alias("x_nid")
+    )
+    return (
+        topk.join(
+            F.broadcast(exact),
+            (F.col("q_id") == F.col("x_qid"))
+            & (F.col("neighbor_id") == F.col("x_nid")),
+            "left",
+        )
+        .groupBy(F.col("d").alias("trunc_dim"), "q_id")
+        .agg(F.count("x_nid").cast("long").alias("hits"))
+        .withColumn("recall", F.round(F.col("hits") / F.lit(float(MRL_K)), 6))
+        .orderBy("trunc_dim", "q_id")
+    )

@@ -284,3 +284,18 @@ def test_curation_matches_python_mirror(spark, tmp_path):
         .collect()
     }
     assert got_soft == exp_soft
+
+
+def test_ngram_novelty_invariants(spark):
+    """Novel counts partition the shingle vocabulary: sum(novel) ==
+    total distinct shingles, cumulative coverage ends at exactly 100%,
+    the lexicographically-first source's shingles are all novel, and
+    no source contributes more novel shingles than it contains."""
+    rows = curation.ngram_novelty_by_source(spark, SF_SMALL).collect()
+    assert rows == sorted(rows, key=lambda r: r["source"])
+    assert rows[0]["novel_ngrams"] == rows[0]["distinct_ngrams"]
+    total_novel = sum(r["novel_ngrams"] for r in rows)
+    assert rows[-1]["cum_novel"] == total_novel
+    assert rows[-1]["cum_coverage_pct"] == 100.0
+    for r in rows:
+        assert 0 <= r["novel_ngrams"] <= r["distinct_ngrams"]

@@ -289,3 +289,40 @@ def test_dp_noisy_counts_mechanism(spark):
         assert abs(noise) <= bound, (r, noise)
         assert abs(r["released_count"] - r["released_count_micro"] / 1e6) < 1e-9
         assert r["epsilon"] == 0.5 and r["sensitivity"] == 1
+
+
+def test_welch_ttest_matches_independent_computation(spark, duck):
+    """ab_welch_ttest's t and df recomputed independently in Python
+    from DuckDB's per-user exact cent sums (textbook Welch formulas,
+    no shared code path) must agree to 1e-9 — and df must sit in the
+    classical [min(n)-1, n_a+n_b-2] Welch-Satterthwaite envelope."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import ab_welch_ttest
+    from .conftest import SF_SMALL
+
+    row = ab_welch_ttest(spark, SF_SMALL).collect()[0]
+    per = duck.execute(
+        """
+        SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    a = [c for arm, c in per if arm == "A"]
+    b = [c for arm, c in per if arm == "B"]
+    na, nb = len(a), len(b)
+    mean = lambda xs: sum(xs) / len(xs) / 100.0
+    var = lambda xs: (
+        (len(xs) * sum(x * x for x in xs) - sum(xs) ** 2)
+        / (len(xs) * (len(xs) - 1))
+        / 10000.0
+    )
+    sq_a, sq_b = var(a) / na, var(b) / nb
+    t = (mean(a) - mean(b)) / math.sqrt(sq_a + sq_b)
+    df = (sq_a + sq_b) ** 2 / (sq_a**2 / (na - 1) + sq_b**2 / (nb - 1))
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["t_stat"] - t) < 1e-6
+    assert abs(row["welch_df"] - df) < 1e-4
+    assert min(na, nb) - 1 <= row["welch_df"] <= na + nb - 2

@@ -87,3 +87,25 @@ def test_ivf_pq_search_pins_green(spark):
     assert row["candidates_pruned"] == 1
     assert row["recall_at_least_0_1"] == 1
     assert row["nlist"] == S.IVF_NLIST and row["nprobe"] == S.IVF_NPROBE
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    """The d=64 partition of embedding_matryoshka_audit IS the exact
+    reference, so its recall must be exactly 1.0 for every query; all
+    truncated recalls live in [0, 1] with integer hit counts in 0..5."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        DIM,
+        MRL_K,
+        N_QUERIES,
+        _MRL_DIMS,
+        embedding_matryoshka_audit,
+    )
+    from .conftest import SF_SMALL
+
+    rows = embedding_matryoshka_audit(spark, SF_SMALL).collect()
+    assert len(rows) == len(_MRL_DIMS) * N_QUERIES
+    for r in rows:
+        assert 0 <= r["hits"] <= MRL_K
+        assert 0.0 <= r["recall"] <= 1.0
+        if r["trunc_dim"] == DIM:
+            assert r["hits"] == MRL_K and r["recall"] == 1.0
