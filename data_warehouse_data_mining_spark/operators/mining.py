@@ -3209,3 +3209,237 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+_QTE_PS = [0.25, 0.5, 0.75]
+
+
+@register(
+    "quantile_treatment_effects",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT arm,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY c) AS p25,
+             percentile_cont(0.50) WITHIN GROUP (ORDER BY c) AS p50,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY c) AS p75
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT CAST(p AS DOUBLE) AS p,
+             CASE p WHEN 0.25 THEN max(CASE WHEN arm = 'A' THEN p25 END)
+                    WHEN 0.50 THEN max(CASE WHEN arm = 'A' THEN p50 END)
+                    ELSE max(CASE WHEN arm = 'A' THEN p75 END) END AS qa,
+             CASE p WHEN 0.25 THEN max(CASE WHEN arm = 'B' THEN p25 END)
+                    WHEN 0.50 THEN max(CASE WHEN arm = 'B' THEN p50 END)
+                    ELSE max(CASE WHEN arm = 'B' THEN p75 END) END AS qb
+      FROM q CROSS JOIN (SELECT unnest([0.25, 0.50, 0.75]) AS p) ps
+      GROUP BY p
+    )
+    SELECT p, round(qa / 100.0, 6) AS q_a, round(qb / 100.0, 6) AS q_b,
+           round(qb / 100.0 - qa / 100.0, 6) AS qte
+    FROM wide ORDER BY p
+    """,
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the hash-split experiment: the
+    per-arm exact interpolated quartiles of per-user total spend and
+    their B-minus-A gaps — the distributional view a mean-only t-test
+    (ab_welch_ttest) misses when a treatment moves the tails, not the
+    center (Koenker-Bassett quantile-effect framing).
+
+    Exact quantiles come from exact_group_percentiles'
+    sketch-bracketed selection (the median_exact machinery — never a
+    per-group whole-column agg buffer, so per-arm order statistics
+    stay scale-safe); inputs are exact cent integers so the
+    percentile_cont interpolation is the same two-value double lerp on
+    both engines."""
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents).cast("long").alias("c"))
+        .select(
+            F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+            .otherwise("B")
+            .alias("arm"),
+            "c",
+        )
+    )
+    per_p = exact_group_percentiles(per_user, "arm", "c", _QTE_PS)
+    p_of = F.element_at(
+        F.array(*[F.lit(p) for p in _QTE_PS]), F.col("pid") + 1
+    )
+    return (
+        per_p.groupBy("pid")
+        .pivot("arm", ["A", "B"])
+        .agg(F.first("val"))
+        .select(
+            p_of.alias("p"),
+            F.round(F.col("A") / 100.0, 6).alias("q_a"),
+            F.round(F.col("B") / 100.0, 6).alias("q_b"),
+            F.round(F.col("B") / 100.0 - F.col("A") / 100.0, 6).alias("qte"),
+        )
+        .orderBy("p")
+    )
+
+
+# Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..8; computed
+# once in Python and embedded as IDENTICAL double literals in the Spark
+# plan and the oracle SQL, so the inverse-CDF step function is the same
+# on both engines. Replicate weights beyond 9 are astronomically rare
+# (P > 9 with lambda=1 is ~1e-7) and truncate to 9.
+import math as _math
+
+_POIS_CUM: list[float] = []
+_acc, _term = 0.0, _math.exp(-1.0)
+for _k in range(9):
+    _acc += _term
+    _POIS_CUM.append(_acc)
+    _term /= _k + 1
+
+BOOTSTRAP_B = 32
+
+_BOOT_HEXWORD_SQL = (
+    "list_reduce(list_transform(range(1, 9), "
+    "i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1)) - 1"
+    " AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT u.user_id, u.c, b.b,
+             md5('boot|' || CAST(u.user_id AS VARCHAR)
+                 || '|' || CAST(b.b AS VARCHAR)) AS m
+      FROM per_user u
+      CROSS JOIN (SELECT unnest(range(0, {BOOTSTRAP_B})) AS b) b
+    ),
+    wts AS (
+      SELECT b, c,
+             ({" + ".join(f"(CASE WHEN ({_BOOT_HEXWORD_SQL} + 0.5) / 4294967296.0 >= {t!r} THEN 1 ELSE 0 END)" for t in _POIS_CUM)})
+               AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b, CAST(sum(w * c) AS BIGINT) AS swc, CAST(sum(w) AS BIGINT) AS sw
+      FROM wts GROUP BY b
+    ),
+    ranked AS (
+      SELECT swc / (CAST(sw AS DOUBLE) * 100) AS mean_b,
+             row_number() OVER (ORDER BY swc / (CAST(sw AS DOUBLE) * 100)) AS rn
+      FROM means
+    ),
+    fs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             sum(c) / (CAST(count(*) AS DOUBLE) * 100) AS mean_spend
+      FROM per_user
+    )
+    SELECT f.n_users, {BOOTSTRAP_B} AS b_replicates,
+           round(f.mean_spend, 6) AS mean_spend,
+           round(max(CASE WHEN rn = 1 THEN mean_b END), 6) AS ci_lo,
+           round(max(CASE WHEN rn = {BOOTSTRAP_B - 1} THEN mean_b END), 6)
+             AS ci_hi
+    FROM ranked CROSS JOIN fs f
+    GROUP BY f.n_users, f.mean_spend
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for mean per-user
+    spend: every (user, replicate) pair draws an independent Poisson(1)
+    resample weight, so each of the B=32 replicate means is computable
+    in ONE streaming pass with no resampling shuffle — the
+    single-pass bootstrap that works when the data cannot be
+    materialized B times (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massive Data Streams"). The CI is the [2.5%, 97.5%]
+    order-statistic envelope of the replicate means (ranks 1 and B-1
+    of 32).
+
+    Determinism: weights come from the inverse Poisson CDF applied to
+    the md5-dyadic uniform (the dp_noisy_group_counts recipe — exactly
+    representable, never compared against a computed constant: the CDF
+    thresholds are baked as identical double literals in both plans);
+    replicate sums are exact integer (weight x cents) adds, so every
+    replicate mean is the same single double division on both engines.
+    Scale shape: explode B=32 on the per-user table (dimension-sized,
+    not event-sized), one (b)-keyed 32-group aggregate with full
+    map-side combine, then O(B) driver-free order statistics."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    reps = per_user.withColumn(
+        "b", F.explode(F.array(*[F.lit(b) for b in range(BOOTSTRAP_B)]))
+    )
+    m = F.md5(
+        F.concat(
+            F.lit("boot|"),
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    )
+    u = (F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").cast("double") + 0.5) / 4294967296.0
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POIS_CUM),
+        F.lit(0),
+    )
+    means = (
+        reps.select("b", "c", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("swc"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+    )
+    mean_b = F.col("swc") / (F.col("sw").cast("double") * 100)
+    ranked = means.select(mean_b.alias("mean_b")).withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_b"))
+    )
+    full = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("c") / (F.count(F.lit(1)).cast("double") * 100)).alias(
+            "mean_spend"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full))
+        .groupBy("n_users", "mean_spend")
+        .agg(
+            F.round(F.max(F.when(F.col("rn") == 1, F.col("mean_b"))), 6).alias(
+                "ci_lo"
+            ),
+            F.round(
+                F.max(
+                    F.when(F.col("rn") == BOOTSTRAP_B - 1, F.col("mean_b"))
+                ),
+                6,
+            ).alias("ci_hi"),
+        )
+        .select(
+            "n_users",
+            F.lit(BOOTSTRAP_B).alias("b_replicates"),
+            F.round("mean_spend", 6).alias("mean_spend"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -476,7 +476,7 @@ _DP_HEXWORD_SQL = (
       FROM v
     )
     SELECT o_orderpriority,
-           {DP_EPSILON} AS epsilon,
+           CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
            {DP_SENSITIVITY} AS sensitivity,
            CAST(n * 1000000 + noise_micro AS BIGINT) AS released_count_micro,
            round((n * 1000000 + noise_micro) / 1000000.0, 6) AS released_count

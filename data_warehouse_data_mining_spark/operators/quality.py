@@ -1498,3 +1498,128 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@register(
+    "mutual_information_lang_source",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      FROM documents GROUP BY 1, 2
+    ),
+    srcs AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s
+             FROM counts GROUP BY source),
+    langs AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l
+              FROM counts GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n FROM counts),
+    mi_terms AS (
+      SELECT CAST(floor(
+               (c.n_sl / CAST(t.n AS DOUBLE))
+               * ln((CAST(t.n AS DOUBLE) * c.n_sl)
+                    / (CAST(s.n_s AS DOUBLE) * l.n_l))
+               * 1000000 + 1e-3) AS BIGINT) AS term_micro
+      FROM counts c
+      JOIN srcs s ON s.source = c.source
+      JOIN langs l ON l.lang = c.lang
+      CROSS JOIN tot t
+    ),
+    hs AS (
+      SELECT CAST(sum(CAST(floor(
+               (n_s / CAST(t.n AS DOUBLE))
+               * ln(CAST(t.n AS DOUBLE) / n_s) * 1000000 + 1e-3)
+             AS BIGINT)) AS BIGINT) AS h_source_micro
+      FROM srcs CROSS JOIN tot t
+    ),
+    hl AS (
+      SELECT CAST(sum(CAST(floor(
+               (n_l / CAST(t.n AS DOUBLE))
+               * ln(CAST(t.n AS DOUBLE) / n_l) * 1000000 + 1e-3)
+             AS BIGINT)) AS BIGINT) AS h_lang_micro
+      FROM langs CROSS JOIN tot t
+    ),
+    mi AS (
+      SELECT CAST(sum(term_micro) AS BIGINT) AS mi_micro,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM mi_terms
+    )
+    SELECT t.n AS n_docs, mi.n_cells,
+           round(mi.mi_micro / 1000000.0, 6) AS mi_nats,
+           round(hl.h_lang_micro / 1000000.0, 6) AS h_lang_nats,
+           round(hs.h_source_micro / 1000000.0, 6) AS h_source_nats,
+           round(mi.mi_micro
+                 / CAST(least(hl.h_lang_micro, hs.h_source_micro) AS DOUBLE),
+                 6) AS normalized_mi
+    FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN tot t
+    """,
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the lang and source columns (plus
+    both marginal entropies and min-normalized MI) — the
+    dependence-strength companion to chi2_feature_association: how many
+    nats knowing the source tells you about the language, the screen a
+    mixture curator runs before stratifying one column by the other.
+
+    Engine-portability discipline (the dsir/dp fixed-point pattern):
+    every probability is an exact integer ratio from ONE corpus scan's
+    (source, lang) cell table; each MI/entropy term has exactly one
+    ln() of a deterministic double, is floored to 1e-6 fixed point with
+    the +1e-3 nudge on BOTH engines, and the cross-cell sums are exact
+    BIGINT adds — order-free, unlike a double sum over 100 cells whose
+    accumulation order neither engine pins. Cell/marginal tables are
+    bounded (|sources| x |langs|), so everything after the first
+    aggregate is a broadcast-sized program."""
+    d = load(spark, sf_dir).documents
+    counts = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_sl"))
+        .localCheckpoint(eager=True)
+    )
+    srcs = counts.groupBy("source").agg(F.sum("n_sl").cast("long").alias("n_s"))
+    langs = counts.groupBy("lang").agg(F.sum("n_sl").cast("long").alias("n_l"))
+    tot = counts.agg(F.sum("n_sl").cast("long").alias("n"))
+    nd = F.col("n").cast("double")
+
+    def _micro(expr):
+        return F.floor(expr * 1_000_000 + 1e-3).cast("bigint")
+
+    mi_term = _micro(
+        (F.col("n_sl") / nd)
+        * F.log((nd * F.col("n_sl")) / (F.col("n_s").cast("double") * F.col("n_l")))
+    )
+    mi = (
+        counts.join(srcs, "source")
+        .join(F.broadcast(langs), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_term.alias("term_micro"))
+        .agg(
+            F.sum("term_micro").cast("long").alias("mi_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )
+    hs = (
+        srcs.crossJoin(F.broadcast(tot))
+        .select(_micro((F.col("n_s") / nd) * F.log(nd / F.col("n_s"))).alias("t"))
+        .agg(F.sum("t").cast("long").alias("h_source_micro"))
+    )
+    hl = (
+        langs.crossJoin(F.broadcast(tot))
+        .select(_micro((F.col("n_l") / nd) * F.log(nd / F.col("n_l"))).alias("t"))
+        .agg(F.sum("t").cast("long").alias("h_lang_micro"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_cells",
+            F.round(F.col("mi_micro") / 1_000_000.0, 6).alias("mi_nats"),
+            F.round(F.col("h_lang_micro") / 1_000_000.0, 6).alias("h_lang_nats"),
+            F.round(F.col("h_source_micro") / 1_000_000.0, 6).alias("h_source_nats"),
+            F.round(
+                F.col("mi_micro")
+                / F.least("h_lang_micro", "h_source_micro").cast("double"),
+                6,
+            ).alias("normalized_mi"),
+        )
+    )

@@ -326,3 +326,80 @@ def test_welch_ttest_matches_independent_computation(spark, duck):
     assert abs(row["t_stat"] - t) < 1e-6
     assert abs(row["welch_df"] - df) < 1e-4
     assert min(na, nb) - 1 <= row["welch_df"] <= na + nb - 2
+
+
+def test_mutual_information_matches_python_mirror(spark, duck):
+    """MI/entropies recomputed in Python from DuckDB's exact cell
+    counts with the same fixed-point floors must agree exactly, and
+    the information-theory sandwich 0 <= MI <= min(H) must hold."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.quality import (
+        mutual_information_lang_source,
+    )
+    from .conftest import SF_SMALL
+
+    row = mutual_information_lang_source(spark, SF_SMALL).collect()[0]
+    cells = duck.execute(
+        "SELECT source, lang, count(*) FROM documents GROUP BY 1, 2"
+    ).fetchall()
+    n = sum(c for _, _, c in cells)
+    n_s, n_l = {}, {}
+    for s, l, c in cells:
+        n_s[s] = n_s.get(s, 0) + c
+        n_l[l] = n_l.get(l, 0) + c
+    micro = lambda x: math.floor(x * 1_000_000 + 1e-3)
+    mi = sum(
+        micro((c / n) * math.log((n * c) / (n_s[s] * n_l[l])))
+        for s, l, c in cells
+    )
+    hs = sum(micro((v / n) * math.log(n / v)) for v in n_s.values())
+    hl = sum(micro((v / n) * math.log(n / v)) for v in n_l.values())
+    assert row["n_docs"] == n and row["n_cells"] == len(cells)
+    assert row["mi_nats"] == round(mi / 1e6, 6)
+    assert row["h_source_nats"] == round(hs / 1e6, 6)
+    assert row["h_lang_nats"] == round(hl / 1e6, 6)
+    assert -1e-4 <= row["mi_nats"] <= min(row["h_lang_nats"], row["h_source_nats"]) + 1e-4
+    assert row["normalized_mi"] <= 1.0 + 1e-6
+
+
+def test_qte_quartiles_monotone_and_match_duckdb(spark, duck):
+    """Each arm's quartiles are nondecreasing in p, and the p=0.5 row
+    equals DuckDB's percentile_cont medians computed directly."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        quantile_treatment_effects,
+    )
+    from .conftest import SF_SMALL
+
+    rows = quantile_treatment_effects(spark, SF_SMALL).collect()
+    assert [r["p"] for r in rows] == [0.25, 0.5, 0.75]
+    assert rows[0]["q_a"] <= rows[1]["q_a"] <= rows[2]["q_a"]
+    assert rows[0]["q_b"] <= rows[1]["q_b"] <= rows[2]["q_b"]
+    med = dict(
+        duck.execute(
+            """
+            SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                        THEN 'A' ELSE 'B' END AS arm,
+                   round(percentile_cont(0.5) WITHIN GROUP (
+                     ORDER BY CAST(sum_c AS BIGINT)) / 100.0, 6)
+            FROM (SELECT user_id,
+                         sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_c
+                  FROM events GROUP BY user_id) GROUP BY arm
+            """
+        ).fetchall()
+    )
+    assert rows[1]["q_a"] == med["A"] and rows[1]["q_b"] == med["B"]
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark):
+    """The 95% envelope brackets the point estimate on this corpus, and
+    the deterministic md5-driven weights average ~1 (Poisson(1) mean)."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        poisson_bootstrap_ci,
+    )
+    from .conftest import SF_SMALL
+
+    row = poisson_bootstrap_ci(spark, SF_SMALL).collect()[0]
+    assert row["b_replicates"] == 32
+    assert row["ci_lo"] < row["ci_hi"]
+    assert row["ci_lo"] <= row["mean_spend"] <= row["ci_hi"]
