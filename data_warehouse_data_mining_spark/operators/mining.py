@@ -3443,3 +3443,86 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+HILL_K = 64
+_OP_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC) AS rn
+      FROM (SELECT {_OP_CENTS} AS c FROM orders
+            ORDER BY 1 DESC LIMIT {HILL_K + 1})
+    ),
+    thr AS (SELECT c AS xk FROM topk WHERE rn = {HILL_K + 1}),
+    terms AS (
+      SELECT CAST(floor(ln(t.c / CAST(thr.xk AS DOUBLE)) * 1000000 + 1e-3)
+                  AS BIGINT) AS term_micro
+      FROM topk t CROSS JOIN thr
+      WHERE t.rn <= {HILL_K}
+    ),
+    s AS (SELECT CAST(sum(term_micro) AS BIGINT) AS sum_micro FROM terms),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_obs FROM orders)
+    SELECT n.n_obs, {HILL_K} AS k,
+           round(thr.xk / 100.0, 2) AS threshold,
+           round(s.sum_micro / ({HILL_K} * 1000000.0), 6) AS hill_mean_log_excess,
+           round({HILL_K} * 1000000.0 / s.sum_micro, 6) AS tail_index_alpha
+    FROM s CROSS JOIN thr CROSS JOIN n
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index of the order-price
+    distribution over the top k=64 order statistics: mean log-excess
+    over the (k+1)-th largest value, whose reciprocal is the Pareto
+    tail exponent alpha (Hill 1975) — the heavy-tail diagnostic that
+    says whether means/variances of spend (or document length, at the
+    curation layer) are even stable enough to report.
+
+    Scale shape: the ONLY data-sized step is the top-(k+1) selection,
+    which Catalyst executes as TakeOrderedAndProject (per-partition
+    partial top-k, merged — never a global sort); everything after is
+    a 65-row program. Determinism: ties at the boundary don't matter
+    (only the VALUES enter the estimator, and any tie-resolution keeps
+    the same multiset); each log-excess is one ln() of a deterministic
+    exact-integer ratio, floored to 1e-6 fixed point with the +1e-3
+    nudge (the dsir discipline), so the k-term sum is an exact BIGINT
+    add on both engines."""
+    o = load(spark, sf_dir).orders
+    topk = (
+        o.select(F.expr(_OP_CENTS).alias("c"))
+        .orderBy(F.col("c").desc())
+        .limit(HILL_K + 1)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc())))
+        .localCheckpoint(eager=True)
+    )
+    thr = topk.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("c").alias("xk")
+    )
+    term = F.floor(
+        F.log(F.col("c") / F.col("xk").cast("double")) * 1_000_000 + 1e-3
+    ).cast("bigint")
+    s = (
+        topk.filter(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .select(term.alias("term_micro"))
+        .agg(F.sum("term_micro").cast("long").alias("sum_micro"))
+    )
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_obs",
+            F.lit(HILL_K).alias("k"),
+            F.round(F.col("xk") / 100.0, 2).alias("threshold"),
+            F.round(
+                F.col("sum_micro") / (HILL_K * 1_000_000.0), 6
+            ).alias("hill_mean_log_excess"),
+            F.round(
+                HILL_K * 1_000_000.0 / F.col("sum_micro"), 6
+            ).alias("tail_index_alpha"),
+        )
+    )

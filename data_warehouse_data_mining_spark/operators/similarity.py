@@ -1879,3 +1879,93 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.round(F.col("hits") / F.lit(float(MRL_K)), 6))
         .orderBy("trunc_dim", "q_id")
     )
+
+
+# Integer micro-unit DCG position discounts round(1e6 / log2(r+1)) for
+# ranks 1..5, and their sum (the ideal DCG@5 when all 5 retrieved are
+# relevant). Baked as identical integer literals in both engines so the
+# whole nDCG measurement is exact integer arithmetic at runtime.
+_NDCG_DISC_MICRO = [1000000, 630930, 500000, 430677, 386853]
+_NDCG_IDEAL_MICRO = sum(_NDCG_DISC_MICRO)
+
+
+@register(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    b AS (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e),
+    q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM b
+           WHERE vec_id < {N_QUERIES}),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+        FROM (SELECT q_id, qv FROM q0) q JOIN e ON e.vec_id <> q.q_id
+      ) t WHERE rn <= 5
+    ),
+    q AS (SELECT q_id, qv, xor(qbucket, m.mask) AS probe
+          FROM q0, (SELECT unnest([{", ".join(str(m) for m in [0] + [1 << i for i in range(N_PLANES)])}]) AS mask) m),
+    lsh AS (
+      SELECT q_id, neighbor_id, rn FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+        FROM q JOIN b e ON e.bucket = q.probe AND e.vec_id <> q.q_id
+      ) t WHERE rn <= 5
+    )
+    SELECT l.q_id,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
+           CAST(sum(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_relevant,
+           CAST(sum(CASE WHEN x.neighbor_id IS NULL THEN 0
+                         ELSE [{", ".join(str(d) for d in _NDCG_DISC_MICRO)}][l.rn]
+                    END) AS BIGINT) AS dcg_micro,
+           round(sum(CASE WHEN x.neighbor_id IS NULL THEN 0
+                          ELSE [{", ".join(str(d) for d in _NDCG_DISC_MICRO)}][l.rn]
+                     END) / {_NDCG_IDEAL_MICRO}.0, 6) AS ndcg
+    FROM lsh l LEFT JOIN exact x
+      ON x.q_id = l.q_id AND x.neighbor_id = l.neighbor_id
+    GROUP BY l.q_id
+    ORDER BY l.q_id
+    """,
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the hyperplane-LSH ANN ranking against the exact
+    top-5 (binary relevance) — the position-weighted companion to
+    ann_lsh_recall_exact: recall says WHETHER the true neighbors were
+    retrieved, nDCG says whether they were retrieved EARLY, which is
+    what a reranking budget downstream actually pays for.
+
+    The log2 position discounts are pre-quantized to integer micro
+    units (round(1e6/log2(r+1)), identical literals both engines), so
+    DCG is an exact BIGINT sum — no runtime transcendentals, no
+    accumulation-order hazard — and nDCG is one double division by the
+    constant ideal DCG. Both rankings reuse the production builders;
+    the join is two (n_queries x 5) broadcast-sized lists."""
+    exact = knn_brute_force(spark, sf_dir).filter(F.col("rn") <= 5).select(
+        F.col("q_id").alias("x_qid"), F.col("neighbor_id").alias("x_nid")
+    )
+    lsh = ann_lsh_hyperplane(spark, sf_dir).select("q_id", "neighbor_id", "rn")
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO]), F.col("rn")
+    )
+    rel = F.when(F.col("x_nid").isNull(), 0).otherwise(1)
+    return (
+        lsh.join(
+            F.broadcast(exact),
+            (F.col("q_id") == F.col("x_qid"))
+            & (F.col("neighbor_id") == F.col("x_nid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            F.sum(rel).cast("long").alias("n_relevant"),
+            F.sum(rel * disc).cast("long").alias("dcg_micro"),
+            F.round(
+                F.sum(rel * disc) / F.lit(float(_NDCG_IDEAL_MICRO)), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

@@ -403,3 +403,50 @@ def test_poisson_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark):
     assert row["b_replicates"] == 32
     assert row["ci_lo"] < row["ci_hi"]
     assert row["ci_lo"] <= row["mean_spend"] <= row["ci_hi"]
+
+
+def test_hill_tail_index_matches_python_mirror(spark, duck):
+    """Hill estimator recomputed in Python from DuckDB's exact top-65
+    cent values with the same fixed-point floors must agree exactly,
+    and the plan's only data-sized step must be a TakeOrdered top-k,
+    never a global sort."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        HILL_K,
+        hill_tail_index,
+    )
+    from .conftest import SF_SMALL
+
+    row = hill_tail_index(spark, SF_SMALL).collect()[0]
+    vals = [
+        v
+        for (v,) in duck.execute(
+            f"""SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                FROM orders ORDER BY 1 DESC LIMIT {HILL_K + 1}"""
+        ).fetchall()
+    ]
+    xk = vals[HILL_K]
+    s = sum(
+        math.floor(math.log(v / xk) * 1_000_000 + 1e-3) for v in vals[:HILL_K]
+    )
+    assert row["threshold"] == round(xk / 100.0, 2)
+    assert row["hill_mean_log_excess"] == round(s / (HILL_K * 1e6), 6)
+    assert row["tail_index_alpha"] == round(HILL_K * 1e6 / s, 6)
+    assert row["tail_index_alpha"] > 0
+    # the registered builder localCheckpoints the 65-row top-k table, so
+    # probe the selection shape on an equivalent un-checkpointed plan
+    from pyspark.sql import functions as F2
+
+    from data_warehouse_data_mining_spark.catalog import load as _load
+
+    sel = (
+        _load(spark, SF_SMALL)
+        .orders.select(
+            F2.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("c")
+        )
+        .orderBy(F2.col("c").desc())
+        .limit(HILL_K + 1)
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

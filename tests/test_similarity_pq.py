@@ -109,3 +109,28 @@ def test_matryoshka_full_dim_recall_is_one(spark):
         assert 0.0 <= r["recall"] <= 1.0
         if r["trunc_dim"] == DIM:
             assert r["hits"] == MRL_K and r["recall"] == 1.0
+
+
+def test_ndcg_bounded_and_consistent_with_recall(spark):
+    """Per-query nDCG@5 lives in [0,1] with dcg <= ideal, and the
+    summed relevant-hit count reproduces ann_lsh_recall_exact's
+    recall@5 numerator (same two rankings, independent plumbing)."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        _NDCG_IDEAL_MICRO,
+        ann_lsh_recall_exact,
+        ndcg_retrieval_eval,
+    )
+    from .conftest import SF_SMALL
+
+    rows = ndcg_retrieval_eval(spark, SF_SMALL).collect()
+    assert rows, "no queries evaluated"
+    for r in rows:
+        assert 1 <= r["n_retrieved"] <= 5
+        assert 0 <= r["n_relevant"] <= r["n_retrieved"]
+        assert 0 <= r["dcg_micro"] <= _NDCG_IDEAL_MICRO
+        assert 0.0 <= r["ndcg"] <= 1.0
+    rec = ann_lsh_recall_exact(spark, SF_SMALL).collect()[0]
+    got_recall = round(
+        sum(r["n_relevant"] for r in rows) / rec["n_exact_pairs"], 4
+    )
+    assert got_recall == rec["recall_at_5"]
