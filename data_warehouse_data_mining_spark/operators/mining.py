@@ -3526,3 +3526,238 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tail_index_alpha"),
         )
     )
+
+
+@register(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+      FROM per_user GROUP BY c
+    ),
+    ranked AS (
+      SELECT c, cnt, cnt_a,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt_a * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r_a2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
+             CAST(sum(cnt_a) AS BIGINT) AS na,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS nb
+      FROM ranked
+    ),
+    u AS (
+      SELECT na, nb, tie_term,
+             r_a2 - na * (na + 1) AS u_a2,
+             CAST(na AS DOUBLE) * nb / 12.0
+               * ((na + nb + 1)
+                  - tie_term / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))
+               AS var_u
+      FROM agg
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(u_a2 / 2.0, 1) AS u_a,
+           round((CAST(na AS DOUBLE) * nb - u_a2 / 2.0) / 1.0, 1) AS u_b,
+           tie_term,
+           round((u_a2 - CAST(na AS DOUBLE) * nb) / (2.0 * sqrt(var_u)), 6)
+             AS z_score
+    FROM u
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the hash-split
+    arms on per-user spend — the nonparametric companion to
+    ab_welch_ttest for skewed metrics where rank shift, not mean shift,
+    is the honest question; includes the tie-corrected normal
+    approximation z.
+
+    Exactness: ranks never materialize per row — the distinct-value
+    table carries (value, tie count, arm-A count), average tie ranks
+    are kept DOUBLED so every rank sum is an exact BIGINT
+    (2*avg_rank = 2*cum_prev + cnt + 1), and the tie correction
+    sum(t³−t) is integer too; the only doubles are the final
+    variance/z expressions, identical on both engines. Scale shape:
+    one per-user pass, one distinct-value aggregate, one ordered
+    prefix window over the (bounded-cardinality) value table."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    vals = per_user.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+    )
+    wprev = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_prev") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r_a2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("nb"),
+    )
+    nad = F.col("na").cast("double")
+    u_a2 = F.col("r_a2") - F.col("na") * (F.col("na") + 1)
+    n = F.col("na") + F.col("nb")
+    var_u = (
+        nad
+        * F.col("nb")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(u_a2 / 2.0, 1).alias("u_a"),
+        F.round((nad * F.col("nb") - u_a2 / 2.0) / 1.0, 1).alias("u_b"),
+        "tie_term",
+        F.round((u_a2 - nad * F.col("nb")) / (2.0 * F.sqrt(var_u)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+@register(
+    "ks_two_sample",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT c,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM per_user GROUP BY c
+    ),
+    cums AS (
+      SELECT c,
+             CAST(sum(ca) OVER (ORDER BY c) AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY c) AS BIGINT) AS cum_b
+      FROM vals
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM vals
+    ),
+    gaps AS (
+      SELECT c, abs(cum_a * nb - cum_b * na) AS gap_num
+      FROM cums CROSS JOIN tot
+    ),
+    best AS (
+      SELECT CAST(max(gap_num) AS BIGINT) AS d_num FROM gaps
+    ),
+    att AS (
+      SELECT CAST(min(c) AS BIGINT) AS at_value_cents
+      FROM gaps CROSS JOIN best WHERE gap_num = d_num
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(b.d_num / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d,
+           round(a.at_value_cents / 100.0, 2) AS at_value,
+           round(sqrt((CAST(t.na AS DOUBLE) * t.nb) / (t.na + t.nb))
+                 * (b.d_num / (CAST(t.na AS DOUBLE) * t.nb)), 6)
+             AS scaled_statistic
+    FROM best b CROSS JOIN tot t CROSS JOIN att a
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the arms'
+    per-user spend distributions: D = max |F_A − F_B|, the value where
+    the supremum is attained, and the sqrt(na·nb/n)·D scaled statistic
+    consumers compare against the Kolmogorov critical values — the
+    whole-distribution companion to ab_welch_ttest (means) and
+    mann_whitney_u (ranks).
+
+    Exactness: both ECDFs stay integer — the gap is compared as
+    |cum_a·nb − cum_b·na| (exact cross-multiplied BIGINTs), so the
+    argmax and the tie-break (smallest attaining value) are
+    engine-exact; division by na·nb happens once at the end. Scale
+    shape: one per-user pass, one distinct-value aggregate, one
+    ordered prefix window, then O(1) rollups."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    vals = per_user.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wcum = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cums = vals.select(
+        "c",
+        F.sum("ca").over(wcum).cast("long").alias("cum_a"),
+        F.sum("cb").over(wcum).cast("long").alias("cum_b"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    gaps = cums.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ).alias("gap_num"),
+    )
+    best = gaps.agg(F.max("gap_num").cast("long").alias("d_num"))
+    att = (
+        gaps.crossJoin(F.broadcast(best))
+        .filter(F.col("gap_num") == F.col("d_num"))
+        .agg(F.min("c").cast("long").alias("at_value_cents"))
+    )
+    nad = F.col("na").cast("double")
+    d = F.col("d_num") / (nad * F.col("nb"))
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(att))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(d, 6).alias("ks_d"),
+            F.round(F.col("at_value_cents") / 100.0, 2).alias("at_value"),
+            F.round(
+                F.sqrt((nad * F.col("nb")) / (F.col("na") + F.col("nb"))) * d,
+                6,
+            ).alias("scaled_statistic"),
+        )
+    )

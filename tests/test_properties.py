@@ -450,3 +450,69 @@ def test_hill_tail_index_matches_python_mirror(spark, duck):
     )
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _arm_cents(duck):
+    return duck.execute(
+        """
+        SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+
+
+def test_mann_whitney_matches_python_mirror(spark, duck):
+    """U statistics and tie-corrected z recomputed with textbook
+    midrank formulas in Python must agree, and U_A + U_B == n_a*n_b."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import mann_whitney_u
+    from .conftest import SF_SMALL
+
+    row = mann_whitney_u(spark, SF_SMALL).collect()[0]
+    per = _arm_cents(duck)
+    xs = sorted(c for _, c in per)
+    # midrank per value (1-based average rank of the tie block)
+    first = {}
+    for i, v in enumerate(xs):
+        first.setdefault(v, i + 1)
+    cnt = {}
+    for v in xs:
+        cnt[v] = cnt.get(v, 0) + 1
+    midrank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    a = [c for arm, c in per if arm == "A"]
+    na, nb = len(a), len(per) - len(a)
+    r_a = sum(midrank[v] for v in a)
+    u_a = r_a - na * (na + 1) / 2
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["u_a"] == round(u_a, 1)
+    assert row["u_a"] + row["u_b"] == na * nb
+    n = na + nb
+    tie = sum(t**3 - t for t in cnt.values())
+    assert row["tie_term"] == tie
+    var_u = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - na * nb / 2.0) / math.sqrt(var_u)
+    assert abs(row["z_score"] - z) < 1e-6
+
+
+def test_ks_two_sample_matches_python_mirror(spark, duck):
+    """KS D recomputed from raw ECDFs in Python must agree exactly and
+    obey 0 <= D <= 1; the attained value must realize the max gap."""
+    from data_warehouse_data_mining_spark.operators.mining import ks_two_sample
+    from .conftest import SF_SMALL
+
+    row = ks_two_sample(spark, SF_SMALL).collect()[0]
+    per = _arm_cents(duck)
+    a = sorted(c for arm, c in per if arm == "A")
+    b = sorted(c for arm, c in per if arm == "B")
+    na, nb = len(a), len(b)
+    import bisect
+
+    best = 0
+    for v in sorted(set(a) | set(b)):
+        gap = abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        best = max(best, gap)
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["ks_d"] == round(best / (na * nb), 6)
