@@ -3761,3 +3761,121 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled_statistic"),
         )
     )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1996-01-01', CAST(o.o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.n_name,
+             (b.rev_c - a.rev_c) / (CAST(b.d AS DOUBLE) - a.d) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON b.n_name = a.n_name AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT n_name, slope,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n_pairs
+      FROM pairs
+    ),
+    meta AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT r.n_name AS nation, m.n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           round(r.slope / 100.0, 6) AS theil_sen_slope
+    FROM ranked r JOIN meta m ON m.n_name = r.n_name
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY nation
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of 1996 daily revenue per nation: the
+    LOWER MEDIAN of all pairwise day-to-day slopes — the
+    breakdown-point-29% alternative to groupwise_ols_trend's
+    least-squares slope, immune to the outlier days OLS chases
+    (Theil 1950 / Sen 1968).
+
+    Scale shape: pairwise work is bounded by the TIME WINDOW, not the
+    corpus — daily aggregation first (one fact pass), then ≤(365
+    choose 2) pairs per nation generated by a nation-keyed self-join of
+    the bounded daily table. Determinism: slopes are exact-integer
+    differences in one double division; the median is the row_number
+    lower median with a full (slope, d1, d2) tie-break order, so both
+    engines select the identical pair even among equal slopes."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # bounded: <= nations x 366 rows; consumed by self-join + meta
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("n_name"), F.col("d").alias("d1"), F.col("rev_c").alias("r1")
+    )
+    b = daily.select(
+        F.col("n_name").alias("n2"),
+        F.col("d").alias("d2"),
+        F.col("rev_c").alias("r2"),
+    )
+    pairs = a.join(
+        b, (F.col("n2") == F.col("n_name")) & (F.col("d2") > F.col("d1"))
+    ).select(
+        "n_name",
+        ((F.col("r2") - F.col("r1")) / (F.col("d2").cast("double") - F.col("d1")))
+        .alias("slope"),
+        "d1",
+        "d2",
+    )
+    wrank = W.partitionBy("n_name").orderBy("slope", "d1", "d2")
+    wcnt = W.partitionBy("n_name")
+    ranked = pairs.select(
+        "n_name",
+        "slope",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n_pairs"),
+    ).filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2).cast("long"))
+    meta = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        ranked.join(F.broadcast(meta), "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("slope") / 100.0, 6).alias("theil_sen_slope"),
+        )
+        .orderBy("nation")
+    )

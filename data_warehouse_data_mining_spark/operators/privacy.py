@@ -526,3 +526,93 @@ def dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Warner randomized response: answer truthfully with probability RR_P,
+# else report the flipped bit. epsilon = ln(RR_P / (1-RR_P)) = ln 3.
+RR_P = 0.75
+_RR_HEXWORD_SQL = _DP_HEXWORD_SQL
+
+
+@register(
+    "randomized_response_freq",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT b,
+             ({_RR_HEXWORD_SQL} + 0.5) / 4294967296.0 AS u
+      FROM (SELECT b, md5('rr1|' || CAST(user_id AS VARCHAR)) AS m
+            FROM per_user)
+    ),
+    rep AS (
+      SELECT b,
+             CASE WHEN u < {RR_P!r} THEN b ELSE 1 - b END AS r
+      FROM u
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(b) AS BIGINT) AS n_true,
+             CAST(sum(r) AS BIGINT) AS n_reported
+      FROM rep
+    )
+    SELECT n_users, n_true, n_reported,
+           round(n_true / CAST(n_users AS DOUBLE), 6) AS pi_true,
+           round((n_reported / CAST(n_users AS DOUBLE) - (1 - {RR_P!r}))
+                 / (2 * {RR_P!r} - 1), 6) AS pi_hat,
+           round(abs((n_reported / CAST(n_users AS DOUBLE) - (1 - {RR_P!r}))
+                     / (2 * {RR_P!r} - 1)
+                     - n_true / CAST(n_users AS DOUBLE)), 6) AS abs_error,
+           round(ln({RR_P!r} / (1 - {RR_P!r})), 6) AS epsilon
+    FROM agg
+    """,
+)
+def randomized_response_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response (the LOCAL-DP mechanism, Warner 1965
+    / RAPPOR's core): each user reports their sensitive bit ("ever
+    purchased") truthfully with probability p=0.75, flipped otherwise,
+    and the aggregator debiases the reported frequency with
+    pî = (r̂ − (1−p)) / (2p − 1) — per-record ε = ln(p/(1−p)) = ln 3
+    local DP, completing the privacy surface next to the CENTRAL-DP
+    Laplace release (dp_noisy_group_counts).
+
+    Determinism: each user's coin is the md5-dyadic uniform (exactly
+    representable, the dp recipe) compared against the literal 0.75 —
+    no transcendentals at runtime except the constant ε report; counts
+    are exact BIGINTs and the debias is one identical double
+    expression. Scale shape: one per-user aggregate, map-side flip
+    bits, one global count rollup — a streaming-safe one-pass
+    mechanism by construction (per-record noise, no shared state)."""
+    e = load(spark, sf_dir).events
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("b")
+    )
+    m = F.md5(F.concat(F.lit("rr1|"), F.col("user_id").cast("string")))
+    u = (
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").cast("double")
+        + 0.5
+    ) / 4294967296.0
+    r = F.when(u < F.lit(RR_P), F.col("b")).otherwise(1 - F.col("b"))
+    agg = per_user.select(F.col("b"), r.alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("b").cast("long").alias("n_true"),
+        F.sum("r").cast("long").alias("n_reported"),
+    )
+    nu = F.col("n_users").cast("double")
+    pi_hat = (F.col("n_reported") / nu - (1 - RR_P)) / (2 * RR_P - 1)
+    pi_true = F.col("n_true") / nu
+    return agg.select(
+        "n_users",
+        "n_true",
+        "n_reported",
+        F.round(pi_true, 6).alias("pi_true"),
+        F.round(pi_hat, 6).alias("pi_hat"),
+        F.round(F.abs(pi_hat - pi_true), 6).alias("abs_error"),
+        F.round(F.log(F.lit(RR_P / (1 - RR_P))), 6).alias("epsilon"),
+    )

@@ -516,3 +516,64 @@ def test_ks_two_sample_matches_python_mirror(spark, duck):
         best = max(best, gap)
     assert 0.0 <= row["ks_d"] <= 1.0
     assert row["ks_d"] == round(best / (na * nb), 6)
+
+
+def test_theil_sen_matches_python_mirror(spark, duck):
+    """Per-nation lower-median pairwise slope recomputed in Python from
+    DuckDB's exact daily cent totals must agree for every nation."""
+    from data_warehouse_data_mining_spark.operators.mining import theil_sen_trend
+    from .conftest import SF_SMALL
+
+    rows = {r["nation"]: r for r in theil_sen_trend(spark, SF_SMALL).collect()}
+    daily = duck.execute(
+        """
+        SELECT n.n_name,
+               date_diff('day', DATE '1996-01-01', CAST(o.o_orderdate AS DATE)),
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_nation = {}
+    for name, d, rev in daily:
+        by_nation.setdefault(name, []).append((d, rev))
+    for name, pts in by_nation.items():
+        pts.sort()
+        slopes = sorted(
+            ((r2 - r1) / float(d2 - d1), d1, d2)
+            for i, (d1, r1) in enumerate(pts)
+            for d2, r2 in pts[i + 1:]
+        )
+        if not slopes:
+            assert name not in rows
+            continue
+        k = (len(slopes) + 1) // 2
+        want = round(slopes[k - 1][0] / 100.0, 6)
+        assert rows[name]["theil_sen_slope"] == want
+        assert rows[name]["n_pairs"] == len(slopes)
+        assert rows[name]["n_days"] == len(pts)
+
+
+def test_randomized_response_debias_identity(spark):
+    """The debiased estimate must satisfy the exact algebraic identity
+    pi_hat = (r_hat - 0.25) / 0.5 on the emitted counts, and the
+    mechanism's epsilon must be ln 3."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.privacy import (
+        randomized_response_freq,
+    )
+    from .conftest import SF_SMALL
+
+    row = randomized_response_freq(spark, SF_SMALL).collect()[0]
+    r_hat = row["n_reported"] / row["n_users"]
+    assert row["pi_hat"] == round((r_hat - 0.25) / 0.5, 6)
+    assert row["epsilon"] == round(math.log(3), 6)
+    assert 0 <= row["n_true"] <= row["n_users"]
+    # with n in the hundreds the debiased estimate should land near
+    # the true rate (variance of RR at p=.75 is 3/n)
+    assert row["abs_error"] <= 0.25
