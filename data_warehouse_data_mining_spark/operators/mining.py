@@ -3879,3 +3879,198 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+CONFORMAL_ALPHA = 0.1
+
+
+@register(
+    "conformal_interval_calibration",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1996-01-01', CAST(o.o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS nf,
+             CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(d * d) AS BIGINT) AS sxx,
+             CAST(sum(d * y) AS BIGINT) AS sxy
+      FROM daily WHERE d % 2 = 0 GROUP BY n_name
+      HAVING count(*) >= 2 AND count(*) * sum(d * d) <> sum(d) * sum(d)
+    ),
+    coef AS (
+      SELECT n_name, nf,
+             (CAST(nf AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(nf AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (sy - (CAST(nf AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(nf AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sx) / nf AS a
+      FROM fit
+    ),
+    resid AS (
+      SELECT c.n_name, c.nf, c.a, c.b,
+             abs(dd.y - (c.a + c.b * dd.d)) AS r
+      FROM coef c JOIN daily dd ON dd.n_name = c.n_name AND dd.d % 2 = 1
+    ),
+    ranked AS (
+      SELECT n_name, nf, a, b, r,
+             row_number() OVER (PARTITION BY n_name ORDER BY r) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS nc
+      FROM resid
+    ),
+    q AS (
+      SELECT n_name, nf, CAST(nc AS BIGINT) AS nc, a, b, r AS q_resid
+      FROM ranked
+      WHERE rn = least(CAST(ceil((nc + 1) * 0.9) AS BIGINT), nc)
+    ),
+    cov AS (
+      SELECT r.n_name,
+             CAST(sum(CASE WHEN r.r <= q.q_resid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM resid r JOIN q ON q.n_name = r.n_name
+      GROUP BY r.n_name
+    )
+    SELECT q.n_name AS nation, q.nf AS n_fit, q.nc AS n_cal,
+           round(q.b / 100.0, 6) AS slope,
+           round(q.q_resid / 100.0, 2) AS q90_resid,
+           c.n_covered,
+           round(c.n_covered / CAST(q.nc AS DOUBLE), 4) AS cal_coverage,
+           CASE WHEN c.n_covered * 10 >= q.nc * 9 THEN 1 ELSE 0 END
+             AS covers_target
+    FROM q JOIN cov c ON c.n_name = q.n_name
+    ORDER BY nation
+    """,
+)
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per nation (Vovk / Lei et
+    al.): fit the 1996 daily-revenue OLS trend on EVEN days, take the
+    ceil((n+1)·0.9)-th smallest absolute residual on the disjoint ODD
+    days as the 90% conformal radius, and report the achieved
+    calibration coverage — which is >= 90% on the calibration split BY
+    CONSTRUCTION (test-pinned), the distribution-free guarantee that
+    makes conformal the default uncertainty wrapper for any point
+    forecaster.
+
+    Determinism: OLS coefficients come from exact bigint moment sums in
+    one identical double expression (the cuped discipline); residual
+    ranking and the conformal order statistic are plain row_number over
+    deterministic doubles; the coverage gate is the exact integer
+    inequality 10·covered >= 9·n_cal. Scale shape: one fact pass to
+    bounded daily cells, per-nation moment rollups, and windows over
+    <=183-row calibration slivers — nothing corpus-sized past the
+    first aggregate."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    fit = (
+        daily.filter(F.col("d") % 2 == 0)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nf"),
+            F.sum("d").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+            F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .filter(
+            (F.col("nf") >= 2)
+            & (F.col("nf") * F.col("sxx") != F.col("sx") * F.col("sx"))
+        )
+    )
+    nfd = F.col("nf").cast("double")
+    sxd = F.col("sx").cast("double")
+    b = (nfd * F.col("sxy") - sxd * F.col("sy")) / (
+        nfd * F.col("sxx") - sxd * F.col("sx")
+    )
+    coef = fit.select(
+        "n_name", "nf", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("nf")).alias("a")
+    )
+    resid = (
+        coef.join(daily.filter(F.col("d") % 2 == 1), "n_name")
+        .select(
+            "n_name",
+            "nf",
+            "a",
+            "b",
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("d"))).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wr = W.partitionBy("n_name").orderBy("r")
+    wc = W.partitionBy("n_name")
+    q = (
+        resid.select(
+            "n_name",
+            "nf",
+            "a",
+            "b",
+            "r",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("nc"),
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.ceil((F.col("nc") + 1) * 0.9).cast("long"), F.col("nc")
+            )
+        )
+        .select("n_name", "nf", "nc", "a", "b", F.col("r").alias("q_resid"))
+    )
+    cov = (
+        resid.join(F.broadcast(q.select("n_name", "q_resid")), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("q_resid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return (
+        q.join(cov, "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("nf").alias("n_fit"),
+            F.col("nc").alias("n_cal"),
+            F.round(F.col("b") / 100.0, 6).alias("slope"),
+            F.round(F.col("q_resid") / 100.0, 2).alias("q90_resid"),
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("nc").cast("double"), 4).alias(
+                "cal_coverage"
+            ),
+            F.when(F.col("n_covered") * 10 >= F.col("nc") * 9, 1)
+            .otherwise(0)
+            .alias("covers_target"),
+        )
+        .orderBy("nation")
+    )

@@ -577,3 +577,26 @@ def test_randomized_response_debias_identity(spark):
     # with n in the hundreds the debiased estimate should land near
     # the true rate (variance of RR at p=.75 is 3/n)
     assert row["abs_error"] <= 0.25
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal's defining property: with the ceil((n+1)*0.9)-th
+    smallest calibration residual as the radius, calibration coverage
+    is >= 90% (integer inequality) for EVERY nation — by construction,
+    so a single violation means the order statistic is miscomputed."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        conformal_interval_calibration,
+    )
+    from .conftest import SF_SMALL
+
+    rows = conformal_interval_calibration(spark, SF_SMALL).collect()
+    assert rows, "no nations calibrated"
+    import math
+
+    for r in rows:
+        k = min(math.ceil((r["n_cal"] + 1) * 0.9), r["n_cal"])
+        assert r["n_covered"] >= k  # at least the order statistic itself
+        if math.ceil((r["n_cal"] + 1) * 0.9) <= r["n_cal"]:
+            assert r["covers_target"] == 1
+            assert r["n_covered"] * 10 >= r["n_cal"] * 9
+        assert r["q90_resid"] >= 0
