@@ -829,3 +829,176 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_fp").desc(), F.col("part_id"))
         .limit(TOP_K_PPR)
     )
+
+
+def _modularity_oracle() -> str:
+    """Label-propagation unroll (same steps as _label_prop_oracle) plus
+    the exact-integer Newman modularity: Q = Σ_c(4m·L_c − D_c²)/(4m²),
+    where every numerator term is a BIGINT."""
+    steps = []
+    for i in range(LP_ITER):
+        steps.append(
+            f"""l{i + 1} AS MATERIALIZED (
+      SELECT l.node AS node,
+             CAST(least(l.label, min(nl.label)) AS BIGINT) AS label
+      FROM l{i} l
+      JOIN edges e ON e.src = l.node
+      JOIN l{i} nl ON nl.node = e.dst
+      GROUP BY l.node, l.label
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.item AS lo, b.item AS hi
+      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst FROM e0
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e0
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges
+    ),
+    {unrolled},
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    lc AS (
+      SELECT a.label, CAST(count(*) AS BIGINT) AS l_in
+      FROM e0
+      JOIN l{LP_ITER} a ON a.node = e0.lo
+      JOIN l{LP_ITER} b ON b.node = e0.hi AND b.label = a.label
+      GROUP BY a.label
+    ),
+    dc AS (
+      SELECT l.label, CAST(sum(deg.d) AS BIGINT) AS d_sum
+      FROM l{LP_ITER} l JOIN deg ON deg.node = l.node
+      GROUP BY l.label
+    ),
+    qn AS (
+      SELECT CAST(sum(4 * mm.m * coalesce(lc.l_in, 0)
+                      - dc.d_sum * dc.d_sum) AS BIGINT) AS q_num,
+             CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(coalesce(lc.l_in, 0)) AS BIGINT) AS intra_edges
+      FROM dc LEFT JOIN lc ON lc.label = dc.label CROSS JOIN mm
+      GROUP BY ()
+    )
+    SELECT mm.m AS n_edges, qn.n_communities, qn.intra_edges, qn.q_num,
+           round(qn.q_num / (4.0 * mm.m * mm.m), 6) AS modularity
+    FROM qn CROSS JOIN mm
+    """
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the min-label-propagation communities on
+    the co-purchase graph — the single number that says whether the
+    detected partition beats random wiring (Q > 0) and the objective
+    Louvain/Leiden climb; here it audits graph_label_propagation's
+    output, closing the detect→score loop.
+
+    Exactness: with L_c intra-community edge counts, D_c community
+    degree sums, and m undirected edges — all exact BIGINTs — Q is
+    assembled as Σ_c(4m·L_c − D_c²) / (4m²): an exact integer numerator
+    and ONE double division, so both engines agree to the bit before
+    the final rounding. Scale shape: the LP supersteps are the same
+    Pregel joins as graph_label_propagation; modularity itself adds
+    one edge-keyed membership join (L_c) and one node-keyed degree
+    rollup (D_c), both label-keyed aggregates after."""
+    li = load(spark, sf_dir).lineitem
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("lo"), F.col("b.item").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("lo", "hi")
+        # read three times: edges union, m count, intra-edge join
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        e0.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e0.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    for it in range(LP_ITER):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr"))
+        )
+        labels = labels.join(nbr_min, labels.node == nbr_min.src).select(
+            "node", F.least("label", "nbr").alias("label")
+        )
+        if (it + 1) % LP_CHECKPOINT_EVERY == 0 and (it + 1) < LP_ITER:
+            labels = labels.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=True)  # read 2x below
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    mm = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("lo"), F.col("label").alias("la_l"))
+    lb = labels.select(F.col("node").alias("hi"), F.col("label").alias("lb_l"))
+    lc = (
+        e0.join(la, "lo")
+        .join(lb, "hi")
+        .filter(F.col("la_l") == F.col("lb_l"))
+        .groupBy(F.col("la_l").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("l_in"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_sum"))
+    )
+    qn = (
+        dc.join(lc, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (
+                4 * F.col("m") * F.coalesce(F.col("l_in"), F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            ).alias("term"),
+            F.coalesce(F.col("l_in"), F.lit(0)).alias("l_in"),
+        )
+        .agg(
+            F.sum("term").cast("long").alias("q_num"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("l_in").cast("long").alias("intra_edges"),
+        )
+    )
+    return qn.crossJoin(F.broadcast(mm)).select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "intra_edges",
+        "q_num",
+        F.round(
+            F.col("q_num") / (4.0 * F.col("m").cast("double") * F.col("m")), 6
+        ).alias("modularity"),
+    )

@@ -600,3 +600,20 @@ def test_conformal_coverage_guarantee(spark):
             assert r["covers_target"] == 1
             assert r["n_covered"] * 10 >= r["n_cal"] * 9
         assert r["q90_resid"] >= 0
+
+
+def test_modularity_bounds_and_consistency(spark):
+    """Newman modularity lives in [-0.5, 1); sum of per-community
+    intra-edges can't exceed total edges; with min-label communities
+    (near-connected-components) intra edges dominate, so Q >= 0 here."""
+    from data_warehouse_data_mining_spark.operators.graph import graph_modularity
+    from .conftest import SF_SMALL
+
+    row = graph_modularity(spark, SF_SMALL).collect()[0]
+    assert -0.5 <= row["modularity"] < 1.0
+    assert 0 <= row["intra_edges"] <= row["n_edges"]
+    assert row["n_communities"] >= 1
+    assert row["modularity"] == round(
+        row["q_num"] / (4.0 * row["n_edges"] * row["n_edges"]), 6
+    )
+    assert row["modularity"] >= 0.0
