@@ -1969,3 +1969,194 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# MMR diversification: greedy maximal-marginal-relevance reranking of
+# the exact top-N candidate pool, unrolled for MMR_K picks. Lambda is
+# a dyadic rational (0.75 = 3/4) so the score combination is exact in
+# binary on both engines.
+MMR_K = 5
+MMR_POOL = 10
+MMR_LAMBDA = 0.75
+
+
+def _mmr_oracle() -> str:
+    """Unroll the greedy MMR picks as chained CTEs: pick r+1 scores
+    every remaining candidate as λ·rel − (1−λ)·max-sim-to-selected and
+    takes the row_number-1 argmax (tie-break: neighbor_id)."""
+    steps = []
+    for i in range(1, MMR_K):
+        prev = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, i + 1))
+        steps.append(
+            f"""s{i + 1} AS (
+      SELECT q_id, neighbor_id, {i + 1} AS pick_rank, rel, mmr FROM (
+        SELECT c.q_id, c.neighbor_id, c.rel,
+               {MMR_LAMBDA!r} * c.rel - {1 - MMR_LAMBDA!r} * max(p.sim) AS mmr,
+               row_number() OVER (
+                 PARTITION BY c.q_id
+                 ORDER BY {MMR_LAMBDA!r} * c.rel
+                          - {1 - MMR_LAMBDA!r} * max(p.sim) DESC,
+                          c.neighbor_id) AS rn
+        FROM cand c
+        JOIN ({prev}) s ON s.q_id = c.q_id
+        JOIN pairs p ON p.q_id = c.q_id AND p.id_a = c.neighbor_id
+                    AND p.id_b = s.neighbor_id
+        WHERE c.neighbor_id NOT IN
+              (SELECT neighbor_id FROM ({prev}) x WHERE x.q_id = c.q_id)
+        GROUP BY c.q_id, c.neighbor_id, c.rel
+      ) t WHERE rn = 1
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    picks = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, MMR_K + 1))
+    return f"""
+    WITH {_ORACLE_E},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS MATERIALIZED (
+      SELECT q_id, neighbor_id, rel, v FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id, e.v,
+               {_ORACLE_COS} AS rel,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) t WHERE rn <= {MMR_POOL}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.q_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))) AS sim
+      FROM cand a JOIN cand b
+        ON b.q_id = a.q_id AND b.neighbor_id <> a.neighbor_id
+    ),
+    s1 AS (
+      SELECT q_id, neighbor_id, 1 AS pick_rank, rel,
+             {MMR_LAMBDA!r} * rel AS mmr
+      FROM (SELECT q_id, neighbor_id, rel,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, neighbor_id) AS rn
+            FROM cand) t
+      WHERE rn = 1
+    ),
+    {unrolled}
+    SELECT q_id, pick_rank, neighbor_id,
+           round(rel, 6) AS relevance, round(mmr, 6) AS mmr_score
+    FROM ({picks}) ORDER BY q_id, pick_rank
+    """
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): greedily pick 5 of the exact top-10 candidates per query,
+    each pick maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    picked — the standard result-diversification pass between ANN
+    retrieval and an LLM context window, killing near-duplicate hits
+    that a pure top-k would stack.
+
+    Determinism: λ=0.75 is dyadic so the score mix is exact in binary;
+    relevance/pairwise cosines are the usual double folds; every argmax
+    is row_number with a neighbor_id tie-break — so the greedy
+    trajectory is identical on both engines, pick by pick (the oracle
+    unrolls the same 5 rounds as chained CTEs). Scale shape: the pool
+    is a top-10 per query (TakeOrdered semantics via the windowed
+    rank), the pairwise table is pool²·queries — bounded by the SERVING
+    page size, never the corpus — and each greedy round is a
+    broadcast-sized join."""
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("id") < N_QUERIES).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rel = V.dot(F.col("qv"), F.col("v")) / (
+        V.norm(F.col("qv")) * V.norm(F.col("v"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    cand = (
+        e.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("v"),
+            rel.alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        # queries x 10 rows; feeds the pair table and every greedy round
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select("q_id", F.col("neighbor_id").alias("id_a"), F.col("v").alias("va"))
+    b = cand.select(
+        F.col("q_id").alias("q2"), F.col("neighbor_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    sim = V.dot(F.col("va"), F.col("vb")) / (
+        V.norm(F.col("va")) * V.norm(F.col("vb"))
+    )
+    pairs = (
+        a.join(b, (F.col("q2") == F.col("q_id")) & (F.col("id_b") != F.col("id_a")))
+        .select("q_id", "id_a", "id_b", sim.alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.lit(1).alias("pick_rank"),
+            "rel",
+            (F.lit(MMR_LAMBDA) * F.col("rel")).alias("mmr"),
+        )
+    )
+    for i in range(1, MMR_K):
+        sel_ids = selected.select(
+            F.col("q_id").alias("sq"), F.col("neighbor_id").alias("sid")
+        )
+        remaining = cand.join(
+            sel_ids,
+            (F.col("q_id") == F.col("sq"))
+            & (F.col("neighbor_id") == F.col("sid")),
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                pairs.withColumnRenamed("id_a", "neighbor_id"),
+                ["q_id", "neighbor_id"],
+            )
+            .join(
+                sel_ids,
+                (F.col("q_id") == F.col("sq")) & (F.col("id_b") == F.col("sid")),
+            )
+            .groupBy("q_id", "neighbor_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                "q_id",
+                "neighbor_id",
+                "rel",
+                (
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(1 - MMR_LAMBDA) * F.col("max_sim")
+                ).alias("mmr"),
+            )
+        )
+        wpick = W.partitionBy("q_id").orderBy(F.col("mmr").desc(), "neighbor_id")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q_id",
+                "neighbor_id",
+                F.lit(i + 1).alias("pick_rank"),
+                "rel",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "q_id",
+        "pick_rank",
+        "neighbor_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
+    ).orderBy("q_id", "pick_rank")

@@ -134,3 +134,36 @@ def test_ndcg_bounded_and_consistent_with_recall(spark):
         sum(r["n_relevant"] for r in rows) / rec["n_exact_pairs"], 4
     )
     assert got_recall == rec["recall_at_5"]
+
+
+def test_mmr_first_pick_is_top1_and_picks_are_distinct(spark):
+    """MMR's first pick must be the pure-relevance argmax (no diversity
+    penalty yet), every query gets exactly MMR_K distinct picks from
+    its top-MMR_POOL pool, and pick 1 carries mmr == lambda*relevance."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        N_QUERIES,
+        knn_brute_force,
+        mmr_diversified_topk,
+    )
+    from .conftest import SF_SMALL
+
+    rows = mmr_diversified_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == N_QUERIES
+    top1 = {
+        r["q_id"]: r["neighbor_id"]
+        for r in knn_brute_force(spark, SF_SMALL).collect()
+        if r["rn"] == 1
+    }
+    for q, picks in by_q.items():
+        assert [p["pick_rank"] for p in sorted(picks, key=lambda x: x["pick_rank"])] == list(range(1, MMR_K + 1))
+        ids = [p["neighbor_id"] for p in picks]
+        assert len(set(ids)) == MMR_K
+        first = min(picks, key=lambda x: x["pick_rank"])
+        assert first["neighbor_id"] == top1[q]
+        # relevance is rounded independently of mmr, so compare loosely
+        assert abs(first["mmr_score"] - MMR_LAMBDA * first["relevance"]) < 1e-6
