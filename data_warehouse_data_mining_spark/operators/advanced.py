@@ -1246,3 +1246,71 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mon")
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-JOIN maintenance — the delta algebra
+    (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the join half of view
+    maintenance next to incremental_agg_maintenance's aggregate half.
+    Orders arriving from 1997 are the fact delta ΔA; customers with
+    c_custkey % 97 == 0 stand in for newly-registered dimension rows
+    ΔB. The Spark side assembles the maintained join from the four
+    disjoint pieces (the stored base A⋈B plus the three delta joins a
+    refresh would compute); the oracle is the full single-pass rebuild
+    — the hash check IS the incremental==full proof.
+
+    Scale shape: each delta piece joins a FILTERED (pruned-partition /
+    small) input, so a nightly refresh computes ΔA⋈B (delta-fact
+    against the dimension), A⋈ΔB (history against the tiny new-dim
+    batch — the one expensive piece, which real systems bound by
+    keying the store on the join key), and ΔA⋈ΔB (tiny×tiny); the
+    union re-aggregates on the bounded nation key. Splits are disjoint
+    and exhaustive by construction, so no row is double-counted."""
+    t = load(spark, sf_dir)
+    cutoff = F.lit("1997-01-01").cast("date")
+    is_delta_cust = F.col("c_custkey") % 97 == 0
+    o_base = t.orders.filter(F.col("o_orderdate") < cutoff)
+    o_delta = t.orders.filter(F.col("o_orderdate") >= cutoff)
+    c_base = t.customer.filter(~is_delta_cust)
+    c_delta = t.customer.filter(is_delta_cust)
+    nation = F.broadcast(t.nation)
+
+    def piece(o_side: DataFrame, c_side: DataFrame) -> DataFrame:
+        return (
+            o_side.join(c_side, F.col("c_custkey") == F.col("o_custkey"))
+            .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .alias("revenue_cents"),
+            )
+        )
+
+    maintained = (
+        piece(o_base, c_base)       # stored base view
+        .unionByName(piece(o_delta, c_base))   # ΔA ⋈ B
+        .unionByName(piece(o_base, c_delta))   # A ⋈ ΔB
+        .unionByName(piece(o_delta, c_delta))  # ΔA ⋈ ΔB
+    )
+    return (
+        maintained.groupBy("nation")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("nation")
+    )

@@ -755,3 +755,38 @@ def test_clean_corpus_parquet_staging_equals_pinned(spark, tmp_path):
         .collect()
     )
     assert pinned == staged and len(pinned) > 0
+
+
+def test_incremental_join_maintenance_equals_full_rebuild(spark):
+    """The four-piece delta assembly must equal the single-pass rebuild
+    computed in-engine (the oracle proves it cross-engine; this pins it
+    against Spark itself so a split-disjointness regression fails fast)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.advanced import (
+        incremental_join_maintenance,
+    )
+    from .conftest import SF_SMALL
+
+    got = {
+        r["nation"]: (r["n_rows"], r["revenue_cents"])
+        for r in incremental_join_maintenance(spark, SF_SMALL).collect()
+    }
+    t = load(spark, SF_SMALL)
+    full = {
+        r["nation"]: (r["n_rows"], r["revenue_cents"])
+        for r in (
+            t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+            .join(t.nation, F.col("n_nationkey") == F.col("c_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .collect()
+        )
+    }
+    assert got == full
