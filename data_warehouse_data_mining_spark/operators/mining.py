@@ -4074,3 +4074,106 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, y,
+             CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS sl,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT p.day, p.sl, p.nl, t.s - p.sl AS sr, t.n - p.nl AS nr, t.s, t.n,
+             CAST(p.sl AS DOUBLE) * p.sl / p.nl
+               + CAST(t.s - p.sl AS DOUBLE) * (t.s - p.sl) / (t.n - p.nl)
+               AS f
+      FROM pre p CROSS JOIN tot t
+      WHERE p.nl < t.n
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY f DESC, day) AS rn FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT CAST(day AS VARCHAR) AS split_after_day,
+           nl AS n_left, nr AS n_right,
+           round(sl / CAST(nl AS DOUBLE), 6) AS mean_left,
+           round(sr / CAST(nr AS DOUBLE), 6) AS mean_right,
+           round(f - CAST(s AS DOUBLE) * s / n, 6) AS sse_reduction
+    FROM best
+    """,
+)
+def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint over the daily order-count
+    series: the split that maximizes the between-segment SSE reduction
+    — since SSE = Σy² − S²/n, the y² term cancels and the objective
+    reduces to f(t) = S_L²/n_L + S_R²/n_R, so the scan needs only ONE
+    prefix sum over exact integer daily counts (Scott & Knott 1974
+    binary segmentation; the location complement to cusum_changepoint's
+    drift detector).
+
+    Determinism: S_L/n_L are exact BIGINTs from one ordered window over
+    the bounded daily table; f(t) is products of exact integers in
+    IEEE double — bit-identical across engines — and the argmax
+    tie-breaks on the earlier day. Scale shape: one fact-table date
+    rollup, one window over ~#days rows, one O(1) pick."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    wpre = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("y").over(wpre).cast("long").alias("sl"),
+        F.row_number().over(W.orderBy("day")).cast("long").alias("nl"),
+    )
+    tot = daily.agg(
+        F.sum("y").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sld = F.col("sl").cast("double")
+    srd = (F.col("s") - F.col("sl")).cast("double")
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            "day",
+            "sl",
+            "nl",
+            (F.col("s") - F.col("sl")).alias("sr"),
+            (F.col("n") - F.col("nl")).alias("nr"),
+            "s",
+            "n",
+            (
+                sld * F.col("sl") / F.col("nl")
+                + srd * (F.col("s") - F.col("sl")) / (F.col("n") - F.col("nl"))
+            ).alias("f"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("f").desc(), "day"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("day").cast("string").alias("split_after_day"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.round(F.col("sl") / F.col("nl").cast("double"), 6).alias("mean_left"),
+        F.round(F.col("sr") / F.col("nr").cast("double"), 6).alias("mean_right"),
+        F.round(
+            F.col("f") - F.col("s").cast("double") * F.col("s") / F.col("n"), 6
+        ).alias("sse_reduction"),
+    )

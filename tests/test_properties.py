@@ -617,3 +617,28 @@ def test_modularity_bounds_and_consistency(spark):
         row["q_num"] / (4.0 * row["n_edges"] * row["n_edges"]), 6
     )
     assert row["modularity"] >= 0.0
+
+
+def test_binseg_changepoint_matches_python_mirror(spark, duck):
+    """The argmax split recomputed in Python over DuckDB's exact daily
+    counts must agree (same f(t)=SL²/nL+SR²/nR objective, earlier-day
+    tie-break), and SSE reduction must be nonnegative."""
+    from data_warehouse_data_mining_spark.operators.mining import binseg_changepoint
+    from .conftest import SF_SMALL
+
+    row = binseg_changepoint(spark, SF_SMALL).collect()[0]
+    daily = duck.execute(
+        "SELECT CAST(o_orderdate AS DATE), count(*) FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [c for _, c in daily]
+    s, n = sum(ys), len(ys)
+    best_f, best_t = -1.0, None
+    sl = 0
+    for t in range(n - 1):
+        sl += ys[t]
+        f = sl * sl / (t + 1) + (s - sl) * (s - sl) / (n - t - 1)
+        if f > best_f:
+            best_f, best_t = f, t
+    assert row["split_after_day"] == str(daily[best_t][0])
+    assert row["n_left"] == best_t + 1 and row["n_right"] == n - best_t - 1
+    assert row["sse_reduction"] >= 0
