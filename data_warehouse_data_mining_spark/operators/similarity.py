@@ -1980,10 +1980,13 @@ MMR_POOL = 10
 MMR_LAMBDA = 0.75
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(cand_cte: str | None = None) -> str:
     """Unroll the greedy MMR picks as chained CTEs: pick r+1 scores
     every remaining candidate as λ·rel − (1−λ)·max-sim-to-selected and
-    takes the row_number-1 argmax (tie-break: neighbor_id)."""
+    takes the row_number-1 argmax (tie-break: neighbor_id). ``cand_cte``
+    overrides the candidate-pool CTE body (must yield q_id,
+    neighbor_id, rel, v; rel pre-rounded where the producer rounds) —
+    default: the exact top-MMR_POOL cosine pool."""
     steps = []
     for i in range(1, MMR_K):
         prev = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, i + 1))
@@ -2009,17 +2012,18 @@ def _mmr_oracle() -> str:
         )
     unrolled = ",\n    ".join(steps)
     picks = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, MMR_K + 1))
-    return f"""
-    WITH {_ORACLE_E},
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
-    cand AS MATERIALIZED (
-      SELECT q_id, neighbor_id, rel, v FROM (
+    _cand_body = cand_cte if cand_cte is not None else f"""      SELECT q_id, neighbor_id, rel, v FROM (
         SELECT q.q_id, e.vec_id AS neighbor_id, e.v,
                {_ORACLE_COS} AS rel,
                row_number() OVER (PARTITION BY q.q_id
                                   ORDER BY {_ORACLE_COS} DESC, e.vec_id) AS rn
         FROM q JOIN e ON e.vec_id <> q.q_id
-      ) t WHERE rn <= {MMR_POOL}
+      ) t WHERE rn <= {MMR_POOL}"""
+    return f"""
+    WITH {_ORACLE_E},
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS MATERIALIZED (
+{_cand_body}
     ),
     pairs AS MATERIALIZED (
       SELECT a.q_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
@@ -2045,46 +2049,13 @@ def _mmr_oracle() -> str:
     """
 
 
-@register("mmr_diversified_topk", oracle=_mmr_oracle())
-def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
-    1998): greedily pick 5 of the exact top-10 candidates per query,
-    each pick maximizing λ·relevance − (1−λ)·max-similarity-to-already-
-    picked — the standard result-diversification pass between ANN
-    retrieval and an LLM context window, killing near-duplicate hits
-    that a pure top-k would stack.
 
-    Determinism: λ=0.75 is dyadic so the score mix is exact in binary;
-    relevance/pairwise cosines are the usual double folds; every argmax
-    is row_number with a neighbor_id tie-break — so the greedy
-    trajectory is identical on both engines, pick by pick (the oracle
-    unrolls the same 5 rounds as chained CTEs). Scale shape: the pool
-    is a top-10 per query (TakeOrdered semantics via the windowed
-    rank), the pairwise table is pool²·queries — bounded by the SERVING
-    page size, never the corpus — and each greedy round is a
-    broadcast-sized join."""
-    e = _corpus(spark, sf_dir)
-    q = e.filter(F.col("id") < N_QUERIES).select(
-        F.col("id").alias("q_id"), F.col("v").alias("qv")
-    )
-    rel = V.dot(F.col("qv"), F.col("v")) / (
-        V.norm(F.col("qv")) * V.norm(F.col("v"))
-    )
-    wq = W.partitionBy("q_id").orderBy(F.col("rel").desc(), "neighbor_id")
-    cand = (
-        e.join(F.broadcast(q), F.col("id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("id").alias("neighbor_id"),
-            F.col("v"),
-            rel.alias("rel"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= MMR_POOL)
-        .drop("rn")
-        # queries x 10 rows; feeds the pair table and every greedy round
-        .localCheckpoint(eager=True)
-    )
+def _mmr_greedy(cand: DataFrame) -> DataFrame:
+    """Greedy MMR over a bounded candidate pool (q_id, neighbor_id, v,
+    rel): MMR_K picks, λ=MMR_LAMBDA, row_number argmax with neighbor_id
+    tie-break each round — the engine-portable trajectory the oracle
+    unrolls as CTEs. The pool must be localCheckpoint-ed by the caller
+    (it feeds the pair table and every greedy round)."""
     a = cand.select("q_id", F.col("neighbor_id").alias("id_a"), F.col("v").alias("va"))
     b = cand.select(
         F.col("q_id").alias("q2"), F.col("neighbor_id").alias("id_b"), F.col("v").alias("vb")
@@ -2160,3 +2131,98 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel", 6).alias("relevance"),
         F.round("mmr", 6).alias("mmr_score"),
     ).orderBy("q_id", "pick_rank")
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): greedily pick 5 of the exact top-10 candidates per query,
+    each pick maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    picked — the standard result-diversification pass between ANN
+    retrieval and an LLM context window, killing near-duplicate hits
+    that a pure top-k would stack.
+
+    Determinism: λ=0.75 is dyadic so the score mix is exact in binary;
+    relevance/pairwise cosines are the usual double folds; every argmax
+    is row_number with a neighbor_id tie-break — so the greedy
+    trajectory is identical on both engines, pick by pick (the oracle
+    unrolls the same 5 rounds as chained CTEs). Scale shape: the pool
+    is a top-10 per query (TakeOrdered semantics via the windowed
+    rank), the pairwise table is pool²·queries — bounded by the SERVING
+    page size, never the corpus — and each greedy round is a
+    broadcast-sized join."""
+    e = _corpus(spark, sf_dir)
+    q = e.filter(F.col("id") < N_QUERIES).select(
+        F.col("id").alias("q_id"), F.col("v").alias("qv")
+    )
+    rel = V.dot(F.col("qv"), F.col("v")) / (
+        V.norm(F.col("qv")) * V.norm(F.col("v"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    cand = (
+        e.join(F.broadcast(q), F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("v"),
+            rel.alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        # queries x 10 rows; feeds the pair table and every greedy round
+        .localCheckpoint(eager=True)
+    )
+    return _mmr_greedy(cand)
+
+
+def _lsh_cand_cte() -> str:
+    """Candidate-pool CTE body for _mmr_oracle: top-MMR_POOL by cosine
+    among the deterministic multiprobe LSH buckets (the production ANN
+    pool), rel pre-rounded to 6 like the builder's lsh_topk output."""
+    cos = (
+        "list_inner_product(qq.qv, ee.v) / "
+        "(sqrt(list_inner_product(qq.qv, qq.qv)) * "
+        "sqrt(list_inner_product(ee.v, ee.v)))"
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(N_PLANES)])
+    return f"""      SELECT q_id, neighbor_id, rel, v FROM (
+        SELECT qq.q_id, ee.vec_id AS neighbor_id, ee.v,
+               round({cos}, 6) AS rel,
+               row_number() OVER (PARTITION BY qq.q_id
+                                  ORDER BY {cos} DESC, ee.vec_id) AS rn
+        FROM (SELECT q0.q_id, q0.qv, xor(q0.qbucket, m.mask) AS probe
+              FROM (SELECT vec_id AS q_id, v AS qv, {_sql_bucket('v')} AS qbucket
+                    FROM e WHERE vec_id < {N_QUERIES}) q0,
+                   (SELECT unnest([{masks}]) AS mask) m) qq
+        JOIN (SELECT vec_id, v, {_sql_bucket('v')} AS bucket FROM e) ee
+          ON ee.bucket = qq.probe AND ee.vec_id <> qq.q_id
+      ) t WHERE rn <= {MMR_POOL}"""
+
+
+@register("retrieval_rerank_pipeline", oracle=_mmr_oracle(_lsh_cand_cte()))
+def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval serving pipeline end-to-end: multiprobe
+    hyperplane-LSH candidate generation (top-MMR_POOL per query, the
+    ann_lsh_hyperplane machinery) followed by greedy MMR
+    diversification of the final 5 — ANN recall does the scale work,
+    MMR keeps the context window from filling with near-duplicates.
+    Composes the two registered stages under ONE oracle so the
+    cross-stage contract (candidate membership, rounded relevances,
+    greedy trajectory) is hash-checked as a unit, the same way
+    llm_corpus_clean pins the corpus pipeline.
+
+    Scale shape: candidate generation is the broadcast-probe bucket
+    equi-join (corpus never shuffles); everything after operates on
+    queries x pool-sized tables. A query whose probed buckets hold
+    fewer than MMR_K candidates simply yields fewer picks — mirrored
+    in both engines."""
+    e = _corpus(spark, sf_dir)
+    lsh = lsh_topk(e, F.col("id") < N_QUERIES, _PLANES, k=MMR_POOL).select(
+        "q_id", "neighbor_id", F.col("cosine").alias("rel")
+    )
+    ev = e.select(F.col("id").alias("neighbor_id"), "v")
+    cand = lsh.join(ev, "neighbor_id").select(
+        "q_id", "neighbor_id", "rel", "v"
+    ).localCheckpoint(eager=True)
+    return _mmr_greedy(cand)

@@ -167,3 +167,30 @@ def test_mmr_first_pick_is_top1_and_picks_are_distinct(spark):
         assert first["neighbor_id"] == top1[q]
         # relevance is rounded independently of mmr, so compare loosely
         assert abs(first["mmr_score"] - MMR_LAMBDA * first["relevance"]) < 1e-6
+
+
+def test_retrieval_pipeline_picks_come_from_lsh_pool(spark):
+    """Every pipeline pick must be a member of the query's LSH top-10
+    candidate pool, and the first pick must be the pool's relevance
+    argmax — the cross-stage contract the composed oracle hash-checks."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        _PLANES,
+        MMR_POOL,
+        N_QUERIES,
+        _corpus,
+        lsh_topk,
+        retrieval_rerank_pipeline,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+
+    picks = retrieval_rerank_pipeline(spark, SF_SMALL).collect()
+    e = _corpus(spark, SF_SMALL)
+    pool = {}
+    for r in lsh_topk(e, F.col("id") < N_QUERIES, _PLANES, k=MMR_POOL).collect():
+        pool.setdefault(r["q_id"], {})[r["neighbor_id"]] = (r["cosine"], r["rn"])
+    for p in picks:
+        assert p["neighbor_id"] in pool[p["q_id"]]
+        if p["pick_rank"] == 1:
+            assert pool[p["q_id"]][p["neighbor_id"]][1] == 1
