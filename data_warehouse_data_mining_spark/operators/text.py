@@ -1978,3 +1978,125 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("merge_rank", F.row_number().over(wr).cast("bigint"))
         .orderBy("merge_rank")
     )
+
+
+@register(
+    "filter_shapley_attribution",
+    oracle="WITH "
+    + _ORACLE_TOK
+    + f"""
+    , per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN w IN {_sql_in(STOPWORDS)}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END AS fs,
+             CASE WHEN n_stop * 10 >= n_tokens THEN 1 ELSE 0 END AS ft,
+             CASE WHEN n_distinct * 2 <= n_tokens THEN 1 ELSE 0 END AS fr
+      FROM per_doc
+    ),
+    v AS (
+      SELECT CAST(sum(fs) AS BIGINT) AS v_s,
+             CAST(sum(ft) AS BIGINT) AS v_t,
+             CAST(sum(fr) AS BIGINT) AS v_r,
+             CAST(sum(greatest(fs, ft)) AS BIGINT) AS v_st,
+             CAST(sum(greatest(fs, fr)) AS BIGINT) AS v_sr,
+             CAST(sum(greatest(ft, fr)) AS BIGINT) AS v_tr,
+             CAST(sum(greatest(fs, ft, fr)) AS BIGINT) AS v_str
+      FROM flags
+    )
+    SELECT filter_name, solo_removed, shapley_sixths,
+           round(shapley_sixths / 6.0, 6) AS shapley_docs,
+           round(shapley_sixths * 100.0 / (6 * v_str), 6) AS share_pct
+    FROM (
+      SELECT 'short' AS filter_name, v_s AS solo_removed,
+             CAST(2 * v_s + (v_st - v_t) + (v_sr - v_r)
+                  + 2 * (v_str - v_tr) AS BIGINT) AS shapley_sixths,
+             v_str
+      FROM v
+      UNION ALL
+      SELECT 'stopword_heavy', v_t,
+             CAST(2 * v_t + (v_st - v_s) + (v_tr - v_r)
+                  + 2 * (v_str - v_sr) AS BIGINT), v_str
+      FROM v
+      UNION ALL
+      SELECT 'repetitive', v_r,
+             CAST(2 * v_r + (v_sr - v_s) + (v_tr - v_t)
+                  + 2 * (v_str - v_st) AS BIGINT), v_str
+      FROM v
+    ) ORDER BY filter_name
+    """,
+)
+def filter_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley attribution of removed documents across the three
+    quality filters (quality_filter_ablation's short / stopword-heavy /
+    repetitive gates): each filter's fair credit for the jointly
+    removed set, averaging its marginal contribution over all 3!
+    orderings — the principled answer to "which filter is doing the
+    work" when removals overlap (a solo-count report double-counts).
+
+    Exactness: with three players the Shapley value has denominator 6,
+    so each φ is kept as an exact BIGINT in SIXTHS —
+    6φ_i = 2·v({{i}}) + Σ_j (v({{i,j}})−v({{j}})) + 2·(v(N)−v(N\\{{i}}))
+    — and all seven coalition values come from ONE per-doc flags pass
+    (union-of-filters removal = greatest() of the bits). Efficiency
+    (Σφ_i = v(N)) is test-pinned. Scale shape: one tokenization pass,
+    one 1-row coalition rollup, a 3-row unpivot."""
+    tok = _doc_tokens(spark, sf_dir)
+    per_doc = tok.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("w").isin(*STOPWORDS).cast("int"))
+        .cast("long")
+        .alias("n_stop"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    flags = per_doc.select(
+        F.when(F.col("n_tokens") < 25, 1).otherwise(0).alias("fs"),
+        F.when(F.col("n_stop") * 10 >= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("ft"),
+        F.when(F.col("n_distinct") * 2 <= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("fr"),
+    )
+    v = flags.agg(
+        F.sum("fs").cast("long").alias("v_s"),
+        F.sum("ft").cast("long").alias("v_t"),
+        F.sum("fr").cast("long").alias("v_r"),
+        F.sum(F.greatest("fs", "ft")).cast("long").alias("v_st"),
+        F.sum(F.greatest("fs", "fr")).cast("long").alias("v_sr"),
+        F.sum(F.greatest("ft", "fr")).cast("long").alias("v_tr"),
+        F.sum(F.greatest("fs", "ft", "fr")).cast("long").alias("v_str"),
+    ).localCheckpoint(eager=True)
+    rows = []
+    specs = [
+        ("short", "v_s", ("v_st", "v_t"), ("v_sr", "v_r"), "v_tr"),
+        ("stopword_heavy", "v_t", ("v_st", "v_s"), ("v_tr", "v_r"), "v_sr"),
+        ("repetitive", "v_r", ("v_sr", "v_s"), ("v_tr", "v_t"), "v_st"),
+    ]
+    for name, solo, (p1, m1), (p2, m2), rest in specs:
+        sixths = (
+            2 * F.col(solo)
+            + (F.col(p1) - F.col(m1))
+            + (F.col(p2) - F.col(m2))
+            + 2 * (F.col("v_str") - F.col(rest))
+        ).cast("long")
+        rows.append(
+            v.select(
+                F.lit(name).alias("filter_name"),
+                F.col(solo).alias("solo_removed"),
+                sixths.alias("shapley_sixths"),
+                F.round(sixths / 6.0, 6).alias("shapley_docs"),
+                F.round(
+                    sixths * 100.0 / (6 * F.col("v_str")), 6
+                ).alias("share_pct"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("filter_name")

@@ -299,3 +299,26 @@ def test_ngram_novelty_invariants(spark):
     assert rows[-1]["cum_coverage_pct"] == 100.0
     for r in rows:
         assert 0 <= r["novel_ngrams"] <= r["distinct_ngrams"]
+
+
+def test_shapley_efficiency_and_symmetry_axioms(spark):
+    """Shapley's efficiency axiom: the three attributions must sum
+    EXACTLY (in sixths) to the grand-coalition removal count — which
+    equals the ablation matrix's total 'drop' docs; each phi lies in
+    [0, v(N)]."""
+    from data_warehouse_data_mining_spark.operators.text import (
+        filter_shapley_attribution,
+        quality_filter_ablation,
+    )
+
+    rows = filter_shapley_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 3
+    dropped = sum(
+        r["n_docs"]
+        for r in quality_filter_ablation(spark, SF_SMALL).collect()
+        if r["verdict"] == "drop"
+    )
+    assert sum(r["shapley_sixths"] for r in rows) == 6 * dropped
+    for r in rows:
+        assert 0 <= r["shapley_sixths"] <= 6 * dropped
+        assert 0 <= r["solo_removed"] <= dropped
