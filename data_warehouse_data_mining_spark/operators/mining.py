@@ -4177,3 +4177,151 @@ def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f") - F.col("s").cast("double") * F.col("s") / F.col("n"), 6
         ).alias("sse_reduction"),
     )
+
+
+# Newsvendor cost weights: underage (lost margin) 3, overage (holding) 1
+# -> critical ratio 3/4, so q* is the smallest q with F(q) >= 0.75.
+NV_CU = 3
+NV_CO = 1
+
+
+@register(
+    "newsvendor_order_quantity",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT p.p_brand AS brand, date_trunc('week', l.l_shipdate) AS wk,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, d,
+             row_number() OVER (PARTITION BY brand ORDER BY d, wk) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM weekly
+    ),
+    qstar AS (
+      SELECT brand, CAST(n AS BIGINT) AS n_weeks, d AS q_star
+      FROM ranked
+      WHERE rn = ({NV_CU} * n + {NV_CU + NV_CO - 1}) // {NV_CU + NV_CO}
+    ),
+    naive AS (
+      SELECT brand,
+             CAST((2 * sum(d) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS q_naive
+      FROM weekly GROUP BY brand
+    ),
+    costs AS (
+      SELECT w.brand,
+             CAST(sum({NV_CO} * greatest(q.q_star - w.d, 0)
+                      + {NV_CU} * greatest(w.d - q.q_star, 0))
+                  AS BIGINT) AS cost_qstar,
+             CAST(sum({NV_CO} * greatest(nv.q_naive - w.d, 0)
+                      + {NV_CU} * greatest(w.d - nv.q_naive, 0))
+                  AS BIGINT) AS cost_naive
+      FROM weekly w
+      JOIN qstar q ON q.brand = w.brand
+      JOIN naive nv ON nv.brand = w.brand
+      GROUP BY w.brand
+    )
+    SELECT q.brand, q.n_weeks, q.q_star, nv.q_naive,
+           c.cost_qstar, c.cost_naive,
+           round((c.cost_naive - c.cost_qstar) * 100.0
+                 / greatest(c.cost_naive, 1), 6) AS saving_pct
+    FROM qstar q
+    JOIN naive nv ON nv.brand = q.brand
+    JOIN costs c ON c.brand = q.brand
+    ORDER BY q.brand
+    """,
+)
+def newsvendor_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal order quantity per brand from the empirical
+    weekly-demand distribution: with underage cost 3 and overage cost 1
+    the critical ratio is 3/4, so q* is the ceil(3n/4)-th smallest
+    weekly demand — evaluated against the naive order-the-mean policy
+    with both policies' exact empirical costs (the classic result that
+    the profit-maximizing stock level is a QUANTILE, not the mean;
+    Arrow-Harris-Marschak 1951).
+
+    Everything is exact integers: demands are summed BIGINT quantities,
+    the critical order statistic uses the integer identity
+    ceil(3n/4) = (3n+3)//4, costs are integer-weighted piecewise sums,
+    and the only double is the final saving percentage. Scale shape:
+    one fact pass to the bounded (brand, week) table; per-brand windows
+    over week-count slivers; two broadcast-sized policy joins."""
+    t = load(spark, sf_dir)
+    weekly = (
+        t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    wr = W.partitionBy("brand").orderBy("d", "wk")
+    wn = W.partitionBy("brand")
+    k = F.expr(
+        f"({NV_CU} * n + {NV_CU + NV_CO - 1}) div {NV_CU + NV_CO}"
+    )
+    qstar = (
+        weekly.select(
+            "brand",
+            "d",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == k)
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_weeks"),
+            F.col("d").alias("q_star"),
+        )
+    )
+    naive = (
+        weekly.groupBy("brand")
+        .agg(
+            F.sum("d").cast("long").alias("sd"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        # round-half-up integer mean, exact: (2S + n) div (2n)
+        .select("brand", F.expr("(2 * sd + cnt) div (2 * cnt)").cast("long").alias("q_naive"))
+    )
+    costs = (
+        weekly.join(qstar.select("brand", "q_star"), "brand")
+        .join(naive, "brand")
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                NV_CO * F.greatest(F.col("q_star") - F.col("d"), F.lit(0))
+                + NV_CU * F.greatest(F.col("d") - F.col("q_star"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cost_qstar"),
+            F.sum(
+                NV_CO * F.greatest(F.col("q_naive") - F.col("d"), F.lit(0))
+                + NV_CU * F.greatest(F.col("d") - F.col("q_naive"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cost_naive"),
+        )
+    )
+    return (
+        qstar.join(naive, "brand")
+        .join(costs, "brand")
+        .select(
+            "brand",
+            "n_weeks",
+            "q_star",
+            "q_naive",
+            "cost_qstar",
+            "cost_naive",
+            F.round(
+                (F.col("cost_naive") - F.col("cost_qstar"))
+                * 100.0
+                / F.greatest(F.col("cost_naive"), F.lit(1)),
+                6,
+            ).alias("saving_pct"),
+        )
+        .orderBy("brand")
+    )

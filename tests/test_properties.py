@@ -642,3 +642,36 @@ def test_binseg_changepoint_matches_python_mirror(spark, duck):
     assert row["split_after_day"] == str(daily[best_t][0])
     assert row["n_left"] == best_t + 1 and row["n_right"] == n - best_t - 1
     assert row["sse_reduction"] >= 0
+
+
+def test_newsvendor_qstar_is_cost_optimal(spark, duck):
+    """q* must beat (or tie) BOTH every other empirical demand level
+    and the naive round-the-mean policy on exact empirical cost —
+    the defining optimality of the critical-ratio quantile."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        NV_CO,
+        NV_CU,
+        newsvendor_order_quantity,
+    )
+    from .conftest import SF_SMALL
+
+    rows = newsvendor_order_quantity(spark, SF_SMALL).collect()
+    assert rows
+    weekly = {}
+    for brand, d in duck.execute(
+        """SELECT p.p_brand, CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           GROUP BY p.p_brand, date_trunc('week', l.l_shipdate)"""
+    ).fetchall():
+        weekly.setdefault(brand, []).append(d)
+
+    def cost(q, ds):
+        return sum(NV_CO * max(q - d, 0) + NV_CU * max(d - q, 0) for d in ds)
+
+    for r in rows:
+        ds = weekly[r["brand"]]
+        assert r["cost_qstar"] == cost(r["q_star"], ds)
+        assert r["cost_naive"] == cost(r["q_naive"], ds)
+        best = min(cost(q, ds) for q in set(ds))
+        assert r["cost_qstar"] == best  # quantile optimality
+        assert r["cost_qstar"] <= r["cost_naive"]
