@@ -4325,3 +4325,134 @@ def newsvendor_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "diff_in_diff",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS pre_c,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS post_c
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN arm = 'A' THEN pre_c ELSE 0 END) AS BIGINT) AS pa,
+             CAST(sum(CASE WHEN arm = 'B' THEN pre_c ELSE 0 END) AS BIGINT) AS pb,
+             CAST(sum(CASE WHEN arm = 'A' THEN post_c ELSE 0 END) AS BIGINT) AS qa,
+             CAST(sum(CASE WHEN arm = 'B' THEN post_c ELSE 0 END) AS BIGINT) AS qb,
+             CAST(sum(CASE WHEN arm = 'A'
+                           THEN (post_c - pre_c) * (post_c - pre_c)
+                           ELSE 0 END) AS BIGINT) AS dda,
+             CAST(sum(CASE WHEN arm = 'B'
+                           THEN (post_c - pre_c) * (post_c - pre_c)
+                           ELSE 0 END) AS BIGINT) AS ddb
+      FROM per_user
+    ),
+    x AS (
+      SELECT na, nb,
+             pa / (CAST(na AS DOUBLE) * 100) AS pre_a,
+             pb / (CAST(nb AS DOUBLE) * 100) AS pre_b,
+             qa / (CAST(na AS DOUBLE) * 100) AS post_a,
+             qb / (CAST(nb AS DOUBLE) * 100) AS post_b,
+             (CAST(na AS DOUBLE) * dda - CAST(qa - pa AS DOUBLE) * (qa - pa))
+               / (CAST(na AS DOUBLE) * (na - 1)) / 10000.0 / na AS sq_a,
+             (CAST(nb AS DOUBLE) * ddb - CAST(qb - pb AS DOUBLE) * (qb - pb))
+               / (CAST(nb AS DOUBLE) * (nb - 1)) / 10000.0 / nb AS sq_b
+      FROM m
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(pre_a, 6) AS pre_a, round(post_a, 6) AS post_a,
+           round(pre_b, 6) AS pre_b, round(post_b, 6) AS post_b,
+           round((post_b - pre_b) - (post_a - pre_a), 6) AS did_estimate,
+           round(CASE WHEN sq_a + sq_b = 0 THEN 0.0
+                      ELSE ((post_b - pre_b) - (post_a - pre_a))
+                           / sqrt(sq_a + sq_b) END, 6) AS t_stat
+    FROM x
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the hash-split panel: each user is
+    observed pre and post the 2024-01-15 cutover (ab_cuped_adjustment's
+    periods), so DiD = (post_B − pre_B) − (post_A − pre_A) removes both
+    the arm-level baseline and the common time shock — the workhorse
+    causal estimator when assignment isn't randomized; its t uses the
+    per-arm variance of the user-level CHANGE post−pre (the panel form,
+    which differences out user fixed effects).
+
+    Same one-pass discipline as ab_welch_ttest: exact bigint per-arm
+    moment sums (now including Σ(post−pre)²), every statistic a single
+    identical double expression, degenerate variances guarded by a
+    CASE. Scale shape: one per-user aggregate, one 1-row rollup."""
+    e = load(spark, sf_dir).events
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+        .cast("long")
+        .alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0))
+        .cast("long")
+        .alias("post_c"),
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "pre_c",
+        "post_c",
+    )
+    d = F.col("post_c") - F.col("pre_c")
+    s_if = lambda a, c: F.sum(F.when(F.col("arm") == a, c).otherwise(0)).cast("long")
+    m = per_user.agg(
+        s_if("A", F.lit(1)).alias("na"),
+        s_if("B", F.lit(1)).alias("nb"),
+        s_if("A", F.col("pre_c")).alias("pa"),
+        s_if("B", F.col("pre_c")).alias("pb"),
+        s_if("A", F.col("post_c")).alias("qa"),
+        s_if("B", F.col("post_c")).alias("qb"),
+        s_if("A", d * d).alias("dda"),
+        s_if("B", d * d).alias("ddb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    da = (F.col("qa") - F.col("pa")).cast("double")
+    db = (F.col("qb") - F.col("pb")).cast("double")
+    x = m.select(
+        "na",
+        "nb",
+        (F.col("pa") / (nad * 100)).alias("pre_a"),
+        (F.col("pb") / (nbd * 100)).alias("pre_b"),
+        (F.col("qa") / (nad * 100)).alias("post_a"),
+        (F.col("qb") / (nbd * 100)).alias("post_b"),
+        (
+            (nad * F.col("dda") - da * (F.col("qa") - F.col("pa")))
+            / (nad * (F.col("na") - 1))
+            / 10000.0
+            / F.col("na")
+        ).alias("sq_a"),
+        (
+            (nbd * F.col("ddb") - db * (F.col("qb") - F.col("pb")))
+            / (nbd * (F.col("nb") - 1))
+            / 10000.0
+            / F.col("nb")
+        ).alias("sq_b"),
+    )
+    did = (F.col("post_b") - F.col("pre_b")) - (F.col("post_a") - F.col("pre_a"))
+    se2 = F.col("sq_a") + F.col("sq_b")
+    return x.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("pre_a", 6).alias("pre_a"),
+        F.round("post_a", 6).alias("post_a"),
+        F.round("pre_b", 6).alias("pre_b"),
+        F.round("post_b", 6).alias("post_b"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(
+            F.when(se2 == 0, 0.0).otherwise(did / F.sqrt(se2)), 6
+        ).alias("t_stat"),
+    )

@@ -675,3 +675,41 @@ def test_newsvendor_qstar_is_cost_optimal(spark, duck):
         best = min(cost(q, ds) for q in set(ds))
         assert r["cost_qstar"] == best  # quantile optimality
         assert r["cost_qstar"] <= r["cost_naive"]
+
+
+def test_diff_in_diff_identity_and_mirror(spark, duck):
+    """DiD must equal the four reported means' double difference, and
+    the t statistic must match a textbook Python recomputation from the
+    exact per-user cent panel."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import diff_in_diff
+    from .conftest import SF_SMALL
+
+    row = diff_in_diff(spark, SF_SMALL).collect()[0]
+    assert abs(
+        row["did_estimate"]
+        - ((row["post_b"] - row["pre_b"]) - (row["post_a"] - row["pre_a"]))
+    ) < 5e-6  # independently rounded means
+    panel = duck.execute(
+        """
+        SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT)
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    deltas = {"A": [], "B": []}
+    for arm, pre, post in panel:
+        deltas[arm].append((post - pre) / 100.0)
+    mean = lambda xs: sum(xs) / len(xs)
+    var = lambda xs: sum((x - mean(xs)) ** 2 for x in xs) / (len(xs) - 1)
+    did = mean(deltas["B"]) - mean(deltas["A"])
+    se = math.sqrt(
+        var(deltas["A"]) / len(deltas["A"]) + var(deltas["B"]) / len(deltas["B"])
+    )
+    assert abs(row["did_estimate"] - did) < 1e-6
+    assert abs(row["t_stat"] - did / se) < 1e-5
