@@ -411,3 +411,39 @@ def test_corrupt_parquet_file_quarantine(spark, tmp_path):
         assert spark.read.parquet(out).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", saved)
+
+
+def test_fixed_width_reader_slices_types_and_quarantines(spark, tmp_path):
+    """Typed slicing, blank->NULL, short-line quarantine, and a
+    codegen-only plan (no Python evaluation node) for the fixed-width
+    reader."""
+    from data_warehouse_data_mining_spark.sources.fixedwidth import (
+        read_fixed_width,
+    )
+
+    p = tmp_path / "fw.txt"
+    # layout: id cols 1-4, name cols 5-14, qty cols 15-19
+    lines = [
+        f"{1:04d}{'widget':<10}{42:>5}",
+        f"{2:04d}{'gadget':<10}{'':>5}",   # blank qty -> NULL
+        f"{3:04d}{'gizmo':<5}",            # short line -> malformed
+        f"{4:04d}{'doohickey':<10}{-7:>5}",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    specs = [
+        ("id", 1, 4, "int"),
+        ("name", 5, 10, "string"),
+        ("qty", 15, 5, "bigint"),
+    ]
+    rows = {
+        r["id"]: r for r in read_fixed_width(spark, str(p), specs).collect()
+    }
+    assert set(rows) == {1, 2, 4}  # line 3 quarantined
+    assert rows[1]["name"] == "widget" and rows[1]["qty"] == 42
+    assert rows[2]["qty"] is None
+    assert rows[4]["qty"] == -7
+    kept = read_fixed_width(spark, str(p), specs, keep_malformed=True)
+    flags = {r["id"]: r["_malformed"] for r in kept.collect()}
+    assert flags[3] is True and flags[1] is False
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
