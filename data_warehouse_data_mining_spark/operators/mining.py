@@ -4456,3 +4456,224 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(se2 == 0, 0.0).otherwise(did / F.sqrt(se2)), 6
         ).alias("t_stat"),
     )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.n - b.n) * (a.rev - b.rev) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.n - b.n) * (a.rev - b.rev) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN a.n = b.n AND a.rev <> b.rev THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.rev = b.rev AND a.n <> b.n THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS nc, CAST(sum(d) AS BIGINT) AS nd,
+             CAST(sum(tx) AS BIGINT) AS ntx, CAST(sum(ty) AS BIGINT) AS nty,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    )
+    SELECT n_pairs, nc AS concordant, nd AS discordant,
+           ntx AS ties_x_only, nty AS ties_y_only,
+           round((nc - nd) / sqrt((CAST(n_pairs AS DOUBLE) - ntx)
+                                  * (CAST(n_pairs AS DOUBLE) - nty)), 6)
+             AS tau_b
+    FROM agg
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between daily 1996 order count
+    and daily revenue — the outlier-immune alternative to Pearson
+    (acf/correlation_matrix) built from concordant/discordant pair
+    counts, with the τ-b tie correction.
+
+    Exactness: every pair classification is an exact integer sign test
+    ((Δn)·(Δrev) > 0 on BIGINTs), so concordant/discordant/tie counts
+    are exact; τ-b is one double expression over them. Scale shape:
+    pairwise work is bounded by the TIME WINDOW (≤366·365/2 pairs —
+    SF-independent), after one fact-table date rollup; the same
+    bounded-pairs discipline as theil_sen_trend."""
+    o = load(spark, sf_dir).orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("n").alias("n1"), F.col("rev").alias("r1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("n").alias("n2"), F.col("rev").alias("r2")
+    )
+    prod = (F.col("n1") - F.col("n2")) * (F.col("r1") - F.col("r2"))
+    agg = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            F.when(prod > 0, 1).otherwise(0).alias("c"),
+            F.when(prod < 0, 1).otherwise(0).alias("d"),
+            F.when(
+                (F.col("n1") == F.col("n2")) & (F.col("r1") != F.col("r2")), 1
+            )
+            .otherwise(0)
+            .alias("tx"),
+            F.when(
+                (F.col("r1") == F.col("r2")) & (F.col("n1") != F.col("n2")), 1
+            )
+            .otherwise(0)
+            .alias("ty"),
+        )
+        .agg(
+            F.sum("c").cast("long").alias("nc"),
+            F.sum("d").cast("long").alias("nd"),
+            F.sum("tx").cast("long").alias("ntx"),
+            F.sum("ty").cast("long").alias("nty"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    npd = F.col("n_pairs").cast("double")
+    return agg.select(
+        "n_pairs",
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.col("ntx").alias("ties_x_only"),
+        F.col("nty").alias("ties_y_only"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt((npd - F.col("ntx")) * (npd - F.col("nty"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "durbin_watson_residuals",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d * d) AS BIGINT) AS sxx,
+             CAST(sum(d * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    coef AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sx) / n AS a
+      FROM m
+    ),
+    resid AS (
+      SELECT d, y - (c.a + c.b * d) AS e FROM daily CROSS JOIN coef c
+    ),
+    lagged AS (
+      SELECT e, lag(e) OVER (ORDER BY d) AS ep FROM resid
+    )
+    SELECT (SELECT n FROM coef) AS n_days,
+           round((SELECT b FROM coef) / 100.0, 6) AS slope,
+           round(sum(CASE WHEN ep IS NULL THEN 0.0
+                          ELSE (e - ep) * (e - ep) END)
+                 / sum(e * e), 6) AS durbin_watson
+    FROM lagged
+    """,
+)
+def durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic of the 1996 daily-revenue
+    OLS trend residuals: DW = Σ(e_t − e_{t−1})² / Σe_t² — near 2 means
+    the trend line left white noise, near 0 says positive serial
+    correlation (the trend is missing structure, e.g. weekly
+    seasonality), the go/no-go check before trusting OLS standard
+    errors (Durbin & Watson 1950).
+
+    Determinism: coefficients from exact bigint moment sums (the
+    conformal/cuped discipline); residuals are identical doubles on
+    both engines, and DW's two quadratic sums run over the SAME
+    bounded daily table in one lag window — ≤366 terms, both sums
+    whole-double-ulp stable at this magnitude (the e² terms span <3
+    decades, no catastrophic cancellation). Scale shape: one fact
+    rollup, one O(1) moment pass, one ordered lag window."""
+    o = load(spark, sf_dir).orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+    )
+    ndb = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    b = (ndb * F.col("sxy") - sxd * F.col("sy")) / (
+        ndb * F.col("sxx") - sxd * F.col("sx")
+    )
+    coef = m.select(
+        "n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a")
+    )
+    resid = daily.crossJoin(F.broadcast(coef)).select(
+        "d", "n", "b", (F.col("y") - (F.col("a") + F.col("b") * F.col("d"))).alias("e")
+    )
+    lagged = resid.withColumn("ep", F.lag("e").over(W.orderBy("d")))
+    return (
+        lagged.groupBy("n", "b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("ep").isNull(), 0.0).otherwise(
+                        (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                    )
+                )
+                / F.sum(F.col("e") * F.col("e")),
+                6,
+            ).alias("durbin_watson")
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("b") / 100.0, 6).alias("slope"),
+            "durbin_watson",
+        )
+    )

@@ -713,3 +713,54 @@ def test_diff_in_diff_identity_and_mirror(spark, duck):
     )
     assert abs(row["did_estimate"] - did) < 1e-6
     assert abs(row["t_stat"] - did / se) < 1e-5
+
+
+def test_kendall_tau_matches_python_mirror(spark, duck):
+    """tau-b recomputed with the textbook pair classification in
+    Python must agree exactly, and |tau_b| <= 1 with consistent pair
+    accounting (c + d + ties <= n_pairs)."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import kendall_tau_daily
+    from .conftest import SF_SMALL
+
+    row = kendall_tau_daily(spark, SF_SMALL).collect()[0]
+    daily = duck.execute(
+        """SELECT count(*), CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY CAST(o_orderdate AS DATE)"""
+    ).fetchall()
+    nc = nd = tx = ty = 0
+    for i, (n1, r1) in enumerate(daily):
+        for n2, r2 in daily[i + 1:]:
+            p = (n1 - n2) * (r1 - r2)
+            if p > 0:
+                nc += 1
+            elif p < 0:
+                nd += 1
+            elif n1 == n2 and r1 != r2:
+                tx += 1
+            elif r1 == r2 and n1 != n2:
+                ty += 1
+    np_ = len(daily) * (len(daily) - 1) // 2
+    assert (row["concordant"], row["discordant"]) == (nc, nd)
+    assert (row["ties_x_only"], row["ties_y_only"]) == (tx, ty)
+    assert row["n_pairs"] == np_
+    want = round((nc - nd) / math.sqrt((np_ - tx) * (np_ - ty)), 6)
+    assert row["tau_b"] == want
+    assert -1.0 <= row["tau_b"] <= 1.0
+
+
+def test_durbin_watson_in_valid_range(spark):
+    """DW always lies in [0, 4]; on revenue data with a fitted trend it
+    should sit in the interior (not exactly 0 or 4)."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        durbin_watson_residuals,
+    )
+    from .conftest import SF_SMALL
+
+    row = durbin_watson_residuals(spark, SF_SMALL).collect()[0]
+    assert 0.0 < row["durbin_watson"] < 4.0
+    assert row["n_days"] > 100
