@@ -4677,3 +4677,141 @@ def durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "durbin_watson",
         )
     )
+
+
+@register(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                             AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             CAST(sum(c) OVER (ORDER BY c, o_custkey) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS tot
+      FROM per_cust
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(max(rn) AS BIGINT) AS n_customers,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           round(max(cum) / CAST(max(tot) AS DOUBLE), 6) AS cum_share
+    FROM (SELECT rn, cum, tot, (rn * 10 - 1) // n + 1 AS decile FROM ranked)
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend at decile resolution — the
+    curve behind gini_customer_spend: customers sorted poorest-first,
+    each decile reporting its cumulative share of total spend (the
+    "bottom 50% hold X%" numbers an inequality report quotes).
+
+    Exactness: cumulative cents are exact BIGINT prefix sums with a
+    full (spend, custkey) tie-break order; decile assignment is the
+    integer identity (rn·10−1)//n + 1 (largest-remainder-free, exact);
+    the only double is the final share. Scale shape: one fact rollup,
+    one global ordered prefix sum (the distributed two-phase ranking
+    shape at 100 TB), a 10-row rollup."""
+    o = load(spark, sf_dir).orders
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("c")
+    )
+    wo = W.orderBy("c", "o_custkey")
+    ranked = per_cust.select(
+        "c",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("tot"),
+    )
+    return (
+        ranked.select(
+            F.expr("(rn * 10 - 1) div n + 1").cast("long").alias("decile"),
+            "rn",
+            "cum",
+            "tot",
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("rn").cast("long").alias("n_customers"),
+            F.max("cum").cast("long").alias("cum_cents"),
+            F.round(
+                F.max("cum") / F.max("tot").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pairs_same
+      FROM vc GROUP BY source
+    )
+    SELECT source, n AS n_tokens, n_types,
+           round(pairs_same / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS simpson_lambda,
+           round((CAST(n AS DOUBLE) * (n - 1)) / pairs_same, 6)
+             AS inverse_simpson
+    FROM agg
+    ORDER BY source
+    """,
+)
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each source's token distribution: λ = the
+    probability two random tokens coincide, Σc(c−1)/(N(N−1)) — and its
+    inverse, the "effective vocabulary size" — the ecology-standard
+    concentration measure that, unlike entropy, is an exact RATIONAL of
+    the counts (no logs anywhere), complementing column_entropy_profile
+    and hapax_ratio_by_source in the corpus-diversity panel.
+
+    One token pass to the (source, type) count table, one rollup; both
+    outputs are one double division of exact BIGINTs. Degenerate
+    single-token sources would zero the denominator — impossible here
+    (every synthetic doc has tokens), and the oracle would fail loudly
+    rather than silently diverge if that assumption broke."""
+    d = load(spark, sf_dir).documents
+    from data_warehouse_data_mining_spark.functions import texthash as th
+
+    vc = (
+        d.select("source", F.explode(th.words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = vc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("pairs_same"),
+    )
+    ndb = F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        F.round(F.col("pairs_same") / (ndb * (F.col("n") - 1)), 6).alias(
+            "simpson_lambda"
+        ),
+        F.round((ndb * (F.col("n") - 1)) / F.col("pairs_same"), 6).alias(
+            "inverse_simpson"
+        ),
+    ).orderBy("source")

@@ -764,3 +764,47 @@ def test_durbin_watson_in_valid_range(spark):
     row = durbin_watson_residuals(spark, SF_SMALL).collect()[0]
     assert 0.0 < row["durbin_watson"] < 4.0
     assert row["n_days"] > 100
+
+
+def test_lorenz_curve_convexity_and_terminal(spark):
+    """Lorenz invariants: shares strictly ordered and convex (decile
+    increments nondecreasing — poorer deciles add less), final share
+    exactly 1.0, customer counts partition into near-equal deciles."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        lorenz_curve_deciles,
+    )
+    from .conftest import SF_SMALL
+
+    rows = lorenz_curve_deciles(spark, SF_SMALL).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1.0
+    incr = [shares[0]] + [b - a for a, b in zip(shares, shares[1:])]
+    assert all(b >= a - 1e-9 for a, b in zip(incr, incr[1:]))
+    sizes = [rows[0]["n_customers"]] + [
+        b["n_customers"] - a["n_customers"] for a, b in zip(rows, rows[1:])
+    ]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_simpson_identity_on_small_frame(spark):
+    """Inverse Simpson of a uniform k-type distribution equals ~k, and
+    lambda for a single repeated type equals exactly 1."""
+    from data_warehouse_data_mining_spark.operators import mining  # noqa: F401
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " ('d1', 'a b c d a b c d', 'en', 'u', 15),"
+        " ('d2', 'x x x x x', 'en', 'mono', 9)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    from data_warehouse_data_mining_spark.registry import all_queries
+
+    sql = all_queries()["simpson_diversity_by_source"].oracle
+    got = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert got["mono"][3] == 1.0  # lambda of x^5 is exactly 1
+    # uniform 4 types x 2: lambda = 4*2*1/(8*7) = 1/7
+    assert got["u"][3] == round(8 * 1 / (8 * 7.0), 6)
