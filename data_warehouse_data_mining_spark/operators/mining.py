@@ -4815,3 +4815,186 @@ def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inverse_simpson"
         ),
     ).orderBy("source")
+
+
+HURST_WINDOWS = [16, 32, 64]
+_HURST_LNW = {16: 2.772588722239781, 32: 3.4657359027997265, 64: 4.1588830833596715}
+
+
+def _hurst_oracle() -> str:
+    lnw_case = " ".join(
+        f"WHEN {w} THEN {_HURST_LNW[w]!r}" for w in HURST_WINDOWS
+    )
+    ws = ", ".join(str(w) for w in HURST_WINDOWS)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    blocks AS (
+      SELECT w.w, (i - 1) // w.w AS blk, y,
+             CAST(row_number() OVER (PARTITION BY w.w, (i - 1) // w.w
+                                     ORDER BY i) AS BIGINT) AS k,
+             CAST(sum(y) OVER (PARTITION BY w.w, (i - 1) // w.w
+                               ORDER BY i) AS BIGINT) AS pk
+      FROM idx CROSS JOIN (SELECT unnest([{ws}]) AS w) w
+    ),
+    blocks2 AS (
+      SELECT w, blk, y,
+             w * pk - k * (sum(y) OVER (PARTITION BY w, blk)) AS wz
+      FROM blocks
+    ),
+    per_block AS (
+      SELECT w, blk,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss,
+             CAST(max(wz) AS BIGINT) AS wz_max,
+             CAST(min(wz) AS BIGINT) AS wz_min
+      FROM blocks2 GROUP BY w, blk
+    ),
+    rs AS (
+      SELECT w, blk,
+             CAST(floor(ln((greatest(wz_max, 0) - least(wz_min, 0))
+                           / sqrt(CAST(w * ss - s * s AS DOUBLE)))
+                        * 1000000 + 1e-3) AS BIGINT) AS lrs_micro
+      FROM per_block
+      WHERE cnt = w AND w * ss - s * s > 0
+            AND greatest(wz_max, 0) - least(wz_min, 0) > 0
+    ),
+    per_w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(lrs_micro) AS BIGINT) AS sum_micro,
+             CASE w {lnw_case} END AS lnw
+      FROM rs GROUP BY w
+    ),
+    fit AS (
+      SELECT count(*) AS k,
+             sum(lnw) AS sx, sum(sum_micro / (1000000.0 * n_blocks)) AS sy,
+             sum(lnw * lnw) AS sxx,
+             sum(lnw * sum_micro / (1000000.0 * n_blocks)) AS sxy
+      FROM per_w
+    )
+    SELECT p.w, p.n_blocks,
+           round(p.sum_micro / (1000000.0 * p.n_blocks), 6) AS mean_log_rs,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst_exponent
+    FROM per_w p CROSS JOIN fit f
+    ORDER BY p.w
+    """
+
+
+@register("hurst_rescaled_range", oracle=_hurst_oracle())
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily order-count series by classic
+    rescaled-range (R/S) analysis (Hurst 1951, Mandelbrot-Wallis form):
+    tumbling blocks of w=16/32/64 days, per block the range of
+    mean-centered cumulative deviations over the population std, then H
+    = the log-log OLS slope of mean ln(R/S) against ln(w) — H≈0.5 is a
+    memoryless walk, H>0.5 long-range persistence (trending demand),
+    H<0.5 mean reversion; the long-memory companion to acf/DW.
+
+    Exactness discipline: inside each block the centered cumulative
+    deviation is kept as the exact integer w·Z_k = w·P_k − k·S, the
+    range and w²·variance are exact BIGINTs, each block contributes ONE
+    ln() of a deterministic double (floored to 1e-6 micro units with
+    the +1e-3 nudge), per-w means stay integer until one division, and
+    the ln(w) regressors are baked literals — so the 3-point OLS slope
+    is a single identical double expression. Degenerate blocks (zero
+    variance or zero range) are excluded by exact integer guards on
+    BOTH engines. Scale shape: one fact rollup, windows over the
+    3×#days exploded table, O(1) fits."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    idx = daily.select(
+        "y", F.row_number().over(W.orderBy("day")).cast("long").alias("i")
+    )
+    ws = F.explode(F.array(*[F.lit(w) for w in HURST_WINDOWS])).alias("w")
+    blocks = idx.select("y", "i", ws).select(
+        "w",
+        F.expr("(i - 1) div w").alias("blk"),
+        "y",
+        "i",
+    )
+    wb = W.partitionBy("w", "blk").orderBy("i")
+    blocks = blocks.select(
+        "w",
+        "blk",
+        "y",
+        F.row_number().over(wb).cast("long").alias("k"),
+        F.sum("y").over(wb.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pk"),
+    )
+    wball = W.partitionBy("w", "blk")
+    wz = F.col("w") * F.col("pk") - F.col("k") * F.sum("y").over(wball)
+    per_block = (
+        blocks.select(
+            "w", "blk", "y", wz.alias("wz")
+        )
+        .groupBy("w", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+            F.max("wz").cast("long").alias("wz_max"),
+            F.min("wz").cast("long").alias("wz_min"),
+        )
+    )
+    rng = F.greatest(F.col("wz_max"), F.lit(0)) - F.least(
+        F.col("wz_min"), F.lit(0)
+    )
+    varw = F.col("w") * F.col("ss") - F.col("s") * F.col("s")
+    rs = (
+        per_block.filter(
+            (F.col("cnt") == F.col("w")) & (varw > 0) & (rng > 0)
+        )
+        .select(
+            "w",
+            F.floor(
+                F.log(rng / F.sqrt(varw.cast("double"))) * 1_000_000 + 1e-3
+            )
+            .cast("bigint")
+            .alias("lrs_micro"),
+        )
+    )
+    lnw = F.create_map(
+        *[x for w in HURST_WINDOWS for x in (F.lit(w), F.lit(_HURST_LNW[w]))]
+    )[F.col("w")]
+    per_w = (
+        rs.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("lrs_micro").cast("long").alias("sum_micro"),
+        )
+        .select("w", "n_blocks", "sum_micro", lnw.alias("lnw"))
+        .localCheckpoint(eager=True)
+    )
+    ybar = F.col("sum_micro") / (1_000_000.0 * F.col("n_blocks"))
+    fit = per_w.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lnw").alias("sx"),
+        F.sum(ybar).alias("sy"),
+        F.sum(F.col("lnw") * F.col("lnw")).alias("sxx"),
+        F.sum(F.col("lnw") * ybar).alias("sxy"),
+    )
+    return (
+        per_w.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "n_blocks",
+            F.round(ybar, 6).alias("mean_log_rs"),
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("hurst_exponent"),
+        )
+        .orderBy("w")
+    )

@@ -808,3 +808,55 @@ def test_simpson_identity_on_small_frame(spark):
     assert got["mono"][3] == 1.0  # lambda of x^5 is exactly 1
     # uniform 4 types x 2: lambda = 4*2*1/(8*7) = 1/7
     assert got["u"][3] == round(8 * 1 / (8 * 7.0), 6)
+
+
+def test_hurst_exponent_plausible_and_mirrored(spark, duck):
+    """H recomputed in Python with the identical integer R/S pipeline
+    must agree exactly; H of a real-ish daily series lies in (0, 1)."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        HURST_WINDOWS,
+        _HURST_LNW,
+        hurst_rescaled_range,
+    )
+    from .conftest import SF_SMALL
+
+    rows = hurst_rescaled_range(spark, SF_SMALL).collect()
+    ys = [
+        c
+        for (c,) in duck.execute(
+            "SELECT count(*) FROM orders GROUP BY CAST(o_orderdate AS DATE)"
+            " ORDER BY CAST(o_orderdate AS DATE)"
+        ).fetchall()
+    ]
+    pts = []
+    for w in HURST_WINDOWS:
+        micros = []
+        for b in range(len(ys) // w):
+            blk = ys[b * w : (b + 1) * w]
+            s, ss = sum(blk), sum(v * v for v in blk)
+            pk, wzs = 0, []
+            for k, v in enumerate(blk, 1):
+                pk += v
+                wzs.append(w * pk - k * s)
+            rng = max(max(wzs), 0) - min(min(wzs), 0)
+            varw = w * ss - s * s
+            if varw > 0 and rng > 0:
+                micros.append(
+                    math.floor(math.log(rng / math.sqrt(varw)) * 1e6 + 1e-3)
+                )
+        if micros:
+            pts.append((_HURST_LNW[w], sum(micros) / (1e6 * len(micros)), len(micros)))
+    k = len(pts)
+    sx = sum(x for x, _, _ in pts)
+    sy = sum(y for _, y, _ in pts)
+    sxx = sum(x * x for x, _, _ in pts)
+    sxy = sum(x * y for x, y, _ in pts)
+    h = round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+    got = {r["w"]: r for r in rows}
+    for (x, y, nb), w in zip(pts, HURST_WINDOWS):
+        assert got[w]["mean_log_rs"] == round(y, 6)
+        assert got[w]["n_blocks"] == nb
+        assert got[w]["hurst_exponent"] == h
+    assert 0.0 < h < 1.0
