@@ -322,3 +322,27 @@ def test_shapley_efficiency_and_symmetry_axioms(spark):
     for r in rows:
         assert 0 <= r["shapley_sixths"] <= 6 * dropped
         assert 0 <= r["solo_removed"] <= dropped
+
+
+def test_naive_bayes_confusion_partitions_test_set(spark, duck):
+    """The confusion matrix must partition the held-out docs exactly
+    (sum of cells == #docs with doc_id%5==0), predict only trained
+    languages, and be deterministic across invocations."""
+    rows = sorted(
+        tuple(r) for r in curation.naive_bayes_langid(spark, SF_SMALL).collect()
+    )
+    n_test = duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 5 = 0"
+    ).fetchone()[0]
+    assert sum(n for _, _, n in rows) == n_test
+    langs = {
+        l
+        for (l,) in duck.execute(
+            "SELECT DISTINCT lang FROM documents WHERE doc_id % 5 <> 0"
+        ).fetchall()
+    }
+    assert {p for _, p, _ in rows} <= langs
+    again = sorted(
+        tuple(r) for r in curation.naive_bayes_langid(spark, SF_SMALL).collect()
+    )
+    assert rows == again
