@@ -695,3 +695,135 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+JSD_BUCKETS = 64
+
+
+@register(
+    "token_js_divergence_matrix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {JSD_BUCKETS}
+               AS bucket
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    cells AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source
+    ),
+    dense AS (
+      SELECT t.source, b.b AS bucket, t.n, coalesce(c.c, 0) AS c
+      FROM totals t
+      CROSS JOIN (SELECT unnest(range(0, {JSD_BUCKETS})) AS b) b
+      LEFT JOIN cells c ON c.source = t.source AND c.bucket = b.b
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, x.source AS src_b, a.bucket,
+             (2 * a.c + 1) / (2.0 * a.n + {JSD_BUCKETS}) AS p,
+             (2 * x.c + 1) / (2.0 * x.n + {JSD_BUCKETS}) AS q
+      FROM dense a JOIN dense x
+        ON x.bucket = a.bucket AND a.source < x.source
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             CAST(floor((0.5 * p * ln(p / ((p + q) / 2))
+                         + 0.5 * q * ln(q / ((p + q) / 2)))
+                        * 1000000 + 1e-3) AS BIGINT) AS term_micro
+      FROM pairs
+    ),
+    js AS (
+      SELECT src_a, src_b, CAST(sum(term_micro) AS BIGINT) AS js_micro
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, round(js_micro / 1000000.0, 6) AS js_nats
+    FROM (SELECT *, row_number() OVER (ORDER BY js_micro DESC, src_a, src_b)
+                 AS rn
+          FROM js) t
+    WHERE rn <= 20
+    ORDER BY js_nats DESC, src_a, src_b
+    """,
+)
+def token_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between sources' TOKEN
+    distributions (hashed to 64 buckets, add-1/2 smoothed) — the
+    token-level companion to js_divergence_sources' language-mix view:
+    which source PAIRS write most differently, the distance matrix a
+    mixture designer clusters before assigning sampling temperatures.
+    Top-20 most divergent pairs.
+
+    Fixed-point discipline: smoothed p/q are deterministic doubles from
+    exact integers, each (pair, bucket) term has two ln() calls floored
+    TOGETHER to 1e-6 micro units (one nudge per term), and the per-pair
+    sum over 64 buckets is an exact BIGINT add — order-free. Scale
+    shape: one token pass to a |sources|×64 cell table; the pair
+    explosion is (|sources| choose 2)×64 — bounded by the CATALOG of
+    sources, never the corpus; top-20 via one bounded window."""
+    d = load(spark, sf_dir).documents
+    cells = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .select("source", _BUCKET_SPARK(F.col("w")).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    buckets = F.explode(F.array(*[F.lit(b) for b in range(JSD_BUCKETS)]))
+    dense = (
+        totals.select("source", "n", buckets.alias("bucket"))
+        .join(cells, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        # |sources| x 64 rows; self-joined below
+        .localCheckpoint(eager=True)
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"),
+        "bucket",
+        ((2 * F.col("c") + 1) / (2.0 * F.col("n") + JSD_BUCKETS)).alias("p"),
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"),
+        F.col("bucket").alias("bucket_b"),
+        ((2 * F.col("c") + 1) / (2.0 * F.col("n") + JSD_BUCKETS)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.floor(
+        (
+            0.5 * F.col("p") * F.log(F.col("p") / m)
+            + 0.5 * F.col("q") * F.log(F.col("q") / m)
+        )
+        * 1_000_000
+        + 1e-3
+    ).cast("bigint")
+    js = (
+        a.join(
+            b,
+            (F.col("bucket_b") == F.col("bucket"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .select("src_a", "src_b", term.alias("term_micro"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("term_micro").cast("long").alias("js_micro"))
+    )
+    wtop = W.orderBy(F.col("js_micro").desc(), "src_a", "src_b")
+    return (
+        js.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("js_micro") / 1_000_000.0, 6).alias("js_nats"),
+        )
+        .orderBy(F.col("js_nats").desc(), "src_a", "src_b")
+    )

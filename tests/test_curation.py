@@ -346,3 +346,17 @@ def test_naive_bayes_confusion_partitions_test_set(spark, duck):
         tuple(r) for r in curation.naive_bayes_langid(spark, SF_SMALL).collect()
     )
     assert rows == again
+
+
+def test_token_js_matrix_symmetric_bounded(spark):
+    """JS divergence invariants: nonnegative, bounded by ln 2, distinct
+    ordered pairs, sorted most-divergent-first."""
+    import math
+
+    rows = curation.token_js_divergence_matrix(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    vals = [r["js_nats"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert -1e-4 <= r["js_nats"] <= math.log(2) + 1e-6
