@@ -3568,7 +3568,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT na AS n_a, nb AS n_b,
            round(u_a2 / 2.0, 1) AS u_a,
-           round((CAST(na AS DOUBLE) * nb - u_a2 / 2.0) / 1.0, 1) AS u_b,
+           round(CAST(na AS DOUBLE) * nb - u_a2 / 2.0, 1) AS u_b,
            tie_term,
            round((u_a2 - CAST(na AS DOUBLE) * nb) / (2.0 * sqrt(var_u)), 6)
              AS z_score
@@ -3635,7 +3635,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
         F.round(u_a2 / 2.0, 1).alias("u_a"),
-        F.round((nad * F.col("nb") - u_a2 / 2.0) / 1.0, 1).alias("u_b"),
+        F.round(nad * F.col("nb") - u_a2 / 2.0, 1).alias("u_b"),
         "tie_term",
         F.round((u_a2 - nad * F.col("nb")) / (2.0 * F.sqrt(var_u)), 6).alias(
             "z_score"
