@@ -4998,3 +4998,163 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+# Shapley MTA channels, alphabetical bit order (4 channels -> exact
+# 24ths). s!(3-s)! marginal weights by |S| for C=4: 6, 2, 2, 6.
+_MTA_CHANNELS = ["click", "error", "signup", "view"]
+_MTA_W = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+@register(
+    "shapley_touch_attribution",
+    oracle=f"""
+    WITH first_p AS (
+      SELECT user_id, min(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    masks AS (
+      SELECT f.user_id,
+             CAST(coalesce(sum(DISTINCT CASE e.event_type
+                    WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0)
+                  AS BIGINT) AS m
+      FROM first_p f
+      LEFT JOIN events e ON e.user_id = f.user_id AND e.ts < f.pts
+                        AND e.event_type <> 'purchase'
+      GROUP BY f.user_id
+    ),
+    nm AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM masks GROUP BY m),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT s.s, CAST(coalesce(sum(CASE WHEN (nm.m & s.s) = nm.m
+                                          THEN nm.n ELSE 0 END), 0)
+                       AS BIGINT) AS v
+      FROM subsets s CROSS JOIN nm GROUP BY s.s
+    ),
+    phis AS (
+      {" UNION ALL ".join(f'''
+      SELECT '{ch}' AS channel,
+             CAST(sum(CASE bit_count(a.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                           WHEN 2 THEN 2 ELSE 6 END * (b.v - a.v))
+                  AS BIGINT) AS phi_24ths
+      FROM v a JOIN v b ON b.s = a.s | {1 << i}
+      WHERE (a.s & {1 << i}) = 0''' for i, ch in enumerate(_MTA_CHANNELS))}
+    ),
+    tot AS (
+      SELECT (SELECT v FROM v WHERE s = 15) - (SELECT v FROM v WHERE s = 0)
+               AS gain
+    )
+    SELECT channel, phi_24ths,
+           round(phi_24ths / 24.0, 6) AS phi_users,
+           round(phi_24ths * 100.0 / (24 * greatest(t.gain, 1)), 6)
+             AS share_pct
+    FROM phis CROSS JOIN tot t
+    ORDER BY channel
+    """,
+)
+def shapley_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution (the game-theoretic MTA of
+    Zhao et al. 2018 / Google Ads' data-driven attribution): coalition
+    value v(S) = converted users whose pre-purchase touch-set needs only
+    channels in S, and each channel's credit is its exact Shapley value
+    — the principled split that first/last/linear (multitouch_
+    attribution) can't give when channels overlap.
+
+    Exactness: with 4 channels every weight s!(3−s)! is an integer over
+    4! = 24, so φ is an exact BIGINT in 24ths; touch-sets are 4-bit
+    masks, the 16 coalition values come from one zeta transform
+    (subset-sum join over the 16-row mask-count table), and the
+    efficiency axiom Σφ = v(N) − v(∅) is test-pinned. Scale shape: one
+    events pass builds per-user masks (first-purchase anti-window via a
+    broadcast of the tiny converted-user table... the user-keyed join
+    IS the fact shuffle), everything after is 16-row algebra."""
+    e = load(spark, sf_dir).events
+    first_p = e.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("pts"))
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), "ts", bit.alias("b")
+    )
+    masks = (
+        first_p.join(
+            touches,
+            (F.col("tu") == F.col("user_id")) & (F.col("ts") < F.col("pts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum_distinct(F.col("b")), F.lit(0))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    nm = masks.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    subsets = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        subsets.crossJoin(nm)
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("m").bitwiseAND(F.col("s")) == F.col("m"),
+                        F.col("n"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("v")
+        )
+        # 16 rows; self-joined once per channel + two scalar lookups
+        .localCheckpoint(eager=True)
+    )
+    wcase = (
+        F.when(F.bit_count(F.col("s")) == 0, 6)
+        .when(F.bit_count(F.col("s")) == 1, 2)
+        .when(F.bit_count(F.col("s")) == 2, 2)
+        .otherwise(6)
+    )
+    vb = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    phis = []
+    for i, ch in enumerate(_MTA_CHANNELS):
+        bitv = 1 << i
+        phi = (
+            v.filter(F.col("s").bitwiseAND(F.lit(bitv)) == 0)
+            .join(vb, F.col("s2") == F.col("s").bitwiseOR(F.lit(bitv)))
+            .agg(
+                F.sum(wcase * (F.col("v2") - F.col("v")))
+                .cast("long")
+                .alias("phi_24ths")
+            )
+            .select(F.lit(ch).alias("channel"), "phi_24ths")
+        )
+        phis.append(phi)
+    allphi = phis[0]
+    for ph in phis[1:]:
+        allphi = allphi.unionByName(ph)
+    vn = v.filter(F.col("s") == 15).select(F.col("v").alias("vn"))
+    v0 = v.filter(F.col("s") == 0).select(F.col("v").alias("v0"))
+    return (
+        allphi.crossJoin(F.broadcast(vn))
+        .crossJoin(F.broadcast(v0))
+        .select(
+            "channel",
+            "phi_24ths",
+            F.round(F.col("phi_24ths") / 24.0, 6).alias("phi_users"),
+            F.round(
+                F.col("phi_24ths")
+                * 100.0
+                / (24 * F.greatest(F.col("vn") - F.col("v0"), F.lit(1))),
+                6,
+            ).alias("share_pct"),
+        )
+        .orderBy("channel")
+    )

@@ -860,3 +860,40 @@ def test_hurst_exponent_plausible_and_mirrored(spark, duck):
         assert got[w]["n_blocks"] == nb
         assert got[w]["hurst_exponent"] == h
     assert 0.0 < h < 1.0
+
+
+def test_shapley_mta_efficiency_axiom(spark, duck):
+    """Sum of channel Shapley values (in exact 24ths) must equal
+    24 * (v(N) - v(empty)): total conversions attributable to touches."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        shapley_touch_attribution,
+    )
+    from .conftest import SF_SMALL
+
+    rows = shapley_touch_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    vals = duck.execute(
+        """
+        WITH first_p AS (
+          SELECT user_id, min(ts) AS pts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        masks AS (
+          SELECT f.user_id,
+                 CAST(coalesce(sum(DISTINCT CASE e.event_type
+                        WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0)
+                      AS BIGINT) AS m
+          FROM first_p f
+          LEFT JOIN events e ON e.user_id = f.user_id AND e.ts < f.pts
+                            AND e.event_type <> 'purchase'
+          GROUP BY f.user_id
+        )
+        SELECT count(*) AS vn, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
+        FROM masks
+        """
+    ).fetchone()
+    gain = vals[0] - vals[1]
+    assert sum(r["phi_24ths"] for r in rows) == 24 * gain
+    for r in rows:
+        assert 0 <= r["phi_24ths"] <= 24 * gain
