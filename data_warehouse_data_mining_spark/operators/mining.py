@@ -4714,26 +4714,32 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     full (spend, custkey) tie-break order; decile assignment is the
     integer identity (rn·10−1)//n + 1 (largest-remainder-free, exact);
     the only double is the final share. Scale shape: one fact rollup,
-    one global ordered prefix sum (the distributed two-phase ranking
-    shape at 100 TB), a 10-row rollup."""
+    then rank + prefix sum via ranking.global_order_stats' two-phase
+    range-partitioned form — NO single-partition window — and a 10-row
+    rollup."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
     o = load(spark, sf_dir).orders
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
         .cast("long")
         .alias("c")
     )
-    wo = W.orderBy("c", "o_custkey")
-    ranked = per_cust.select(
-        "c",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0))
-        .cast("long")
-        .alias("cum"),
-        F.sum("c").over(W.partitionBy()).cast("long").alias("tot"),
+    ranked = global_order_stats(
+        per_cust, "c", "o_custkey", measure_col="c", ascending=True
+    ).select(
+        F.col("global_rank").alias("rn"),
+        F.col("global_cum").cast("long").alias("cum"),
+    )
+    tots = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tot"),
     )
     return (
-        ranked.select(
+        ranked.crossJoin(F.broadcast(tots))
+        .select(
             F.expr("(rn * 10 - 1) div n + 1").cast("long").alias("decile"),
             "rn",
             "cum",
