@@ -3606,9 +3606,17 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cnt_a"),
     )
-    wprev = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
-    ranked = vals.withColumn(
-        "cum_prev", F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).cast("long")
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    # exclusive prefix count via the two-phase distributed ordering (the
+    # distinct-value table is value-cardinality sized — a plain
+    # ORDER BY window here would be the banned single-partition shape)
+    ranked = global_order_stats(
+        vals, "c", "c", measure_col="cnt", ascending=True
+    ).withColumn(
+        "cum_prev", (F.col("global_cum") - F.col("cnt")).cast("long")
     )
     agg = ranked.agg(
         F.sum(
@@ -3701,8 +3709,9 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cum_a·nb − cum_b·na| (exact cross-multiplied BIGINTs), so the
     argmax and the tie-break (smallest attaining value) are
     engine-exact; division by na·nb happens once at the end. Scale
-    shape: one per-user pass, one distinct-value aggregate, one
-    ordered prefix window, then O(1) rollups."""
+    shape: one per-user pass, one distinct-value aggregate, ECDF
+    prefix sums via the two-phase distributed ordering (one pass per
+    arm), then O(1) rollups."""
     e = load(spark, sf_dir).events
     cents = F.expr(_EV_CENTS)
     per_user = e.groupBy("user_id").agg(
@@ -3721,11 +3730,20 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cb"),
     )
-    wcum = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
-    cums = vals.select(
-        "c",
-        F.sum("ca").over(wcum).cast("long").alias("cum_a"),
-        F.sum("cb").over(wcum).cast("long").alias("cum_b"),
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    # inclusive ECDF prefix sums, one two-phase pass per arm (no
+    # single-partition window over the value-cardinality table)
+    ca_cum = global_order_stats(
+        vals.select("c", "ca"), "c", "c", measure_col="ca", ascending=True
+    ).select("c", F.col("global_cum").cast("long").alias("cum_a"))
+    cb_cum = global_order_stats(
+        vals.select("c", "cb"), "c", "c", measure_col="cb", ascending=True
+    ).select(F.col("c").alias("c2"), F.col("global_cum").cast("long").alias("cum_b"))
+    cums = ca_cum.join(cb_cum, F.col("c2") == F.col("c")).select(
+        "c", "cum_a", "cum_b"
     )
     tot = vals.agg(
         F.sum("ca").cast("long").alias("na"),
