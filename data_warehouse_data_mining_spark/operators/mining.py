@@ -5182,3 +5182,272 @@ def shapley_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# Markov MTA: absorption-probability iteration in exact integer micro
+# units — v'(s) = (Σ_t c_st·v(t)) // n_s — so every engine computes the
+# identical vector at every step (floor-div drift is mirrored).
+MARKOV_ITERS = 16
+_MARKOV_SCEN = ["base", "click", "error", "signup", "view"]
+
+
+def _markov_oracle() -> str:
+    scen = ", ".join(f"'{s}'" for s in _MARKOV_SCEN)
+    steps = []
+    for i in range(MARKOV_ITERS):
+        steps.append(
+            f"""v{i + 1} AS MATERIALIZED (
+      SELECT s.scenario, s.state,
+             CAST(CASE WHEN s.state = 'conv' THEN 1000000
+                       WHEN s.state = 'null' THEN 0
+                       ELSE coalesce(
+                         (SELECT sum(t.c * pv.v) // any_value(t.n)
+                          FROM trans t JOIN v{i} pv
+                            ON pv.scenario = s.scenario AND pv.state = t.dst
+                          WHERE t.scenario = s.scenario AND t.src = s.state),
+                         0) END AS BIGINT) AS v
+      FROM states s
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH first_p AS (
+      SELECT user_id, min(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type,
+             f.user_id IS NOT NULL AS converts
+      FROM events e LEFT JOIN first_p f ON f.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (f.user_id IS NULL OR e.ts < f.pts)
+    ),
+    hops AS (
+      SELECT user_id, converts, event_type AS dst,
+             coalesce(lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), 'start') AS src,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rev
+      FROM touches
+    ),
+    raw_edges AS (
+      SELECT src, dst FROM hops
+      UNION ALL
+      SELECT dst AS src, CASE WHEN converts THEN 'conv' ELSE 'null' END AS dst
+      FROM hops WHERE rev = 1
+      UNION ALL
+      SELECT 'start' AS src, CASE WHEN f.n_touch THEN NULL
+                                  ELSE 'conv' END AS dst
+      FROM (SELECT u.user_id,
+                   max(CASE WHEN t.user_id IS NOT NULL THEN TRUE
+                            ELSE FALSE END) AS n_touch
+            FROM first_p u LEFT JOIN touches t ON t.user_id = u.user_id
+            GROUP BY u.user_id) f
+      WHERE NOT f.n_touch
+    ),
+    edges AS (SELECT src, dst FROM raw_edges WHERE dst IS NOT NULL),
+    scens AS (SELECT unnest([{scen}]) AS scenario),
+    trans0 AS (
+      SELECT s.scenario, e.src,
+             CASE WHEN e.dst = s.scenario THEN 'null' ELSE e.dst END AS dst,
+             CAST(count(*) AS BIGINT) AS c
+      FROM edges e CROSS JOIN scens s
+      WHERE e.src <> s.scenario
+      GROUP BY 1, 2, 3
+    ),
+    trans AS MATERIALIZED (
+      SELECT scenario, src, dst, c,
+             CAST(sum(c) OVER (PARTITION BY scenario, src) AS BIGINT) AS n
+      FROM trans0
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT scenario, src AS state FROM trans
+      UNION
+      SELECT scenario, 'conv' FROM scens
+      UNION
+      SELECT scenario, 'null' FROM scens
+    ),
+    v0 AS MATERIALIZED (
+      SELECT scenario, state,
+             CAST(CASE WHEN state = 'conv' THEN 1000000 ELSE 0 END AS BIGINT)
+               AS v
+      FROM states
+    ),
+    {unrolled},
+    pconv AS (
+      SELECT scenario, v FROM v{MARKOV_ITERS} WHERE state = 'start'
+    )
+    SELECT r.scenario AS removed_channel,
+           round(b.v / 1000000.0, 6) AS p_conv_base,
+           round(r.v / 1000000.0, 6) AS p_conv_removed,
+           round((b.v - r.v) / CAST(b.v AS DOUBLE), 6) AS removal_effect
+    FROM pconv r CROSS JOIN (SELECT v FROM pconv WHERE scenario = 'base') b
+    WHERE r.scenario <> 'base'
+    ORDER BY removed_channel
+    """
+
+
+@register("markov_removal_attribution", oracle=_markov_oracle())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016 —
+    the OTHER principled MTA next to shapley_touch_attribution): build
+    the first-order channel transition graph from pre-purchase touch
+    paths (start → touches → conv/null), then each channel's credit is
+    how much the absorption probability P(start→conv) DROPS when that
+    channel's inbound edges are redirected to null — captures sequence
+    effects Shapley's set-based view ignores.
+
+    Determinism: transition counts are exact BIGINTs; the absorption
+    vector iterates in 1e-6 fixed point with v'(s) = (Σ c_st·v(t)) //
+    n_s — integer products, integer floor-div — so all 16 supersteps
+    are bit-identical cross-engine (the graph_pagerank discipline), and
+    the ≤1-micro-per-step floor drift is mirrored exactly. Removal
+    monotonicity (effect >= 0) is test-pinned. Scale shape: one events
+    pass with per-user lag windows builds edges; everything after runs
+    on the (scenario × states²) table — ≤ 5·7² rows — for 16 bounded
+    joins."""
+    e = load(spark, sf_dir).events
+    first_p = e.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("pts"))
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(first_p), "user_id", "left")
+        .filter(F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.col("pts").isNotNull().alias("converts"),
+        )
+    )
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrev = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hops = touches.select(
+        "user_id",
+        "converts",
+        F.col("event_type").alias("dst"),
+        F.coalesce(F.lag("event_type").over(wlag), F.lit("start")).alias("src"),
+        F.row_number().over(wrev).alias("rev"),
+    )
+    tails = hops.filter(F.col("rev") == 1).select(
+        F.col("dst").alias("src"),
+        F.when(F.col("converts"), "conv").otherwise("null").alias("dst"),
+    )
+    # converted users with zero pre-purchase touches: start -> conv
+    no_touch = (
+        first_p.join(
+            touches.select(F.col("user_id").alias("tu")).distinct(),
+            F.col("tu") == F.col("user_id"),
+            "left_anti",
+        )
+        .select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
+    )
+    edges = (
+        hops.select("src", "dst").unionByName(tails).unionByName(no_touch)
+    )
+    scens = F.explode(F.array(*[F.lit(x) for x in _MARKOV_SCEN])).alias(
+        "scenario"
+    )
+    trans0 = (
+        edges.select("src", "dst", scens)
+        .filter(F.col("src") != F.col("scenario"))
+        .select(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("scenario"), "null")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wn = W.partitionBy("scenario", "src")
+    trans = trans0.withColumn(
+        "n", F.sum("c").over(wn).cast("long")
+    ).localCheckpoint(eager=True)
+    states = (
+        trans.select("scenario", F.col("src").alias("state"))
+        .union(
+            trans.select("scenario").distinct().select(
+                "scenario", F.lit("conv").alias("state")
+            )
+        )
+        .union(
+            trans.select("scenario").distinct().select(
+                "scenario", F.lit("null").alias("state")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = states.select(
+        "scenario",
+        "state",
+        F.when(F.col("state") == "conv", 1_000_000)
+        .otherwise(0)
+        .cast("long")
+        .alias("v"),
+    )
+    for i in range(MARKOV_ITERS):
+        flow = (
+            trans.join(
+                v.select(
+                    F.col("scenario").alias("ts2"),
+                    F.col("state").alias("vdst"),
+                    F.col("v").alias("pv"),
+                ),
+                (F.col("ts2") == F.col("scenario"))
+                & (F.col("vdst") == F.col("dst")),
+            )
+            .groupBy("scenario", "src")
+            .agg(
+                F.expr("CAST(sum(c * pv) div any_value(n) AS BIGINT)").alias(
+                    "nv"
+                )
+            )
+            .select(
+                F.col("scenario").alias("fs"),
+                F.col("src").alias("fstate"),
+                "nv",
+            )
+        )
+        v = (
+            states.join(
+                flow,
+                (F.col("fs") == F.col("scenario"))
+                & (F.col("fstate") == F.col("state")),
+                "left",
+            )
+            .select(
+                "scenario",
+                "state",
+                F.when(F.col("state") == "conv", 1_000_000)
+                .when(F.col("state") == "null", 0)
+                .otherwise(F.coalesce(F.col("nv"), F.lit(0)))
+                .cast("long")
+                .alias("v"),
+            )
+        )
+        if (i + 1) % 4 == 0:
+            v = v.localCheckpoint(eager=True)
+    pconv = v.filter(F.col("state") == "start").select("scenario", "v")
+    base = pconv.filter(F.col("scenario") == "base").select(
+        F.col("v").alias("bv")
+    )
+    return (
+        pconv.filter(F.col("scenario") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("removed_channel"),
+            F.round(F.col("bv") / 1_000_000.0, 6).alias("p_conv_base"),
+            F.round(F.col("v") / 1_000_000.0, 6).alias("p_conv_removed"),
+            F.round(
+                (F.col("bv") - F.col("v")) / F.col("bv").cast("double"), 6
+            ).alias("removal_effect"),
+        )
+        .orderBy("removed_channel")
+    )

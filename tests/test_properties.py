@@ -897,3 +897,23 @@ def test_shapley_mta_efficiency_axiom(spark, duck):
     assert sum(r["phi_24ths"] for r in rows) == 24 * gain
     for r in rows:
         assert 0 <= r["phi_24ths"] <= 24 * gain
+
+
+def test_markov_removal_monotone_and_bounded(spark):
+    """Removing a channel can only LOWER absorption into conversion
+    (edges redirect to null), so every removal effect is in [0, 1];
+    base conversion probability is shared across rows and in (0, 1]."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        markov_removal_attribution,
+    )
+    from .conftest import SF_SMALL
+
+    rows = markov_removal_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    bases = {r["p_conv_base"] for r in rows}
+    assert len(bases) == 1
+    b = bases.pop()
+    assert 0.0 < b <= 1.0
+    for r in rows:
+        assert 0.0 <= r["p_conv_removed"] <= b + 1e-6
+        assert 0.0 <= r["removal_effect"] <= 1.0
