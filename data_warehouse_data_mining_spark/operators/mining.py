@@ -5451,3 +5451,145 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("removed_channel")
     )
+
+
+@register(
+    "qini_uplift_curve",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 0 ELSE 1 END AS treated,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS score,
+             max(CASE WHEN event_type = 'purchase'
+                      AND ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT treated, conv,
+             row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM per_user
+    ),
+    deciled AS (
+      SELECT (rn * 10 - 1) // n + 1 AS decile, treated, conv FROM ranked
+    ),
+    per_dec AS (
+      SELECT decile,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(1 - treated) AS BIGINT) AS n_c,
+             CAST(sum(treated * conv) AS BIGINT) AS conv_t,
+             CAST(sum((1 - treated) * conv) AS BIGINT) AS conv_c
+      FROM deciled GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(sum(n_t) OVER w AS BIGINT) AS ct_n,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cc_n,
+             CAST(sum(conv_t) OVER w AS BIGINT) AS ct_conv,
+             CAST(sum(conv_c) OVER w AS BIGINT) AS cc_conv
+      FROM per_dec
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, ct_n AS n_treated_cum,
+           cc_n AS n_control_cum, ct_conv AS conv_treated_cum,
+           cc_conv AS conv_control_cum,
+           CASE WHEN cc_n = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(ct_conv - cc_conv * (ct_n / CAST(cc_n AS DOUBLE)), 6)
+           END AS qini
+    FROM cum ORDER BY decile
+    """,
+)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift targeting (Radcliffe 2007): users ranked
+    by a targeting score (pre-period spend, descending — "contact the
+    big spenders first"), and at each cumulative decile the incremental
+    conversions Qini(k) = conv_T(k) − conv_C(k)·N_T(k)/N_C(k) — the
+    uplift-model evaluation that shows whether targeting beats
+    contacting everyone (the curve's endpoint is the overall
+    treatment-control conversion gap, test-pinned).
+
+    Exactness: treatment arm (md5 split), conversions, and the
+    targeting score are exact integers from ONE per-user pass; decile
+    assignment uses the integer identity (rn·10−1)//n + 1 over the
+    two-phase distributed ranking (no single-partition window over the
+    user table); cumulative counts are exact BIGINTs over the 10-row
+    decile table and Qini is one double expression per row (NULL until
+    the cumulative prefix contains a control user, mirrored on both
+    engines)."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    e = load(spark, sf_dir).events
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= split),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).select(
+        "user_id",
+        "score",
+        "conv",
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", 0)
+        .otherwise(1)
+        .alias("treated"),
+    )
+    ranked = global_order_stats(
+        per_user, "score", "user_id", ascending=False
+    ).select("treated", "conv", F.col("global_rank").alias("rn"))
+    n = per_user.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_dec = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("(rn * 10 - 1) div n + 1").cast("long").alias("decile"),
+            "treated",
+            "conv",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("treated").cast("long").alias("n_t"),
+            F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+            F.sum(F.col("treated") * F.col("conv")).cast("long").alias("conv_t"),
+            F.sum((1 - F.col("treated")) * F.col("conv"))
+            .cast("long")
+            .alias("conv_c"),
+        )
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_dec.select(
+        "decile",
+        F.sum("n_t").over(wc).cast("long").alias("n_treated_cum"),
+        F.sum("n_c").over(wc).cast("long").alias("n_control_cum"),
+        F.sum("conv_t").over(wc).cast("long").alias("conv_treated_cum"),
+        F.sum("conv_c").over(wc).cast("long").alias("conv_control_cum"),
+    )
+    return cum.select(
+        "decile",
+        "n_treated_cum",
+        "n_control_cum",
+        "conv_treated_cum",
+        "conv_control_cum",
+        F.when(F.col("n_control_cum") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("conv_treated_cum")
+                - F.col("conv_control_cum")
+                * (
+                    F.col("n_treated_cum")
+                    / F.col("n_control_cum").cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("qini"),
+    ).orderBy("decile")

@@ -917,3 +917,31 @@ def test_markov_removal_monotone_and_bounded(spark):
     for r in rows:
         assert 0.0 <= r["p_conv_removed"] <= b + 1e-6
         assert 0.0 <= r["removal_effect"] <= 1.0
+
+
+def test_qini_endpoint_is_overall_uplift(spark, duck):
+    """The curve's final point must equal the full-population uplift
+    conv_T - conv_C * N_T/N_C, and cumulative counts must partition
+    all users."""
+    from data_warehouse_data_mining_spark.operators.mining import qini_uplift_curve
+    from .conftest import SF_SMALL
+
+    rows = qini_uplift_curve(spark, SF_SMALL).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    last = rows[-1]
+    nt, nc, ct, cc = duck.execute(
+        """
+        SELECT sum(treated), sum(1 - treated),
+               sum(treated * conv), sum((1 - treated) * conv)
+        FROM (
+          SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                      THEN 0 ELSE 1 END AS treated,
+                 max(CASE WHEN event_type = 'purchase'
+                          AND ts >= TIMESTAMP '2024-01-15'
+                          THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id)
+        """
+    ).fetchone()
+    assert last["n_treated_cum"] == nt and last["n_control_cum"] == nc
+    assert last["conv_treated_cum"] == ct and last["conv_control_cum"] == cc
+    assert last["qini"] == round(ct - cc * (nt / nc), 6)
