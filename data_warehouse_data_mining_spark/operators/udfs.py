@@ -721,3 +721,115 @@ def sql_udf_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+def croston_step(z: int, p: int, x: int, q: int) -> tuple[int, int]:
+    """One Croston update at a nonzero-demand event (α = 1/2, floor
+    arithmetic, all quantities nonnegative): z' = ⌊(x + z)/2⌋ smooths
+    the demand SIZE, p' = ⌊(q + p)/2⌋ smooths the inter-demand
+    INTERVAL. Shared by the Spark walker, its test mirror, and the
+    recursive-CTE oracle (which spells the same floor divisions)."""
+    return (x + z) // 2, (q + p) // 2
+
+
+@register(
+    "croston_intermittent_demand",
+    oracle="""
+    WITH RECURSIVE wk AS (
+      SELECT l_partkey AS pk,
+             date_diff('week', (SELECT min(date_trunc('week', l_shipdate))
+                                FROM lineitem),
+                       date_trunc('week', l_shipdate)) + 1 AS widx,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem
+      WHERE l_partkey % 50 = 0
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT pk, widx, x,
+             row_number() OVER (PARTITION BY pk ORDER BY widx) AS rn,
+             CAST(coalesce(widx - lag(widx) OVER (PARTITION BY pk
+                                                  ORDER BY widx),
+                           widx) AS BIGINT) AS q
+      FROM wk
+    ),
+    nmax AS (
+      SELECT pk, CAST(max(rn) AS BIGINT) AS n_events,
+             CAST(max(widx) AS BIGINT) AS last_week
+      FROM seq GROUP BY pk
+    ),
+    walk(pk, rn, z, p) AS (
+      SELECT pk, rn, x, q FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.pk, s.rn, (s.x + w.z) // 2, (s.q + w.p) // 2
+      FROM walk w JOIN seq s ON s.pk = w.pk AND s.rn = w.rn + 1
+    )
+    SELECT w.pk AS partkey, n.n_events, n.last_week,
+           CAST(w.z AS BIGINT) AS size_smoothed,
+           CAST(w.p AS BIGINT) AS interval_smoothed,
+           round(w.z / CAST(w.p AS DOUBLE), 6) AS croston_rate
+    FROM walk w JOIN nmax n ON n.pk = w.pk AND w.rn = n.n_events
+    ORDER BY partkey
+    """,
+)
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972) over a
+    deterministic 2% part sample (partkey % 50 = 0): weekly demand per
+    part is mostly zeros, which wrecks plain EWMA — Croston separately
+    smooths the nonzero demand SIZES and the INTERVALS between them
+    (both α = 1/2, integer floor arithmetic), and the per-week demand
+    rate forecast is size/interval; the spare-parts-planning standard
+    that holt_linear_forecast's dense-series assumption can't serve.
+
+    Same stateful-per-key pattern as holt: coupled floor recurrences
+    have no prefix-sum closed form, so ``applyInPandas`` over
+    ``groupBy(partkey)`` walks each part's occurrence list in week
+    order — walk length bounded by the calendar, state never leaves
+    the executor. All state is exact integers (quantities and week
+    indexes), so the recursive-CTE oracle reproduces every step; the
+    only double is the final rate."""
+    li = load(spark, sf_dir).lineitem.filter(F.col("l_partkey") % 50 == 0)
+    wk0 = F.date_trunc("week", F.col("l_shipdate"))
+    gmin = load(spark, sf_dir).lineitem.agg(
+        F.min(F.date_trunc("week", F.col("l_shipdate"))).alias("w0")
+    )
+    weekly = (
+        li.crossJoin(F.broadcast(gmin))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            (F.floor(
+                (wk0.cast("long") - F.col("w0").cast("long")) / (7 * 86400)
+            ) + 1).cast("long").alias("widx"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("widx")
+        widx = pdf["widx"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        z, p = int(xs[0]), int(widx[0])
+        for i in range(1, len(xs)):
+            z, p = croston_step(z, p, int(xs[i]), int(widx[i] - widx[i - 1]))
+        return pd.DataFrame(
+            {
+                "partkey": [int(pdf["pk"].iloc[0])],
+                "n_events": [len(pdf)],
+                "last_week": [int(widx[-1])],
+                "size_smoothed": [z],
+                "interval_smoothed": [p],
+                "croston_rate": [round(z / p, 6)],
+            }
+        )
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        weekly.repartition(par, "pk")
+        .groupBy("pk")
+        .applyInPandas(
+            walk,
+            "partkey long, n_events long, last_week long, "
+            "size_smoothed long, interval_smoothed long, croston_rate double",
+        )
+        .orderBy("partkey")
+    )

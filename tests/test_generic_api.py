@@ -790,3 +790,16 @@ def test_incremental_join_maintenance_equals_full_rebuild(spark):
         )
     }
     assert got == full
+
+
+def test_croston_step_properties():
+    """The Croston update must keep state in-range: z' between
+    min(x,z) and max(x,z) (smoothing), p' between min(q,p) and
+    max(q,p), and a constant series is a fixed point."""
+    from data_warehouse_data_mining_spark.operators.udfs import croston_step
+
+    assert croston_step(10, 4, 10, 4) == (10, 4)  # fixed point
+    for z, p, x, q in [(10, 2, 30, 6), (30, 6, 10, 2), (1, 1, 100, 50)]:
+        z2, p2 = croston_step(z, p, x, q)
+        assert min(x, z) <= z2 <= max(x, z)
+        assert min(q, p) <= p2 <= max(q, p)
