@@ -945,3 +945,41 @@ def test_qini_endpoint_is_overall_uplift(spark, duck):
     assert last["n_treated_cum"] == nt and last["n_control_cum"] == nc
     assert last["conv_treated_cum"] == ct and last["conv_control_cum"] == cc
     assert last["qini"] == round(ct - cc * (nt / nc), 6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),   # inter-demand interval
+            st.integers(min_value=1, max_value=10**6)  # demand size
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+def test_croston_walk_is_batch_split_invariant(events, cut):
+    """Folding croston_step over the whole occurrence list equals
+    folding the prefix, carrying (z, p), then folding the suffix — the
+    stream≡batch identity that makes the walker restartable from
+    checkpointed state; state also stays within the observed ranges."""
+    from data_warehouse_data_mining_spark.operators.udfs import croston_step
+
+    def fold(state, evs):
+        z, p = state
+        for q, x in evs:
+            z, p = croston_step(z, p, x, q)
+        return z, p
+
+    q0, x0 = events[0]
+    init = (x0, q0)
+    rest = events[1:]
+    cut = cut % (len(rest) + 1)
+    whole = fold(init, rest)
+    split = fold(fold(init, rest[:cut]), rest[cut:])
+    assert whole == split
+    zs = [x for _, x in events]
+    qs = [q for q, _ in events]
+    assert min(zs) <= whole[0] <= max(zs)
+    assert min(qs) <= whole[1] <= max(qs)
