@@ -3605,7 +3605,9 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
         .cast("long")
         .alias("cnt_a"),
-    )
+    ).localCheckpoint(eager=True)  # bounded distinct-value table; the
+    # two-phase ranking reads it several times — pin it so the events
+    # fact table is scanned exactly once
     from data_warehouse_data_mining_spark.operators.ranking import (
         global_order_stats,
     )
@@ -3729,7 +3731,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
         .cast("long")
         .alias("cb"),
-    )
+    ).localCheckpoint(eager=True)  # read by two two-phase passes + totals
     from data_warehouse_data_mining_spark.operators.ranking import (
         global_order_stats,
     )
