@@ -5595,3 +5595,100 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("qini"),
     ).orderBy("decile")
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS first_day,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS end_day
+               FROM events),
+    lives AS (
+      SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS t_days,
+             CASE WHEN date_diff('day', last_day, end_day) < 14 THEN 0 ELSE 1
+             END AS churned
+      FROM spans CROSS JOIN bounds
+    ),
+    per_t AS (
+      SELECT t_days,
+             CAST(sum(churned) AS BIGINT) AS n_churned,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM lives GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, n_churned,
+             CAST(sum(n_total) OVER (ORDER BY t_days ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t_days, n_risk, n_churned,
+           round(sum(n_churned * 1.0 / n_risk)
+                 OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_hazard,
+           round(sum(n_churned * 1.0 / (CAST(n_risk AS DOUBLE) * n_risk))
+                 OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING), 6)
+             AS hazard_variance,
+           round(exp(-sum(n_churned * 1.0 / n_risk)
+                     OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 6)
+             AS na_survival
+    FROM risk ORDER BY t_days
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same censored
+    user lifetimes as survival_km_curve: H(t) = Σ_{s≤t} d_s/n_s with
+    Aalen's variance Σ d_s/n_s², plus the Fleming-Harrington survival
+    exp(−H) — the hazard-scale view KM's product-limit doesn't give
+    (additive, so hazards of disjoint segments of the timeline sum).
+
+    Same shape and determinism argument as the KM query: the stream
+    collapses to one row per user then per distinct lifetime-day, both
+    windows run over a bounded table in an ORDER-defined sequential
+    accumulation, and the terms are exact integer ratios — any
+    window-tree ulp noise sits far below 6-decimal rounding. The
+    identity exp(−H(t)) >= KM(t) (term-wise e^{-x} >= 1−x) is
+    test-pinned."""
+    e = load(spark, sf_dir).events
+    spans = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+    )
+    bounds = e.agg(F.to_date(F.max("ts")).alias("end_day"))
+    lives = spans.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t_days"),
+        F.when(F.datediff("end_day", "last_day") < 14, 0)
+        .otherwise(1)
+        .alias("churned"),
+    )
+    per_t = (
+        lives.groupBy("t_days")
+        .agg(
+            F.sum("churned").cast("long").alias("n_churned"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_risk = W.orderBy("t_days").rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_cum = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t_days",
+        "n_churned",
+        F.sum("n_total").over(w_risk).cast("long").alias("n_risk"),
+    )
+    h = F.sum(F.col("n_churned") * 1.0 / F.col("n_risk")).over(w_cum)
+    hv = F.sum(
+        F.col("n_churned") * 1.0 / (F.col("n_risk").cast("double") * F.col("n_risk"))
+    ).over(w_cum)
+    return risk.select(
+        "t_days",
+        "n_risk",
+        "n_churned",
+        F.round(h, 6).alias("cum_hazard"),
+        F.round(hv, 6).alias("hazard_variance"),
+        F.round(F.exp(-h), 6).alias("na_survival"),
+    ).orderBy("t_days")

@@ -983,3 +983,25 @@ def test_croston_walk_is_batch_split_invariant(events, cut):
     qs = [q for q, _ in events]
     assert min(zs) <= whole[0] <= max(zs)
     assert min(qs) <= whole[1] <= max(qs)
+
+
+def test_nelson_aalen_dominates_km(spark):
+    """Fleming-Harrington survival exp(-H) >= Kaplan-Meier at every
+    lifetime (e^-x >= 1-x per term), H is nondecreasing, and both
+    estimators share the identical risk-set table."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        nelson_aalen_hazard,
+        survival_km_curve,
+    )
+    from .conftest import SF_SMALL
+
+    na = {r["t_days"]: r for r in nelson_aalen_hazard(spark, SF_SMALL).collect()}
+    km = {r["t_days"]: r for r in survival_km_curve(spark, SF_SMALL).collect()}
+    assert set(na) == set(km)
+    prev_h = 0.0
+    for t in sorted(na):
+        assert na[t]["n_risk"] == km[t]["n_risk"]
+        assert na[t]["cum_hazard"] >= prev_h - 1e-9
+        prev_h = na[t]["cum_hazard"]
+        assert na[t]["na_survival"] >= km[t]["km_survival"] - 1e-6
+        assert na[t]["hazard_variance"] >= 0
