@@ -1623,3 +1623,78 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("normalized_mi"),
         )
     )
+
+
+# Candidate functional dependencies audited: (table, lhs, rhs). Mix of
+# true-by-construction (TPC-H p_brand determines p_mfgr: brand =
+# 'Brand#' || mfgr-digit || digit) and expected-to-fail dependencies,
+# so the audit demonstrates both verdicts.
+_FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("nation", "n_name", "n_regionkey"),      # holds: n_name is a key
+    ("part", "p_name", "p_brand"),            # holds iff p_name unique
+    ("part", "p_brand", "p_type"),            # expected to fail
+    ("customer", "c_nationkey", "c_mktsegment"),  # expected to fail
+    ("orders", "o_custkey", "o_orderpriority"),   # expected to fail
+)
+
+
+def _fd_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+      SELECT '{table}' AS table_name, '{lhs}' AS lhs, '{rhs}' AS rhs,
+             CAST(count(*) AS BIGINT) AS n_lhs_groups,
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(n_rhs) AS BIGINT) AS max_rhs_card,
+             CASE WHEN max(n_rhs) = 1 THEN 1 ELSE 0 END AS holds
+      FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+            FROM {table} GROUP BY {lhs})"""
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="SELECT * FROM ("
+    + " UNION ALL ".join(_fd_sql(t, l, r) for t, l, r in _FD_CANDIDATES)
+    + ") ORDER BY table_name, lhs, rhs",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification over declared candidate FDs
+    (lhs → rhs): per candidate, the lhs-group count, how many groups
+    see more than one rhs value (violations), the worst rhs
+    cardinality, and a holds bit — the profiling step behind
+    normalization decisions, dimension conformance checks, and
+    candidate_key_profile's single-column cousin (an FD with a
+    key lhs is a key constraint). n_name → n_regionkey holds because
+    n_name is a key (test-pinned); the deliberately-false candidates
+    exercise the violation accounting.
+
+    One pass per candidate: groupBy(lhs).agg(countDistinct(rhs)) then a
+    1-row rollup — the same distinct-agg shuffle a key-uniqueness check
+    costs; the union output is bounded by the candidate list. Exact
+    integer counts only."""
+    t = load(spark, sf_dir)
+    outs = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        df = getattr(t, table)
+        grp = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        outs.append(
+            grp.agg(
+                F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("long").alias("max_rhs_card"),
+                F.when(F.max("n_rhs") == 1, 1).otherwise(0).alias("holds"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs_groups",
+                "n_violating",
+                "max_rhs_card",
+                "holds",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "lhs", "rhs")

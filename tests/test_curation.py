@@ -360,3 +360,22 @@ def test_token_js_matrix_symmetric_bounded(spark):
     for r in rows:
         assert r["src_a"] < r["src_b"]
         assert -1e-4 <= r["js_nats"] <= math.log(2) + 1e-6
+
+
+def test_fd_audit_known_verdicts(spark):
+    """n_name -> n_regionkey must hold (n_name is a key); every row's
+    violation count is consistent with its holds bit and bounded by
+    the group count."""
+    from data_warehouse_data_mining_spark.operators.quality import (
+        functional_dependency_audit,
+    )
+
+    rows = {
+        (r["table_name"], r["lhs"], r["rhs"]): r
+        for r in functional_dependency_audit(spark, SF_SMALL).collect()
+    }
+    assert rows[("nation", "n_name", "n_regionkey")]["holds"] == 1
+    for r in rows.values():
+        assert (r["holds"] == 1) == (r["n_violating"] == 0)
+        assert 0 <= r["n_violating"] <= r["n_lhs_groups"]
+        assert r["max_rhs_card"] >= 1
