@@ -5692,3 +5692,85 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hv, 6).alias("hazard_variance"),
         F.round(F.exp(-h), 6).alias("na_survival"),
     ).orderBy("t_days")
+
+
+@register(
+    "mcnemar_paired_conversion",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                      AND ts < TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN 1 ELSE 0 END) AS pre,
+             max(CASE WHEN event_type = 'purchase'
+                      AND ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN 1 ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(pre * post) AS BIGINT) AS both_c,
+             CAST(sum(pre * (1 - post)) AS BIGINT) AS pre_only,
+             CAST(sum((1 - pre) * post) AS BIGINT) AS post_only,
+             CAST(sum((1 - pre) * (1 - post)) AS BIGINT) AS neither,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM per_user
+    )
+    SELECT n_users, both_c AS converted_both, pre_only, post_only, neither,
+           round(CASE WHEN pre_only + post_only = 0 THEN 0.0
+                      ELSE (CAST(pre_only AS DOUBLE) - post_only)
+                           * (pre_only - post_only)
+                           / (pre_only + post_only) END, 6)
+             AS mcnemar_chi2,
+           round(CASE WHEN pre_only + post_only = 0 THEN 0.0
+                      ELSE (abs(CAST(pre_only AS DOUBLE) - post_only) - 1)
+                           * (abs(CAST(pre_only AS DOUBLE) - post_only) - 1)
+                           / (pre_only + post_only) END, 6)
+             AS mcnemar_chi2_cc
+    FROM m
+    """,
+)
+def mcnemar_paired_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the paired pre/post conversion panel: the same
+    user observed in both periods, so only the DISCORDANT pairs carry
+    information — χ² = (b−c)²/(b+c) over pre-only (b) vs post-only (c)
+    converters, with Edwards' continuity-corrected variant — the paired
+    counterpart to ab_test_conversion's independent-proportions z
+    (McNemar 1947).
+
+    All four contingency cells are exact integer sums from ONE per-user
+    pass; both statistics are single double expressions of them, with
+    the degenerate b+c=0 case guarded to 0 by an exact integer CASE on
+    both engines."""
+    e = load(spark, sf_dir).events
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    conv = lambda cond: F.max(
+        F.when((F.col("event_type") == "purchase") & cond, 1).otherwise(0)
+    )
+    per_user = e.groupBy("user_id").agg(
+        conv(F.col("ts") < split).alias("pre"),
+        conv(F.col("ts") >= split).alias("post"),
+    )
+    m = per_user.agg(
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("both_c"),
+        F.sum(F.col("pre") * (1 - F.col("post"))).cast("long").alias("pre_only"),
+        F.sum((1 - F.col("pre")) * F.col("post")).cast("long").alias("post_only"),
+        F.sum((1 - F.col("pre")) * (1 - F.col("post")))
+        .cast("long")
+        .alias("neither"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    b, c = F.col("pre_only"), F.col("post_only")
+    disc = b + c
+    diff = b.cast("double") - c
+    chi2 = F.when(disc == 0, 0.0).otherwise(diff * (b - c) / disc)
+    adiff = F.abs(diff) - 1
+    chi2cc = F.when(disc == 0, 0.0).otherwise(adiff * adiff / disc)
+    return m.select(
+        "n_users",
+        F.col("both_c").alias("converted_both"),
+        "pre_only",
+        "post_only",
+        "neither",
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+        F.round(chi2cc, 6).alias("mcnemar_chi2_cc"),
+    )

@@ -1698,3 +1698,107 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name", "lhs", "rhs")
+
+
+@register(
+    "cramers_v_lang_source",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      FROM documents GROUP BY 1, 2
+    ),
+    srcs AS (SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s
+             FROM counts GROUP BY source),
+    langs AS (SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l
+              FROM counts GROUP BY lang),
+    tot AS (SELECT CAST(sum(n_sl) AS BIGINT) AS n,
+                   CAST(count(DISTINCT source) AS BIGINT) AS r,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS k
+            FROM counts),
+    dense AS (
+      SELECT s.source, l.lang, s.n_s, l.n_l, t.n,
+             coalesce(c.n_sl, 0) AS o
+      FROM srcs s CROSS JOIN langs l CROSS JOIN tot t
+      LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               (o - CAST(n_s AS DOUBLE) * n_l / n)
+               * (o - CAST(n_s AS DOUBLE) * n_l / n)
+               / (CAST(n_s AS DOUBLE) * n_l / n)
+               * 1000000 + 1e-3) AS BIGINT) AS t_micro
+      FROM dense
+    ),
+    chi AS (SELECT CAST(sum(t_micro) AS BIGINT) AS chi2_micro,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM terms)
+    SELECT t.n AS n_docs, c.n_cells,
+           round(c.chi2_micro / 1000000.0, 6) AS chi2,
+           CAST((t.r - 1) * (t.k - 1) AS BIGINT) AS dof,
+           round(sqrt(c.chi2_micro / 1000000.0
+                      / (t.n * least(t.r - 1, t.k - 1))), 6) AS cramers_v
+    FROM chi c CROSS JOIN tot t
+    """,
+)
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between lang and source — the [0,1]-normalized
+    chi-square association strength that pairs with
+    mutual_information_lang_source (information-theoretic) and
+    chi2_feature_association (per-cell view): V = sqrt(χ²/(N·min(r−1,
+    k−1))), comparable across tables of different shapes.
+
+    Same fixed-point discipline as the MI query: expected counts are
+    deterministic doubles from exact marginal integers, each (O−E)²/E
+    term floors to 1e-6 micro units, and the χ² sum over the dense
+    r×k grid is an exact BIGINT add; V is one sqrt at the end. One
+    corpus scan, bounded-grid algebra after."""
+    d = load(spark, sf_dir).documents
+    counts = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sl"))
+        .localCheckpoint(eager=True)
+    )
+    srcs = counts.groupBy("source").agg(F.sum("n_sl").cast("long").alias("n_s"))
+    langs = counts.groupBy("lang").agg(F.sum("n_sl").cast("long").alias("n_l"))
+    tot = counts.agg(
+        F.sum("n_sl").cast("long").alias("n"),
+        F.countDistinct("source").cast("long").alias("r"),
+        F.countDistinct("lang").cast("long").alias("k"),
+    )
+    dense = (
+        srcs.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(tot))
+        .join(counts, ["source", "lang"], "left")
+        .select(
+            "n_s",
+            "n_l",
+            "n",
+            "r",
+            "k",
+            F.coalesce(F.col("n_sl"), F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("n_s").cast("double") * F.col("n_l") / F.col("n")
+    t_micro = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1_000_000 + 1e-3
+    ).cast("bigint")
+    chi = dense.select(
+        t_micro.alias("t_micro"), "n", "r", "k"
+    ).groupBy("n", "r", "k").agg(
+        F.sum("t_micro").cast("long").alias("chi2_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return chi.select(
+        F.col("n").alias("n_docs"),
+        "n_cells",
+        F.round(F.col("chi2_micro") / 1_000_000.0, 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro")
+                / 1_000_000.0
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("k") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

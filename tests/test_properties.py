@@ -1005,3 +1005,40 @@ def test_nelson_aalen_dominates_km(spark):
         prev_h = na[t]["cum_hazard"]
         assert na[t]["na_survival"] >= km[t]["km_survival"] - 1e-6
         assert na[t]["hazard_variance"] >= 0
+
+
+def test_mcnemar_cells_partition_users(spark, duck):
+    """The four contingency cells must partition all users, and the
+    continuity-corrected statistic never exceeds the raw chi2."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        mcnemar_paired_conversion,
+    )
+    from .conftest import SF_SMALL
+
+    r = mcnemar_paired_conversion(spark, SF_SMALL).collect()[0]
+    n = duck.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert (
+        r["converted_both"] + r["pre_only"] + r["post_only"] + r["neither"]
+        == n == r["n_users"]
+    )
+    assert r["mcnemar_chi2_cc"] <= r["mcnemar_chi2"] + 1e-9
+    assert r["mcnemar_chi2"] >= 0
+
+
+def test_cramers_v_bounded_and_consistent_with_mi(spark):
+    """0 <= V <= 1; dof == (r-1)(k-1); and with MI also computed on
+    the same pair, both dependence measures must agree on direction
+    (V ~ 0 iff MI ~ 0)."""
+    from data_warehouse_data_mining_spark.operators.quality import (
+        cramers_v_lang_source,
+        mutual_information_lang_source,
+    )
+    from .conftest import SF_SMALL
+
+    v = cramers_v_lang_source(spark, SF_SMALL).collect()[0]
+    mi = mutual_information_lang_source(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= v["cramers_v"] <= 1.0
+    assert v["n_docs"] == mi["n_docs"]
+    near_zero_v = v["cramers_v"] < 0.05
+    near_zero_mi = abs(mi["mi_nats"]) < 0.01
+    assert near_zero_v == near_zero_mi
