@@ -5774,3 +5774,103 @@ def mcnemar_paired_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("mcnemar_chi2"),
         F.round(chi2cc, 6).alias("mcnemar_chi2_cc"),
     )
+
+
+@register(
+    "woe_information_value",
+    oracle="""
+    WITH tgt AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(CASE WHEN max(o.o_orderdate) >= TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS BIGINT) AS active
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    cells AS (
+      SELECT c_mktsegment AS segment,
+             CAST(sum(active) AS BIGINT) AS n_good,
+             CAST(sum(1 - active) AS BIGINT) AS n_bad
+      FROM tgt GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g,
+                   CAST(sum(n_bad) AS BIGINT) AS b FROM cells),
+    woe AS (
+      SELECT segment, n_good, n_bad,
+             CAST(floor(ln(((2 * n_good + 1) / (2.0 * t.g + 1))
+                           / ((2 * n_bad + 1) / (2.0 * t.b + 1)))
+                        * 1000000 + 1e-3) AS BIGINT) AS woe_micro,
+             (2 * n_good + 1) / (2.0 * t.g + 1)
+               - (2 * n_bad + 1) / (2.0 * t.b + 1) AS dpct
+      FROM cells CROSS JOIN tot t
+    )
+    SELECT segment, n_good AS n_active, n_bad AS n_inactive,
+           round(woe_micro / 1000000.0, 6) AS woe,
+           round(dpct * woe_micro / 1000000.0, 6) AS iv_contribution,
+           round(sum(dpct * woe_micro / 1000000.0) OVER (), 6)
+             AS iv_total
+    FROM woe ORDER BY segment
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence and Information Value of the market segment
+    against customer activity (any 1997+ order) — the credit-scoring
+    feature screen (Siddiqi): WoE = ln(good%/bad%) per category with
+    add-½ smoothing, IV = Σ (good% − bad%)·WoE; rule-of-thumb IV < 0.02
+    means the feature is useless, > 0.3 strong.
+
+    Fixed-point discipline: distribution ratios are deterministic
+    doubles from exact integer counts, ONE ln per category floored to
+    micro units; the IV sum runs over the bounded segment table (the
+    ≤5-term double sum sits far below 6-decimal rounding — the KM
+    argument). One customer⋈orders pass, bounded algebra after."""
+    t = load(spark, sf_dir)
+    tgt = (
+        t.customer.join(
+            t.orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("o_orderdate")
+                    >= F.lit("1997-01-01 00:00:00").cast("timestamp"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("active")
+        )
+    )
+    cells = tgt.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.sum("active").cast("long").alias("n_good"),
+        F.sum(1 - F.col("active")).cast("long").alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").cast("long").alias("g"),
+        F.sum("n_bad").cast("long").alias("b"),
+    )
+    gpct = (2 * F.col("n_good") + 1) / (2.0 * F.col("g") + 1)
+    bpct = (2 * F.col("n_bad") + 1) / (2.0 * F.col("b") + 1)
+    woe = cells.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_good",
+        "n_bad",
+        F.floor(F.log(gpct / bpct) * 1_000_000 + 1e-3)
+        .cast("bigint")
+        .alias("woe_micro"),
+        (gpct - bpct).alias("dpct"),
+    )
+    wall = W.partitionBy()
+    return woe.select(
+        "segment",
+        F.col("n_good").alias("n_active"),
+        F.col("n_bad").alias("n_inactive"),
+        F.round(F.col("woe_micro") / 1_000_000.0, 6).alias("woe"),
+        F.round(F.col("dpct") * F.col("woe_micro") / 1_000_000.0, 6).alias(
+            "iv_contribution"
+        ),
+        F.round(
+            F.sum(F.col("dpct") * F.col("woe_micro") / 1_000_000.0).over(wall),
+            6,
+        ).alias("iv_total"),
+    ).orderBy("segment")

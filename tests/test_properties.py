@@ -1042,3 +1042,22 @@ def test_cramers_v_bounded_and_consistent_with_mi(spark):
     near_zero_v = v["cramers_v"] < 0.05
     near_zero_mi = abs(mi["mi_nats"]) < 0.01
     assert near_zero_v == near_zero_mi
+
+
+def test_woe_iv_identities(spark):
+    """IV must equal the sum of per-segment contributions, every
+    contribution is nonnegative (dpct and WoE share sign), and the
+    shared iv_total is identical on every row."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        woe_information_value,
+    )
+    from .conftest import SF_SMALL
+
+    rows = woe_information_value(spark, SF_SMALL).collect()
+    assert rows
+    totals = {r["iv_total"] for r in rows}
+    assert len(totals) == 1
+    iv = totals.pop()
+    assert abs(iv - sum(r["iv_contribution"] for r in rows)) < 5e-6
+    for r in rows:
+        assert r["iv_contribution"] >= -1e-9
