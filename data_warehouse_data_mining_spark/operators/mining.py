@@ -5874,3 +5874,113 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("iv_total"),
     ).orderBy("segment")
+
+
+@register(
+    "mix_rate_decomposition",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS seg,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN yr = 1996 THEN n ELSE 0 END) AS BIGINT) AS n96,
+             CAST(sum(CASE WHEN yr = 1997 THEN n ELSE 0 END) AS BIGINT) AS n97
+      FROM cells
+    ),
+    wide AS (
+      SELECT seg,
+             CAST(sum(CASE WHEN yr = 1996 THEN n ELSE 0 END) AS BIGINT) AS a_n,
+             CAST(sum(CASE WHEN yr = 1996 THEN s ELSE 0 END) AS BIGINT) AS a_s,
+             CAST(sum(CASE WHEN yr = 1997 THEN n ELSE 0 END) AS BIGINT) AS b_n,
+             CAST(sum(CASE WHEN yr = 1997 THEN s ELSE 0 END) AS BIGINT) AS b_s
+      FROM cells GROUP BY seg
+    ),
+    eff AS (
+      SELECT w.seg, w.a_n, w.b_n,
+             w.a_s / (CAST(w.a_n AS DOUBLE) * 100) AS m_a,
+             w.b_s / (CAST(w.b_n AS DOUBLE) * 100) AS m_b,
+             (w.b_n / CAST(t.n97 AS DOUBLE) - w.a_n / CAST(t.n96 AS DOUBLE))
+               * (w.a_s / (CAST(w.a_n AS DOUBLE) * 100)) AS mix_eff,
+             (w.b_n / CAST(t.n97 AS DOUBLE))
+               * (w.b_s / (CAST(w.b_n AS DOUBLE) * 100)
+                  - w.a_s / (CAST(w.a_n AS DOUBLE) * 100)) AS rate_eff
+      FROM wide w CROSS JOIN tot t
+    )
+    SELECT seg AS priority, a_n AS n_1996, b_n AS n_1997,
+           round(m_a, 6) AS mean_1996, round(m_b, 6) AS mean_1997,
+           round(mix_eff, 6) AS mix_effect,
+           round(rate_eff, 6) AS rate_effect,
+           round(sum(mix_eff + rate_eff) OVER (), 6) AS delta_total_mean
+    FROM eff ORDER BY priority
+    """,
+)
+def mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix/rate (Oaxaca-Blinder-style) decomposition of the 1996→1997
+    change in mean order value by order priority: Δmean splits EXACTLY
+    into a MIX effect Σ(Δshare·mean₉₆) — the segments got re-weighted —
+    and a RATE effect Σ(share₉₇·Δmean) — values moved within segments;
+    the mix-shift analysis behind every "is revenue/order down because
+    of WHAT we sell or HOW MUCH each sells for" BI question. The
+    identity Σ(mix+rate) = Δmean is algebraic and test-pinned.
+
+    One orders scan to the (priority, year) cell table; shares and
+    means are deterministic doubles of exact integer counts/cent sums;
+    the decomposition identity holds exactly in real arithmetic and to
+    double rounding here. Window over the 5-row effect table only."""
+    o = load(spark, sf_dir).orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("seg"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("s"),
+    ).localCheckpoint(eager=True)
+    yif = lambda y, c: F.sum(F.when(F.col("yr") == y, F.col(c)).otherwise(0)).cast("long")
+    tot = cells.agg(
+        yif(1996, "n").alias("n96"), yif(1997, "n").alias("n97")
+    )
+    wide = cells.groupBy("seg").agg(
+        yif(1996, "n").alias("a_n"),
+        yif(1996, "s").alias("a_s"),
+        yif(1997, "n").alias("b_n"),
+        yif(1997, "s").alias("b_s"),
+    )
+    m_a = F.col("a_s") / (F.col("a_n").cast("double") * 100)
+    m_b = F.col("b_s") / (F.col("b_n").cast("double") * 100)
+    w_a = F.col("a_n") / F.col("n96").cast("double")
+    w_b = F.col("b_n") / F.col("n97").cast("double")
+    eff = wide.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "a_n",
+        "b_n",
+        m_a.alias("m_a"),
+        m_b.alias("m_b"),
+        ((w_b - w_a) * m_a).alias("mix_eff"),
+        (w_b * (m_b - m_a)).alias("rate_eff"),
+    )
+    wall = W.partitionBy()
+    return eff.select(
+        F.col("seg").alias("priority"),
+        F.col("a_n").alias("n_1996"),
+        F.col("b_n").alias("n_1997"),
+        F.round("m_a", 6).alias("mean_1996"),
+        F.round("m_b", 6).alias("mean_1997"),
+        F.round("mix_eff", 6).alias("mix_effect"),
+        F.round("rate_eff", 6).alias("rate_effect"),
+        F.round(
+            F.sum(F.col("mix_eff") + F.col("rate_eff")).over(wall), 6
+        ).alias("delta_total_mean"),
+    ).orderBy("priority")

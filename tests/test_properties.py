@@ -1061,3 +1061,33 @@ def test_woe_iv_identities(spark):
     assert abs(iv - sum(r["iv_contribution"] for r in rows)) < 5e-6
     for r in rows:
         assert r["iv_contribution"] >= -1e-9
+
+
+def test_mix_rate_decomposition_identity(spark, duck):
+    """The decomposition must be exact: sum(mix + rate) equals the
+    actual change in overall mean order value between the two years."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        mix_rate_decomposition,
+    )
+    from .conftest import SF_SMALL
+
+    rows = mix_rate_decomposition(spark, SF_SMALL).collect()
+    deltas = {r["delta_total_mean"] for r in rows}
+    assert len(deltas) == 1
+    got = deltas.pop()
+    m96, m97 = duck.execute(
+        """
+        SELECT
+          sum(CASE WHEN year(o_orderdate)=1996
+              THEN CAST(round(o_totalprice*100,0) AS BIGINT) END) * 1.0
+            / (100 * count(*) FILTER (year(o_orderdate)=1996)),
+          sum(CASE WHEN year(o_orderdate)=1997
+              THEN CAST(round(o_totalprice*100,0) AS BIGINT) END) * 1.0
+            / (100 * count(*) FILTER (year(o_orderdate)=1997))
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        """
+    ).fetchone()
+    assert abs(got - (m97 - m96)) < 5e-6
+    assert abs(got - sum(r["mix_effect"] + r["rate_effect"] for r in rows)) < 5e-5
