@@ -24,7 +24,7 @@ smote_sampling.py:9); everything else is north-star extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -1909,3 +1909,130 @@ def lsh_banding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("bands")
+
+
+# Prefix-filtered set-similarity join (AllPairs / PPJoin candidate
+# generation, Bayardo et al. 2007 / Xiao et al. 2008). tau = 1/2 so
+# every threshold test is exact integer arithmetic.
+PFX_TAU_NUM, PFX_TAU_DEN = 1, 2
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM tok a JOIN tok b ON b.w = a.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, size_a, size_b, jaccard FROM (
+      SELECT s.id_a, s.id_b, s.inter,
+             sa.sz AS size_a, sb.sz AS size_b,
+             round(s.inter / (CAST(sa.sz + sb.sz - s.inter AS DOUBLE)), 6)
+               AS jaccard,
+             row_number() OVER (
+               ORDER BY s.inter * 1.0 / (sa.sz + sb.sz - s.inter) DESC,
+                        s.id_a, s.id_b) AS rn
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.id_a
+      JOIN sizes sb ON sb.doc_id = s.id_b
+      WHERE 3 * s.inter >= sa.sz + sb.sz
+    ) t WHERE rn <= 500
+    ORDER BY jaccard DESC, id_a, id_b
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold set-similarity self-join (Jaccard >= 1/2 over distinct
+    word sets) with PREFIX-FILTERED candidate generation (AllPairs /
+    PPJoin, Bayardo 2007): order every document's tokens rarest-first
+    (global df asc, term asc) and emit candidates ONLY from each
+    document's first |A| - ceil(tau*|A|) + 1 tokens — any pair meeting
+    the threshold MUST collide in those prefixes, so the filter is
+    LOSSLESS while pruning the quadratic blowup on common tokens. The
+    ORACLE is the unfiltered brute-force join over ALL shared tokens:
+    hash equality IS the completeness proof (a pruned qualifying pair
+    would show as a missing row).
+
+    Exactness: the threshold test is the exact integer inequality
+    3*inter >= |A|+|B| (tau = 1/2); the output is capped to the
+    top-500 pairs through a fully tie-broken deterministic ordering; prefix
+    lengths are integer identities; the df tie-break (df asc, term
+    asc) makes both engines pick identical prefixes. Scale shape: the
+    candidate join touches only prefix tokens (rarest terms -> small
+    buckets — the technique's whole point); verification joins token
+    sets restricted to surviving candidate pairs."""
+    d = load(spark, sf_dir).documents
+    tok = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(th.words(F.col("text")))).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    df_tbl = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    worder = W.partitionBy("id").orderBy("df", "w")
+    ranked = (
+        tok.join(df_tbl, "w")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(worder))
+    )
+    # prefix length = sz - ceil(tau*sz) + 1; tau=1/2 -> sz - ceil(sz/2) + 1
+    plen = F.col("sz") - F.expr(
+        f"({PFX_TAU_NUM} * sz + {PFX_TAU_DEN} - 1) div {PFX_TAU_DEN}"
+    ) + 1
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "w")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("b.w") == F.col("a.w")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("tb_id"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("tb_id") == F.col("id_b")) & (F.col("wb") == F.col("w")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    jac_raw = F.col("inter") * 1.0 / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        # tau = 1/2: jaccard >= 1/2  <=>  3*inter >= |A|+|B| (exact ints)
+        .filter(3 * F.col("inter") >= F.col("size_a") + F.col("size_b"))
+        # top-500 via TakeOrderedAndProject (distributed partial top-k),
+        # total order => deterministic boundary; never a global window
+        .orderBy(jac_raw.desc(), "id_a", "id_b")
+        .limit(500)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.round(jac_raw, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    )

