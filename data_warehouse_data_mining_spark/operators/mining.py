@@ -5984,3 +5984,119 @@ def mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("mix_eff") + F.col("rate_eff")).over(wall), 6
         ).alias("delta_total_mean"),
     ).orderBy("priority")
+
+
+@register(
+    "brown_forsythe_variance",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    med AS (
+      SELECT arm,
+             CAST(2 * percentile_cont(0.5) WITHIN GROUP (ORDER BY c)
+                  AS BIGINT) AS med2
+      FROM per_user GROUP BY arm
+    ),
+    z AS (
+      SELECT p.arm, abs(2 * p.c - m.med2) AS z2
+      FROM per_user p JOIN med m ON m.arm = p.arm
+    ),
+    m2 AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN arm = 'A' THEN z2 ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN arm = 'B' THEN z2 ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN arm = 'A' THEN z2 * z2 ELSE 0 END) AS BIGINT)
+               AS ssa,
+             CAST(sum(CASE WHEN arm = 'B' THEN z2 * z2 ELSE 0 END) AS BIGINT)
+               AS ssb
+      FROM z
+    ),
+    f AS (
+      SELECT na, nb,
+             sa / (CAST(na AS DOUBLE) * 200) AS mz_a,
+             sb / (CAST(nb AS DOUBLE) * 200) AS mz_b,
+             (ssa - CAST(sa AS DOUBLE) * sa / na)
+               + (ssb - CAST(sb AS DOUBLE) * sb / nb) AS ssw,
+             CAST(na AS DOUBLE) * nb / (na + nb)
+               * (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))
+               * (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE)) AS ssb_g
+      FROM m2
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(mz_a, 6) AS mean_absdev_a, round(mz_b, 6) AS mean_absdev_b,
+           round(CASE WHEN ssw = 0 THEN 0.0
+                      ELSE (na + nb - 2) * ssb_g / ssw END, 6)
+             AS bf_f_statistic
+    FROM f
+    """,
+)
+def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for equal variances between the hash-split
+    arms: a one-way ANOVA F on the absolute deviations from each arm's
+    MEDIAN (the robust Levene variant, Brown & Forsythe 1974) — the
+    assumption check run before trusting a pooled-variance t, and the
+    robust alternative to an F-ratio of raw variances.
+
+    Exactness: medians come from percentile_cont over exact cents and
+    are DOUBLED to stay integral (the .5-cent interpolation case), so
+    every |2x − 2·med| deviation is an exact BIGINT; the F assembles
+    from exact per-arm moment sums of those deviations in one identical
+    double expression (between-group SS uses the two-group closed form
+    n_a·n_b/(n_a+n_b)·(z̄_a−z̄_b)²); zero within-group variation guards
+    to 0. One per-user pass, one bounded median per arm, one rollup."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    ).localCheckpoint(eager=True)  # read by the median pass and the z pass
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    med = exact_group_percentiles(per_user, "arm", "c", [0.5]).select(
+        F.col("arm").alias("m_arm"),
+        (2 * F.col("val")).cast("long").alias("med2"),
+    )
+    z = per_user.join(
+        F.broadcast(med), F.col("m_arm") == F.col("arm")
+    ).select("arm", F.abs(2 * F.col("c") - F.col("med2")).alias("z2"))
+    s_if = lambda a, c: F.sum(
+        F.when(F.col("arm") == a, c).otherwise(0)
+    ).cast("long")
+    m2 = z.agg(
+        s_if("A", F.lit(1)).alias("na"),
+        s_if("B", F.lit(1)).alias("nb"),
+        s_if("A", F.col("z2")).alias("sa"),
+        s_if("B", F.col("z2")).alias("sb"),
+        s_if("A", F.col("z2") * F.col("z2")).alias("ssa"),
+        s_if("B", F.col("z2") * F.col("z2")).alias("ssb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ssw = (F.col("ssa") - F.col("sa").cast("double") * F.col("sa") / F.col("na")) + (
+        F.col("ssb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+    )
+    dmean = F.col("sa") / nad - F.col("sb") / nbd
+    ssb_g = nad * F.col("nb") / (F.col("na") + F.col("nb")) * dmean * dmean
+    return m2.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.col("sa") / (nad * 200), 6).alias("mean_absdev_a"),
+        F.round(F.col("sb") / (nbd * 200), 6).alias("mean_absdev_b"),
+        F.round(
+            F.when(ssw == 0, 0.0).otherwise(
+                (F.col("na") + F.col("nb") - 2) * ssb_g / ssw
+            ),
+            6,
+        ).alias("bf_f_statistic"),
+    )

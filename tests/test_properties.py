@@ -1091,3 +1091,40 @@ def test_mix_rate_decomposition_identity(spark, duck):
     ).fetchone()
     assert abs(got - (m97 - m96)) < 5e-6
     assert abs(got - sum(r["mix_effect"] + r["rate_effect"] for r in rows)) < 5e-5
+
+
+def test_brown_forsythe_matches_python_mirror(spark, duck):
+    """The F statistic recomputed in Python from the exact half-cent
+    deviations (textbook two-group ANOVA on |x - median|) must agree,
+    and F must be nonnegative."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        brown_forsythe_variance,
+    )
+    from .conftest import SF_SMALL
+
+    row = brown_forsythe_variance(spark, SF_SMALL).collect()[0]
+    per = _arm_cents(duck)
+    arms = {"A": [], "B": []}
+    for arm, c in per:
+        arms[arm].append(c)
+
+    def median2(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        if n % 2:
+            return 2 * xs[n // 2]
+        return xs[n // 2 - 1] + xs[n // 2]
+
+    z = {a: [abs(2 * c - median2(v)) for c in v] for a, v in arms.items() for v in [v]}
+    na, nb = len(z["A"]), len(z["B"])
+    sa, sb = sum(z["A"]), sum(z["B"])
+    ssa = sum(x * x for x in z["A"])
+    ssb = sum(x * x for x in z["B"])
+    ssw = (ssa - sa * sa / na) + (ssb - sb * sb / nb)
+    d = sa / na - sb / nb
+    ssb_g = na * nb / (na + nb) * d * d
+    f = (na + nb - 2) * ssb_g / ssw
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["bf_f_statistic"] - f) < 1e-4
+    assert row["bf_f_statistic"] >= 0
+    assert row["mean_absdev_a"] == round(sa / (na * 200), 6)
