@@ -6100,3 +6100,139 @@ def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bf_f_statistic"),
     )
+
+
+@register(
+    "cooks_distance_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d * d) AS BIGINT) AS sxx,
+             CAST(sum(d * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    coef AS (
+      SELECT n, sx, sxx,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sx) / n AS a,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c
+      FROM m
+    ),
+    resid AS (
+      SELECT dd.d, dd.y, c.n,
+             dd.y - (c.a + c.b * dd.d) AS e,
+             1.0 / c.n + (dd.d - CAST(c.sx AS DOUBLE) / c.n)
+                         * (dd.d - CAST(c.sx AS DOUBLE) / c.n) / c.sxx_c AS h
+      FROM daily dd CROSS JOIN coef c
+    ),
+    mse AS (
+      SELECT CAST(any_value(n) AS BIGINT) AS n,
+             sum(e * e) / (any_value(n) - 2) AS s2
+      FROM resid
+    )
+    SELECT d AS day_index, round(e / 100.0, 2) AS residual,
+           round(h, 6) AS leverage,
+           round(e * e * h / (2 * s.s2 * (1 - h) * (1 - h)), 6)
+             AS cooks_d
+    FROM resid CROSS JOIN mse s
+    ORDER BY e * e * h / (2 * s.s2 * (1 - h) * (1 - h)) DESC, d
+    LIMIT 10
+    """,
+)
+def cooks_distance_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance for the 1996 daily-revenue OLS trend: per day,
+    leverage h = 1/n + (x−x̄)²/Sxx and D = e²·h / (p·s²·(1−h)²) with
+    p = 2 — the influence diagnostic that names WHICH days are bending
+    the fitted line (Cook 1977), completing the regression-diagnostics
+    kit beside durbin_watson_residuals (serial correlation) and
+    conformal_interval_calibration (uncertainty). Top-10 most
+    influential days.
+
+    Determinism: coefficients, leverages, and residuals are identical
+    double expressions of exact bigint moment sums; s² is one
+    order-stable bounded sum (the KM argument); the top-10 cut orders
+    by the raw D with a day tie-break so both engines pick identical
+    rows. One fact rollup, O(#days) algebra, TakeOrdered cut."""
+    o = load(spark, sf_dir).orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+    )
+    ndb = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    b = (ndb * F.col("sxy") - sxd * F.col("sy")) / (
+        ndb * F.col("sxx") - sxd * F.col("sx")
+    )
+    coef = m.select(
+        "n",
+        "sx",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+        (F.col("sxx").cast("double") - sxd * F.col("sx") / F.col("n")).alias(
+            "sxx_c"
+        ),
+    )
+    resid = daily.crossJoin(F.broadcast(coef)).select(
+        "d",
+        "n",
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("d"))).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("d") - F.col("sx").cast("double") / F.col("n"))
+            * (F.col("d") - F.col("sx").cast("double") / F.col("n"))
+            / F.col("sxx_c")
+        ).alias("h"),
+    ).localCheckpoint(eager=True)
+    mse = resid.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.first("n") - 2)).alias("s2")
+    )
+    dcook = (
+        F.col("e")
+        * F.col("e")
+        * F.col("h")
+        / (2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h")))
+    )
+    return (
+        resid.crossJoin(F.broadcast(mse))
+        .orderBy(dcook.desc(), "d")
+        .limit(10)
+        .select(
+            F.col("d").alias("day_index"),
+            F.round(F.col("e") / 100.0, 2).alias("residual"),
+            F.round("h", 6).alias("leverage"),
+            F.round(dcook, 6).alias("cooks_d"),
+        )
+    )

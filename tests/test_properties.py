@@ -1128,3 +1128,20 @@ def test_brown_forsythe_matches_python_mirror(spark, duck):
     assert abs(row["bf_f_statistic"] - f) < 1e-4
     assert row["bf_f_statistic"] >= 0
     assert row["mean_absdev_a"] == round(sa / (na * 200), 6)
+
+
+def test_cooks_distance_properties(spark):
+    """Top-10 Cook's distances are nonnegative, sorted descending with
+    day tie-breaks, and every leverage lies in (0, 1)."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        cooks_distance_trend,
+    )
+    from .conftest import SF_SMALL
+
+    rows = cooks_distance_trend(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    ds = [r["cooks_d"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    for r in rows:
+        assert r["cooks_d"] >= 0
+        assert 0.0 < r["leverage"] < 1.0
