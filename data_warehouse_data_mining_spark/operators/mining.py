@@ -6236,3 +6236,88 @@ def cooks_distance_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dcook, 6).alias("cooks_d"),
         )
     )
+
+
+@register(
+    "weekday_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss
+      FROM daily
+    ),
+    grp AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS ng, CAST(sum(y) AS BIGINT) AS sg
+      FROM daily GROUP BY dow
+    ),
+    parts AS (
+      SELECT t.n, t.s, t.ss,
+             sum(CAST(g.sg AS DOUBLE) * g.sg / g.ng) AS sum_gsq
+      FROM grp g CROSS JOIN tot t
+      GROUP BY t.n, t.s, t.ss
+    )
+    SELECT n AS n_days,
+           round((sum_gsq - CAST(s AS DOUBLE) * s / n)
+                 / (ss - CAST(s AS DOUBLE) * s / n), 6) AS seasonal_r2,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1),
+                 6) AS total_variance,
+           CAST(7 AS BIGINT) AS n_groups
+    FROM parts
+    """,
+)
+def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength of weekly seasonality in the daily order-count series:
+    the one-way-ANOVA R² of day-of-week group means — SSB/SST, the
+    fraction of daily variance a weekday profile explains — the
+    cheap go/no-go before fitting a weekly seasonal component
+    (seasonal_decompose_daily) or blaming the trend's Durbin-Watson.
+
+    Everything assembles from exact integer sums (Σy, Σy², per-weekday
+    Σ) in one identical double expression; the only ≥7-term double sum
+    (Σ s_g²/n_g) runs over the seven weekday groups — far below
+    rounding. One fact rollup to the calendar-bounded daily table, one
+    7-row regroup."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(
+        eager=True
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    grp = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("y").cast("long").alias("sg"),
+    )
+    parts = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s", "ss")
+        .agg(
+            F.sum(F.col("sg").cast("double") * F.col("sg") / F.col("ng")).alias(
+                "sum_gsq"
+            )
+        )
+    )
+    sd = F.col("s").cast("double")
+    sst = F.col("ss") - sd * F.col("s") / F.col("n")
+    ssb = F.col("sum_gsq") - sd * F.col("s") / F.col("n")
+    return parts.select(
+        F.col("n").alias("n_days"),
+        F.round(ssb / sst, 6).alias("seasonal_r2"),
+        F.round(
+            (F.col("ss").cast("double") - sd * F.col("s") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("total_variance"),
+        F.lit(7).cast("long").alias("n_groups"),
+    )

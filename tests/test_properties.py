@@ -1145,3 +1145,17 @@ def test_cooks_distance_properties(spark):
     for r in rows:
         assert r["cooks_d"] >= 0
         assert 0.0 < r["leverage"] < 1.0
+
+
+def test_weekday_seasonality_r2_bounds(spark):
+    """ANOVA R² lies in [0, 1] by construction; total variance > 0 on
+    real data; exactly 7 weekday groups."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        weekday_seasonality_strength,
+    )
+    from .conftest import SF_SMALL
+
+    r = weekday_seasonality_strength(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["seasonal_r2"] <= 1.0
+    assert r["total_variance"] > 0
+    assert r["n_groups"] == 7
