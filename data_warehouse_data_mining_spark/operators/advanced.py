@@ -1013,7 +1013,7 @@ def bloom_filter_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hit = h if hit is None else (hit & h)
     probe = probe.join(
-        F.broadcast(keys.select("c_custkey", F.lit(True).alias("member"))),
+        keys.select("c_custkey", F.lit(True).alias("member")),
         probe.o_custkey == F.col("c_custkey"),
         "left",
     ).select(hit.alias("pass"), F.coalesce("member", F.lit(False)).alias("member"))

@@ -290,6 +290,7 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
 
 @register(
     "dsir_importance_weights",
+    headline=True,
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, source, unnest(string_split(text, ' ')) AS w

@@ -1919,11 +1919,14 @@ PFX_TAU_NUM, PFX_TAU_DEN = 1, 2
 
 @register(
     "prefix_filter_jaccard_pairs",
+    headline=True,
     oracle=f"""
     WITH tok AS (
-      SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-      )
+      SELECT DISTINCT doc_id, ws[pos] || ' ' || ws[pos + 1] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+            WHERE len(ws) >= 2)
     ),
     sizes AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id
@@ -1952,31 +1955,53 @@ PFX_TAU_NUM, PFX_TAU_DEN = 1, 2
 )
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold set-similarity self-join (Jaccard >= 1/2 over distinct
-    word sets) with PREFIX-FILTERED candidate generation (AllPairs /
-    PPJoin, Bayardo 2007): order every document's tokens rarest-first
-    (global df asc, term asc) and emit candidates ONLY from each
-    document's first |A| - ceil(tau*|A|) + 1 tokens — any pair meeting
-    the threshold MUST collide in those prefixes, so the filter is
-    LOSSLESS while pruning the quadratic blowup on common tokens. The
-    ORACLE is the unfiltered brute-force join over ALL shared tokens:
-    hash equality IS the completeness proof (a pruned qualifying pair
-    would show as a missing row).
+    word-BIGRAM sets — the standard shingle near-dup definition; r10
+    moved from unigram word sets, whose tiny synthetic vocabulary made
+    every "rare" prefix token common and degenerated the candidate set
+    to ~86% of ALL pairs) with PPJoin candidate generation (Bayardo 2007 AllPairs
+    + Xiao 2008 positional/length filters, all three LOSSLESS):
+
+    * PREFIX filter — order every document's tokens rarest-first
+      (global df asc, term asc) and emit candidates ONLY from each
+      document's first |A| - ceil(tau*|A|) + 1 tokens: any qualifying
+      pair MUST collide in those prefixes.
+    * LENGTH filter — J >= 1/2 forces |A|/2 <= |B| <= 2|A| (exact
+      integers: 2|B| >= |A| and |B| <= 2|A|), applied inside the join
+      condition so pruned rows never reach the shuffle.
+    * POSITIONAL filter — a collision at prefix positions (p_a, p_b)
+      bounds the overlap by 1 + min(|A|-p_a, |B|-p_b); qualifying
+      pairs need inter >= ceil((|A|+|B|)/3), and their FIRST common
+      prefix token always satisfies the bound, so keeping pairs with
+      any passing row is lossless (Xiao et al. 2008, PPJoin).
+
+    The ORACLE is the unfiltered brute-force join over ALL shared
+    tokens: hash equality IS the completeness proof (a pruned
+    qualifying pair would show as a missing row).
 
     Exactness: the threshold test is the exact integer inequality
     3*inter >= |A|+|B| (tau = 1/2); the output is capped to the
-    top-500 pairs through a fully tie-broken deterministic ordering; prefix
-    lengths are integer identities; the df tie-break (df asc, term
-    asc) makes both engines pick identical prefixes. Scale shape: the
-    candidate join touches only prefix tokens (rarest terms -> small
-    buckets — the technique's whole point); verification joins token
-    sets restricted to surviving candidate pairs."""
+    top-500 pairs through a fully tie-broken deterministic ordering;
+    prefix lengths are integer identities; the df tie-break (df asc,
+    term asc) makes both engines pick identical prefixes.
+
+    Scale shape: the candidate join touches only prefix tokens with
+    both extra filters fused into the join condition (r10: they cut
+    candidate rows ~2x and, on corpora with real vocabulary spread,
+    orders of magnitude); verification joins the per-doc SORTED TOKEN
+    ARRAYS (two plain equi-joins — no hint, the arrays table is
+    corpus-proportional) and counts the intersection with a codegen
+    array_intersect per pair, instead of re-exploding tokens into a
+    candidate x token-list join (r10: that explode-join was ~25x the
+    candidate-pair cardinality and dominated the sf0.1 runtime)."""
     d = load(spark, sf_dir).documents
-    tok = (
-        d.select(
-            F.col("doc_id").alias("id"),
-            F.explode(F.array_distinct(th.words(F.col("text")))).alias("w"),
-        )
-        .localCheckpoint(eager=True)
+    # NOTE: tok is corpus-proportional (one row per distinct token per doc)
+    # — never pinned/checkpointed/broadcast; each consumer re-derives it
+    # from the column-pruned parquet scan, which is cheap and scale-safe.
+    tok = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(th.word_shingles(th.words(F.col("text")), 2))
+        ).alias("w"),
     )
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     df_tbl = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -1990,38 +2015,67 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plen = F.col("sz") - F.expr(
         f"({PFX_TAU_NUM} * sz + {PFX_TAU_DEN} - 1) div {PFX_TAU_DEN}"
     ) + 1
-    prefix = ranked.filter(F.col("rn") <= plen).select("id", "w")
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "w", "rn", "sz")
+    # overlap lower bound for tau=1/2: inter >= ceil((|A|+|B|)/3)
+    alpha = F.expr("(a.sz + b.sz + 2) div 3")
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("b.w") == F.col("a.w")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("b.w") == F.col("a.w"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter (exact): |A|/2 <= |B| <= 2|A|
+            & (2 * F.col("b.sz") >= F.col("a.sz"))
+            & (F.col("b.sz") <= 2 * F.col("a.sz"))
+            # positional filter: remaining-suffix bound must reach alpha
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.rn"),
+                    F.col("b.sz") - F.col("b.rn"),
+                )
+                >= alpha
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    ta = tok.select(F.col("id").alias("id_a"), "w")
-    tb = tok.select(F.col("id").alias("tb_id"), F.col("w").alias("wb"))
+    # verification: per-doc distinct-token ARRAYS (doc-bounded rows),
+    # joined to the surviving pairs with hint-free equi-joins; the
+    # intersection count is one codegen array_intersect per pair
+    arrs = tok.groupBy("id").agg(
+        F.sort_array(F.collect_list("w")).alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    aa = arrs.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("size_a"),
+    )
+    bb = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("size_b"),
+    )
     inter = (
-        cand.join(ta, "id_a")
-        .join(
-            tb,
-            (F.col("tb_id") == F.col("id_b")) & (F.col("wb") == F.col("w")),
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("inter"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
     jac_raw = F.col("inter") * 1.0 / (
         F.col("size_a") + F.col("size_b") - F.col("inter")
     )
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
         # tau = 1/2: jaccard >= 1/2  <=>  3*inter >= |A|+|B| (exact ints)
-        .filter(3 * F.col("inter") >= F.col("size_a") + F.col("size_b"))
+        inter.filter(3 * F.col("inter") >= F.col("size_a") + F.col("size_b"))
         # top-500 via TakeOrderedAndProject (distributed partial top-k),
         # total order => deterministic boundary; never a global window
         .orderBy(jac_raw.desc(), "id_a", "id_b")

@@ -748,11 +748,13 @@ def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→double conversion is IEEE round-to-nearest of the same
     exact value in both engines and the slope/intercept arithmetic is
     one fixed-order expression — bit-identical results. The dim joins
-    broadcast; the only fact shuffle is the final 25-group agg's."""
+    carry no forced hints (customer is SF-proportional — AQE broadcasts
+    when it fits); the only guaranteed fact shuffle is the final
+    25-group agg's."""
     t = load(spark, sf_dir)
     pts = (
         t.orders.join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -3353,9 +3355,9 @@ _BOOT_HEXWORD_SQL = (
     )
     SELECT f.n_users, {BOOTSTRAP_B} AS b_replicates,
            round(f.mean_spend, 6) AS mean_spend,
-           round(max(CASE WHEN rn = 1 THEN mean_b END), 6) AS ci_lo,
-           round(max(CASE WHEN rn = {BOOTSTRAP_B - 1} THEN mean_b END), 6)
-             AS ci_hi
+           round(max(CASE WHEN rn = 1 THEN mean_b END), 6) AS env_lo,
+           round(max(CASE WHEN rn = {BOOTSTRAP_B} THEN mean_b END), 6)
+             AS env_hi
     FROM ranked CROSS JOIN fs f
     GROUP BY f.n_users, f.mean_spend
     """,
@@ -3367,9 +3369,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE streaming pass with no resampling shuffle — the
     single-pass bootstrap that works when the data cannot be
     materialized B times (Chamandy et al. 2012, "Estimating Uncertainty
-    for Massive Data Streams"). The CI is the [2.5%, 97.5%]
-    order-statistic envelope of the replicate means (ranks 1 and B-1
-    of 32).
+    for Massive Data Streams"). The interval is the SYMMETRIC full
+    replicate envelope — min and max of the B=32 replicate means
+    (ranks 1 and B) — which under the (B+1) order-statistic rule is an
+    equal-tailed ~94% percentile interval (1 - 2/(B+1)); with B=32 no
+    order statistic lands at exactly 2.5%/97.5%, so the output is
+    labeled env_lo/env_hi rather than claiming an exact 95% CI.
 
     Determinism: weights come from the inverse Poisson CDF applied to
     the md5-dyadic uniform (the dp_noisy_group_counts recipe — exactly
@@ -3426,21 +3431,21 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_users", "mean_spend")
         .agg(
             F.round(F.max(F.when(F.col("rn") == 1, F.col("mean_b"))), 6).alias(
-                "ci_lo"
+                "env_lo"
             ),
             F.round(
                 F.max(
-                    F.when(F.col("rn") == BOOTSTRAP_B - 1, F.col("mean_b"))
+                    F.when(F.col("rn") == BOOTSTRAP_B, F.col("mean_b"))
                 ),
                 6,
-            ).alias("ci_hi"),
+            ).alias("env_hi"),
         )
         .select(
             "n_users",
             F.lit(BOOTSTRAP_B).alias("b_replicates"),
             F.round("mean_spend", 6).alias("mean_spend"),
-            "ci_lo",
-            "ci_hi",
+            "env_lo",
+            "env_hi",
         )
     )
 
@@ -4271,7 +4276,7 @@ def newsvendor_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over week-count slivers; two broadcast-sized policy joins."""
     t = load(spark, sf_dir)
     weekly = (
-        t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
@@ -5312,9 +5317,12 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_p = e.filter(F.col("event_type") == "purchase").groupBy(
         "user_id"
     ).agg(F.min("ts").alias("pts"))
+    # first_p is user-proportional (one row per converted user) — NO
+    # broadcast hint; a plain user_id equi-join lets AQE broadcast only
+    # when the converted-user side is actually small at the given scale.
     touches = (
         e.filter(F.col("event_type") != "purchase")
-        .join(F.broadcast(first_p), "user_id", "left")
+        .join(first_p, "user_id", "left")
         .filter(F.col("pts").isNull() | (F.col("ts") < F.col("pts")))
         .select(
             "user_id",

@@ -153,9 +153,10 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erasure itself is the same plan with the anti-join kept and the
     counts replaced by a write.
 
-    Scale shape: the cohort is a small broadcast side; each fact table
-    is scanned once with a semi-join (membership count) — no fact-side
-    shuffle, so the audit runs casually against 100 TB."""
+    Scale shape: each fact table is scanned once with a cohort
+    membership join; the hint-free equi-join lets AQE broadcast the
+    cohort when it fits (the usual case) and shuffle when a mass
+    deletion batch doesn't — either way one pass per table."""
     t = load(spark, sf_dir)
     targets = (
         t.customer.filter(F.col("c_custkey") % 1000 == 7)
@@ -169,11 +170,11 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = None
     for name, table, key in checks:
-        # ONE scan per table: broadcast left join marks cohort rows,
+        # ONE scan per table: the cohort left join marks cohort rows,
         # then total + membership come out of the same aggregate
         row = (
             table.select(F.col(key).alias("k"))
-            .join(F.broadcast(targets), F.col("k") == F.col("target_key"), "left")
+            .join(targets, F.col("k") == F.col("target_key"), "left")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.coalesce(F.sum("hit"), F.lit(0)).alias("n_target_rows"),

@@ -562,12 +562,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit broadcast-hash join of the part dimension: the fact
-    table never shuffles — the plan that must survive at 100 TB."""
+    """Dimension join of part onto lineitem with NO forced hint: AQE
+    broadcasts the dim at runtime whenever it actually fits (so the
+    fact table never shuffles at test scale) and falls back to a
+    shuffled join when it doesn't — the plan that survives at 100 TB,
+    where part itself is ~20 B rows and a mandatory broadcast OOMs."""
     t = load(spark, sf_dir)
     part = t.part.filter(F.col("p_size") <= 25).select("p_partkey", "p_brand")
     return (
-        t.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
@@ -1639,7 +1642,7 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
     return (
-        li.join(F.broadcast(t.part.select("p_partkey", "p_type")),
+        li.join(t.part.select("p_partkey", "p_type"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
     )

@@ -330,8 +330,9 @@ def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferred members created, members later backfilled, and keys still
     unknown (referential debt).
 
-    Membership tests are broadcast LEFT SEMI/ANTI joins against the
-    dim-sized key sets — the fact table never shuffles; the inferred
+    Membership tests are plain key equi-joins against the dim key
+    sets (no forced broadcast — customer is SF-proportional, so AQE
+    picks broadcast only when the dim actually fits); the inferred
     set is orphan-key-sized and drives the backfill join, so the
     reconciliation cost scales with the DEBT, not the fact table."""
     t = load(spark, sf_dir)
@@ -339,8 +340,8 @@ def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey"
     )
     facts = t.orders.select("o_custkey").join(
-        F.broadcast(present.select(F.col("c_custkey").alias("o_custkey"))
-                    .withColumn("has_dim", F.lit(True))),
+        present.select(F.col("c_custkey").alias("o_custkey"))
+        .withColumn("has_dim", F.lit(True)),
         "o_custkey",
         "left",
     ).select(F.coalesce("has_dim", F.lit(False)).alias("has_dim"), "o_custkey")
@@ -349,10 +350,8 @@ def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts.filter(~F.col("has_dim")).select("o_custkey").distinct()
     )
     backfill = inferred.join(
-        F.broadcast(
-            t.customer.select(F.col("c_custkey").alias("o_custkey"))
-            .withColumn("arrived", F.lit(True))
-        ),
+        t.customer.select(F.col("c_custkey").alias("o_custkey"))
+        .withColumn("arrived", F.lit(True)),
         "o_custkey",
         "left",
     ).select(F.coalesce("arrived", F.lit(False)).alias("arrived"))

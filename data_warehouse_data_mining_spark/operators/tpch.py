@@ -116,7 +116,7 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
@@ -337,7 +337,7 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
@@ -372,7 +372,7 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_parts = t.part.filter(F.col("p_brand") == "BRAND_1").select("p_partkey")
     brand_lines = (
         t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
     )
     # Per-part averages restricted to the brand slice are identical to the
     # global per-part averages (the filter is on the group key), so the
@@ -383,7 +383,7 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brand_lines
-        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -484,8 +484,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_partkey", "l_suppkey",
             "l_quantity", "l_extendedprice", "l_discount",
         )
-        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             t.orders.select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -584,7 +584,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
         .join(
-            F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+            t.part.select("p_partkey", "p_brand", "p_size"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .filter(
@@ -657,7 +657,7 @@ def waiting_supplier_faults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         faults.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -728,7 +728,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     regional = costs.join(
-        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        eu_supp, F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
     # per-part min via a window over the SAME derivation instead of a
     # min-agg + self-join: the agg/self-join shape derives `regional`
@@ -801,7 +801,7 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     pv = (
         t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(

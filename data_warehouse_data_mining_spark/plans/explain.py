@@ -56,3 +56,18 @@ def codegen_operator_count(df: DataFrame, execute: bool = True) -> int:
         df.collect()
     plan = formatted_plan(df)
     return len(re.findall(r"^\s*(?:[+:]-\s*)?\* \w", plan, flags=re.MULTILINE))
+
+
+def final_plan(df: DataFrame, execute: bool = True) -> str:
+    """The AQE FINAL physical plan (runtime join strategies, skew
+    splits, coalesced readers). Hint-free dimension joins plan as
+    SortMergeJoin statically — the stats of a join-derived dim are
+    unknowable up front — and AQE converts them to broadcast at runtime
+    from ACTUAL sizes; scale contracts about join strategy must
+    therefore be asserted here, not on the static plan."""
+    if execute:
+        # must execute THIS df's queryExecution (a write/count builds a
+        # separate plan and leaves this one un-finalized under AQE)
+        df.collect()
+    plan = formatted_plan(df)
+    return plan.split("== Initial Plan ==")[0]

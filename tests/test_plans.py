@@ -85,10 +85,15 @@ def test_tpch_plan_shapes(spark):
     dimension filters pushed to the scan."""
     from data_warehouse_data_mining_spark.operators import tpch
 
-    p5 = explain.formatted_plan(tpch.regional_supplier_volume(spark, SF_SMALL))
-    assert "BroadcastHashJoin" in p5, "Q5 dims must broadcast"
-    assert "SortMergeJoin" not in p5 or p5.count("SortMergeJoin") <= 1, (
-        "only orders⋈lineitem may shuffle"
+    # r10: the supplier/customer joins carry no forced hints any more
+    # (SF-proportional sides — a mandatory broadcast OOMs at 100 TB), so
+    # the strategy contract moves to the AQE FINAL plan: at test scale
+    # every dim must still end up broadcast, chosen from actual sizes.
+    df5 = tpch.regional_supplier_volume(spark, SF_SMALL)
+    p5 = explain.final_plan(df5)
+    assert "BroadcastHashJoin" in p5, "Q5 dims must broadcast at runtime"
+    assert p5.count("SortMergeJoin") <= 1, (
+        "only orders⋈lineitem may shuffle in the AQE final plan"
     )
 
     p4 = explain.formatted_plan(tpch.order_priority_exists(spark, SF_SMALL))
@@ -441,3 +446,61 @@ def test_no_pins_on_token_proportional_tables():
                 f"{path}:{hits} pins the shingle stream "
                 "(token-proportional; recompute it instead)"
             )
+
+
+def test_no_broadcast_hints_on_unbounded_tables():
+    """Repo-wide AST lint (r10, VERDICT r9 #1): F.broadcast() must never
+    be applied to a frame derived from an SF-proportional table —
+    lineitem/orders/customer/part/supplier/partsupp/events/documents/
+    embeddings — without an intervening BOUNDED aggregation. A groupBy
+    on an entity id (doc_id, user_id, c_custkey, ...) does NOT bound:
+    a per-doc sizes table is still corpus-proportional (the r9
+    prefix_filter_jaccard_pairs bug — a guaranteed broadcast-limit/OOM
+    failure at the 100 TB design point that no local[32] test can see).
+    Genuinely bounded-by-design frames (the N_QUERIES-row ANN query
+    sets) carry an inline `# broadcast-ok: <reason>` waiver whose exact
+    inventory is pinned here, so adding one is a reviewed diff."""
+    import os
+
+    from tools.broadcast_lint import lint_package, scope_broadcast_violations
+    import data_warehouse_data_mining_spark as pkg
+    import ast
+
+    # lint self-test: positive AND negative controls so a refactor that
+    # silently stops it firing fails here, not on a future cluster OOM
+    control_src = (
+        "def direct(t):\n"
+        "    x.join(F.broadcast(t.customer.select('a')), 'k')\n"  # flag
+        "def per_entity_agg(t):\n"
+        "    sizes = t.documents.groupBy('doc_id').agg(c)\n"
+        "    x.join(F.broadcast(sizes), 'k')\n"  # flag (the r9 bug)
+        "def bounded_agg_ok(t):\n"
+        "    tot = t.lineitem.groupBy('l_returnflag').agg(c)\n"
+        "    x.crossJoin(F.broadcast(tot))\n"  # bounded keys: no flag
+        "def global_agg_ok(t):\n"
+        "    tot = t.events.agg(c)\n"
+        "    x.crossJoin(F.broadcast(tot))\n"  # one row: no flag
+        "def waived(t):\n"
+        "    q = t.embeddings.filter(f)\n"
+        "    x.join(F.broadcast(q), c)  # broadcast-ok: 5-row query set\n"
+        "def dim_ok(t):\n"
+        "    x.join(F.broadcast(t.nation), 'k')\n"  # bounded dim: no flag
+    )
+    tree = ast.parse(control_src)
+    hits, waived = scope_broadcast_violations(tree, control_src.splitlines())
+    assert hits == [2, 5], f"lint self-test broke: {hits}"
+    assert [w[1] for w in waived] == ["5-row query set"]
+
+    pkg_root = os.path.dirname(os.path.abspath(pkg.__file__))
+    problems, waivers = lint_package(pkg_root)
+    assert not problems, (
+        "forced broadcast of an SF-proportional frame (drop the hint; "
+        f"AQE picks the strategy): {problems}"
+    )
+    # pinned waiver inventory — every entry must be bounded BY DESIGN
+    assert sorted(waivers) == [
+        ("similarity.py", "bounded by N_QUERIES*ADC_NPROBE rows"),
+        ("similarity.py", "bounded by N_QUERIES*nprobe rows"),
+        ("similarity.py", "q is bounded by N_QUERIES (literal id filter)"),
+        ("similarity.py", "q is bounded by N_QUERIES (literal id filter)"),
+    ], f"waiver inventory drifted: {sorted(waivers)}"

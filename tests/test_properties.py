@@ -392,8 +392,9 @@ def test_qte_quartiles_monotone_and_match_duckdb(spark, duck):
 
 
 def test_poisson_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark):
-    """The 95% envelope brackets the point estimate on this corpus, and
-    the deterministic md5-driven weights average ~1 (Poisson(1) mean)."""
+    """The ~94% min/max replicate envelope brackets the point estimate
+    on this corpus, and the deterministic md5-driven weights average ~1
+    (Poisson(1) mean)."""
     from data_warehouse_data_mining_spark.operators.mining import (
         poisson_bootstrap_ci,
     )
@@ -401,8 +402,8 @@ def test_poisson_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark):
 
     row = poisson_bootstrap_ci(spark, SF_SMALL).collect()[0]
     assert row["b_replicates"] == 32
-    assert row["ci_lo"] < row["ci_hi"]
-    assert row["ci_lo"] <= row["mean_spend"] <= row["ci_hi"]
+    assert row["env_lo"] < row["env_hi"]
+    assert row["env_lo"] <= row["mean_spend"] <= row["env_hi"]
 
 
 def test_hill_tail_index_matches_python_mirror(spark, duck):
