@@ -28,13 +28,27 @@ def words(text: Column) -> Column:
 def word_shingles(ws: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>.
 
-    transform(sequence(...)) runs inside whole-stage codegen — no UDF.
-    Documents with fewer than ``n`` words yield an empty array.
-    """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
-    return F.when(F.size(ws) >= n, F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)])
-    )).otherwise(F.array().cast("array<string>"))
+    transform(...) runs inside whole-stage codegen — no UDF. Documents
+    with fewer than ``n`` words yield an empty array.
+
+    The token array is BOUND AS A LAMBDA VARIABLE via a one-element
+    array wrap before the per-gram transform: callers pass ``ws`` as an
+    unmaterialized expression (usually split(text)), and Catalyst
+    substitutes such expressions at EVERY reference site inside lambda
+    bodies — the old element_at(ws, i+j+1) form re-evaluated split()
+    per gram per position, turning a 12k-token document into O(n²)
+    work (measured 55 s/doc; r10). Lambda variables are evaluated
+    once, so this form is linear (same document: ~1 s) with byte-
+    identical output."""
+
+    def over(arr: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(-1)))
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(arr, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(ws), over), 1)
 
 
 MINHASH_PRIME = 4294967291  # largest 32-bit prime

@@ -6329,3 +6329,156 @@ def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_variance"),
         F.lit(7).cast("long").alias("n_groups"),
     )
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1996-01-01', CAST(o.o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.n_name,
+             CAST(sum(CASE WHEN b.rev_c > a.rev_c THEN 1
+                           WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.n_name = a.n_name AND b.d > a.d
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT n_name,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT n_name, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY n_name, rev_c)
+      WHERE t > 1
+      GROUP BY 1
+    ),
+    meta AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT m.n_name AS nation, m.n_days, s.s_stat,
+           round((m.n_days * (m.n_days - 1) * (2 * m.n_days + 5)
+                  - coalesce(t.tie_term, 0)) / 18.0, 6) AS var_s,
+           round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt((m.n_days * (m.n_days - 1) * (2 * m.n_days + 5)
+                         - coalesce(t.tie_term, 0)) / 18.0), 6) AS z_score,
+           CAST(abs(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                    WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                > 1.959964
+                  * sqrt((m.n_days * (m.n_days - 1) * (2 * m.n_days + 5)
+                          - coalesce(t.tie_term, 0)) / 18.0) AS INT)
+             AS significant_5pct
+    FROM meta m JOIN s ON s.n_name = m.n_name
+    LEFT JOIN ties t ON t.n_name = m.n_name
+    ORDER BY nation
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on 1996 daily revenue per nation — the
+    significance companion to theil_sen_trend (the classic pairing:
+    MK decides WHETHER a monotone trend exists, Theil-Sen estimates
+    its slope; Mann 1945 / Kendall 1975): S = Σ_{i<j} sign(x_j − x_i)
+    over day-ordered values, Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    / 18 with the tie correction over tied revenue values, and the
+    continuity-corrected normal Z = (S ∓ 1)/√Var(S).
+
+    Exactness: S and every tie term are exact BIGINT sums of sign
+    tests; Var(S) is one integer expression divided by 18.0 and Z one
+    fixed-order double expression — bit-identical cross-engine. The
+    5% two-sided flag compares |S ∓ 1| against 1.959964·√Var with both
+    sides exact-int-derived doubles and the same literal. Scale shape:
+    one fact pass to the bounded (nation × ≤366-day) table (the
+    theil_sen localCheckpoint discipline), then the pair join runs
+    over that bounded table only — SF-independent pairwise work."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # bounded: <= nations x 366 rows; consumed by self-join + ties + meta
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(
+        F.col("n_name").alias("n2"),
+        F.col("d").alias("d2"),
+        F.col("rev_c").alias("r2"),
+    )
+    s = (
+        daily.join(
+            b, (F.col("n2") == F.col("n_name")) & (F.col("d2") > F.col("d"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.when(F.col("r2") > F.col("rev_c"), 1)
+                .when(F.col("r2") < F.col("rev_c"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("n_name", "rev_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("n_name")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    meta = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    n = F.col("n_days")
+    tie = F.coalesce(F.col("tie_term"), F.lit(0).cast("long"))
+    var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    s_adj = F.col("s_stat") - F.when(F.col("s_stat") > 0, 1).when(
+        F.col("s_stat") < 0, -1
+    ).otherwise(0)
+    return (
+        meta.join(s, "n_name")
+        .join(ties, "n_name", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_days",
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(s_adj / F.sqrt(var_s), 6).alias("z_score"),
+            (F.abs(s_adj) > 1.959964 * F.sqrt(var_s))
+            .cast("int")
+            .alias("significant_5pct"),
+        )
+        .orderBy("nation")
+    )

@@ -2265,3 +2265,336 @@ def retrieval_rerank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "neighbor_id", "rel", "v"
     ).localCheckpoint(eager=True)
     return _mmr_greedy(cand)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization: 1-bit-per-dimension codes + Hamming scan
+# ---------------------------------------------------------------------------
+
+BQ_POOL = 20
+
+
+def _sql_signpack(vec: str, lo: int) -> str:
+    """DuckDB twin of the Spark sign-bit pack: bits [lo, lo+32) of
+    ``vec`` folded into one BIGINT word (list_sum yields HUGEINT —
+    cast back down; values fit 32 bits)."""
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {lo + 32}), i -> "
+        f"CASE WHEN {vec}[i + 1] >= 0 THEN 1::BIGINT << (i - {lo}) "
+        f"ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+@register(
+    "binary_quantization_search",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    p AS (
+      SELECT vec_id, v,
+             {_sql_signpack('v', 0)} AS w0,
+             {_sql_signpack('v', 32)} AS w1
+      FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, w0 AS q0, w1 AS q1
+          FROM p WHERE vec_id < {N_QUERIES}),
+    ham AS (
+      SELECT q.q_id, q.qv, p.vec_id AS neighbor_id, p.v,
+             CAST(bit_count(xor(p.w0, q.q0))
+                  + bit_count(xor(p.w1, q.q1)) AS BIGINT) AS hamming
+      FROM q JOIN p ON p.vec_id <> q.q_id
+    ),
+    pool AS (
+      SELECT q_id, qv, neighbor_id, v, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY hamming, neighbor_id) AS hrn
+        FROM ham
+      ) t WHERE hrn <= {BQ_POOL}
+    )
+    SELECT q_id, neighbor_id, hamming, round(cos, 6) AS cosine, rn FROM (
+      SELECT q_id, neighbor_id, hamming,
+             list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(v, v))) AS cos,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY list_inner_product(qv, v)
+                          / (sqrt(list_inner_product(qv, qv))
+                             * sqrt(list_inner_product(v, v))) DESC,
+                        neighbor_id) AS rn
+      FROM pool
+    ) t WHERE rn <= 5
+    ORDER BY q_id, rn
+    """,
+)
+def binary_quantization_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization ANN: every {DIM}-dim vector
+    compresses to TWO BIGINT words (1 bit per dimension — the 1-bit
+    end of the quantization ladder next to embedding_quantization's
+    int8 and the PQ tier), candidates come from a Hamming-distance
+    scan over the packed words, and the top-{BQ_POOL} pool per query
+    is reranked by exact cosine for the final top-5 — the
+    compress-scan-rerank serving shape of RaBitQ-style 1-bit search.
+
+    Exactness: the sign pack is an exact integer fold (>= 0 bit per
+    dim, identical both engines); Hamming is bit_count over XOR of
+    exact BIGINTs; pool and final rankings tie-break on neighbor_id,
+    so the whole output is hash-checkable end to end — no property
+    pins needed. Scale shape: the scan tier reads 16 bytes/vector
+    instead of {DIM * 4} (the compression IS the speedup: Hamming over
+    packed words is a popcount, and the corpus never shuffles for the
+    broadcast probe); the exact-rerank tier touches only the bounded
+    {BQ_POOL}·N_QUERIES pool through hint-free equi-joins."""
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+
+    def pack(lo: int) -> Column:
+        return F.expr(
+            f"aggregate(transform(sequence({lo}, {lo + 31}), i -> "
+            f"IF(element_at(v, i + 1) >= 0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    p = e.select("vec_id", "v", pack(0).alias("w0"), pack(32).alias("w1"))
+    q = p.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    hamming = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+    ).cast("long")
+    wh = W.partitionBy("q_id").orderBy("hamming", "neighbor_id")
+    pool = (
+        p.drop("v")
+        .join(
+            # broadcast-ok: q is bounded by N_QUERIES (literal id filter)
+            F.broadcast(q), F.col("vec_id") != F.col("q_id")
+        )
+        .select(
+            "q_id",
+            "qv",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        )
+        .withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= BQ_POOL)
+    )
+    # exact rerank of the bounded pool: hint-free equi-join back to the
+    # raw vectors (AQE picks the strategy)
+    nv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    cos = V.dot(F.col("qv"), F.col("nv")) / (
+        V.norm(F.col("qv")) * V.norm(F.col("nv"))
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        pool.join(nv, "neighbor_id")
+        .select("q_id", "neighbor_id", "hamming", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            "neighbor_id",
+            "hamming",
+            F.round("cos", 6).alias("cosine"),
+            "rn",
+        )
+        .orderBy("q_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-partitioned Local Outlier Factor (radius-capped LOF, Breunig 2000)
+# ---------------------------------------------------------------------------
+
+LOF_K = 5
+LOF_R2 = 0.0025  # cap radius R = 0.05 on the (v[1], v[2]) plane; R^2 literal
+LOF_CELL = 0.05  # grid cell width == R, so any pair within R shares
+#                  adjacent (3x3) cells — the grid join is LOSSLESS
+
+
+@register(
+    "grid_lof_outliers",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    pts AS (SELECT vec_id AS id, v[1] AS x, v[2] AS y FROM e),
+    pairs AS (
+      SELECT a.id AS id_p, b.id AS id_o,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b ON b.id <> a.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {LOF_R2}
+    ),
+    kd AS (
+      SELECT id_p, CAST(count(*) AS BIGINT) AS n_within_r,
+             coalesce(max(CASE WHEN rn = {LOF_K} THEN d2 END), {LOF_R2})
+               AS kdist2
+      FROM (SELECT *, row_number() OVER (PARTITION BY id_p
+                                         ORDER BY d2, id_o) AS rn
+            FROM pairs)
+      GROUP BY id_p
+    ),
+    nk AS (
+      SELECT p.id_p, p.id_o, p.d2, k.n_within_r
+      FROM pairs p JOIN kd k ON k.id_p = p.id_p
+      WHERE p.d2 <= k.kdist2
+    ),
+    reach AS (
+      SELECT nk.id_p, nk.id_o, nk.n_within_r,
+             CAST(floor(sqrt(greatest(ko.kdist2, nk.d2)) * 1000000)
+                  AS BIGINT) AS reach_micro
+      FROM nk JOIN kd ko ON ko.id_p = nk.id_o
+    ),
+    lrd AS (
+      SELECT id_p,
+             CAST(count(*) AS BIGINT) AS cnt_k,
+             max(n_within_r) AS n_within_r,
+             CAST(count(*) * 1000000000000 AS BIGINT)
+               // CAST(sum(reach_micro) AS BIGINT) AS lrd_micro
+      FROM reach GROUP BY id_p
+    )
+    SELECT id AS vec_id, n_within_r, lof FROM (
+      SELECT n.id_p AS id, l.n_within_r,
+             round(CAST(sum(lo.lrd_micro) AS BIGINT)
+                   / (CAST(l.cnt_k AS DOUBLE) * l.lrd_micro), 6) AS lof,
+             row_number() OVER (
+               ORDER BY CAST(sum(lo.lrd_micro) AS BIGINT)
+                          / (CAST(l.cnt_k AS DOUBLE) * l.lrd_micro) DESC,
+                        n.id_p) AS rn
+      FROM nk n
+      JOIN lrd l ON l.id_p = n.id_p
+      JOIN lrd lo ON lo.id_p = n.id_o
+      WHERE l.n_within_r >= {LOF_K}
+      GROUP BY n.id_p, l.n_within_r, l.cnt_k, l.lrd_micro
+    ) t WHERE rn <= 20
+    ORDER BY lof DESC, vec_id
+    """,
+)
+def grid_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over the (v[1], v[2])
+    embedding plane, radius-capped at R={LOF_CELL} and computed with a
+    GRID-PARTITIONED neighbor join: points bucket into R-wide cells,
+    each point probes its 3x3 cell neighborhood, and any pair within R
+    necessarily shares adjacent cells — so the grid join is LOSSLESS
+    and the all-pairs O(n²) never materializes (cost = cells x local
+    density², the standard spatial-join shape that holds at 100 TB with
+    R tuned to density). The ORACLE is the brute-force all-pairs join
+    under the identical capped semantics, so hash equality proves grid
+    completeness.
+
+    Capped semantics (deterministic, both engines): N(p) = neighbors
+    within R; k-dist(p) = distance to the k-th nearest (ties broken on
+    id), or R when |N(p)| < k; N_k(p) = neighbors within k-dist;
+    reach-dist(p,o) = max(k-dist(o), d(p,o)); lrd and LOF per Breunig.
+    LOF is emitted only for points with a full neighborhood
+    (|N(p)| >= k); top-20 by LOF descending.
+
+    Exactness: d² and k-dist² are single fixed-shape double
+    expressions (identical cross-engine); sqrt is IEEE
+    correctly-rounded, so every reach-dist double is bit-identical and
+    its 1e-6 fixed-point floor is exact — lrd becomes exact integer
+    arithmetic (count·1e12 // Σ reach_micro) and LOF one double
+    division of exact integers, so sums never accumulate
+    engine-divergent doubles."""
+    e = load(spark, sf_dir).embeddings
+    pts = e.select(
+        F.col("vec_id").alias("id"),
+        F.element_at(V.as_double(F.col("embedding")), 1).alias("x"),
+        F.element_at(V.as_double(F.col("embedding")), 2).alias("y"),
+    )
+    cell = lambda c: F.floor(F.col(c) / LOF_CELL).cast("long")  # noqa: E731
+    a = pts.select(
+        "id",
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell("x") + dx).alias("cx"), (cell("y") + dy).alias("cy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("probe"),
+    ).select("id", "x", "y", F.col("probe.cx").alias("cx"), F.col("probe.cy").alias("cy"))
+    b = pts.select(
+        F.col("id").alias("id_o"),
+        F.col("x").alias("xo"),
+        F.col("y").alias("yo"),
+        cell("x").alias("bcx"),
+        cell("y").alias("bcy"),
+    )
+    d2 = (F.col("x") - F.col("xo")) * (F.col("x") - F.col("xo")) + (
+        F.col("y") - F.col("yo")
+    ) * (F.col("y") - F.col("yo"))
+    pairs = (
+        a.join(b, (F.col("bcx") == F.col("cx")) & (F.col("bcy") == F.col("cy")))
+        .filter(F.col("id_o") != F.col("id"))
+        .select(F.col("id").alias("id_p"), "id_o", d2.alias("d2"))
+        .filter(F.col("d2") <= LOF_R2)
+    )
+    wk = W.partitionBy("id_p").orderBy("d2", "id_o")
+    kd = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .groupBy("id_p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_within_r"),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == LOF_K, F.col("d2"))),
+                F.lit(LOF_R2),
+            ).alias("kdist2"),
+        )
+    )
+    kdr = kd.select(
+        F.col("id_p").alias("kd_id"), "n_within_r", "kdist2"
+    )
+    nk = (
+        pairs.join(kdr, F.col("id_p") == F.col("kd_id"))
+        .filter(F.col("d2") <= F.col("kdist2"))
+        .select("id_p", "id_o", "d2", "n_within_r")
+    )
+    ko = kd.select(F.col("id_p").alias("id_o"), F.col("kdist2").alias("kdist2_o"))
+    reach = nk.join(ko, "id_o").select(
+        "id_p",
+        "id_o",
+        "n_within_r",
+        F.floor(F.sqrt(F.greatest(F.col("kdist2_o"), F.col("d2"))) * 1_000_000)
+        .cast("long")
+        .alias("reach_micro"),
+    )
+    lrd = reach.groupBy("id_p").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_k"),
+        F.max("n_within_r").alias("n_within_r"),
+        F.expr(
+            "CAST(count(1) * 1000000000000 AS BIGINT) div "
+            "CAST(sum(reach_micro) AS BIGINT)"
+        ).alias("lrd_micro"),
+    )
+    lo = lrd.select(
+        F.col("id_p").alias("id_o"), F.col("lrd_micro").alias("lrd_micro_o")
+    )
+    lof_val = F.col("sum_lrd_o").cast("double") / (
+        F.col("cnt_k").cast("double") * F.col("lrd_micro")
+    )
+    wtop = W.orderBy(F.col("lof").desc(), "vec_id")
+    return (
+        nk.select("id_p", "id_o")
+        .join(lrd, "id_p")
+        .filter(F.col("n_within_r") >= LOF_K)
+        .join(lo, "id_o")
+        .groupBy("id_p", "n_within_r", "cnt_k", "lrd_micro")
+        .agg(F.sum("lrd_micro_o").cast("long").alias("sum_lrd_o"))
+        .select(
+            F.col("id_p").alias("vec_id"),
+            "n_within_r",
+            lof_val.alias("lof"),
+        )
+        .orderBy(F.col("lof").desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", "n_within_r", F.round("lof", 6).alias("lof"))
+        .orderBy(F.col("lof").desc(), "vec_id")
+    )

@@ -40,3 +40,22 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def bound_registry_dfs(spark):
+    """ONE construction pass over every registered builder at sf0.001 —
+    building a DataFrame triggers analysis plus any eager work (KMeans
+    codebook fits, eager localCheckpoints), which is the expensive part.
+    Shared by the type lints (test_oracle_types) and the registry-wide
+    plan lints (test_plans); before r10 each file paid its own full
+    ~3-minute binding pass. Values: bound DataFrame or an error string."""
+    from data_warehouse_data_mining_spark import registry
+
+    out = {}
+    for name, q in registry.all_queries().items():
+        try:
+            out[name] = q.builder(spark, SF_SMALL)
+        except Exception as exc:  # builder itself must bind
+            out[name] = f"builder failed to bind: {exc!r}"
+    return out

@@ -88,18 +88,14 @@ def test_canon_distinguishes_decimal_from_double():
 
 
 @pytest.fixture(scope="module")
-def spark_query_schemas(spark):
-    """ONE binding pass over every registered builder, shared by the
-    decimal and container lints below (ADVICE r8: each lint used to
-    re-invoke all 33x builders — including the eagerly-training PQ/
-    IVF ones — just to re-read .schema). Values are either a bound
-    StructType or an error string."""
+def spark_query_schemas(bound_registry_dfs):
+    """Schemas off the session-shared bound-DataFrame cache (r10: the
+    binding pass is now paid ONCE per session across test files — see
+    conftest.bound_registry_dfs). Values are either a bound StructType
+    or an error string."""
     out = {}
-    for name, q in registry.all_queries().items():
-        try:
-            out[name] = q.builder(spark, SF_SMALL).schema
-        except Exception as exc:  # builder itself must bind
-            out[name] = f"builder failed to bind: {exc!r}"
+    for name, df in bound_registry_dfs.items():
+        out[name] = df if isinstance(df, str) else df.schema
     return out
 
 

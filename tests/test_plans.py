@@ -39,17 +39,18 @@ def test_dimension_joins_broadcast(spark):
     assert explain.has_broadcast_join(revenue_by_nation(spark, SF_SMALL))
 
 
-def test_no_cartesian_in_registry(spark):
+def test_no_cartesian_in_registry(bound_registry_dfs):
     """No registered query may contain an unconstrained cross join
     (CartesianProduct / BroadcastNestedLoopJoin with no condition is the
     n² trap at scale). Broadcast nested-loop joins from the tiny
-    query-set similarity joins are allowed; plain CartesianProduct not."""
-    from data_warehouse_data_mining_spark.registry import all_queries
-
-    for name, q in all_queries().items():
+    query-set similarity joins are allowed; plain CartesianProduct not.
+    Uses the session-shared bound-DataFrame cache (conftest) so the
+    registry binding pass is paid once per session, not per file."""
+    for name, df in bound_registry_dfs.items():
         if name.startswith("ml_") or name in ("smote_rebalance_counts",):
             continue  # model fitting plans are MLlib-internal
-        plan = explain.formatted_plan(q.builder(spark, SF_SMALL))
+        assert not isinstance(df, str), f"{name}: {df}"
+        plan = explain.formatted_plan(df)
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 

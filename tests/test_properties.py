@@ -1160,3 +1160,29 @@ def test_weekday_seasonality_r2_bounds(spark):
     assert 0.0 <= r["seasonal_r2"] <= 1.0
     assert r["total_variance"] > 0
     assert r["n_groups"] == 7
+
+
+def test_mann_kendall_consistency(spark):
+    """S is bounded by the pair count, Var(S) is positive, and the 5%
+    flag agrees with |Z| >= 1.959964 recomputed from the row's own
+    columns (continuity correction folded in)."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        mann_kendall_trend,
+    )
+    from .conftest import SF_SMALL
+
+    rows = mann_kendall_trend(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n = r["n_days"]
+        assert abs(r["s_stat"]) <= n * (n - 1) // 2
+        assert r["var_s"] > 0
+        z = r["z_score"]
+        assert (abs(z) > 1.959964 - 1e-6) == bool(r["significant_5pct"]) or (
+            abs(abs(z) - 1.959964) < 1e-3
+        )
+        # z recomputation within rounding tolerance
+        s_adj = r["s_stat"] - (1 if r["s_stat"] > 0 else -1 if r["s_stat"] < 0 else 0)
+        assert abs(z - s_adj / math.sqrt(r["var_s"])) < 1e-4

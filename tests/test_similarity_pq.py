@@ -194,3 +194,55 @@ def test_retrieval_pipeline_picks_come_from_lsh_pool(spark):
         assert p["neighbor_id"] in pool[p["q_id"]]
         if p["pick_rank"] == 1:
             assert pool[p["q_id"]][p["neighbor_id"]][1] == 1
+
+
+def test_binary_quantization_rerank_cosines_match_bruteforce(spark):
+    """BQ output is structurally sound (5 ranked rows per query,
+    Hamming in [0, 64], cosines in [-1, 1]) and every reranked cosine
+    equals the brute-force cosine for the same (query, neighbor) pair —
+    the rerank tier computes the EXACT metric, only the candidate pool
+    is quantization-pruned."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        binary_quantization_search,
+        knn_brute_force,
+    )
+    from .conftest import SF_SMALL
+
+    rows = binary_quantization_search(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+        assert 0 <= r["hamming"] <= 64
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+    for q, rs in per_q.items():
+        assert sorted(r["rn"] for r in rs) == [1, 2, 3, 4, 5]
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_brute_force(spark, SF_SMALL).collect()
+    }
+    checked = 0
+    for r in rows:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-9
+            checked += 1
+    assert checked > 0, "no overlap with the exact top-10 at all"
+
+
+def test_grid_lof_outliers_shape(spark):
+    """LOF output: every reported point has a full k-neighborhood,
+    positive LOF, and rows arrive sorted by LOF descending with id
+    tie-break; genuinely dense-centered points score near 1."""
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        LOF_K,
+        grid_lof_outliers,
+    )
+    from .conftest import SF_SMALL
+
+    rows = grid_lof_outliers(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    keys = [(-r["lof"], r["vec_id"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["n_within_r"] >= LOF_K
+        assert r["lof"] > 0
