@@ -6482,3 +6482,97 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+PH_LAMBDA_MICRO = 50_000_000_000  # λ = 5e8 cents·100 (micro-cent units)
+
+
+@register(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT d, x,
+             CAST(floor((x - sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                             / CAST(row_number() OVER (ORDER BY d) AS DOUBLE))
+                        * 100) AS BIGINT) AS term_micro
+      FROM daily
+    ),
+    walk AS (
+      SELECT d, x, term_micro,
+             CAST(sum(term_micro) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS m_micro
+      FROM terms
+    )
+    SELECT d, x AS revenue_cents, m_micro,
+           CAST(m_micro - min(m_micro) OVER (ORDER BY d ROWS UNBOUNDED
+                PRECEDING) AS BIGINT) AS ph_micro,
+           CAST(m_micro - min(m_micro) OVER (ORDER BY d ROWS UNBOUNDED
+                PRECEDING) > {PH_LAMBDA_MICRO} AS INT) AS alarm
+    FROM walk ORDER BY d
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward mean-shift detection over 1996 daily revenue
+    — the sequential drift test (Page 1954; the streaming-standard
+    variant with the RUNNING mean, as in MOA/river): per day t,
+    term_t = x_t − mean(x_1..x_t), m_t = Σ term, and the statistic
+    PH_t = m_t − min_{s≤t} m_s alarms when it exceeds λ. Unlike
+    cusum_changepoint's fixed reference mean, the running mean adapts
+    — the detector is parameter-free except λ and usable online.
+
+    Exactness: x and its prefix sums are exact BIGINT cents; the only
+    division is S_t/t (one IEEE op of exact ints — identical both
+    engines, no libm); terms are floored to exact micro-cent BIGINTs
+    BEFORE any accumulation, so m_t, the running min, and PH_t are
+    exact integers and the λ comparison is integer-exact. Scale shape:
+    one fact pass to the ≤366-row day spine; every window runs over
+    that bounded table (the cusum/moving_average discipline)."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    wseq = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    term_micro = F.floor(
+        (
+            F.col("x")
+            - F.sum("x").over(wseq) / F.row_number().over(W.orderBy("d")).cast("double")
+        )
+        * 100
+    ).cast("long")
+    walk = daily.select("d", "x", term_micro.alias("term_micro")).select(
+        "d",
+        "x",
+        F.sum("term_micro").over(wseq).cast("long").alias("m_micro"),
+    )
+    ph = (F.col("m_micro") - F.min("m_micro").over(wseq)).cast("long")
+    return walk.select(
+        "d",
+        F.col("x").alias("revenue_cents"),
+        "m_micro",
+        ph.alias("ph_micro"),
+        (ph > PH_LAMBDA_MICRO).cast("int").alias("alarm"),
+    ).orderBy("d")

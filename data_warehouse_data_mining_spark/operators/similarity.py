@@ -1484,8 +1484,6 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     output); the ADC join is query×ADC_K lookup tables (broadcast,
     ADC_M·ADC_K rows per query); the exact yardstick is the
     brute-force tier and exists here only to measure recall."""
-    from functools import reduce
-
     cb = _pq_codebooks(spark, sf_dir, "adc", ADC_M, ADC_SUBDIM, ADC_K)
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
@@ -1509,25 +1507,36 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(f"stack({ADC_M}, {stack_args}) AS (m, code)")
     )
     # per-(query, subspace, code) ADC lookup tables
-    lut_parts = []
-    for m in range(ADC_M):
-        centers = spark.createDataFrame(
-            [(m, i, c) for i, c in enumerate(cb[m])],
-            "m int, code int, center array<double>",
-        )
-        qsub = q.select(
-            "q_id", F.slice("qv", m * ADC_SUBDIM + 1, ADC_SUBDIM).alias("qs")
-        )
-        d2 = V.dot(
-            F.zip_with("qs", "center", lambda a, b: a - b),
-            F.zip_with("qs", "center", lambda a, b: a - b),
-        )
-        lut_parts.append(
-            qsub.crossJoin(F.broadcast(centers)).select(
-                "q_id", "m", "code", d2.alias("d2")
+    # ONE pass over the query rows explodes all ADC_M subspace slices
+    # (r10: the previous per-subspace loop unioned 8 branches that each
+    # re-scanned the query filter — 8 pushed-down scans where 1 does),
+    # then one broadcast join against the stacked codebook table builds
+    # the whole (query, subspace, code) LUT.
+    centers_all = spark.createDataFrame(
+        [(m, i, c) for m in range(ADC_M) for i, c in enumerate(cb[m])],
+        "m int, code int, center array<double>",
+    )
+    qsubs = q.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qv", m * ADC_SUBDIM + 1, ADC_SUBDIM).alias("qs"),
+                    )
+                    for m in range(ADC_M)
+                ]
             )
-        )
-    lut = reduce(lambda a, b: a.unionByName(b), lut_parts)
+        ).alias("p"),
+    ).select("q_id", F.col("p.m").alias("m"), F.col("p.qs").alias("qs"))
+    d2 = V.dot(
+        F.zip_with("qs", "center", lambda a, b: a - b),
+        F.zip_with("qs", "center", lambda a, b: a - b),
+    )
+    lut = qsubs.join(F.broadcast(centers_all), "m").select(
+        "q_id", "m", "code", d2.alias("d2")
+    )
     wa = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     adc_top = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -2548,6 +2557,12 @@ def grid_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(LOF_R2),
             ).alias("kdist2"),
         )
+        # staged: kd is a NARROW per-point fit artifact (id, count,
+        # kdist² — 24 B/point, the LOF analogue of a model table) that
+        # every later stage re-joins; without the pin each of its four
+        # consumers re-derives the full grid join and the plan degrades
+        # to 16 corpus scans (r10 plan-audit catch)
+        .localCheckpoint(eager=True)
     )
     kdr = kd.select(
         F.col("id_p").alias("kd_id"), "n_within_r", "kdist2"
@@ -2566,13 +2581,19 @@ def grid_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reach_micro"),
     )
-    lrd = reach.groupBy("id_p").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt_k"),
-        F.max("n_within_r").alias("n_within_r"),
-        F.expr(
-            "CAST(count(1) * 1000000000000 AS BIGINT) div "
-            "CAST(sum(reach_micro) AS BIGINT)"
-        ).alias("lrd_micro"),
+    lrd = (
+        reach.groupBy("id_p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt_k"),
+            F.max("n_within_r").alias("n_within_r"),
+            F.expr(
+                "CAST(count(1) * 1000000000000 AS BIGINT) div "
+                "CAST(sum(reach_micro) AS BIGINT)"
+            ).alias("lrd_micro"),
+        )
+        # staged for the same reason as kd: consumed twice (own lrd +
+        # neighbors' lrd) and each re-derivation costs the whole chain
+        .localCheckpoint(eager=True)
     )
     lo = lrd.select(
         F.col("id_p").alias("id_o"), F.col("lrd_micro").alias("lrd_micro_o")

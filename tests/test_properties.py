@@ -1186,3 +1186,23 @@ def test_mann_kendall_consistency(spark):
         # z recomputation within rounding tolerance
         s_adj = r["s_stat"] - (1 if r["s_stat"] > 0 else -1 if r["s_stat"] < 0 else 0)
         assert abs(z - s_adj / math.sqrt(r["var_s"])) < 1e-4
+
+
+def test_page_hinkley_invariants(spark):
+    """PH_t is nonnegative, alarms agree with the λ comparison, and the
+    running-min identity holds when replayed in Python over the emitted
+    m_micro walk."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        PH_LAMBDA_MICRO,
+        page_hinkley_drift,
+    )
+    from .conftest import SF_SMALL
+
+    rows = page_hinkley_drift(spark, SF_SMALL).collect()
+    assert len(rows) > 100
+    run_min = None
+    for r in rows:
+        run_min = r["m_micro"] if run_min is None else min(run_min, r["m_micro"])
+        assert r["ph_micro"] == r["m_micro"] - run_min
+        assert r["ph_micro"] >= 0
+        assert bool(r["alarm"]) == (r["ph_micro"] > PH_LAMBDA_MICRO)
