@@ -43,11 +43,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # unreachable, so the regression gate clamps to the reset instead of
 # flagging the same accepted delta every round.
 ACCEPTED_FLOOR_RESETS: dict[str, tuple[float, str]] = {
-    # r7 d059f86: total_value routes through an exact DECIMAL(28,6)
-    # sum before the 2-place round (round-tie canon hole); costs ~45ms
-    # at sf0.1. Old floor 0.243 + 0.045; quiet-window 12-sample hunts
-    # in r9 reproduced 0.281/0.287 against this reset.
-    "tumbling_window_counts": (0.28, "r7 DECIMAL tie-safe sum (d059f86)"),
+    # (empty since r10) tumbling_window_counts carried a 0.28 floor —
+    # the r7 DECIMAL(28,6) tie-safe sum was believed to cost ~45 ms and
+    # r9's quiet-window hunts reproduced 0.281/0.287 — but r10 measured
+    # min 0.238 on byte-identical code in a quiet window, BELOW the
+    # "structurally unreachable" floor: the r9 attribution was machine
+    # noise, not structure. The clamp is removed; the r10 BENCH record
+    # (0.238) is a genuinely comparable at-semantics best-prior for
+    # future rounds.
 }
 
 # The r01 baseline-comparable core set: BASELINE.md's contract

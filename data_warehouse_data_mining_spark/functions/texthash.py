@@ -48,7 +48,21 @@ def word_shingles(ws: Column, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.array_join(F.slice(arr, i + 1, n), " ")),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(ws), over), 1)
+    return bind(ws, over)
+
+
+def bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``fn`` as a BOUND
+    lambda variable (one-element array wrap + transform + element_at).
+
+    Catalyst substitutes outer expressions at EVERY reference site
+    inside higher-order-function lambda bodies, so a per-element lambda
+    that indexes into an unmaterialized array expression (split(text),
+    typically) re-evaluates that expression once per element — the
+    O(n²) class found in word_shingles in r10 (55 s for one 12k-token
+    document). Any windowed/indexed walk over a derived array must go
+    through this binder (or a separate projection)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
 MINHASH_PRIME = 4294967291  # largest 32-bit prime

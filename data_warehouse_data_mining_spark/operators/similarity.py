@@ -1539,6 +1539,7 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     adc_top = (
+        # broadcast-ok: lut is bounded by N_QUERIES*ADC_M*ADC_K rows
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))

@@ -1764,18 +1764,22 @@ def repeated_spans(
     """Generic mod-p-sampled repeated-span detector (see
     ``repeated_span_census`` for semantics and scale notes); works on
     any (id, text) DataFrame."""
-    ws = th.words(F.col(text_col))
+    # th.bind: the split(text) array must be a bound lambda variable —
+    # an inline reference inside the per-window slice re-evaluates the
+    # split per window (the word_shingles O(n²) class, fixed r10)
+    win_hashes = th.bind(
+        th.words(F.col(text_col)),
+        lambda arr: F.when(
+            F.size(arr) >= span_len,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (span_len - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, span_len))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     wins = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                F.size(ws) >= span_len,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - (span_len - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, span_len))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("h"),
+        F.explode(win_hashes).alias("h"),
     )
     sel = wins.filter(
         F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % mod == 0
@@ -1855,16 +1859,23 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = d.select(
         F.col("doc_id").alias("id"),
         F.explode(
-            F.when(
-                F.size(ws) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.struct(
-                        F.element_at(ws, i).alias("w1"),
-                        F.element_at(ws, i + 1).alias("w2"),
+            # th.bind: see repeated-span note — indexed walks over the
+            # split array must bind it as a lambda variable (O(n²) fix)
+            th.bind(
+                ws,
+                lambda arr: F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.struct(
+                            F.element_at(arr, i).alias("w1"),
+                            F.element_at(arr, i + 1).alias("w2"),
+                        ),
                     ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
                 ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            )
         ).alias("bg"),
     ).select("id", "bg.w1", "bg.w2")
     cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))

@@ -159,6 +159,11 @@ ADVERSARIAL_PARITY_QUERIES = [
     "gopher_quality_rules",
     "dsir_importance_weights",
     "softdedup_weights",
+    # r10: the PPJoin set-similarity join on the adversarial corpus —
+    # the exact-twin 12k-token docs collapse to ONE distinct bigram
+    # (J=1 pair), empty/whitespace docs yield empty sets, and the
+    # length/positional filters must stay lossless on all of it
+    "prefix_filter_jaccard_pairs",
 ]
 
 
@@ -174,3 +179,52 @@ def test_oracle_parity_on_adversarial_corpus(spark, adv_dir, name):
     finally:
         con.close()
     assert err is None, f"{name}: {err}"
+
+
+def test_indexed_array_walks_linear_on_pathological_docs(adv_docs_df):
+    """The r10 O(n²) class: a higher-order lambda that indexes into an
+    UNMATERIALIZED array expression re-evaluates it per element (55 s
+    for one 12k-token doc pre-fix). word_shingles, the winnowing window
+    hasher, and the bigram-LM walk all route through texthash.bind now;
+    this pins that the three walks stay fast AND correct on the 12k-
+    token and 10k-distinct-token docs (wall-clock bound is generous —
+    the quadratic form took minutes)."""
+    import time
+
+    from data_warehouse_data_mining_spark.functions import texthash as th
+
+    t0 = time.perf_counter()
+    # trigram shingles (word_shingles)
+    sh = (
+        adv_docs_df.select(
+            "doc_id",
+            F.size(th.word_shingles(th.words(F.col("text")), 3)).alias("n"),
+        )
+        .collect()
+    )
+    # bigram walk (doc_bigram_logprob's stream shape)
+    bg = (
+        adv_docs_df.select(
+            "doc_id",
+            F.size(
+                th.bind(
+                    th.words(F.col("text")),
+                    lambda arr: F.when(
+                        F.size(arr) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(arr) - 1),
+                            lambda i: F.element_at(arr, i),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            ).alias("n"),
+        )
+        .collect()
+    )
+    elapsed = time.perf_counter() - t0
+    by_id = {r["doc_id"]: r["n"] for r in sh}
+    assert by_id[3] == REPEAT_N - 2  # 12k-token doc: n-2 trigrams
+    assert by_id[8] == DISTINCT_N - 2
+    bg_by_id = {r["doc_id"]: r["n"] for r in bg}
+    assert bg_by_id[3] == REPEAT_N - 1
+    assert elapsed < 60, f"indexed array walks took {elapsed:.1f}s — quadratic?"

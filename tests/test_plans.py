@@ -502,6 +502,7 @@ def test_no_broadcast_hints_on_unbounded_tables():
     assert sorted(waivers) == [
         ("similarity.py", "bounded by N_QUERIES*ADC_NPROBE rows"),
         ("similarity.py", "bounded by N_QUERIES*nprobe rows"),
+        ("similarity.py", "lut is bounded by N_QUERIES*ADC_M*ADC_K rows"),
         ("similarity.py", "q is bounded by N_QUERIES (literal id filter)"),
         ("similarity.py", "q is bounded by N_QUERIES (literal id filter)"),
     ], f"waiver inventory drifted: {sorted(waivers)}"
