@@ -515,3 +515,276 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+QD_WIDTH = 8192  # dyadic bucket width in cents (2^13): the rank->value error bound
+_QD_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+_QD_VALUES = ", ".join(f"('{l}', {n}, {d})" for l, n, d in _QD_QS)
+
+
+@register(
+    "dyadic_quantile_sketch",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders
+    ),
+    sk AS (
+      SELECT v // {QD_WIDTH} AS b, CAST(count(*) AS BIGINT) AS n
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, n,
+             CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(sum(n) OVER () AS BIGINT) AS n_total
+      FROM sk
+    ),
+    qs(q_label, qn, qd) AS (VALUES {_QD_VALUES}),
+    est AS (
+      SELECT q_label, n_total,
+             (qn * n_total + qd - 1) // qd AS target_rank,
+             min(b) AS b,
+             min_by(cum - n, b) AS c_below
+      FROM cum CROSS JOIN qs
+      WHERE cum >= (qn * n_total + qd - 1) // qd
+      GROUP BY 1, 2, 3
+    ),
+    inbucket AS (
+      SELECT e.q_label, e.n_total, e.target_rank, e.b, e.c_below,
+             v.v, CAST(count(*) AS BIGINT) AS cnt
+      FROM vals v JOIN est e ON v.v // {QD_WIDTH} = e.b
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    ranked AS (
+      SELECT q_label, n_total, target_rank, b,
+             c_below + CAST(sum(cnt) OVER (PARTITION BY q_label ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+             v
+      FROM inbucket
+    )
+    SELECT q_label, n_total, target_rank, est_lo_cents, est_hi_cents,
+           exact_cents,
+           CAST(exact_cents BETWEEN est_lo_cents AND est_hi_cents AS INT)
+             AS within_bound
+    FROM (
+      SELECT q_label, n_total, target_rank,
+             CAST(b * {QD_WIDTH} AS BIGINT) AS est_lo_cents,
+             CAST(b * {QD_WIDTH} + {QD_WIDTH} - 1 AS BIGINT) AS est_hi_cents,
+             CAST(min(v) AS BIGINT) AS exact_cents
+      FROM ranked
+      WHERE cum2 >= target_rank
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    ORDER BY q_label
+    """,
+)
+def dyadic_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-universe quantile sketch (a one-level Q-digest,
+    Shrivastava et al. 2004): bucket every order price into a dyadic
+    cell of width 2^13 cents, so the summary is <= 8192 counters
+    however many rows feed it and summaries from different shards/days
+    merge by plain cell-wise addition — the property approx_percentile
+    (KLL) shares but with a DETERMINISTIC, engine-portable state whose
+    rank->value error is a hard bound (bucket width, $81.92), not a
+    probabilistic one.
+
+    The query answers p50/p90/p99 from the sketch (smallest bucket
+    whose cumulative count reaches the type-1 target rank
+    ceil(q*N) — all integer arithmetic) and then EXHIBITS the
+    guarantee: a second pass touches ONLY the rows of each answer
+    bucket (the dyadic drill-down — at scale this is a partition-
+    prunable range predicate, not a global sort), pre-aggregates them
+    per distinct value (<= 8192 groups per q), and reads the exact
+    rank value from that bounded table; within_bound pins
+    est_lo <= exact <= est_hi.
+
+    Scale shape: one fact scan -> <=8192-row hash agg; windows run
+    only over the bounded sketch / in-bucket-value tables; the exact
+    side never globally sorts. Contrast median_exact (exact
+    interpolated percentiles via sketch-bracketed selection) — this is
+    the mergeable-state building block a streaming rollup would keep."""
+    o = load(spark, sf_dir).orders
+    vals = o.select(
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("v")
+    )
+    sk = (
+        vals.select(F.expr(f"v div {QD_WIDTH}").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = sk.select(
+        "b",
+        "n",
+        F.sum("n").over(wcum).cast("long").alias("cum"),
+        F.sum("n").over(W.orderBy("b").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).cast("long").alias("n_total"),
+    )
+    qs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l).alias("q_label"),
+                    F.lit(n).alias("qn"),
+                    F.lit(d).alias("qd"),
+                )
+                for l, n, d in _QD_QS
+            ]
+        )
+    ).alias("q")
+    rank_expr = F.expr("(q.qn * n_total + q.qd - 1) div q.qd")
+    est = (
+        cum.select("b", "n", "cum", "n_total", qs)
+        .withColumn("target_rank", rank_expr)
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("q.q_label", "n_total", "target_rank")
+        .agg(
+            F.min("b").alias("b"),
+            F.expr("min_by(cum - n, b)").alias("c_below"),
+        )
+    )
+    inbucket = (
+        vals.join(
+            F.broadcast(est),
+            F.expr(f"v div {QD_WIDTH}") == F.col("b"),
+        )
+        .groupBy("q_label", "n_total", "target_rank", "b", "c_below", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    win = W.partitionBy("q_label").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = inbucket.select(
+        "q_label",
+        "n_total",
+        "target_rank",
+        "b",
+        (F.col("c_below") + F.sum("cnt").over(win)).cast("long").alias("cum2"),
+        "v",
+    )
+    lo = (F.col("b") * QD_WIDTH).cast("long")
+    hi = (F.col("b") * QD_WIDTH + QD_WIDTH - 1).cast("long")
+    return (
+        ranked.filter(F.col("cum2") >= F.col("target_rank"))
+        .groupBy(
+            "q_label",
+            "n_total",
+            "target_rank",
+            lo.alias("est_lo_cents"),
+            hi.alias("est_hi_cents"),
+        )
+        .agg(F.min("v").cast("long").alias("exact_cents"))
+        .select(
+            "q_label",
+            "n_total",
+            "target_rank",
+            "est_lo_cents",
+            "est_hi_cents",
+            "exact_cents",
+            F.col("exact_cents")
+            .between(F.col("est_lo_cents"), F.col("est_hi_cents"))
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("q_label")
+    )
+
+
+AMS_SEEDS = (1, 2, 3, 4, 5, 6, 7, 8)
+# +1 when the first md5 hex nibble is even — identical strings, and
+# therefore identical signs, in both engines (the count_min recipe)
+_AMS_PLUS = "('0','2','4','6','8','a','c','e')"
+
+
+@register(
+    "ams_f2_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ),
+    seeds AS (SELECT unnest([{", ".join(str(s) for s in AMS_SEEDS)}]) AS s),
+    sums AS (
+      SELECT s,
+             CAST(sum(CASE WHEN substr(md5(w || ':' || CAST(s AS VARCHAR)), 1, 1)
+                           IN {_AMS_PLUS} THEN c ELSE -c END) AS BIGINT) AS sgn_sum
+      FROM counts CROSS JOIN seeds
+      GROUP BY s
+    ),
+    est AS (
+      SELECT sum(CAST(sgn_sum AS DOUBLE) * sgn_sum) / {len(AMS_SEEDS)} AS f2_est
+      FROM sums
+    ),
+    exact AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c * c) AS BIGINT) AS f2_exact
+      FROM counts
+    )
+    SELECT n_tokens, vocab, f2_exact,
+           round(f2_est, 2) AS f2_est,
+           round(abs(f2_est - f2_exact) / f2_exact, 6) AS rel_err
+    FROM exact CROSS JOIN est
+    """,
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996)
+    over the document token stream: F2 = sum_w count(w)^2 — the
+    self-join size / collision mass that drives skew diagnostics and
+    repetitiveness scoring — estimated from 8 counters however large
+    the vocabulary. Each estimator keeps one signed sum
+    S_s = sum_w sign_s(w)*count(w) with 4-universal-style signs
+    (md5 nibble parity — identical in both engines, the count_min
+    recipe); E[S^2] = F2, and the query reports the 8-estimator mean
+    against the exact F2 with its relative error.
+
+    Everything is exact integer arithmetic until the final squares:
+    the signed sums are BIGINTs, their squares are computed in DOUBLE
+    (exactly representable here — |S| < 2^26 at this SF; at the 100 TB
+    design point the double square is the honest estimator output, the
+    exact BIGINT F2 being the thing you can no longer afford), and the
+    8-term mean is order-insensitive because every partial is an
+    exact-in-double integer.
+
+    Scale shape: token explode -> vocab-bounded (w) hash agg -> x8
+    seed fan-out -> 8-row agg; the sketch state is 8 numbers and
+    merges across shards by per-seed addition of signed sums."""
+    d = load(spark, sf_dir).documents
+    # token-proportional — never pinned; map-only explode, cheap recompute
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    seeds = F.explode(F.array(*[F.lit(s) for s in AMS_SEEDS])).alias("s")
+    sign = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("w"), F.lit(":"), F.col("s").cast("string"))),
+            1,
+            1,
+        ).isin(*"02468ace"),
+        F.col("c"),
+    ).otherwise(-F.col("c"))
+    sums = (
+        counts.select("w", "c", seeds)
+        .groupBy("s")
+        .agg(F.sum(sign).cast("long").alias("sgn_sum"))
+    )
+    est = sums.agg(
+        (
+            F.sum(F.col("sgn_sum").cast("double") * F.col("sgn_sum"))
+            / len(AMS_SEEDS)
+        ).alias("f2_est")
+    )
+    exact = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_tokens",
+        "vocab",
+        "f2_exact",
+        F.round("f2_est", 2).alias("f2_est"),
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
+        ).alias("rel_err"),
+    )

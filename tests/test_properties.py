@@ -1206,3 +1206,95 @@ def test_page_hinkley_invariants(spark):
         assert r["ph_micro"] == r["m_micro"] - run_min
         assert r["ph_micro"] >= 0
         assert bool(r["alarm"]) == (r["ph_micro"] > PH_LAMBDA_MICRO)
+
+
+def test_dyadic_quantile_sketch_bound_and_merge(spark):
+    """The sketch's rank->value bound holds (within_bound all 1, and the
+    exact value really is the type-1 quantile recomputed in Python),
+    and the summary MERGES: bucket counts built on two disjoint halves
+    of orders add cell-wise to the whole-table sketch."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.sketches import (
+        QD_WIDTH,
+        dyadic_quantile_sketch,
+    )
+    from .conftest import SF_SMALL
+
+    rows = dyadic_quantile_sketch(spark, SF_SMALL).collect()
+    assert [r["q_label"] for r in rows] == ["p50", "p90", "p99"]
+    o = load(spark, SF_SMALL).orders
+    cents = sorted(
+        r["v"]
+        for r in o.select(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("v")
+        ).collect()
+    )
+    for r in rows:
+        assert r["within_bound"] == 1
+        assert r["est_hi_cents"] - r["est_lo_cents"] == QD_WIDTH - 1
+        assert r["n_total"] == len(cents)
+        assert r["exact_cents"] == cents[r["target_rank"] - 1]
+        assert r["est_lo_cents"] <= r["exact_cents"] <= r["est_hi_cents"]
+
+    def sketch_of(df):
+        out = (
+            df.select(F.expr(f"CAST(round(o_totalprice * 100, 0) AS BIGINT) div {QD_WIDTH}").alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return {r["b"]: r["count"] for r in out}
+
+    whole = sketch_of(o)
+    lo = sketch_of(o.filter(F.col("o_orderkey") % 2 == 0))
+    hi = sketch_of(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for b, n in part.items():
+            merged[b] = merged.get(b, 0) + n
+    assert merged == whole
+
+
+def test_ams_f2_sketch_merge_and_error(spark):
+    """Per-seed signed sums built on disjoint halves of the corpus add
+    to the whole-corpus sums (the mergeable state), and the registered
+    query's estimate reproduces from those sums."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.sketches import (
+        AMS_SEEDS,
+        ams_f2_sketch,
+    )
+    from .conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL).documents
+
+    def signed_sums(df):
+        tok = df.select(F.explode(F.split("text", " ")).alias("w"))
+        counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        seeds = F.explode(F.array(*[F.lit(s) for s in AMS_SEEDS])).alias("s")
+        sign = F.when(
+            F.substring(
+                F.md5(F.concat(F.col("w"), F.lit(":"), F.col("s").cast("string"))),
+                1,
+                1,
+            ).isin(*"02468ace"),
+            F.col("c"),
+        ).otherwise(-F.col("c"))
+        out = counts.select("w", "c", seeds).groupBy("s").agg(
+            F.sum(sign).alias("sgn_sum")
+        ).collect()
+        return {r["s"]: r["sgn_sum"] for r in out}
+
+    whole = signed_sums(d)
+    lo = signed_sums(d.filter(F.col("doc_id") % 2 == 0))
+    hi = signed_sums(d.filter(F.col("doc_id") % 2 == 1))
+    assert {s: lo.get(s, 0) + hi.get(s, 0) for s in AMS_SEEDS} == whole
+
+    row = ams_f2_sketch(spark, SF_SMALL).collect()[0]
+    est_from_sums = sum(float(v) * v for v in whole.values()) / len(AMS_SEEDS)
+    assert abs(row["f2_est"] - round(est_from_sums, 2)) < 1e-9
+    assert row["f2_exact"] > 0 and row["rel_err"] >= 0
