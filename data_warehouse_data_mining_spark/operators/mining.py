@@ -6576,3 +6576,121 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.alias("ph_micro"),
         (ph > PH_LAMBDA_MICRO).cast("int").alias("alarm"),
     ).orderBy("d")
+
+@register(
+    "isotonic_calibration",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(round(l_discount * 100, 0) AS INT) AS b,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ret
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, cnt, ret,
+             CAST(sum(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS w,
+             CAST(sum(ret) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c
+      FROM buckets
+    ),
+    segs AS (
+      SELECT j.b AS jb, k.b AS kb,
+             (k.c - (j.c - j.ret)) * 1.0 / (k.w - (j.w - j.cnt)) AS seg_avg
+      FROM cum j JOIN cum k ON j.b <= k.b
+    )
+    SELECT b AS discount_cents, cnt AS n,
+           round(ret * 1.0 / cnt, 6) AS raw_rate,
+           round(fitted, 6) AS fitted_rate
+    FROM (
+      SELECT i.b, any_value(i.cnt) AS cnt, any_value(i.ret) AS ret,
+             max(m.mn) AS fitted
+      FROM cum i JOIN (
+        SELECT s.jb, i2.b AS ib, min(s.seg_avg) AS mn
+        FROM segs s JOIN cum i2 ON s.jb <= i2.b AND i2.b <= s.kb
+        GROUP BY s.jb, i2.b
+      ) m ON m.ib = i.b AND m.jb <= i.b
+      GROUP BY i.b
+    )
+    ORDER BY discount_cents
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the return
+    rate against the discount level — pool-adjacent-violators computed
+    in closed form via the lower-set/upper-set minimax identity
+    (Ayer et al. 1955; Robertson-Wright-Dykstra 1988):
+    fitted(i) = max_{j<=i} min_{k>=i} wavg(y, j..k) — the formula PAV
+    converges to, expressed as joins so no sequential pooling loop is
+    needed. This is the calibration step every score-to-probability
+    pipeline (Platt-vs-isotonic) runs after model training.
+
+    Exactness: segment averages are single divisions of exact integer
+    cumulative sums (returned count / item count over [j..k]); the
+    minimax over those identical doubles is engine-identical. Scale:
+    one fact scan -> 11-bucket agg; the (j,i,k) triple join runs over
+    the 11-row cumulative table (<=1331 combinations) — the
+    theil_sen_trend bounded-quadratic discipline."""
+    li = load(spark, sf_dir).lineitem
+    buckets = (
+        li.select(
+            F.expr("CAST(round(l_discount * 100, 0) AS INT)").alias("b"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("is_r").cast("long").alias("ret"),
+        )
+    )
+    wseq = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = buckets.select(
+        "b",
+        "cnt",
+        "ret",
+        F.sum("cnt").over(wseq).cast("long").alias("w"),
+        F.sum("ret").over(wseq).cast("long").alias("c"),
+    )
+    j = cum.select(
+        F.col("b").alias("jb"),
+        (F.col("c") - F.col("ret")).alias("c_prev"),
+        (F.col("w") - F.col("cnt")).alias("w_prev"),
+    )
+    k = cum.select(F.col("b").alias("kb"), "c", "w")
+    segs = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("c") - F.col("c_prev"))
+            * 1.0
+            / (F.col("w") - F.col("w_prev"))
+        ).alias("seg_avg"),
+    )
+    i2 = cum.select(F.col("b").alias("ib"))
+    lower_env = (
+        segs.join(
+            i2,
+            (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")),
+        )
+        .groupBy("jb", "ib")
+        .agg(F.min("seg_avg").alias("mn"))
+    )
+    fitted = (
+        cum.join(
+            lower_env,
+            (F.col("ib") == F.col("b")) & (F.col("jb") <= F.col("b")),
+        )
+        .groupBy("b")
+        .agg(
+            F.expr("any_value(cnt)").alias("cnt"),
+            F.expr("any_value(ret)").alias("ret"),
+            F.max("mn").alias("fitted"),
+        )
+    )
+    return fitted.select(
+        F.col("b").alias("discount_cents"),
+        F.col("cnt").alias("n"),
+        F.round(F.col("ret") * 1.0 / F.col("cnt"), 6).alias("raw_rate"),
+        F.round("fitted", 6).alias("fitted_rate"),
+    ).orderBy("discount_cents")

@@ -1802,3 +1802,75 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "join_cardinality_advisor",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    stats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS ndv_keys,
+             CAST(max(cnt) AS BIGINT) AS max_key_multiplicity,
+             CAST(sum(cnt * cnt) AS BIGINT) AS predicted_join_rows
+      FROM per_key
+    ),
+    actual AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual_join_rows
+      FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+    )
+    SELECT n_rows, ndv_keys, max_key_multiplicity, predicted_join_rows,
+           actual_join_rows,
+           round(n_rows * 1.0 * n_rows / ndv_keys, 2) AS uniform_est_rows,
+           round(predicted_join_rows
+                 / (n_rows * 1.0 * n_rows / ndv_keys), 6) AS skew_ratio
+    FROM stats CROSS JOIN actual
+    """,
+)
+def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation advisor for the part-key self-join (the
+    'co-ordered parts' shape): the exact output cardinality of an
+    equi-join is sum_k cnt_a(k)*cnt_b(k), computable from per-key
+    COUNT summaries WITHOUT running the join — here sum(cnt^2) from
+    one vocab-bounded hash agg — versus the uniform-assumption
+    estimate |R|^2/ndv a naive optimizer would use; skew_ratio =
+    predicted/uniform is exactly 1 + CV^2 of the key multiplicities,
+    the factor by which key skew inflates a real join beyond the
+    textbook estimate (System R's selectivity model).
+
+    The materialized actual_join_rows count exists at test SF purely
+    to PROVE the per-key formula (predicted == actual, hash-checked);
+    the production advisor runs only the counts path — the whole
+    point is deciding broadcast/salting BEFORE paying for the join.
+
+    Scale shape: one fact scan -> per-key hash agg (key-cardinality
+    bounded) -> 1-row rollup; the proof join is count-only (no
+    payload columns survive pruning)."""
+    li = load(spark, sf_dir).lineitem
+    per_key = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv_keys"),
+        F.max("cnt").cast("long").alias("max_key_multiplicity"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("predicted_join_rows"),
+    )
+    a = li.select(F.col("l_partkey").alias("k"))
+    actual = (
+        a.join(li.select(F.col("l_partkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_join_rows"))
+    )
+    uniform = F.col("n_rows") * 1.0 * F.col("n_rows") / F.col("ndv_keys")
+    return stats.crossJoin(F.broadcast(actual)).select(
+        "n_rows",
+        "ndv_keys",
+        "max_key_multiplicity",
+        "predicted_join_rows",
+        "actual_join_rows",
+        F.round(uniform, 2).alias("uniform_est_rows"),
+        F.round(F.col("predicted_join_rows") / uniform, 6).alias("skew_ratio"),
+    )

@@ -1298,3 +1298,62 @@ def test_ams_f2_sketch_merge_and_error(spark):
     est_from_sums = sum(float(v) * v for v in whole.values()) / len(AMS_SEEDS)
     assert abs(row["f2_est"] - round(est_from_sums, 2)) < 1e-9
     assert row["f2_exact"] > 0 and row["rel_err"] >= 0
+
+
+def test_isotonic_calibration_pav_properties(spark):
+    """The minimax fit is monotone non-decreasing, stays inside the raw
+    rate range, preserves the weighted mean (the PAV invariant), and
+    matches a sequential pool-adjacent-violators replay in Python."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        isotonic_calibration,
+    )
+    from .conftest import SF_SMALL
+
+    rows = isotonic_calibration(spark, SF_SMALL).collect()
+    assert len(rows) == 11
+    fits = [r["fitted_rate"] for r in rows]
+    assert fits == sorted(fits)
+    assert min(r["raw_rate"] for r in rows) <= fits[0]
+    assert fits[-1] <= max(r["raw_rate"] for r in rows)
+    w_raw = sum(r["n"] * r["raw_rate"] for r in rows)
+    w_fit = sum(r["n"] * r["fitted_rate"] for r in rows)
+    assert abs(w_raw - w_fit) / w_raw < 1e-4  # 6-dp rounding slack
+
+    # sequential PAV replay
+    blocks = [[r["n"] * r["raw_rate"], r["n"]] for r in rows]
+    pooled: list = []
+    for y, w in blocks:
+        pooled.append([y, w])
+        while len(pooled) > 1 and (
+            pooled[-2][0] / pooled[-2][1] >= pooled[-1][0] / pooled[-1][1]
+        ):
+            y2, w2 = pooled.pop()
+            pooled[-1][0] += y2
+            pooled[-1][1] += w2
+    # expand pooled blocks back to 11 fitted values by weight
+    replay = []
+    i = 0
+    for y, w in pooled:
+        acc = 0
+        while i < len(rows) and acc < w - 1e-9:
+            acc += rows[i]["n"]
+            replay.append(y / w)
+            i += 1
+    assert len(replay) == 11
+    for got, exp in zip(fits, replay):
+        assert abs(got - exp) < 1e-5
+
+
+def test_join_cardinality_formula_is_exact(spark):
+    """sum(cnt^2) from per-key counts equals the materialized self-join
+    count — the formula the advisor sells — and skew_ratio >= 1
+    (Cauchy-Schwarz: sum cnt^2 >= n^2/ndv)."""
+    from data_warehouse_data_mining_spark.operators.quality import (
+        join_cardinality_advisor,
+    )
+    from .conftest import SF_SMALL
+
+    r = join_cardinality_advisor(spark, SF_SMALL).collect()[0]
+    assert r["predicted_join_rows"] == r["actual_join_rows"]
+    assert r["skew_ratio"] >= 1.0
+    assert r["max_key_multiplicity"] >= r["n_rows"] / r["ndv_keys"] - 1e-9
