@@ -6694,3 +6694,137 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ret") * 1.0 / F.col("cnt"), 6).alias("raw_rate"),
         F.round("fitted", 6).alias("fitted_rate"),
     ).orderBy("discount_cents")
+
+
+@register(
+    "ips_offline_policy_eval",
+    oracle="""
+    WITH logged AS (
+      SELECT EXTRACT(hour FROM ts) AS h, event_type AS a,
+             CAST(round(value * 100, 0) AS BIGINT) AS r
+      FROM events
+    ),
+    cells AS (
+      SELECT h, a, CAST(count(*) AS BIGINT) AS n_ah,
+             CAST(sum(r) AS BIGINT) AS sum_r
+      FROM logged GROUP BY h, a
+    ),
+    ctx AS (
+      SELECT h, CAST(sum(n_ah) AS BIGINT) AS n_h FROM cells GROUP BY h
+    ),
+    greedy AS (
+      SELECT h, a AS pi_a FROM (
+        SELECT h, a, row_number() OVER (
+          PARTITION BY h ORDER BY sum_r * 1.0 / n_ah DESC, a) AS rn
+        FROM cells
+      ) WHERE rn = 1
+    ),
+    matched AS (
+      SELECT c.h, c.n_ah, c.sum_r, x.n_h,
+             (c.sum_r * 1000 * x.n_h) // c.n_ah AS term_micro
+      FROM cells c
+      JOIN greedy g ON g.h = c.h AND g.pi_a = c.a
+      JOIN ctx x ON x.h = c.h
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ah) AS BIGINT) AS n_rounds,
+             CAST(sum(sum_r) AS BIGINT) AS sum_r_all,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_contexts
+      FROM cells
+    ),
+    est AS (
+      SELECT CAST(sum(term_micro) AS BIGINT) AS ips_micro,
+             CAST(sum(n_h) AS BIGINT) AS snips_denom,
+             CAST(sum(n_ah) AS BIGINT) AS n_matched
+      FROM matched
+    )
+    SELECT n_rounds, n_contexts,
+           round(sum_r_all * 1.0 / (100 * n_rounds), 6) AS direct_avg_dollars,
+           round(ips_micro * 1.0 / (100000.0 * n_rounds), 6)
+             AS ips_value_dollars,
+           round(ips_micro * 1.0 / (100000.0 * snips_denom), 6)
+             AS snips_value_dollars,
+           round(n_matched * 1.0 / n_rounds, 6) AS match_rate
+    FROM tot CROSS JOIN est
+    """,
+)
+def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline (counterfactual) policy evaluation on the logged event
+    stream — inverse-propensity scoring (Horvitz-Thompson 1952; Li et
+    al. 2011 'Unbiased Offline Evaluation of Contextual-Bandit
+    Algorithms') plus the self-normalized SNIPS variant (Swaminathan &
+    Joachims 2015): treat every event as one logged bandit round with
+    context h = hour-of-day, action a = event_type, reward r = value;
+    estimate what the GREEDY target policy pi(h) = argmax_a
+    avg-reward(a|h) would earn, without ever deploying it:
+    V_IPS = (1/N) sum_i 1{a_i = pi(h_i)} * r_i / p(a_i|h_i) with
+    empirical logging propensities p(a|h) = n_ah/n_h.
+
+    Every accumulation is integer-exact: events sharing a (h, a) cell
+    share one weight n_h/n_ah, so the IPS sum collapses to per-cell
+    terms floor(sum_r*1000*n_h / n_ah) summed as BIGINT micro-cents
+    (order-insensitive — no double accumulation; at extreme scale the
+    product term moves to DECIMAL, the formula is unchanged), and the
+    SNIPS denominator sum_i w_i telescopes to sum over matched cells
+    of n_h — exactly integer. The greedy argmax tie-breaks
+    (avg DESC, action ASC) on identical-double averages of exact ints.
+
+    Scale shape: one fact scan -> 24x5-cell hash agg; everything
+    downstream runs on that bounded table. The estimator itself is the
+    point: training-data pipelines for interaction models gate on
+    exactly this counterfactual check before a policy ships."""
+    e = load(spark, sf_dir).events
+    logged = e.select(
+        F.hour("ts").alias("h"),
+        F.col("event_type").alias("a"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
+    )
+    cells = logged.groupBy("h", "a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ah"),
+        F.sum("r").cast("long").alias("sum_r"),
+    )
+    ctx = cells.groupBy("h").agg(F.sum("n_ah").cast("long").alias("n_h"))
+    wg = W.partitionBy("h").orderBy(
+        (F.col("sum_r") * 1.0 / F.col("n_ah")).desc(), "a"
+    )
+    greedy = (
+        cells.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .select("h", F.col("a").alias("pi_a"))
+    )
+    matched = (
+        cells.join(greedy, (cells.h == greedy.h) & (cells.a == greedy.pi_a))
+        .drop(greedy.h)
+        .join(ctx, "h")
+        .select(
+            "n_ah",
+            "n_h",
+            F.expr("(sum_r * 1000 * n_h) div n_ah").alias("term_micro"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ah").cast("long").alias("n_rounds"),
+        F.sum("sum_r").cast("long").alias("sum_r_all"),
+        F.countDistinct("h").cast("long").alias("n_contexts"),
+    )
+    est = matched.agg(
+        F.sum("term_micro").cast("long").alias("ips_micro"),
+        F.sum("n_h").cast("long").alias("snips_denom"),
+        F.sum("n_ah").cast("long").alias("n_matched"),
+    )
+    return tot.crossJoin(F.broadcast(est)).select(
+        "n_rounds",
+        "n_contexts",
+        F.round(F.col("sum_r_all") * 1.0 / (100 * F.col("n_rounds")), 6).alias(
+            "direct_avg_dollars"
+        ),
+        F.round(
+            F.col("ips_micro") * 1.0 / (100000.0 * F.col("n_rounds")), 6
+        ).alias("ips_value_dollars"),
+        F.round(
+            F.col("ips_micro") * 1.0 / (100000.0 * F.col("snips_denom")), 6
+        ).alias("snips_value_dollars"),
+        F.round(F.col("n_matched") * 1.0 / F.col("n_rounds"), 6).alias(
+            "match_rate"
+        ),
+    )

@@ -1357,3 +1357,55 @@ def test_join_cardinality_formula_is_exact(spark):
     assert r["predicted_join_rows"] == r["actual_join_rows"]
     assert r["skew_ratio"] >= 1.0
     assert r["max_key_multiplicity"] >= r["n_rows"] / r["ndv_keys"] - 1e-9
+
+
+def test_ips_policy_eval_invariants(spark):
+    """SNIPS >= ... relationships and a pure-Python replay of the
+    estimator over the exact (hour, action) cells: IPS/SNIPS totals,
+    greedy-policy match rate, and the self-normalization identity
+    (SNIPS denominator = sum of matched contexts' n_h)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        ips_offline_policy_eval,
+    )
+    from .conftest import SF_SMALL
+
+    row = ips_offline_policy_eval(spark, SF_SMALL).collect()[0]
+    cells = (
+        load(spark, SF_SMALL)
+        .events.select(
+            F.hour("ts").alias("h"),
+            F.col("event_type").alias("a"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
+        )
+        .groupBy("h", "a")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("s"))
+        .collect()
+    )
+    by_h: dict = {}
+    for c in cells:
+        by_h.setdefault(c["h"], []).append((c["a"], c["n"], c["s"]))
+    n_rounds = sum(c["n"] for c in cells)
+    ips_micro = 0
+    snips_denom = 0
+    n_matched = 0
+    for h, acts in by_h.items():
+        n_h = sum(n for _, n, _ in acts)
+        pi_a = max(acts, key=lambda t: (t[2] / t[1], ""))  # avg desc
+        # tie-break min action among equal avgs
+        best_avg = max(t[2] / t[1] for t in acts)
+        pi_a = min(t[0] for t in acts if t[2] / t[1] == best_avg)
+        for a, n, s in acts:
+            if a == pi_a:
+                ips_micro += (s * 1000 * n_h) // n
+                snips_denom += n_h
+                n_matched += n
+    assert row["n_rounds"] == n_rounds
+    assert abs(row["ips_value_dollars"] - round(ips_micro / (100000.0 * n_rounds), 6)) < 1e-9
+    assert abs(row["snips_value_dollars"] - round(ips_micro / (100000.0 * snips_denom), 6)) < 1e-9
+    assert abs(row["match_rate"] - round(n_matched / n_rounds, 6)) < 1e-9
+    # the greedy policy must look at least as good as the behavior
+    # policy under SNIPS (it was picked greedily from the same data)
+    assert row["snips_value_dollars"] >= row["direct_avg_dollars"] - 1e-6
