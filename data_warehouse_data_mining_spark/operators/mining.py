@@ -6828,3 +6828,273 @@ def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_rate"
         ),
     )
+
+
+_BRIER_FP = 1_000_000_000  # 1e-9 fixed point for cross-cell sums
+
+
+@register(
+    "brier_decomposition",
+    oracle=f"""
+    WITH items AS (
+      SELECT CAST(round(l_discount * 100, 0) AS INT) AS b,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    buckets AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(y) AS BIGINT) AS ret_b
+      FROM items GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(n_b) AS BIGINT) AS n,
+             CAST(sum(ret_b) AS BIGINT) AS r
+      FROM buckets
+    ),
+    scored AS (
+      SELECT b, n_b, ret_b, n, r,
+             ((20 * ret_b + n_b) // (2 * n_b)) / 10.0 AS f_b,
+             ret_b * 1.0 / n_b AS ybar_b
+      FROM buckets CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT n, r,
+             CAST(floor(n_b * (f_b - ybar_b) * (f_b - ybar_b)
+                        * {_BRIER_FP}) AS BIGINT) AS rel_fp,
+             CAST(floor(n_b * (ybar_b - r * 1.0 / n) * (ybar_b - r * 1.0 / n)
+                        * {_BRIER_FP}) AS BIGINT) AS res_fp,
+             -- per-bucket Brier sum: sum_i (f_b - y_i)^2 expands to
+             -- n_b*f^2 - 2*f*ret_b + ret_b (y is 0/1 so y^2 = y)
+             CAST(floor((n_b * f_b * f_b - 2 * f_b * ret_b + ret_b)
+                        * {_BRIER_FP}) AS BIGINT) AS brier_fp
+      FROM scored
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           round(any_value(r) * 1.0 / any_value(n), 6) AS base_rate,
+           round(sum(brier_fp) * 1.0 / {_BRIER_FP} / any_value(n), 6)
+             AS brier_score,
+           round(sum(rel_fp) * 1.0 / {_BRIER_FP} / any_value(n), 6)
+             AS reliability,
+           round(sum(res_fp) * 1.0 / {_BRIER_FP} / any_value(n), 6)
+             AS resolution,
+           round((any_value(r) * 1.0 / any_value(n))
+                 * (1 - any_value(r) * 1.0 / any_value(n)), 6)
+             AS uncertainty
+    FROM terms
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for the quantized
+    discount-bucket return-probability forecaster:
+    Brier = REL - RES + UNC, where reliability penalizes calibration
+    error (forecast vs conditional outcome rate), resolution rewards
+    discrimination (conditional rates vs base rate), and uncertainty
+    is the irreducible base-rate variance — the standard eval that
+    tells you whether a probability model needs recalibration
+    (pair with isotonic_calibration) or simply can't discriminate.
+    The forecaster is the bucket rate QUANTIZED to one decimal
+    (f_b = round-half-up(10*ybar_b)/10, the exact integer
+    (20*ret+n) div (2n) over 10) — a coarse probability model whose
+    quantization error makes reliability non-trivially positive; an
+    unquantized in-sample forecaster is perfectly calibrated by
+    construction, and the Murphy identity holds for ANY partition on
+    which the forecast is constant, so per-bucket conditioning is
+    exact.
+
+    Exactness: per-bucket terms are identical-double expressions of
+    exact integer counts, floored to 1e-9 fixed point BEFORE the
+    cross-bucket sum (the mutual_information discipline) so
+    accumulation is BIGINT and order-insensitive; the per-bucket
+    Brier sum uses the y^2=y expansion n*f^2 - 2*f*ret + ret, never
+    touching per-row doubles. Scale: one fact scan -> 11-bucket agg;
+    everything downstream is bounded. The Murphy identity
+    Brier ~= REL - RES + UNC (to fixed-point truncation) is pinned in
+    tests."""
+    li = load(spark, sf_dir).lineitem
+    items = li.select(
+        F.expr("CAST(round(l_discount * 100, 0) AS INT)").alias("b"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    buckets = items.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("ret_b"),
+    )
+    tot = buckets.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("ret_b").cast("long").alias("r"),
+    )
+    fp = _BRIER_FP
+    scored = buckets.crossJoin(F.broadcast(tot)).select(
+        "n_b",
+        "ret_b",
+        "n",
+        "r",
+        (F.expr("(20 * ret_b + n_b) div (2 * n_b)") / 10.0).alias("f_b"),
+        (F.col("ret_b") * 1.0 / F.col("n_b")).alias("ybar_b"),
+    )
+    base = F.col("r") * 1.0 / F.col("n")
+    terms = scored.select(
+        "n",
+        "r",
+        F.floor(
+            F.col("n_b")
+            * (F.col("f_b") - F.col("ybar_b"))
+            * (F.col("f_b") - F.col("ybar_b"))
+            * fp
+        ).cast("long").alias("rel_fp"),
+        F.floor(
+            F.col("n_b") * (F.col("ybar_b") - base) * (F.col("ybar_b") - base) * fp
+        ).cast("long").alias("res_fp"),
+        F.floor(
+            (
+                F.col("n_b") * F.col("f_b") * F.col("f_b")
+                - 2 * F.col("f_b") * F.col("ret_b")
+                + F.col("ret_b")
+            )
+            * fp
+        ).cast("long").alias("brier_fp"),
+    )
+    anyn = F.expr("any_value(n)")
+    anyr = F.expr("any_value(r)")
+    rate = anyr * 1.0 / anyn
+    return terms.agg(
+        anyn.cast("long").alias("n"),
+        F.round(rate, 6).alias("base_rate"),
+        F.round(F.sum("brier_fp") * 1.0 / fp / anyn, 6).alias("brier_score"),
+        F.round(F.sum("rel_fp") * 1.0 / fp / anyn, 6).alias("reliability"),
+        F.round(F.sum("res_fp") * 1.0 / fp / anyn, 6).alias("resolution"),
+        F.round(rate * (1 - rate), 6).alias("uncertainty"),
+    )
+
+
+@register(
+    "stratified_att_adjustment",
+    oracle="""
+    WITH pre AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n95,
+             max(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS treated
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    outcome AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y96
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    panel AS (
+      SELECT CASE WHEN n95 = 1 THEN '1' WHEN n95 = 2 THEN '2'
+                  ELSE '3+' END AS stratum,
+             treated, coalesce(y96, 0) AS y
+      FROM pre LEFT JOIN outcome USING (o_custkey)
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(1 - treated) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END)
+                  AS BIGINT) AS sy_t,
+             CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END)
+                  AS BIGINT) AS sy_c
+      FROM panel GROUP BY stratum
+    ),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nt_all FROM cells)
+    SELECT stratum,
+           n_t AS n_treated, n_c AS n_control,
+           round(sy_t * 1.0 / (100 * n_t), 4) AS mean_treated_dollars,
+           round(sy_c * 1.0 / (100 * n_c), 4) AS mean_control_dollars,
+           round(sy_t * 1.0 / (100 * n_t)
+                 - sy_c * 1.0 / (100 * n_c), 4) AS diff_dollars,
+           round(n_t * 1.0 / nt_all, 6) AS att_weight,
+           round((sy_t * 1.0 / (100 * n_t) - sy_c * 1.0 / (100 * n_c))
+                 * n_t / nt_all, 4) AS att_contrib_dollars
+    FROM cells CROSS JOIN tot
+    ORDER BY stratum
+    """,
+)
+def stratified_att_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect adjustment (Cochran 1968 subclass-
+    ification — the ancestor of propensity-score stratification): the
+    ATT of 'placed a high-priority 1995 order' on 1996 spend, adjusted
+    for the pre-treatment confounder (1995 order count) that drives
+    BOTH treatment propensity (40%->63%->85% across strata at sf0.01)
+    and the outcome. Per stratum: arm sizes, arm means, the stratum
+    effect, and its ATT contribution weighted by the treated
+    distribution n_t/N_t — their sum is the adjusted ATT the naive
+    treated-minus-control difference over-states under confounding
+    (the identity the property test pins).
+
+    Exactness: arm totals are exact BIGINT cents; every mean/diff/
+    weight is an identical-double division of exact integers, rounded
+    at the edge. Scale shape: two date-pruned fact scans -> per-
+    customer aggs co-partitioned on o_custkey (one shuffle each) ->
+    3-row stratum rollup; everything after is bounded."""
+    o = load(spark, sf_dir).orders
+    pre = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n95"),
+            F.max(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+            ).alias("treated"),
+        )
+    )
+    outcome = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y96")
+        )
+    )
+    panel = pre.join(outcome, "o_custkey", "left").select(
+        F.when(F.col("n95") == 1, "1")
+        .when(F.col("n95") == 2, "2")
+        .otherwise("3+")
+        .alias("stratum"),
+        "treated",
+        F.coalesce(F.col("y96"), F.lit(0)).alias("y"),
+    )
+    cells = panel.groupBy("stratum").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_c"),
+    )
+    tot = cells.agg(F.sum("n_t").cast("long").alias("nt_all"))
+    mt = F.col("sy_t") * 1.0 / (100 * F.col("n_t"))
+    mc = F.col("sy_c") * 1.0 / (100 * F.col("n_c"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("n_t").alias("n_treated"),
+            F.col("n_c").alias("n_control"),
+            F.round(mt, 4).alias("mean_treated_dollars"),
+            F.round(mc, 4).alias("mean_control_dollars"),
+            F.round(mt - mc, 4).alias("diff_dollars"),
+            F.round(F.col("n_t") * 1.0 / F.col("nt_all"), 6).alias("att_weight"),
+            F.round((mt - mc) * F.col("n_t") / F.col("nt_all"), 4).alias(
+                "att_contrib_dollars"
+            ),
+        )
+        .orderBy("stratum")
+    )

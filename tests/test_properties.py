@@ -1409,3 +1409,49 @@ def test_ips_policy_eval_invariants(spark):
     # the greedy policy must look at least as good as the behavior
     # policy under SNIPS (it was picked greedily from the same data)
     assert row["snips_value_dollars"] >= row["direct_avg_dollars"] - 1e-6
+
+
+def test_brier_murphy_identity(spark):
+    """Brier = REL - RES + UNC holds to fixed-point truncation, every
+    component is in its valid range, and shrinkage makes reliability
+    strictly positive."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        brier_decomposition,
+    )
+    from .conftest import SF_SMALL
+
+    r = brier_decomposition(spark, SF_SMALL).collect()[0]
+    assert 0 < r["base_rate"] < 1
+    assert abs(r["uncertainty"] - r["base_rate"] * (1 - r["base_rate"])) < 1e-6
+    assert r["reliability"] > 0  # quantized forecaster is miscalibrated
+    assert 0 <= r["resolution"] <= r["uncertainty"] + 1e-9
+    # Murphy identity with slack for the 1e-9 fixed-point floors (11
+    # buckets x 1e-9 each) plus the 6-dp output rounding
+    assert abs(r["brier_score"] - (r["reliability"] - r["resolution"] + r["uncertainty"])) < 5e-6
+
+
+def test_stratified_att_sums_and_confounding(spark):
+    """ATT contributions are weight x diff per stratum, weights sum to
+    1, and the adjusted ATT differs from the naive pooled difference
+    (the confounder is real in this panel)."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        stratified_att_adjustment,
+    )
+    from .conftest import SF_MEDIUM
+
+    rows = stratified_att_adjustment(spark, SF_MEDIUM).collect()
+    assert len(rows) == 3
+    assert abs(sum(r["att_weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["n_treated"] > 0 and r["n_control"] > 0
+        assert (
+            abs(r["att_contrib_dollars"] - r["diff_dollars"] * r["att_weight"])
+            < 0.02
+        )
+    att = sum(r["att_contrib_dollars"] for r in rows)
+    sy_t = sum(r["mean_treated_dollars"] * r["n_treated"] for r in rows)
+    sy_c = sum(r["mean_control_dollars"] * r["n_control"] for r in rows)
+    n_t = sum(r["n_treated"] for r in rows)
+    n_c = sum(r["n_control"] for r in rows)
+    naive = sy_t / n_t - sy_c / n_c
+    assert abs(att - naive) > 1.0  # dollars: adjustment moves the answer
