@@ -6645,13 +6645,16 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wseq = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    # stage the 11-row cumulative table: four downstream consumers
+    # (j, k, i2, fitted) would otherwise EACH re-scan lineitem
+    # (plan-audit r10 caught 4 scans)
     cum = buckets.select(
         "b",
         "cnt",
         "ret",
         F.sum("cnt").over(wseq).cast("long").alias("w"),
         F.sum("ret").over(wseq).cast("long").alias("c"),
-    )
+    ).localCheckpoint(eager=True)
     j = cum.select(
         F.col("b").alias("jb"),
         (F.col("c") - F.col("ret")).alias("c_prev"),

@@ -753,6 +753,9 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir).documents
     # token-proportional — never pinned; map-only explode, cheap recompute
     tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+    # counts is VOCAB-sized — never pinned (the sketch exists precisely
+    # because vocabulary state is unbounded at scale); both consumers
+    # re-derive it from the map-only explode, which is cheap linear work
     counts = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
     seeds = F.explode(F.array(*[F.lit(s) for s in AMS_SEEDS])).alias("s")
     sign = F.when(
