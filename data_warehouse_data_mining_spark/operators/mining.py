@@ -7101,3 +7101,166 @@ def stratified_att_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "dr_policy_eval_crossfit",
+    oracle="""
+    WITH logged AS (
+      SELECT EXTRACT(hour FROM ts) AS h, event_type AS a,
+             CAST(round(value * 100, 0) AS BIGINT) AS r,
+             CAST(event_id % 2 AS INT) AS fold
+      FROM events
+    ),
+    a_cells AS (
+      SELECT h, a, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(r) AS BIGINT) AS s_a
+      FROM logged WHERE fold = 0 GROUP BY h, a
+    ),
+    greedy AS (
+      SELECT h, a AS pi_a, n_a AS n_pi, s_a AS s_pi FROM (
+        SELECT h, a, n_a, s_a, row_number() OVER (
+          PARTITION BY h ORDER BY s_a * 1.0 / n_a DESC, a) AS rn
+        FROM a_cells
+      ) WHERE rn = 1
+    ),
+    b_cells AS (
+      SELECT h, a, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(r) AS BIGINT) AS s_b
+      FROM logged WHERE fold = 1 GROUP BY h, a
+    ),
+    b_ctx AS (
+      SELECT h, CAST(sum(n_b) AS BIGINT) AS n_h FROM b_cells GROUP BY h
+    ),
+    dm AS (
+      SELECT CAST(sum((x.n_h * g.s_pi * 1000) // g.n_pi) AS BIGINT)
+               AS dm_micro
+      FROM b_ctx x JOIN greedy g ON g.h = x.h
+    ),
+    corr AS (
+      SELECT CAST(sum(((b.s_b * g.n_pi - b.n_b * g.s_pi) * 1000 * x.n_h)
+                      // (g.n_pi * b.n_b)) AS BIGINT) AS corr_micro,
+             CAST(sum(b.n_b) AS BIGINT) AS n_matched
+      FROM b_cells b
+      JOIN greedy g ON g.h = b.h AND g.pi_a = b.a
+      JOIN b_ctx x ON x.h = b.h
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_eval FROM logged WHERE fold = 1
+    )
+    SELECT n_eval AS n_eval_rounds,
+           round(dm_micro * 1.0 / (100000.0 * n_eval), 6) AS dm_value_dollars,
+           round(corr_micro * 1.0 / (100000.0 * n_eval), 6)
+             AS ips_correction_dollars,
+           round((dm_micro + corr_micro) * 1.0 / (100000.0 * n_eval), 6)
+             AS dr_value_dollars,
+           round(n_matched * 1.0 / n_eval, 6) AS match_rate
+    FROM tot CROSS JOIN dm CROSS JOIN corr
+    """,
+)
+def dr_policy_eval_crossfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation with cross-fitting (Dudík,
+    Langford & Li 2011; Chernozhukov et al. 2018 cross-fitting): fit
+    the reward model Q(h,a) = cell mean on fold A (even event_ids),
+    pick the greedy policy pi(h) from fold A, then evaluate on the
+    DISJOINT fold B:
+    V_DR = (1/N_B) sum_i [Q(h_i, pi(h_i))
+           + 1{a_i = pi(h_i)} (r_i - Q(h_i, a_i)) / p(a_i|h_i)].
+    The direct-model term is unbiased when Q is right, the IPS
+    correction repairs it when Q is wrong — consistent if EITHER is
+    correct. In-sample (no cross-fit) the correction telescopes to
+    exactly zero and DR degenerates to DM — the reason ips_offline_
+    policy_eval's sibling needs the fold split to be an honest demo.
+
+    Exactness: both folds' cells are exact BIGINT (count, cents-sum)
+    pairs; Q is carried as the rational s/n, never a rounded double —
+    each per-context/per-cell term is ONE integer floor-division at
+    1e-3-cent fixed point (micro = (n_h*s*1000) div n etc.), so all
+    accumulation is BIGINT and order-insensitive (at extreme SF the
+    products move to DECIMAL; the formula is unchanged). Scale: one
+    fact scan fans into two fold-filtered 24x5-cell aggs; everything
+    downstream is bounded by contexts x actions."""
+    e = load(spark, sf_dir).events
+    logged = e.select(
+        F.hour("ts").alias("h"),
+        F.col("event_type").alias("a"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
+        (F.col("event_id") % 2).cast("int").alias("fold"),
+    )
+    a_cells = (
+        logged.filter(F.col("fold") == 0)
+        .groupBy("h", "a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_a"),
+            F.sum("r").cast("long").alias("s_a"),
+        )
+    )
+    wg = W.partitionBy("h").orderBy(
+        (F.col("s_a") * 1.0 / F.col("n_a")).desc(), "a"
+    )
+    greedy = (
+        a_cells.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "h",
+            F.col("a").alias("pi_a"),
+            F.col("n_a").alias("n_pi"),
+            F.col("s_a").alias("s_pi"),
+        )
+    )
+    b_cells = (
+        logged.filter(F.col("fold") == 1)
+        .groupBy("h", "a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("r").cast("long").alias("s_b"),
+        )
+    )
+    b_ctx = b_cells.groupBy("h").agg(F.sum("n_b").cast("long").alias("n_h"))
+    dm = (
+        b_ctx.join(greedy, "h")
+        .select(F.expr("(n_h * s_pi * 1000) div n_pi").alias("t"))
+        .agg(F.sum("t").cast("long").alias("dm_micro"))
+    )
+    corr = (
+        b_cells.join(
+            greedy,
+            (b_cells.h == greedy.h) & (b_cells.a == greedy.pi_a),
+        )
+        .drop(greedy.h)
+        .join(b_ctx, "h")
+        .select(
+            "n_b",
+            F.expr(
+                "((s_b * n_pi - n_b * s_pi) * 1000 * n_h) div (n_pi * n_b)"
+            ).alias("t"),
+        )
+        .agg(
+            F.sum("t").cast("long").alias("corr_micro"),
+            F.sum("n_b").cast("long").alias("n_matched"),
+        )
+    )
+    tot = logged.filter(F.col("fold") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval")
+    )
+    return (
+        tot.crossJoin(F.broadcast(dm))
+        .crossJoin(F.broadcast(corr))
+        .select(
+            F.col("n_eval").alias("n_eval_rounds"),
+            F.round(F.col("dm_micro") * 1.0 / (100000.0 * F.col("n_eval")), 6)
+            .alias("dm_value_dollars"),
+            F.round(
+                F.col("corr_micro") * 1.0 / (100000.0 * F.col("n_eval")), 6
+            ).alias("ips_correction_dollars"),
+            F.round(
+                (F.col("dm_micro") + F.col("corr_micro"))
+                * 1.0
+                / (100000.0 * F.col("n_eval")),
+                6,
+            ).alias("dr_value_dollars"),
+            F.round(F.col("n_matched") * 1.0 / F.col("n_eval"), 6).alias(
+                "match_rate"
+            ),
+        )
+    )

@@ -2080,3 +2080,90 @@ def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("order_date", "o_orderkey")
         .limit(PAGE_SIZE)
     )
+
+
+@register(
+    "grouped_holdout_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < 'cccc'
+                  THEN 'train' ELSE 'test' END AS split,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'cccc'
+                  THEN 'train' ELSE 'test' END AS row_split
+      FROM orders
+    ),
+    group_leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM assigned
+        GROUP BY o_custkey HAVING count(DISTINCT split) > 1
+      )
+    ),
+    row_leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM assigned
+        GROUP BY o_custkey HAVING count(DISTINCT row_split) > 1
+      )
+    )
+    SELECT split,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           (SELECT n FROM group_leak) AS group_leak_customers,
+           (SELECT n FROM row_leak) AS rowlevel_leak_customers
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def grouped_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware (entity-level) holdout split — the feature-store /
+    training-pipeline discipline that row-level splitting violates:
+    hashing the CUSTOMER key assigns every order of a customer to the
+    same side, so no entity straddles train and test (group-K-fold,
+    Kohavi 1995 practice; the leakage class split_leakage_audit hunts
+    for near-duplicate DOCUMENTS, this one kills by construction for
+    entities). The output contrasts the two disciplines on identical
+    data: group_leak_customers is structurally ZERO, while the same
+    80/20 hash applied at ROW level leaves rowlevel_leak_customers
+    straddling the boundary — every one a potential
+    memorize-the-entity leak.
+
+    Determinism: both assignments are pure md5-prefix functions of
+    keys (the deterministic_hash_split recipe), so the split is
+    reproducible across engines, runs, and backfills. Scale: one fact
+    scan fans into one per-customer agg (straddle census) and one
+    2-row rollup; no joins touch row-proportional tables."""
+    o = load(spark, sf_dir).orders
+    gsplit = F.when(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4) < "cccc",
+        "train",
+    ).otherwise("test")
+    rsplit = F.when(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "cccc",
+        "train",
+    ).otherwise("test")
+    assigned = o.select(
+        "o_custkey", "o_orderkey", gsplit.alias("split"), rsplit.alias("row_split")
+    )
+    gleak = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_leak_customers"))
+    )
+    rleak = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("row_split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("rowlevel_leak_customers"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .crossJoin(F.broadcast(gleak))
+        .crossJoin(F.broadcast(rleak))
+        .orderBy("split")
+    )

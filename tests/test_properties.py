@@ -1455,3 +1455,84 @@ def test_stratified_att_sums_and_confounding(spark):
     n_c = sum(r["n_control"] for r in rows)
     naive = sy_t / n_t - sy_c / n_c
     assert abs(att - naive) > 1.0  # dollars: adjustment moves the answer
+
+
+def test_grouped_split_zero_leakage(spark):
+    """Group assignment never straddles an entity; row-level assignment
+    on the same data does; per-split counts partition the table."""
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.relational import (
+        grouped_holdout_split,
+    )
+    from .conftest import SF_SMALL
+
+    rows = grouped_holdout_split(spark, SF_SMALL).collect()
+    assert [r["split"] for r in rows] == ["test", "train"]
+    assert all(r["group_leak_customers"] == 0 for r in rows)
+    assert all(r["rowlevel_leak_customers"] > 0 for r in rows)
+    o = load(spark, SF_SMALL).orders
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert sum(r["n_customers"] for r in rows) == o.select("o_custkey").distinct().count()
+
+
+def test_dr_policy_eval_crossfit_replay(spark):
+    """Python replay of the cross-fitted DR estimator over the exact
+    fold cells matches, and the in-sample correction telescopes to
+    zero (the degeneracy cross-fitting exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        dr_policy_eval_crossfit,
+    )
+    from .conftest import SF_SMALL
+
+    row = dr_policy_eval_crossfit(spark, SF_SMALL).collect()[0]
+    cells = (
+        load(spark, SF_SMALL)
+        .events.select(
+            F.hour("ts").alias("h"),
+            F.col("event_type").alias("a"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
+            (F.col("event_id") % 2).cast("int").alias("fold"),
+        )
+        .groupBy("h", "a", "fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("s"))
+        .collect()
+    )
+    A: dict = {}
+    B: dict = {}
+    for c in cells:
+        (A if c["fold"] == 0 else B)[(c["h"], c["a"])] = (c["n"], c["s"])
+    hours = sorted({h for h, _ in A})
+    pi = {}
+    for h in hours:
+        acts = [(a, n, s) for (hh, a), (n, s) in A.items() if hh == h]
+        best = max(s / n for _, n, s in acts)
+        pi[h] = min(a for a, n, s in acts if s / n == best)
+    n_eval = sum(n for (h, a), (n, s) in B.items())
+    n_h = {h: sum(n for (hh, _), (n, _) in B.items() if hh == h) for h in hours}
+    dm = sum((n_h[h] * A[(h, pi[h])][1] * 1000) // A[(h, pi[h])][0] for h in hours)
+    corr = 0
+    matched = 0
+    for (h, a), (nb, sb) in B.items():
+        if a == pi[h]:
+            npi, spi = A[(h, pi[h])]
+            corr += ((sb * npi - nb * spi) * 1000 * n_h[h]) // (npi * nb)
+            matched += nb
+    assert row["n_eval_rounds"] == n_eval
+    assert abs(row["dm_value_dollars"] - round(dm / (100000.0 * n_eval), 6)) < 1e-9
+    assert (
+        abs(row["dr_value_dollars"] - round((dm + corr) / (100000.0 * n_eval), 6))
+        < 1e-9
+    )
+    assert abs(row["match_rate"] - round(matched / n_eval, 6)) < 1e-9
+    # in-sample degeneracy: with Q fitted on the SAME cells it
+    # corrects, every matched-cell numerator s*n - n*s vanishes and
+    # DR collapses to DM — the degeneracy the fold split avoids
+    in_sample_corr = sum(
+        ((sb * nb - nb * sb) * 1000 * n_h[h]) // (nb * nb)
+        for (h, a), (nb, sb) in B.items()
+        if a == pi[h]
+    )
+    assert in_sample_corr == 0
