@@ -7264,3 +7264,170 @@ def dr_policy_eval_crossfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Benjamini-Hochberg step-up ladder: two-sided |z| thresholds for
+# p_(i) <= i*q/m at q = 0.10, m = 25 nations — inverse-normal values
+# baked as shared literals (the engines have no erf^-1; the Benford/
+# critical-value discipline), computed once with
+# statistics.NormalDist().inv_cdf(1 - (i*q/m)/2).
+BH_Q_PCT = 10
+BH_M = 25
+BH_Z_LADDER = (
+    2.878162, 2.65207, 2.512144, 2.408916, 2.326348, 2.257129,
+    2.197286, 2.144411, 2.096927, 2.053749, 2.014091, 1.977368,
+    1.943134, 1.911036, 1.880794, 1.85218, 1.825007, 1.799118,
+    1.774382, 1.750686, 1.727934, 1.706043, 1.684941, 1.664563,
+    1.644854,
+)
+_BH_VALUES = ", ".join(f"({i + 1}, {z})" for i, z in enumerate(BH_Z_LADDER))
+
+
+@register(
+    "bh_fdr_nation_tests",
+    oracle=f"""
+    WITH moments AS (
+      SELECT n.n_name AS nation,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  THEN 1 ELSE 0 END AS era,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                      * CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ss
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT a.nation,
+             abs(a.s * 1.0 / a.n - b.s * 1.0 / b.n)
+               / sqrt((a.ss * 1.0 / a.n - (a.s * 1.0 / a.n) * (a.s * 1.0 / a.n))
+                        / a.n
+                      + (b.ss * 1.0 / b.n - (b.s * 1.0 / b.n) * (b.s * 1.0 / b.n))
+                        / b.n) AS abs_z
+      FROM moments a JOIN moments b ON a.nation = b.nation
+      WHERE a.era = 1 AND b.era = 0
+    ),
+    ladder(rk, z_thr) AS (VALUES {_BH_VALUES}),
+    ranked AS (
+      SELECT nation, abs_z,
+             CAST(row_number() OVER (ORDER BY abs_z DESC, nation)
+                  AS BIGINT) AS rk
+      FROM z
+    ),
+    cut AS (
+      SELECT coalesce(max(r.rk), 0) AS k_max
+      FROM ranked r JOIN ladder l ON l.rk = r.rk
+      WHERE r.abs_z >= CAST(l.z_thr AS DOUBLE)
+    )
+    SELECT r.nation, round(r.abs_z, 6) AS abs_z, r.rk AS rank,
+           CAST(l.z_thr AS DOUBLE) AS z_threshold,
+           CAST(r.rk <= (SELECT k_max FROM cut) AS INT) AS rejected
+    FROM ranked r JOIN ladder l ON l.rk = r.rk
+    ORDER BY r.rk
+    """,
+)
+def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg (1995) false-discovery-rate control over the
+    25 per-nation 'did mean order value shift 1995->1996' two-sample
+    z tests — the multiple-testing discipline every per-segment
+    screening query needs: testing 25 segments at alpha=5% expects a
+    false positive; BH's step-up rule (reject all tests ranked at or
+    below the LARGEST i with p_(i) <= i*q/m) bounds the expected
+    false-discovery share at q=10% instead.
+
+    The engines have no inverse normal CDF, so the p-value comparison
+    runs in z space against a 25-literal threshold ladder baked from
+    statistics.NormalDist (the Benford shared-literal discipline) —
+    p_(i) <= i*q/m  <=>  |z|_(i) >= z_thr(i) exactly, and the step-up
+    cut k_max = max qualifying rank is an integer comparison. Welch z
+    per nation assembles from exact BIGINT cents moment sums; sqrt is
+    IEEE-correctly-rounded so both engines produce identical doubles.
+
+    Scale shape: one date-pruned fact scan (broadcast dim joins) ->
+    25x2 moment cells; ranking, ladder join, and the step-up cut all
+    run on <=25-row tables."""
+    t = load(spark, sf_dir)
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    moments = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            (
+                F.col("o_orderdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            ).cast("int").alias("era"),
+            cents.alias("r"),
+        )
+        .groupBy("nation", "era")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r").cast("long").alias("s"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("ss"),
+        )
+    )
+    a = moments.filter(F.col("era") == 1).select(
+        "nation", F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = moments.filter(F.col("era") == 0).select(
+        F.col("nation").alias("nation_b"), F.col("n").alias("n0"),
+        F.col("s").alias("s0"), F.col("ss").alias("ss0"),
+    )
+    m1 = F.col("s1") * 1.0 / F.col("n1")
+    m0 = F.col("s0") * 1.0 / F.col("n0")
+    v1 = F.col("ss1") * 1.0 / F.col("n1") - m1 * m1
+    v0 = F.col("ss0") * 1.0 / F.col("n0") - m0 * m0
+    z = a.join(b, F.col("nation") == F.col("nation_b")).select(
+        "nation",
+        (F.abs(m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / F.col("n0"))).alias(
+            "abs_z"
+        ),
+    )
+    ranked = z.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("abs_z").desc(), "nation")).cast("long")
+    )
+    ladder = (
+        t.orders.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i + 1).cast("long").alias("rank"),
+                            F.lit(zt).alias("z_threshold"),
+                        )
+                        for i, zt in enumerate(BH_Z_LADDER)
+                    ]
+                )
+            ).alias("l")
+        )
+        .select("l.rank", "l.z_threshold")
+    )
+    joined = ranked.join(F.broadcast(ladder), "rank")
+    cut = joined.filter(F.col("abs_z") >= F.col("z_threshold")).agg(
+        F.coalesce(F.max("rank"), F.lit(0)).cast("long").alias("k_max")
+    )
+    return (
+        joined.crossJoin(F.broadcast(cut))
+        .select(
+            "nation",
+            F.round("abs_z", 6).alias("abs_z"),
+            "rank",
+            "z_threshold",
+            (F.col("rank") <= F.col("k_max")).cast("int").alias("rejected"),
+        )
+        .orderBy("rank")
+    )

@@ -1536,3 +1536,29 @@ def test_dr_policy_eval_crossfit_replay(spark):
         if a == pi[h]
     )
     assert in_sample_corr == 0
+
+
+def test_bh_fdr_stepup_properties(spark):
+    """BH structure: the threshold ladder strictly decreases with
+    rank, the rejection set is exactly the prefix 1..k_max, and k_max
+    replays correctly from the emitted (abs_z, threshold) pairs."""
+    from data_warehouse_data_mining_spark.operators.mining import (
+        BH_Z_LADDER,
+        bh_fdr_nation_tests,
+    )
+    from .conftest import SF_MEDIUM
+
+    rows = bh_fdr_nation_tests(spark, SF_MEDIUM).collect()
+    assert len(rows) == 25
+    assert [r["rank"] for r in rows] == list(range(1, 26))
+    thr = [r["z_threshold"] for r in rows]
+    assert thr == sorted(thr, reverse=True)
+    assert thr == list(BH_Z_LADDER)
+    zs = [r["abs_z"] for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    k_max = max((r["rank"] for r in rows if r["abs_z"] >= r["z_threshold"]), default=0)
+    for r in rows:
+        assert r["rejected"] == (1 if r["rank"] <= k_max else 0)
+    # step-up can reject tests whose own |z| is below their threshold
+    # (that's the point) but every rejected test has rank <= k_max
+    assert sum(r["rejected"] for r in rows) == k_max
