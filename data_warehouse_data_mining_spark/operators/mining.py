@@ -7431,3 +7431,181 @@ def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+MSPRT_TAU_SQ = 100.0  # mixture prior variance, dollars^2 (tuning const)
+MSPRT_LN_INV_ALPHA_MICRO = 2995732  # floor(ln(1/0.05)*1e6): alpha = 5%
+
+
+@register(
+    "msprt_always_valid_monitor",
+    oracle=f"""
+    WITH panel AS (
+      SELECT EXTRACT(month FROM o_orderdate) AS m,
+             CASE WHEN md5(CAST(o_custkey AS VARCHAR)) < '8'
+                  THEN 0 ELSE 1 END AS arm,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS r
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    monthly AS (
+      SELECT m, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s,
+             CAST(sum(r * r) AS BIGINT) AS ss
+      FROM panel GROUP BY m, arm
+    ),
+    looks AS (
+      SELECT m, arm,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(s) OVER w AS BIGINT) AS cs,
+             CAST(sum(ss) OVER w AS BIGINT) AS css
+      FROM monthly
+      WINDOW w AS (PARTITION BY arm ORDER BY m ROWS UNBOUNDED PRECEDING)
+    ),
+    wide AS (
+      SELECT a.m, a.cn AS n_a, b.cn AS n_b,
+             a.cs * 1.0 / (100 * a.cn) AS mean_a,
+             b.cs * 1.0 / (100 * b.cn) AS mean_b,
+             ((a.css + b.css) * 1.0 / (a.cn + b.cn)
+              - ((a.cs + b.cs) * 1.0 / (a.cn + b.cn))
+                * ((a.cs + b.cs) * 1.0 / (a.cn + b.cn))) / 10000.0 AS var_pool
+      FROM looks a JOIN looks b ON a.m = b.m AND a.arm = 0 AND b.arm = 1
+    ),
+    lam AS (
+      SELECT m, n_a, n_b, mean_b - mean_a AS diff,
+             var_pool * (1.0 / n_a + 1.0 / n_b) AS v_n
+      FROM wide
+    ),
+    scored AS (
+      SELECT m, n_a, n_b, diff,
+             CAST(floor((0.5 * ln(v_n / (v_n + {MSPRT_TAU_SQ}))
+                         + diff * diff * {MSPRT_TAU_SQ}
+                           / (2 * v_n * (v_n + {MSPRT_TAU_SQ})))
+                        * 1000000 + 1e-3) AS BIGINT) AS ln_lambda_micro
+      FROM lam
+    ),
+    walked AS (
+      SELECT m, n_a, n_b, diff, ln_lambda_micro,
+             CAST(max(ln_lambda_micro) OVER (ORDER BY m ROWS UNBOUNDED
+                  PRECEDING) AS BIGINT) AS ln_lambda_max_micro
+      FROM scored
+    )
+    SELECT m AS month, n_a, n_b, round(diff, 4) AS diff_dollars,
+           ln_lambda_micro, ln_lambda_max_micro,
+           CAST(floor(least(1000000.0,
+                exp(-ln_lambda_max_micro / 1000000.0) * 1000000) + 1e-3)
+                AS BIGINT) AS always_valid_p_micro,
+           CAST(ln_lambda_max_micro >= {MSPRT_LN_INV_ALPHA_MICRO} AS INT)
+             AS reject_5pct
+    FROM walked ORDER BY m
+    """,
+)
+def msprt_always_valid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring via the mixture SPRT
+    (Robbins 1970; Johari, Koomen, Pekelis & Walsh 2017/2022 — the
+    'peeking problem' solution deployed industry-wide): at every
+    monthly look over 1996, the two-sample normal-mixture likelihood
+    ratio Lambda_n = sqrt(V_n/(V_n+tau^2)) * exp(d^2 tau^2 /
+    (2 V_n (V_n+tau^2))) with V_n = var_pool*(1/n_A+1/n_B); the
+    always-valid p-value min(1, 1/max_looks Lambda) is monotone
+    non-increasing, so ANY stopping rule keeps the 5% guarantee —
+    unlike the fixed-horizon z test ab_interim_monitoring protects
+    with pre-committed O'Brien-Fleming looks.
+
+    Determinism: cumulative moments are exact BIGINT cents windows per
+    arm; V_n and d are identical-double expressions of those integers;
+    the single ln/exp per look lands behind the floor(x*1e6 + 1e-3)
+    micro-unit guard (the woe/hurst fixed-point discipline) so a
+    last-ulp libm difference cannot move any output; the rejection
+    rule compares BIGINT micro-units to the baked ln(1/alpha) literal.
+    Scale: one date-pruned fact scan -> 12x2 monthly cells; all
+    windows run over that bounded table."""
+    o = load(spark, sf_dir).orders
+    panel = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select(
+        F.month("o_orderdate").alias("m"),
+        F.when(
+            F.md5(F.col("o_custkey").cast("string")) < "8", 0
+        ).otherwise(1).alias("arm"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("r"),
+    )
+    monthly = panel.groupBy("m", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("ss"),
+    )
+    wc = W.partitionBy("arm").orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    looks = monthly.select(
+        "m",
+        "arm",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("s").over(wc).cast("long").alias("cs"),
+        F.sum("ss").over(wc).cast("long").alias("css"),
+    )
+    a = looks.filter(F.col("arm") == 0).select(
+        "m", F.col("cn").alias("n_a"), F.col("cs").alias("cs_a"),
+        F.col("css").alias("css_a"),
+    )
+    b = looks.filter(F.col("arm") == 1).select(
+        F.col("m").alias("m_b"), F.col("cn").alias("n_b"),
+        F.col("cs").alias("cs_b"), F.col("css").alias("css_b"),
+    )
+    tau = MSPRT_TAU_SQ
+    pooled_mean = (F.col("cs_a") + F.col("cs_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    var_pool = (
+        (F.col("css_a") + F.col("css_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+        - pooled_mean * pooled_mean
+    ) / 10000.0
+    diff = (
+        F.col("cs_b") * 1.0 / (100 * F.col("n_b"))
+        - F.col("cs_a") * 1.0 / (100 * F.col("n_a"))
+    )
+    v_n = var_pool * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    lam = a.join(b, F.col("m") == F.col("m_b")).select(
+        "m", "n_a", "n_b", diff.alias("diff"), v_n.alias("v_n")
+    )
+    scored = lam.select(
+        "m",
+        "n_a",
+        "n_b",
+        "diff",
+        F.floor(
+            (
+                0.5 * F.log(F.col("v_n") / (F.col("v_n") + tau))
+                + F.col("diff")
+                * F.col("diff")
+                * tau
+                / (2 * F.col("v_n") * (F.col("v_n") + tau))
+            )
+            * 1_000_000
+            + 1e-3
+        ).cast("long").alias("ln_lambda_micro"),
+    )
+    wm = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    walked = scored.withColumn(
+        "ln_lambda_max_micro",
+        F.max("ln_lambda_micro").over(wm).cast("long"),
+    )
+    return walked.select(
+        F.col("m").alias("month"),
+        "n_a",
+        "n_b",
+        F.round("diff", 4).alias("diff_dollars"),
+        "ln_lambda_micro",
+        "ln_lambda_max_micro",
+        F.floor(
+            F.least(
+                F.lit(1000000.0),
+                F.exp(-F.col("ln_lambda_max_micro") / 1000000.0) * 1000000,
+            )
+            + 1e-3
+        ).cast("long").alias("always_valid_p_micro"),
+        (F.col("ln_lambda_max_micro") >= MSPRT_LN_INV_ALPHA_MICRO)
+        .cast("int")
+        .alias("reject_5pct"),
+    ).orderBy("month")

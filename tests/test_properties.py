@@ -1562,3 +1562,36 @@ def test_bh_fdr_stepup_properties(spark):
     # step-up can reject tests whose own |z| is below their threshold
     # (that's the point) but every rejected test has rank <= k_max
     assert sum(r["rejected"] for r in rows) == k_max
+
+
+def test_msprt_always_valid_properties(spark):
+    """The running-max ln(Lambda) is non-decreasing (so the always-
+    valid p is non-increasing), p_micro = exp(-max) within the micro
+    guard, and the rejection flag replays from the baked ln(1/alpha)
+    literal."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        MSPRT_LN_INV_ALPHA_MICRO,
+        msprt_always_valid_monitor,
+    )
+    from .conftest import SF_MEDIUM
+
+    rows = msprt_always_valid_monitor(spark, SF_MEDIUM).collect()
+    assert [r["month"] for r in rows] == list(range(1, 13))
+    maxes = [r["ln_lambda_max_micro"] for r in rows]
+    assert maxes == sorted(maxes)
+    ps = [r["always_valid_p_micro"] for r in rows]
+    assert ps == sorted(ps, reverse=True)
+    run = None
+    for r in rows:
+        run = r["ln_lambda_micro"] if run is None else max(run, r["ln_lambda_micro"])
+        assert r["ln_lambda_max_micro"] == run
+        expect_p = math.floor(
+            min(1e6, math.exp(-run / 1e6) * 1e6) + 1e-3
+        )
+        assert abs(r["always_valid_p_micro"] - expect_p) <= 1
+        assert r["reject_5pct"] == (1 if run >= MSPRT_LN_INV_ALPHA_MICRO else 0)
+        # arms accumulate monotonically
+    ns = [(r["n_a"], r["n_b"]) for r in rows]
+    assert ns == sorted(ns)
