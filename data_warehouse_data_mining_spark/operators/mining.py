@@ -7609,3 +7609,110 @@ def msprt_always_valid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("reject_5pct"),
     ).orderBy("month")
+
+
+# (z_{alpha/2} + z_beta)^2 for alpha=5% two-sided, power=80% — the
+# standard 7.849 design constant, baked from statistics.NormalDist
+# literals 1.959964 + 0.841621 (the engines have no inverse CDF)
+PWR_Z_SUM = 1.959964 + 0.841621
+PWR_MDE_PCTS = (1, 2, 5)
+
+
+@register(
+    "sample_size_power_analysis",
+    oracle=f"""
+    WITH pilot AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_pilot,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                      * CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ss
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    mdes(mde_pct) AS (VALUES {", ".join(f"({p})" for p in PWR_MDE_PCTS)}),
+    scored AS (
+      SELECT nation, mde_pct, n_pilot,
+             s * 1.0 / (100 * n_pilot) AS mean_dollars,
+             (ss * 1.0 / n_pilot - (s * 1.0 / n_pilot) * (s * 1.0 / n_pilot))
+               / 10000.0 AS var_dollars,
+             (s * 1.0 / (100 * n_pilot)) * mde_pct / 100.0 AS delta
+      FROM pilot CROSS JOIN mdes
+    )
+    SELECT nation, mde_pct, n_pilot,
+           round(mean_dollars, 4) AS baseline_mean_dollars,
+           round(sqrt(var_dollars), 4) AS sigma_dollars,
+           CAST(ceil(2 * var_dollars * {PWR_Z_SUM} * {PWR_Z_SUM}
+                     / (delta * delta)) AS BIGINT) AS n_per_arm
+    FROM scored
+    ORDER BY nation, mde_pct
+    """,
+)
+def sample_size_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment design: required per-arm sample size
+    n = 2 sigma^2 (z_a/2 + z_b)^2 / Delta^2 (the classic two-sample
+    normal power formula at 5%/80%) for each nation and each relative
+    MDE in {1%, 2%, 5%} of that nation's baseline mean order value,
+    with variance estimated from the 1995 pilot year — the step that
+    comes BEFORE ab_test_conversion / msprt_always_valid_monitor /
+    ab_interim_monitoring in the experimentation toolkit (design ->
+    monitor -> analyze -> bh_fdr correct).
+
+    Determinism: pilot moments are exact BIGINT cents; mean, variance,
+    Delta, and the n formula are identical-double expressions of those
+    integers with the (z_a/2+z_b)^2 design constant baked as shared
+    literals (no inverse CDF in either engine); sqrt is correctly
+    rounded and ceil acts on identical doubles. Scale: one date-pruned
+    fact scan with broadcast dims -> 25-row pilot table x 3 literals."""
+    t = load(spark, sf_dir)
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    pilot = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), cents.alias("r"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pilot"),
+            F.sum("r").cast("long").alias("s"),
+            F.sum(F.col("r") * F.col("r")).cast("long").alias("ss"),
+        )
+    )
+    mdes = F.explode(F.array(*[F.lit(p) for p in PWR_MDE_PCTS])).alias("mde_pct")
+    mean_d = F.col("s") * 1.0 / (100 * F.col("n_pilot"))
+    var_d = (
+        F.col("ss") * 1.0 / F.col("n_pilot")
+        - (F.col("s") * 1.0 / F.col("n_pilot"))
+        * (F.col("s") * 1.0 / F.col("n_pilot"))
+    ) / 10000.0
+    delta = mean_d * F.col("mde_pct") / 100.0
+    k = PWR_Z_SUM
+    return (
+        pilot.select("nation", "n_pilot", "s", "ss", mdes)
+        .select(
+            "nation",
+            "mde_pct",
+            "n_pilot",
+            F.round(mean_d, 4).alias("baseline_mean_dollars"),
+            F.round(F.sqrt(var_d), 4).alias("sigma_dollars"),
+            F.ceil(2 * var_d * k * k / (delta * delta))
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("nation", "mde_pct")
+    )

@@ -1595,3 +1595,35 @@ def test_msprt_always_valid_properties(spark):
         # arms accumulate monotonically
     ns = [(r["n_a"], r["n_b"]) for r in rows]
     assert ns == sorted(ns)
+
+
+def test_power_analysis_scaling_laws(spark):
+    """n scales inversely with MDE^2 (1% needs ~4x the 2% size, ~25x
+    the 5% size, exactly up to ceil), and the formula replays from the
+    emitted mean/sigma."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        PWR_Z_SUM,
+        sample_size_power_analysis,
+    )
+    from .conftest import SF_MEDIUM
+
+    rows = sample_size_power_analysis(spark, SF_MEDIUM).collect()
+    assert len(rows) == 75
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r["nation"], {})[r["mde_pct"]] = r
+    for nation, d in by_nation.items():
+        assert set(d) == {1, 2, 5}
+        n1, n2, n5 = d[1]["n_per_arm"], d[2]["n_per_arm"], d[5]["n_per_arm"]
+        assert n1 > n2 > n5 > 0
+        # inverse-square law up to ceil rounding
+        assert abs(n1 - 4 * n2) <= 4
+        assert abs(n1 - 25 * n5) <= 25
+        r = d[2]
+        sigma, mean = r["sigma_dollars"], r["baseline_mean_dollars"]
+        delta = mean * 0.02
+        expect = math.ceil(2 * sigma * sigma * PWR_Z_SUM**2 / delta**2)
+        # 4-dp rounding of sigma/mean vs exact internal values
+        assert abs(r["n_per_arm"] - expect) / expect < 0.01
