@@ -2620,3 +2620,143 @@ def grid_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "n_within_r", F.round("lof", 6).alias("lof"))
         .orderBy(F.col("lof").desc(), "vec_id")
     )
+
+
+JL_K = 16  # projected dimensionality
+JL_D = 64  # source embedding dimensionality
+JL_PAIR_IDS = 30  # audit pairs drawn from vec_id < 30 -> 435 pairs
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 projection matrix from md5 nibble parity —
+    baked as plan literals in BOTH engines (the _pq_codebooks
+    fit-once-literal pattern, except this 'fit' is pure hashing)."""
+    import hashlib
+
+    out = []
+    for j in range(JL_K):
+        row = []
+        for d in range(JL_D):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "02468ace" else -1.0)
+        out.append(row)
+    return out
+
+
+_JL_SIGNS = _jl_signs()
+_JL_SIGNS_SQL = ", ".join(
+    "({}, [{}]::DOUBLE[])".format(j, ", ".join(str(s) for s in row))
+    for j, row in enumerate(_JL_SIGNS)
+)
+
+
+@register(
+    "jl_projection_distortion_audit",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    signs(j, sv) AS (VALUES {{signs}}),
+    sample AS (SELECT vec_id, v FROM e WHERE vec_id < {JL_PAIR_IDS}),
+    proj AS (
+      SELECT vec_id, list(ip ORDER BY j) AS pv
+      FROM (
+        SELECT s.vec_id, g.j, list_inner_product(s.v, g.sv) AS ip
+        FROM sample s CROSS JOIN signs g
+      ) GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, b.v)
+               + list_inner_product(b.v, b.v) AS d2_orig,
+             list_inner_product(pa.pv, pa.pv)
+               - 2 * list_inner_product(pa.pv, pb.pv)
+               + list_inner_product(pb.pv, pb.pv) AS d2_proj
+      FROM sample a
+      JOIN sample b ON a.vec_id < b.vec_id
+      JOIN proj pa ON pa.vec_id = a.vec_id
+      JOIN proj pb ON pb.vec_id = b.vec_id
+    ),
+    micro AS (
+      SELECT CAST(floor(d2_proj / ({JL_K} * d2_orig) * 1000000 + 1e-3)
+                  AS BIGINT) AS m
+      FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {JL_K} AS k_dims, {JL_D} AS d_dims,
+           round(sum(m) * 1.0 / count(*) / 1000000, 6) AS mean_distortion,
+           CAST(min(m) AS BIGINT) AS min_distortion_micro,
+           CAST(max(m) AS BIGINT) AS max_distortion_micro,
+           round(sum(CASE WHEN m BETWEEN 700000 AND 1300000
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS share_within_30pct
+    FROM micro
+    """.replace("{signs}", _JL_SIGNS_SQL),
+)
+def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a ±1
+    (Achlioptas 2003) matrix baked from md5 nibble parity, audited on
+    the 435 pairs among vec_id < 30: E[||Px-Py||^2 / k] = ||x-y||^2,
+    so distortion = d2_proj/(k*d2_orig) concentrates around 1 — the
+    cheap-dimension-reduction step that sits in front of LSH/IVF when
+    64-d is still too wide to shuffle at corpus scale (projection is
+    ONE map-side pass of k fused zip_with/aggregate folds per vector;
+    nothing about the corpus shuffles).
+
+    Cross-engine determinism: both engines evaluate left-to-right
+    inner-product folds over identical literals, and every distance
+    uses the SAME ||a||^2 - 2ab + ||b||^2 expansion in both plans (a
+    fold over (x-y)^2 would associate differently from DuckDB's
+    list_inner_product); per-pair distortions floor to 1e-6 fixed
+    point before any cross-pair aggregation, so sums are BIGINT.
+    Scale: the audit joins are over the 30-row sample; the projection
+    itself is corpus-linear map-only work."""
+    e = _corpus(spark, sf_dir)
+    sample = e.filter(F.col("id") < JL_PAIR_IDS).select("id", "v")
+    proj = sample.select(
+        "id",
+        F.array(
+            *[
+                V.dot(F.col("v"), F.array(*[F.lit(s) for s in row]))
+                for row in _JL_SIGNS
+            ]
+        ).alias("pv"),
+    )
+    a = sample.select(F.col("id").alias("id_a"), F.col("v").alias("va")).join(
+        proj.select(F.col("id").alias("id_a"), F.col("pv").alias("pa")), "id_a"
+    )
+    b = sample.select(F.col("id").alias("id_b"), F.col("v").alias("vb")).join(
+        proj.select(F.col("id").alias("id_b"), F.col("pv").alias("pb")), "id_b"
+    )
+    d2_orig = (
+        V.dot(F.col("va"), F.col("va"))
+        - 2 * V.dot(F.col("va"), F.col("vb"))
+        + V.dot(F.col("vb"), F.col("vb"))
+    )
+    d2_proj = (
+        V.dot(F.col("pa"), F.col("pa"))
+        - 2 * V.dot(F.col("pa"), F.col("pb"))
+        + V.dot(F.col("pb"), F.col("pb"))
+    )
+    micro = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.floor(d2_proj / (JL_K * d2_orig) * 1_000_000 + 1e-3)
+            .cast("long")
+            .alias("m")
+        )
+    )
+    return micro.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.lit(JL_K).alias("k_dims"),
+        F.lit(JL_D).alias("d_dims"),
+        F.round(F.sum("m") * 1.0 / F.count(F.lit(1)) / 1_000_000, 6).alias(
+            "mean_distortion"
+        ),
+        F.min("m").cast("long").alias("min_distortion_micro"),
+        F.max("m").cast("long").alias("max_distortion_micro"),
+        F.round(
+            F.sum(F.col("m").between(700000, 1300000).cast("int"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("share_within_30pct"),
+    )

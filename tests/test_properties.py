@@ -1627,3 +1627,49 @@ def test_power_analysis_scaling_laws(spark):
         expect = math.ceil(2 * sigma * sigma * PWR_Z_SUM**2 / delta**2)
         # 4-dp rounding of sigma/mean vs exact internal values
         assert abs(r["n_per_arm"] - expect) / expect < 0.01
+
+
+def test_jl_projection_replay(spark):
+    """Numpy replay of the baked ±1 projection and the expansion-form
+    distances reproduces every emitted statistic (within the fixed-
+    point guard), and distortion concentrates in a sane band."""
+    import math
+
+    import numpy as np
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.functions import vectors as V  # noqa: F401
+    from data_warehouse_data_mining_spark.operators.similarity import (
+        _JL_SIGNS,
+        JL_K,
+        JL_PAIR_IDS,
+        jl_projection_distortion_audit,
+    )
+    from .conftest import SF_SMALL
+
+    row = jl_projection_distortion_audit(spark, SF_SMALL).collect()[0]
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, SF_SMALL)
+        .embeddings.filter(f"vec_id < {JL_PAIR_IDS}")
+        .collect()
+    }
+    S = np.array(_JL_SIGNS)
+    micro = []
+    ids = sorted(vecs)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            va, vb = vecs[ia], vecs[ib]
+            pa, pb = S @ va, S @ vb
+            d2o = va @ va - 2 * (va @ vb) + vb @ vb
+            d2p = pa @ pa - 2 * (pa @ pb) + pb @ pb
+            micro.append(math.floor(d2p / (JL_K * d2o) * 1e6 + 1e-3))
+    assert row["n_pairs"] == len(micro)
+    # numpy dot associates differently from the left-to-right fold, so
+    # allow the fixed-point cell to move by a few micro units
+    assert abs(row["min_distortion_micro"] - min(micro)) <= 5
+    assert abs(row["max_distortion_micro"] - max(micro)) <= 5
+    assert abs(row["mean_distortion"] - sum(micro) / len(micro) / 1e6) < 1e-4
+    assert row["min_distortion_micro"] > 0
+    assert 0.5 < row["mean_distortion"] < 1.5
+    assert 0 < row["share_within_30pct"] <= 1
