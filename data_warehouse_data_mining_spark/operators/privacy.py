@@ -18,7 +18,7 @@ identically, so the oracles mirror byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -616,4 +616,100 @@ def randomized_response_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pi_hat, 6).alias("pi_hat"),
         F.round(F.abs(pi_hat - pi_true), 6).alias("abs_error"),
         F.round(F.log(F.lit(RR_P / (1 - RR_P))), 6).alias("epsilon"),
+    )
+
+
+DPU_CAP = 3               # per-user contribution bound C
+DPU_EPSILON = 0.5         # whole-release budget
+DPU_SCALE = DPU_CAP / DPU_EPSILON  # Laplace b = C/eps: L1 sensitivity is C
+
+
+@register(
+    "dp_user_bounded_event_counts",
+    oracle=f"""
+    WITH capped AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn <= {DPU_CAP}
+    ),
+    raw AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS raw_n
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS capped_n
+      FROM capped GROUP BY 1
+    ),
+    h AS (
+      SELECT r.event_type, r.raw_n, g.capped_n,
+             md5('dpu|' || r.event_type) AS m
+      FROM raw r JOIN g ON g.event_type = r.event_type
+    ),
+    v AS (
+      SELECT event_type, raw_n, capped_n,
+             ({_DP_HEXWORD_SQL} + 0.5) / 4294967296.0 - 0.5 AS c
+      FROM h
+    )
+    SELECT event_type, raw_n, capped_n,
+           CAST({DPU_EPSILON} AS DOUBLE) AS epsilon,
+           {DPU_CAP} AS sensitivity,
+           CAST(capped_n * 1000000 + CAST(floor(
+               (-{DPU_SCALE} * sign(c) * ln(1 - 2 * abs(c))) * 1000000 + 1e-3
+             ) AS BIGINT) AS BIGINT) AS released_count_micro
+    FROM v ORDER BY event_type
+    """,
+)
+def dp_user_bounded_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level differentially-private event-type histogram with
+    contribution bounding — the accounting detail event-level DP
+    (dp_noisy_group_counts' adjacency: one ROW) silently skips: one
+    user emits many events, so removing a user changes raw counts by
+    an unbounded amount and no finite Laplace scale is private. The
+    standard fix (Wilson et al. 2020, 'Differentially Private SQL with
+    Bounded User Contribution') clips each user to their first
+    C={DPU_CAP} events (event-time order, event_id tie-break — a
+    deterministic per-user window), which bounds the L1 sensitivity of
+    the whole 5-type count vector at C, so ONE Laplace mechanism at
+    scale C/eps makes the entire release eps-DP under user-level
+    adjacency. Output shows raw vs capped counts (the clipping bias is
+    visible, not hidden) plus the released noisy counts.
+
+    Noise is the house seeded-deterministic Laplace (md5-dyadic
+    uniform through the inverse CDF, floored to micro units) so the
+    release is oracle-checkable; the single data-dependent ln sits
+    behind the fixed-point guard. Scale: the clip is one user_id
+    shuffle + bounded window; everything after runs on 5-row tables."""
+    e = load(spark, sf_dir).events
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.select("event_type", "user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= DPU_CAP)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("capped_n"))
+    )
+    raw = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("raw_n")
+    )
+    m = F.md5(F.concat(F.lit("dpu|"), F.col("event_type")))
+    b1 = F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint")
+    c = (b1.cast("double") + 0.5) / 4294967296.0 - 0.5
+    noise = -F.lit(float(DPU_SCALE)) * F.signum(c) * F.log(1.0 - 2.0 * F.abs(c))
+    noise_micro = F.floor(noise * 1_000_000 + 1e-3).cast("bigint")
+    return (
+        raw.join(capped, "event_type")
+        .select(
+            "event_type",
+            "raw_n",
+            "capped_n",
+            F.lit(float(DPU_EPSILON)).alias("epsilon"),
+            F.lit(DPU_CAP).alias("sensitivity"),
+            (F.col("capped_n") * 1_000_000 + noise_micro)
+            .cast("bigint")
+            .alias("released_count_micro"),
+        )
+        .orderBy("event_type")
     )

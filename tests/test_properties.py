@@ -1673,3 +1673,43 @@ def test_jl_projection_replay(spark):
     assert row["min_distortion_micro"] > 0
     assert 0.5 < row["mean_distortion"] < 1.5
     assert 0 < row["share_within_30pct"] <= 1
+
+
+def test_dp_user_bounding_properties(spark):
+    """The clip is real (capped <= raw, capped <= users*C total), the
+    clipped histogram replays from a per-user first-C selection in
+    Python, and noise replays from the seeded md5-dyadic Laplace."""
+    import hashlib
+    import math
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.privacy import (
+        DPU_CAP,
+        DPU_SCALE,
+        dp_user_bounded_event_counts,
+    )
+    from .conftest import SF_SMALL
+
+    rows = dp_user_bounded_event_counts(spark, SF_SMALL).collect()
+    ev = load(spark, SF_SMALL).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    capped_hist: dict = {}
+    for u, items in by_user.items():
+        items.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for r in items[:DPU_CAP]:
+            capped_hist[r["event_type"]] = capped_hist.get(r["event_type"], 0) + 1
+    n_users = len(by_user)
+    assert sum(capped_hist.values()) <= n_users * DPU_CAP
+    for r in rows:
+        assert r["capped_n"] == capped_hist.get(r["event_type"], 0)
+        assert r["capped_n"] <= r["raw_n"]
+        m = hashlib.md5(f"dpu|{r['event_type']}".encode()).hexdigest()
+        b1 = int(m[:8], 16)
+        c = (b1 + 0.5) / 4294967296.0 - 0.5
+        noise = -DPU_SCALE * math.copysign(1.0, c) * math.log(1 - 2 * abs(c))
+        noise_micro = math.floor(noise * 1e6 + 1e-3)
+        assert r["released_count_micro"] == r["capped_n"] * 1_000_000 + noise_micro
