@@ -828,3 +828,134 @@ def token_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("js_nats").desc(), "src_a", "src_b")
     )
+
+
+IPF_ROUNDS = 3  # full row+column scaling rounds (6 scalings)
+_IPF_PPM = 1_000_000
+
+
+def _ipf_oracle() -> str:
+    """Unrolled integer IPF CTE chain (the Spark builder's exact
+    mirror): alternate lang-marginal and source-marginal scalings in
+    parts-per-million BIGINT arithmetic."""
+    stages = []
+    prev = "w0"
+    for i in range(IPF_ROUNDS):
+        stages.append(
+            f"""l{i} AS (
+      SELECT lang, source, n,
+             (w * t_lang) // (sum(w) OVER (PARTITION BY lang)) AS w,
+             t_lang, t_source
+      FROM {prev}
+    )"""
+        )
+        stages.append(
+            f"""s{i} AS (
+      SELECT lang, source, n,
+             (w * t_source) // (sum(w) OVER (PARTITION BY source)) AS w,
+             t_lang, t_source
+      FROM l{i}
+    )"""
+        )
+        prev = f"s{i}"
+    return (
+        f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM cells
+    ),
+    w0 AS (
+      SELECT lang, source, n,
+             (n * {_IPF_PPM}) // total AS w,
+             {_IPF_PPM} // n_langs AS t_lang,
+             {_IPF_PPM} // n_sources AS t_source
+      FROM cells CROSS JOIN tot
+    ),
+    """
+        + ",\n    ".join(stages)
+        + f"""
+    SELECT lang, source, n AS n_docs, CAST(w AS BIGINT) AS weight_ppm,
+           CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT)
+             AS lang_total_ppm,
+           CAST(sum(w) OVER (PARTITION BY source) AS BIGINT)
+             AS source_total_ppm
+    FROM {prev}
+    ORDER BY lang, source
+    """
+    )
+
+
+@register("ipf_raking_weights", oracle=_ipf_oracle())
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan 1940;
+    the survey post-stratification standard) of the corpus mixture:
+    reweight the (lang, source) cell table so BOTH marginals match
+    uniform targets — the dataset-remixing step a training pipeline
+    runs when the crawl's language x source mix must hit a prescribed
+    recipe but per-cell ratios should move as little as possible (IPF
+    converges to the minimum-KL reweighting with matched marginals).
+    mixture_temperature_weights flattens ONE marginal; this calibrates
+    two jointly.
+
+    Entirely integer: weights live in parts-per-million BIGINTs and
+    each of the 6 unrolled scalings is one (w * target) div marginal_sum
+    per cell — no doubles anywhere, so both engines walk bit-identical
+    weight trajectories (floor-rounding included). After the final
+    source scaling the source marginals equal the target up to
+    cumulative floor loss (< #cells ppm) and lang marginals are within
+    IPF's round-3 convergence gap — both emitted for inspection.
+
+    Scale shape: one fact scan -> langs x sources cell table
+    (bounded); all six scalings are window sums over that table."""
+    d = load(spark, sf_dir).documents
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n",
+        F.expr(f"(n * {_IPF_PPM}) div total").alias("w"),
+        F.expr(f"{_IPF_PPM} div n_langs").alias("t_lang"),
+        F.expr(f"{_IPF_PPM} div n_sources").alias("t_source"),
+    )
+    for _ in range(IPF_ROUNDS):
+        w = (
+            w.withColumn("msum", F.sum("w").over(W.partitionBy("lang")))
+            .withColumn("w", F.expr("(w * t_lang) div msum").cast("long"))
+            .drop("msum")
+        )
+        w = (
+            w.withColumn("msum", F.sum("w").over(W.partitionBy("source")))
+            .withColumn("w", F.expr("(w * t_source) div msum").cast("long"))
+            .drop("msum")
+        )
+    return (
+        w.withColumn(
+            "lang_total_ppm", F.sum("w").over(W.partitionBy("lang")).cast("long")
+        )
+        .withColumn(
+            "source_total_ppm",
+            F.sum("w").over(W.partitionBy("source")).cast("long"),
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("w").cast("long").alias("weight_ppm"),
+            "lang_total_ppm",
+            "source_total_ppm",
+        )
+        .orderBy("lang", "source")
+    )

@@ -1713,3 +1713,46 @@ def test_dp_user_bounding_properties(spark):
         noise = -DPU_SCALE * math.copysign(1.0, c) * math.log(1 - 2 * abs(c))
         noise_micro = math.floor(noise * 1e6 + 1e-3)
         assert r["released_count_micro"] == r["capped_n"] * 1_000_000 + noise_micro
+
+
+def test_ipf_raking_convergence(spark):
+    """After the final source scaling, source marginals equal the
+    target exactly up to cumulative floor loss, lang marginals are
+    within IPF's convergence gap, weights are nonnegative, and a pure-
+    Python integer replay walks the identical trajectory."""
+    from data_warehouse_data_mining_spark.operators.curation import (
+        _IPF_PPM,
+        IPF_ROUNDS,
+        ipf_raking_weights,
+    )
+    from .conftest import SF_MEDIUM
+
+    rows = ipf_raking_weights(spark, SF_MEDIUM).collect()
+    langs = sorted({r["lang"] for r in rows})
+    sources = sorted({r["source"] for r in rows})
+    t_lang = _IPF_PPM // len(langs)
+    t_source = _IPF_PPM // len(sources)
+    # integer replay
+    w = {(r["lang"], r["source"]): None for r in rows}
+    n = {(r["lang"], r["source"]): r["n_docs"] for r in rows}
+    total = sum(n.values())
+    w = {k: (v * _IPF_PPM) // total for k, v in n.items()}
+    for _ in range(IPF_ROUNDS):
+        for dim, target in ((0, t_lang), (1, t_source)):
+            sums: dict = {}
+            for k, v in w.items():
+                sums[k[dim]] = sums.get(k[dim], 0) + v
+            w = {k: (v * target) // sums[k[dim]] for k, v in w.items()}
+    for r in rows:
+        assert r["weight_ppm"] == w[(r["lang"], r["source"])]
+        assert r["weight_ppm"] >= 0
+    for sname in sources:
+        got = sum(v for k, v in w.items() if k[1] == sname)
+        assert t_source - len(langs) <= got <= t_source
+        assert any(
+            r["source_total_ppm"] == got for r in rows if r["source"] == sname
+        )
+    for lname in langs:
+        got = sum(v for k, v in w.items() if k[0] == lname)
+        # round-3 convergence: within 1% of the lang target
+        assert abs(got - t_lang) < t_lang * 0.01
