@@ -2111,3 +2111,132 @@ def filter_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("filter_name")
+
+
+RAKE_TOP_K = 20
+
+
+@register(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w, CAST(ord AS BIGINT) AS pos,
+             CASE WHEN w IN {STOPWORDS!r} THEN 1 ELSE 0 END AS stop
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+      )
+    ),
+    runs AS (
+      SELECT doc_id, w, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM words WHERE stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM runs GROUP BY doc_id, island
+    ),
+    members AS (
+      SELECT r.w, p.plen
+      FROM runs r JOIN phrases p
+        ON p.doc_id = r.doc_id AND p.island = r.island
+    ),
+    wstats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM members GROUP BY w
+    ),
+    wscore AS (
+      SELECT w, (deg * 1000000) // freq AS score_micro FROM wstats
+    ),
+    pscore AS (
+      SELECT p.phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(any_value(ps.s) AS BIGINT) AS score_micro
+      FROM phrases p
+      JOIN (
+        SELECT p2.doc_id, p2.island, CAST(sum(ws.score_micro) AS BIGINT) AS s
+        FROM runs r2
+        JOIN phrases p2 ON p2.doc_id = r2.doc_id AND p2.island = r2.island
+        JOIN wscore ws ON ws.w = r2.w
+        GROUP BY p2.doc_id, p2.island
+      ) ps ON ps.doc_id = p.doc_id AND ps.island = p.island
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+                AS BIGINT) AS rank
+    FROM pscore
+    ORDER BY score_micro DESC, phrase LIMIT {RAKE_TOP_K}
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs (gaps-and-islands on word
+    position); each word scores degree/frequency where degree sums the
+    lengths of every phrase containing it; a phrase scores the sum of
+    its words' scores. The corpus-level top-{RAKE_TOP_K} distinct
+    phrases complement tfidf_top_terms (unigram, document-frequency
+    driven) with multi-word, co-occurrence-driven keys.
+
+    Exactness: word scores are single integer floor-divisions at 1e-6
+    fixed point ((deg*1e6) div freq) and phrase scores are BIGINT sums
+    of those — no doubles anywhere; equal phrase TEXT implies equal
+    score (scores are global word stats), so the distinct-phrase
+    rollup can take any_value. Ranking tie-breaks on the phrase.
+
+    Scale shape: one scan -> posexplode (map-only) -> one doc_id
+    shuffle for the island window -> phrase/word hash aggs (vocab- and
+    phrase-bounded); the top-k is a TakeOrderedAndProject."""
+    d = load(spark, sf_dir).documents
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).withColumn("stop", F.col("w").isin(*STOPWORDS).cast("int"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        words.filter(F.col("stop") == 0)
+        .withColumn("island", F.col("pos") - F.row_number().over(wdoc))
+        .select("doc_id", "w", "pos", "island")
+    )
+    phrases = runs.groupBy("doc_id", "island").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w"))).getField("w")).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    members = runs.join(phrases, ["doc_id", "island"]).select("w", "plen")
+    wscore = (
+        members.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("w", F.expr("(deg * 1000000) div freq").alias("score_micro"))
+    )
+    island_scores = (
+        runs.join(wscore, "w")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("score_micro").cast("long").alias("s"))
+    )
+    pscore = (
+        phrases.join(island_scores, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.expr("any_value(s)").cast("long").alias("score_micro"),
+        )
+    )
+    # rank AFTER the TakeOrderedAndProject cut: the row_number window
+    # then spans 20 rows, never the full distinct-phrase table
+    top = pscore.orderBy(F.col("score_micro").desc(), "phrase").limit(
+        RAKE_TOP_K
+    )
+    wrank = W.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        top.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .orderBy("rank")
+        .select("phrase", "n_occurrences", "score_micro", "rank")
+    )

@@ -1756,3 +1756,48 @@ def test_ipf_raking_convergence(spark):
         got = sum(v for k, v in w.items() if k[0] == lname)
         # round-3 convergence: within 1% of the lang target
         assert abs(got - t_lang) < t_lang * 0.01
+
+
+def test_rake_keyphrases_replay(spark):
+    """Pure-Python RAKE replay (stopword-split phrases, deg/freq word
+    scores at 1e-6 fixed point, integer phrase sums) reproduces the
+    emitted top-20 exactly."""
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.text import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        rake_keyphrases,
+    )
+    from .conftest import SF_SMALL
+
+    rows = rake_keyphrases(spark, SF_SMALL).collect()
+    docs = load(spark, SF_SMALL).documents.select("doc_id", "text").collect()
+    freq: dict = {}
+    deg: dict = {}
+    occurrences: dict = {}
+    phrase_words: dict = {}
+    for r in docs:
+        phrase: list = []
+        phrases_here = []
+        for w in r["text"].split(" ") + [STOPWORDS[0]]:
+            if w in STOPWORDS:
+                if phrase:
+                    phrases_here.append(tuple(phrase))
+                phrase = []
+            else:
+                phrase.append(w)
+        for p in phrases_here:
+            occurrences[" ".join(p)] = occurrences.get(" ".join(p), 0) + 1
+            phrase_words[" ".join(p)] = p
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(p)
+    wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    pscore = {
+        t: sum(wscore[w] for w in ws) for t, ws in phrase_words.items()
+    }
+    expect = sorted(pscore.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOP_K]
+    assert [(r["phrase"], r["score_micro"]) for r in rows] == expect
+    for r in rows:
+        assert r["n_occurrences"] == occurrences[r["phrase"]]
+    assert [r["rank"] for r in rows] == list(range(1, RAKE_TOP_K + 1))
