@@ -2737,7 +2737,9 @@ def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFram
         + V.dot(F.col("pb"), F.col("pb"))
     )
     micro = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        # broadcast the 30-row side: the inequality pair join then
+        # plans as BroadcastNestedLoopJoin, not a CartesianProduct
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             F.floor(d2_proj / (JL_K * d2_orig) * 1_000_000 + 1e-3)
             .cast("long")
