@@ -2240,3 +2240,163 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .select("phrase", "n_occurrences", "score_micro", "rank")
     )
+
+
+WAND_TOP_K = 10
+
+
+@register(
+    "wand_topk_pruning",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+    """
+    + ",\n".join(
+        f"         CAST(sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    + """
+      FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
+             CAST(count(*) AS BIGINT) AS n_docs,
+    """
+    + ",\n".join(
+        f"         CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    + """
+      FROM dl
+    ),
+    scored AS (
+      SELECT doc_id, """
+    + ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    + """,
+             """
+    + " + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)
+    + """ AS bm25,
+    """
+    + ",\n".join(
+        f"         {_bm25_term_sql(t)} AS c_{t}" for t in _BM25_TERMS
+    )
+    + """
+      FROM dl CROSS JOIN stats
+    ),
+    ubs AS (
+      SELECT """
+    + ", ".join(f"max(c_{t}) AS ub_{t}" for t in _BM25_TERMS)
+    + """
+      FROM scored
+    ),
+    theta AS (
+      SELECT min(bm25) AS theta FROM (
+        SELECT bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+      )
+    ),
+    cands AS (
+      SELECT s.doc_id, s.bm25,
+             """
+    + " + ".join(
+        f"(CASE WHEN s.tf_{t} > 0 THEN u.ub_{t} ELSE 0.0 END)"
+        for t in _BM25_TERMS
+    )
+    + """ AS ub_doc
+      FROM scored s CROSS JOIN ubs u
+    ),
+    topk AS (
+      SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM scored) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           round(count(*) * 1.0
+                 / (SELECT count(*) FROM scored), 6) AS candidate_frac,
+           round((SELECT theta FROM theta), 6) AS theta,
+           CAST((SELECT count(*) FROM topk tk
+                 JOIN cands c2 ON c2.doc_id = tk.doc_id
+                 WHERE c2.ub_doc >= (SELECT theta FROM theta))
+                = 10 AS INT) AS top10_all_candidates
+    FROM cands WHERE ub_doc >= (SELECT theta FROM theta)
+    """,
+)
+def wand_topk_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND / max-score candidate pruning (Broder et al. 2003; the
+    block-max refinement is Ding & Suel 2011) for the BM25 query
+    {join, hash, scan, filter}: each term carries its corpus-wide
+    maximum contribution UB(t); a document's score is bounded by the
+    sum of UB(t) over the query terms it CONTAINS, so any document
+    whose bound falls below the current k-th best score theta can be
+    skipped without scoring — the candidate fraction is the share of
+    the postings a top-k engine would actually evaluate. The safety
+    theorem (score <= bound, hence every true top-10 doc survives) is
+    emitted as top10_all_candidates and pinned structurally in tests.
+
+    Determinism: term contributions are the bm25_keyword_search
+    fixed-order expressions of exact integers (identical doubles both
+    engines); UBs are maxima of those; the doc bound sums <= 4 UBs in
+    one written order; theta is the min of the TakeOrdered top-10.
+    Scale: ONE corpus scan -> doc-sized pivot (query-term filter means
+    no vocabulary state); UBs and theta are 1-row broadcasts; at index
+    scale the bound test is the skip condition evaluated per posting
+    block, not a second pass."""
+    d = load(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).localCheckpoint(eager=True)
+    stats = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = dl.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        *[F.col(f"tf_{t}") for t in _BM25_TERMS],
+        F.expr(" + ".join(_bm25_term_sql(t) for t in _BM25_TERMS)).alias("bm25"),
+        *[F.expr(_bm25_term_sql(t)).alias(f"c_{t}") for t in _BM25_TERMS],
+    )
+    ubs = scored.agg(
+        *[F.max(f"c_{t}").alias(f"ub_{t}") for t in _BM25_TERMS]
+    )
+    top10 = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(WAND_TOP_K)
+    theta = top10.agg(F.min("bm25").alias("theta"))
+    ub_doc = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN ub_{t} ELSE 0.0D END)" for t in _BM25_TERMS
+    )
+    cands = (
+        scored.crossJoin(F.broadcast(ubs))
+        .crossJoin(F.broadcast(theta))
+        .withColumn("ub_doc", F.expr(ub_doc))
+        .filter(F.col("ub_doc") >= F.col("theta"))
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    top_in = (
+        top10.select("doc_id")
+        .join(cands.select("doc_id"), "doc_id", "left_semi")
+        .agg((F.count(F.lit(1)) == WAND_TOP_K).cast("int").alias("top10_all_candidates"))
+    )
+    return (
+        cands.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.round(F.first("theta"), 6).alias("theta"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(top_in))
+        .select(
+            "n_docs",
+            "n_candidates",
+            F.round(F.col("n_candidates") * 1.0 / F.col("n_docs"), 6).alias(
+                "candidate_frac"
+            ),
+            "theta",
+            "top10_all_candidates",
+        )
+    )

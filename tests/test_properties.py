@@ -1801,3 +1801,22 @@ def test_rake_keyphrases_replay(spark):
     for r in rows:
         assert r["n_occurrences"] == occurrences[r["phrase"]]
     assert [r["rank"] for r in rows] == list(range(1, RAKE_TOP_K + 1))
+
+
+def test_wand_pruning_safety(spark):
+    """The max-score bound is safe: every exact top-10 document
+    survives the prune (flag pinned 1), the candidate set is a strict
+    subset when any document misses a term, and theta is the 10th
+    exact score."""
+    from data_warehouse_data_mining_spark.operators.text import (
+        bm25_keyword_search,
+        wand_topk_pruning,
+    )
+    from .conftest import SF_SMALL
+
+    r = wand_topk_pruning(spark, SF_SMALL).collect()[0]
+    assert r["top10_all_candidates"] == 1
+    assert 0 < r["n_candidates"] <= r["n_docs"]
+    assert 0 < r["candidate_frac"] <= 1
+    top = bm25_keyword_search(spark, SF_SMALL).collect()
+    assert abs(r["theta"] - top[9]["bm25"]) < 1e-6
