@@ -7359,7 +7359,7 @@ def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        .join(t.customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -7400,7 +7400,7 @@ def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.row_number().over(W.orderBy(F.col("abs_z").desc(), "nation")).cast("long")
     )
     ladder = (
-        t.orders.sparkSession.range(1)
+        spark.range(1)
         .select(
             F.explode(
                 F.array(
@@ -7678,7 +7678,7 @@ def sample_size_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
         )
         .join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
