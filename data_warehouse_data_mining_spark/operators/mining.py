@@ -7716,3 +7716,211 @@ def sample_size_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "mde_pct")
     )
+
+
+
+
+UCB_ARMS = ("click", "error", "purchase", "signup", "view")
+UCB_MONTHS = 12
+# ln(t) baked to 9 dp — neither engine's libm ln is trusted at the ulp
+_UCB_LN = (
+    0.0, 0.693147181, 1.098612289, 1.386294361, 1.609437912,
+    1.791759469, 1.945910149, 2.079441542, 2.197224577, 2.302585093,
+    2.397895273, 2.48490665,
+)
+
+
+def _ucb_stage_exprs(t: int) -> tuple[str, list[str]]:
+    """Stage t of the unrolled UCB1 replay: the chosen-arm CASE (refers
+    only to stage t-1 state columns) and the update expressions (refer
+    only to stage t-1 state plus ch{t}). Keeping each stage a SEPARATE
+    projection layer is load-bearing: expressed as lateral aliases in
+    one projection, every stage inlines the full expression of every
+    prior stage and the tree grows exponentially (the first draft hung
+    both engines)."""
+    arms = UCB_ARMS
+    prev = t - 1
+    if t <= len(arms):
+        chosen = f"'{arms[t - 1]}' AS ch{t}"
+    else:
+        ln_t = _UCB_LN[t - 1]
+        idx = {
+            a: (
+                # the mean is an exact-in-double ratio floored to a
+                # BIGINT (shared text: DuckDB's // and Spark's div
+                # spell differently, floor(x/y) is engine-common)
+                f"(CAST(floor(s{prev}_{a} * 1.0 / n{prev}_{a}) AS BIGINT)"
+                f" + CAST(floor(sqrt(2 * {ln_t} / n{prev}_{a}) * 1000000)"
+                f" AS BIGINT))"
+            )
+            for a in arms
+        }
+        cases = []
+        for a in arms:  # ties: first arm in name order wins
+            cond = " AND ".join(f"{idx[a]} >= {idx[b]}" for b in arms if b != a)
+            cases.append(f"WHEN {cond} THEN '{a}'")
+        chosen = "CASE " + " ".join(cases) + f" END AS ch{t}"
+    updates = [
+        "CASE "
+        + " ".join(f"WHEN ch{t} = '{a}' THEN r{t}_{a}" for a in arms)
+        + f" END AS rw{t}"
+    ]
+    for a in arms:
+        base_n = "0" if t == 1 else f"n{prev}_{a}"
+        base_s = "0" if t == 1 else f"s{prev}_{a}"
+        updates.append(
+            f"{base_n} + CASE WHEN ch{t} = '{a}' THEN 1 ELSE 0 END AS n{t}_{a}"
+        )
+        updates.append(
+            f"{base_s} + CASE WHEN ch{t} = '{a}' THEN r{t}_{a} ELSE 0 END"
+            f" AS s{t}_{a}"
+        )
+    return chosen, updates
+
+
+def _ucb_best_case(t: int) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN best_arm = '{a}' THEN r{t}_{a}" for a in UCB_ARMS)
+        + " END"
+    )
+
+
+def _ucb_best_arm_sql() -> str:
+    tot = {
+        a: " + ".join(f"r{t}_{a}" for t in range(1, UCB_MONTHS + 1))
+        for a in UCB_ARMS
+    }
+    cases = []
+    for a in UCB_ARMS:
+        cond = " AND ".join(f"({tot[a]}) >= ({tot[b]})" for b in UCB_ARMS if b != a)
+        cases.append(f"WHEN {cond} THEN '{a}'")
+    return "CASE " + " ".join(cases) + " END AS best_arm"
+
+
+def _ucb_oracle() -> str:
+    """12x2 MATERIALIZED CTE stages — DuckDB must not inline them or
+    the same exponential blow-up returns."""
+    pivot_cols = ",\n".join(
+        f"        max(CASE WHEN m = {t} AND a = '{a}' THEN r_ppm END)"
+        f" AS r{t}_{a}"
+        for t in range(1, UCB_MONTHS + 1)
+        for a in UCB_ARMS
+    )
+    stages = []
+    prev = "pivoted"
+    for t in range(1, UCB_MONTHS + 1):
+        chosen, updates = _ucb_stage_exprs(t)
+        stages.append(
+            f"c{t} AS MATERIALIZED (SELECT *, {chosen} FROM {prev})"
+        )
+        stages.append(
+            f"u{t} AS MATERIALIZED (SELECT *, "
+            + ", ".join(updates)
+            + f" FROM c{t})"
+        )
+        prev = f"u{t}"
+    trace = ", ".join(
+        f"{{'month': {t}, 'chosen_arm': ch{t}, 'reward_ppm': rw{t}, "
+        f"'best_reward_ppm': " + _ucb_best_case(t) + "}"
+        for t in range(1, UCB_MONTHS + 1)
+    )
+    stages_sql = ",\n    ".join(stages)
+    return f"""
+    WITH cells AS (
+      SELECT EXTRACT(day FROM ts) AS m, event_type AS a,
+             (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              * 20) // CAST(count(*) AS BIGINT) AS r_ppm
+      FROM events WHERE EXTRACT(day FROM ts) <= {UCB_MONTHS}
+      GROUP BY 1, 2
+    ),
+    pivoted AS MATERIALIZED (
+      SELECT
+{pivot_cols}
+      FROM cells
+    ),
+    {stages_sql},
+    walk AS (SELECT *, {_ucb_best_arm_sql()} FROM {prev}),
+    trace AS (
+      SELECT unnest([{trace}], recursive := true) FROM walk
+    )
+    SELECT month AS day, chosen_arm,
+           CAST(reward_ppm AS BIGINT) AS reward_ppm,
+           CAST(sum(reward_ppm) OVER (ORDER BY month ROWS UNBOUNDED
+                PRECEDING) AS BIGINT) AS cum_reward_ppm,
+           CAST(sum(best_reward_ppm - reward_ppm) OVER (ORDER BY month
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_regret_ppm
+    FROM trace ORDER BY month
+    """
+
+
+@register("ucb1_bandit_replay", oracle=_ucb_oracle())
+def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit replay (Auer, Cesa-Bianchi & Fischer 2002) over the
+    logged event stream aggregated to 12 daily rounds x 5 action arms:
+    play each arm once, then at every round choose
+    argmax(mean + sqrt(2 ln t / n)) on [0,1]-normalized rewards
+    (value/500 in exact ppm integers) and earn that day's observed
+    cell mean; cumulative regret is reported against the hindsight-
+    best fixed arm. The ONLINE-learning complement to the offline
+    counterfactual trio (ips/dr/qini): those evaluate a FIXED policy
+    from logs, this replays an adaptive one.
+
+    Both engines evaluate the SAME generated stage expressions
+    (_ucb_stage_exprs) over the same pivoted 60-column row — state
+    stays in exact ppm BIGINTs, ln(t) is baked as 9-dp literals, and
+    the one sqrt per (arm, step) is correctly rounded then floored to
+    ppm before entering the integer index, so the walk's choice
+    sequence is bit-identical including ties (first arm in name order
+    wins). Each stage is a SEPARATE materialized layer — Spark
+    localCheckpoints the 1-row state every stage and DuckDB marks the
+    stage CTEs MATERIALIZED; inlined as lateral aliases the expression
+    tree grows exponentially (the first draft hung both engines).
+
+    Scale shape: one fact scan -> 60-cell hash agg -> one-row pivot;
+    the replay is O(arms x months) scalar work on that row."""
+    e = load(spark, sf_dir).events
+    cells = (
+        e.filter(F.dayofmonth("ts") <= UCB_MONTHS)
+        .select(
+            F.dayofmonth("ts").alias("m"),
+            F.col("event_type").alias("a"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
+        )
+        .groupBy("m", "a")
+        .agg(F.expr("(sum(r) * 20) div count(*)").cast("long").alias("r_ppm"))
+    )
+    state = cells.agg(
+        *[
+            F.max(
+                F.when((F.col("m") == t) & (F.col("a") == a), F.col("r_ppm"))
+            ).alias(f"r{t}_{a}")
+            for t in range(1, UCB_MONTHS + 1)
+            for a in UCB_ARMS
+        ]
+    ).localCheckpoint(eager=True)
+    for t in range(1, UCB_MONTHS + 1):
+        chosen, updates = _ucb_stage_exprs(t)
+        state = state.selectExpr("*", chosen).localCheckpoint(eager=True)
+        state = state.selectExpr("*", *updates).localCheckpoint(eager=True)
+    walk = state.selectExpr("*", _ucb_best_arm_sql())
+    trace_structs = ", ".join(
+        f"STRUCT({t} AS month, ch{t} AS chosen_arm, rw{t} AS reward_ppm, "
+        + _ucb_best_case(t)
+        + " AS best_reward_ppm)"
+        for t in range(1, UCB_MONTHS + 1)
+    )
+    trace = walk.select(
+        F.explode(F.expr(f"array({trace_structs})")).alias("s")
+    ).select("s.month", "s.chosen_arm", "s.reward_ppm", "s.best_reward_ppm")
+    wseq = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    return trace.select(
+        F.col("month").alias("day"),
+        "chosen_arm",
+        F.col("reward_ppm").cast("long").alias("reward_ppm"),
+        F.sum("reward_ppm").over(wseq).cast("long").alias("cum_reward_ppm"),
+        F.sum(F.col("best_reward_ppm") - F.col("reward_ppm"))
+        .over(wseq)
+        .cast("long")
+        .alias("cum_regret_ppm"),
+    ).orderBy("month")

@@ -1820,3 +1820,68 @@ def test_wand_pruning_safety(spark):
     assert 0 < r["candidate_frac"] <= 1
     top = bm25_keyword_search(spark, SF_SMALL).collect()
     assert abs(r["theta"] - top[9]["bm25"]) < 1e-6
+
+
+def test_ucb1_replay_matches_python(spark):
+    """Pure-Python UCB1 replay over the exact (day, arm) ppm reward
+    cells walks the identical choice sequence, rewards, and regret."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        _UCB_LN,
+        UCB_ARMS,
+        UCB_MONTHS,
+        ucb1_bandit_replay,
+    )
+    from .conftest import SF_SMALL
+
+    rows = ucb1_bandit_replay(spark, SF_SMALL).collect()
+    cells = (
+        load(spark, SF_SMALL)
+        .events.filter(F.dayofmonth("ts") <= UCB_MONTHS)
+        .select(
+            F.dayofmonth("ts").alias("m"),
+            F.col("event_type").alias("a"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
+        )
+        .groupBy("m", "a")
+        .agg(F.expr("(sum(r) * 20) div count(*)").alias("r_ppm"))
+        .collect()
+    )
+    r = {(c["m"], c["a"]): c["r_ppm"] for c in cells}
+    n = {a: 0 for a in UCB_ARMS}
+    s = {a: 0 for a in UCB_ARMS}
+    trace = []
+    for t in range(1, UCB_MONTHS + 1):
+        if t <= len(UCB_ARMS):
+            chosen = UCB_ARMS[t - 1]
+        else:
+            idx = {
+                a: s[a] // n[a]
+                + math.floor(math.sqrt(2 * _UCB_LN[t - 1] / n[a]) * 1e6)
+                for a in UCB_ARMS
+            }
+            best = max(idx.values())
+            chosen = next(a for a in UCB_ARMS if idx[a] == best)
+        rw = r[(t, chosen)]
+        n[chosen] += 1
+        s[chosen] += rw
+        trace.append((t, chosen, rw))
+    totals = {
+        a: sum(r[(t, a)] for t in range(1, UCB_MONTHS + 1)) for a in UCB_ARMS
+    }
+    best_total = max(totals.values())
+    best_arm = next(a for a in UCB_ARMS if totals[a] == best_total)
+    cum_rw = 0
+    cum_rg = 0
+    for row, (t, chosen, rw) in zip(rows, trace):
+        cum_rw += rw
+        cum_rg += r[(t, best_arm)] - rw
+        assert row["day"] == t
+        assert row["chosen_arm"] == chosen
+        assert row["reward_ppm"] == rw
+        assert row["cum_reward_ppm"] == cum_rw
+        assert row["cum_regret_ppm"] == cum_rg
