@@ -6782,10 +6782,12 @@ def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("a"),
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
     )
+    # stage the <=24x5-cell table: ctx/greedy/matched/tot would each
+    # re-scan events otherwise (plan-audit r10: 4 scans -> 1)
     cells = logged.groupBy("h", "a").agg(
         F.count(F.lit(1)).cast("long").alias("n_ah"),
         F.sum("r").cast("long").alias("sum_r"),
-    )
+    ).localCheckpoint(eager=True)
     ctx = cells.groupBy("h").agg(F.sum("n_ah").cast("long").alias("n_h"))
     wg = W.partitionBy("h").orderBy(
         (F.col("sum_r") * 1.0 / F.col("n_ah")).desc(), "a"
@@ -7072,6 +7074,8 @@ def stratified_att_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "treated",
         F.coalesce(F.col("y96"), F.lit(0)).alias("y"),
     )
+    # 3-row stratum table staged: the grand-total rollup would rerun
+    # the two fact scans + customer join otherwise
     cells = panel.groupBy("stratum").agg(
         F.sum("treated").cast("long").alias("n_t"),
         F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
@@ -7081,7 +7085,7 @@ def stratified_att_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
         .cast("long")
         .alias("sy_c"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cells.agg(F.sum("n_t").cast("long").alias("nt_all"))
     mt = F.col("sy_t") * 1.0 / (100 * F.col("n_t"))
     mc = F.col("sy_c") * 1.0 / (100 * F.col("n_c"))
@@ -7187,6 +7191,8 @@ def dr_policy_eval_crossfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("r"),
         (F.col("event_id") % 2).cast("int").alias("fold"),
     )
+    # both fold-cell tables are <=24x5 rows — staged so the policy,
+    # DM, correction, and totals don't each re-scan events
     a_cells = (
         logged.filter(F.col("fold") == 0)
         .groupBy("h", "a")
@@ -7194,6 +7200,7 @@ def dr_policy_eval_crossfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_a"),
             F.sum("r").cast("long").alias("s_a"),
         )
+        .localCheckpoint(eager=True)
     )
     wg = W.partitionBy("h").orderBy(
         (F.col("s_a") * 1.0 / F.col("n_a")).desc(), "a"
@@ -7215,6 +7222,7 @@ def dr_policy_eval_crossfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_b"),
             F.sum("r").cast("long").alias("s_b"),
         )
+        .localCheckpoint(eager=True)
     )
     b_ctx = b_cells.groupBy("h").agg(F.sum("n_b").cast("long").alias("n_h"))
     dm = (
@@ -7377,6 +7385,10 @@ def bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("long").alias("s"),
             F.sum(F.col("r") * F.col("r")).cast("long").alias("ss"),
         )
+        # 25x2-row moment table staged: the era branches, ladder join,
+        # and step-up cut drove 12 re-scans of the three-table join
+        # (plan-audit r10)
+        .localCheckpoint(eager=True)
     )
     a = moments.filter(F.col("era") == 1).select(
         "nation", F.col("n").alias("n1"), F.col("s").alias("s1"),
@@ -7532,11 +7544,13 @@ def msprt_always_valid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(1).alias("arm"),
         F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("r"),
     )
+    # 12x2-row monthly moments staged: the a/b arm branches would
+    # each re-scan orders otherwise
     monthly = panel.groupBy("m", "arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("r").cast("long").alias("s"),
         F.sum(F.col("r") * F.col("r")).cast("long").alias("ss"),
-    )
+    ).localCheckpoint(eager=True)
     wc = W.partitionBy("arm").orderBy("m").rowsBetween(W.unboundedPreceding, 0)
     looks = monthly.select(
         "m",

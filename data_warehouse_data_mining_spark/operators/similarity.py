@@ -2710,7 +2710,13 @@ def jl_projection_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the audit joins are over the 30-row sample; the projection
     itself is corpus-linear map-only work."""
     e = _corpus(spark, sf_dir)
-    sample = e.filter(F.col("id") < JL_PAIR_IDS).select("id", "v")
+    # 30-row sample staged: a/b/proj consumers re-scanned embeddings
+    # 4x otherwise (plan-audit r10)
+    sample = (
+        e.filter(F.col("id") < JL_PAIR_IDS)
+        .select("id", "v")
+        .localCheckpoint(eager=True)
+    )
     proj = sample.select(
         "id",
         F.array(
