@@ -791,3 +791,81 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
         ).alias("rel_err"),
     )
+
+
+@register(
+    "hll_rolling_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT daily.user_id) AS BIGINT) AS exact_users_7d,
+           CAST(count(DISTINCT daily.d) AS BIGINT) AS n_days_merged,
+           1 AS within_5pct
+    FROM days
+    JOIN daily ON daily.d <= days.d
+              AND daily.d >  days.d - INTERVAL 7 DAY
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day answered from MERGED
+    per-day HLL sketches — the window form of hll_mergeable_counts'
+    promise: build the daily sketch table ONCE (at 100 TB it is
+    megabytes), then ANY trailing window is an hll_union_agg over <=7
+    sketch rows instead of a re-scan of 7 days of raw events —
+    contrast rolling_distinct_users, which recounts exactly from the
+    (day, user) pairs and pays the 7x pair fan-out at every day.
+
+    Oracle-checked as a PROPERTY (the hll_mergeable_counts recipe):
+    the exact rolling count and window width are hash-pinned and the
+    lgK=12 estimate must land within 5% (worst-case rse ~1.6%, 3
+    sigma inside the band). Scale: one events scan -> ~30-row daily
+    sketch table; the spine join fans out <=7 sketch rows per day."""
+    e = load(spark, sf_dir).events
+    daily_sk = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch")
+    )
+    days = daily_sk.select(F.col("d").alias("spine_d"))
+    merged = (
+        days.join(
+            daily_sk,
+            (F.col("d") <= F.col("spine_d"))
+            & (F.col("d") > F.date_sub(F.col("spine_d"), 7)),
+        )
+        .groupBy("spine_d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx"),
+            F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+        )
+    )
+    daily_pairs = e.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    exact = (
+        daily_pairs.select(F.col("d").alias("spine_d")).distinct()
+        .join(
+            daily_pairs,
+            (F.col("d") <= F.col("spine_d"))
+            & (F.col("d") > F.date_sub(F.col("spine_d"), 7)),
+        )
+        .groupBy("spine_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users_7d"))
+    )
+    return (
+        merged.join(exact, "spine_d")
+        .select(
+            F.date_format("spine_d", "yyyy-MM-dd").alias("day"),
+            "exact_users_7d",
+            "n_days_merged",
+            (
+                F.abs(F.col("approx") - F.col("exact_users_7d"))
+                / F.col("exact_users_7d")
+                <= 0.05
+            ).cast("int").alias("within_5pct"),
+        )
+        .orderBy("day")
+    )

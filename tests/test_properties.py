@@ -1885,3 +1885,38 @@ def test_ucb1_replay_matches_python(spark):
         assert row["reward_ppm"] == rw
         assert row["cum_reward_ppm"] == cum_rw
         assert row["cum_regret_ppm"] == cum_rg
+
+
+def test_hll_rolling_merge_law(spark):
+    """Merging per-day HLL sketches gives the IDENTICAL estimate to
+    sketching the pooled window directly (the union-closure law that
+    makes the daily sketch table sufficient for any window), and the
+    registered query's flags hold."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.sketches import (
+        hll_rolling_distinct,
+    )
+    from .conftest import SF_SMALL
+
+    rows = hll_rolling_distinct(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    assert all(r["within_5pct"] == 1 for r in rows)
+    assert all(1 <= r["n_days_merged"] <= 7 for r in rows)
+    widths = [r["n_days_merged"] for r in rows]
+    assert widths[:7] == [1, 2, 3, 4, 5, 6, 7] and set(widths[7:]) == {7}
+
+    e = load(spark, SF_SMALL).events
+    merged = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        e.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
+        ).collect()[0]["est"]
+    )
+    assert merged == direct
