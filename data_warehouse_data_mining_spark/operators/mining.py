@@ -7938,3 +7938,147 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_regret_ppm"),
     ).orderBy("month")
+
+
+def _lmom_c(m: str, k: int, cast: str) -> str:
+    """C(m, k) as exact big-integer SQL; `cast` wraps m into the
+    engine's wide type (DECIMAL(38,0) / HUGEINT) BEFORE the products
+    so nothing overflows BIGINT at large n."""
+    mm = cast.format(x=m)
+    if k == 1:
+        return mm
+    num = " * ".join(f"({mm} - {j})" for j in range(k))
+    den = {2: 2, 3: 6, 4: 24}[k]
+    return f"(({num}) / {den})"
+
+
+def _lmom_terms(cast: str) -> str:
+    """Per-value hockey-stick weights: the ranks of a value-block
+    (B+1..B+c) contribute sum_{i} C(i-1, r) = C(B+c, r+1) - C(B, r+1)
+    exactly, so L-moment numerators need only the distinct-value
+    cumulative table — no per-row ranks."""
+    parts = []
+    for r in range(4):
+        hi = _lmom_c("(b + c)", r + 1, cast)
+        lo = _lmom_c("b", r + 1, cast)
+        v = cast.format(x="v")
+        parts.append(f"sum({v} * ({hi} - {lo})) AS n{r}")
+    return ", ".join(parts)
+
+
+_LMOM_DUCK_CAST = "CAST({x} AS HUGEINT)"
+_LMOM_SPARK_CAST = "CAST({x} AS DECIMAL(38,0))"
+
+
+@register(
+    "l_moments_order_values",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+                  AS BIGINT) AS b,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM vals
+    ),
+    sums AS (
+      SELECT any_value(n) AS n, {_lmom_terms(_LMOM_DUCK_CAST)}
+      FROM cum
+    ),
+    bs AS (
+      SELECT n,
+             CAST(n0 AS DOUBLE) / n AS b0,
+             CAST(n1 AS DOUBLE) / (n * (CAST(n AS DOUBLE) - 1)) AS b1,
+             CAST(n2 AS DOUBLE)
+               / (n * ((CAST(n AS DOUBLE) - 1) * (n - 2) / 2)) AS b2,
+             CAST(n3 AS DOUBLE)
+               / (n * ((CAST(n AS DOUBLE) - 1) * (n - 2) * (n - 3) / 6))
+               AS b3
+      FROM sums
+    )
+    SELECT n,
+           round(b0 / 100, 4) AS lambda1_dollars,
+           round((2 * b1 - b0) / 100, 4) AS lambda2_dollars,
+           round((2 * b1 - b0) / b0, 6) AS l_cv,
+           round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6) AS l_skew,
+           round((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0), 6)
+             AS l_kurt
+    FROM bs
+    """,
+)
+def l_moments_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-moments of the order-value distribution (Hosking 1990) —
+    the order-statistic alternative to classical moments whose ratios
+    (L-CV, L-skewness, L-kurtosis) are bounded, outlier-robust, and
+    the standard distribution fingerprint in hydrology/risk — next to
+    the classical summary_stats and the quantile views.
+
+    The scale trick: a sorted sample's weights C(i-1, r) summed over a
+    tied-value block of ranks B+1..B+c telescope by the hockey-stick
+    identity to C(B+c, r+1) - C(B, r+1), so the numerators assemble
+    EXACTLY from the distinct-value cumulative table — no per-row
+    global ranking ever exists. Products run in DECIMAL(38,0)/HUGEINT
+    (C(n,4)*cents overflows BIGINT past sf0.01) and every division
+    happens once, in double, on exactly-representable big integers via
+    the engines' correctly-rounded wide->double casts; b_r denominators
+    are written as one shared expression order. Scale: one fact scan ->
+    value-cardinality-bounded table; windows only over that table."""
+    o = load(spark, sf_dir).orders
+    vals = (
+        o.select(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wseq = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = vals.select(
+        "v",
+        "c",
+        (F.sum("c").over(wseq) - F.col("c")).cast("long").alias("b"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    def _term(r: int) -> str:
+        hi = _lmom_c("(b + c)", r + 1, _LMOM_SPARK_CAST)
+        lo = _lmom_c("b", r + 1, _LMOM_SPARK_CAST)
+        v = _LMOM_SPARK_CAST.format(x="v")
+        return f"sum({v} * ({hi} - {lo}))"
+
+    sums = cum.agg(
+        F.expr("any_value(n)").alias("n"),
+        *[F.expr(_term(r)).alias(f"n{r}") for r in range(4)],
+    )
+    b0 = F.expr("CAST(n0 AS DOUBLE) / n")
+    b1 = F.expr("CAST(n1 AS DOUBLE) / (n * (CAST(n AS DOUBLE) - 1))")
+    b2 = F.expr(
+        "CAST(n2 AS DOUBLE) / (n * ((CAST(n AS DOUBLE) - 1) * (n - 2) / 2))"
+    )
+    b3 = F.expr(
+        "CAST(n3 AS DOUBLE)"
+        " / (n * ((CAST(n AS DOUBLE) - 1) * (n - 2) * (n - 3) / 6))"
+    )
+    bs = sums.select(
+        "n",
+        b0.alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        b3.alias("b3"),
+    )
+    lam2 = 2 * F.col("b1") - F.col("b0")
+    return bs.select(
+        "n",
+        F.round(F.col("b0") / 100, 4).alias("lambda1_dollars"),
+        F.round(lam2 / 100, 4).alias("lambda2_dollars"),
+        F.round(lam2 / F.col("b0"), 6).alias("l_cv"),
+        F.round(
+            (6 * F.col("b2") - 6 * F.col("b1") + F.col("b0")) / lam2, 6
+        ).alias("l_skew"),
+        F.round(
+            (20 * F.col("b3") - 30 * F.col("b2") + 12 * F.col("b1") - F.col("b0"))
+            / lam2,
+            6,
+        ).alias("l_kurt"),
+    )

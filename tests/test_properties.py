@@ -1920,3 +1920,44 @@ def test_hll_rolling_merge_law(spark):
         ).collect()[0]["est"]
     )
     assert merged == direct
+
+
+def test_l_moments_hockey_stick_equals_direct(spark):
+    """The hockey-stick distinct-value formulation equals the textbook
+    per-rank computation over the fully sorted sample, and the ratios
+    sit in their theoretical ranges (|t3|,|t4| <= 1; near-uniform data
+    gives L-CV ~ 1/3, t3 ~ 0)."""
+    from math import comb
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        l_moments_order_values,
+    )
+    from .conftest import SF_SMALL
+
+    row = l_moments_order_values(spark, SF_SMALL).collect()[0]
+    cents = sorted(
+        r["v"]
+        for r in load(spark, SF_SMALL)
+        .orders.select(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("v")
+        )
+        .collect()
+    )
+    n = len(cents)
+    N = [sum(comb(i, r) * x for i, x in enumerate(cents)) for r in range(4)]
+    b = [N[r] / (n * comb(n - 1, r)) for r in range(4)]
+    lam1 = b[0]
+    lam2 = 2 * b[1] - b[0]
+    lam3 = 6 * b[2] - 6 * b[1] + b[0]
+    lam4 = 20 * b[3] - 30 * b[2] + 12 * b[1] - b[0]
+    assert row["n"] == n
+    assert abs(row["lambda1_dollars"] - round(lam1 / 100, 4)) < 1e-6
+    assert abs(row["lambda2_dollars"] - round(lam2 / 100, 4)) < 2e-4
+    assert abs(row["l_cv"] - lam2 / lam1) < 1e-6
+    assert abs(row["l_skew"] - lam3 / lam2) < 1e-5
+    assert abs(row["l_kurt"] - lam4 / lam2) < 1e-5
+    assert abs(row["l_skew"]) <= 1 and abs(row["l_kurt"]) <= 1
+    assert 0.25 < row["l_cv"] < 0.4  # near-uniform prices
