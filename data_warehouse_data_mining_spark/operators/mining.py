@@ -8082,3 +8082,178 @@ def l_moments_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l_kurt"),
     )
+
+
+HAAR_N = 256  # 2^8 days from 1995-01-01
+HAAR_LEVELS = 8
+
+
+@register(
+    "haar_wavelet_energy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                          + INTERVAL {HAAR_N} DAY
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT g.d, coalesce(daily.x, 0) AS x
+      FROM (SELECT unnest(range(0, {HAAR_N})) AS d) g
+      LEFT JOIN daily ON daily.d = g.d
+    ),
+    pref AS (  -- P[i] = sum of x over d < i, for i = 0..N
+      SELECT i,
+             CAST(coalesce(sum(x) FILTER (WHERE d < i), 0) AS HUGEINT) AS p
+      FROM (SELECT unnest(range(0, {HAAR_N} + 1)) AS i) CROSS JOIN spine
+      GROUP BY i
+    ),
+    coeffs AS (
+      SELECT k.k, j.j,
+             (pe.p - pm.p) - (pm.p - ps.p) AS dcoef
+      FROM (SELECT unnest(range(1, {HAAR_LEVELS} + 1)) AS k) k
+      JOIN (SELECT unnest(range(0, {HAAR_N})) AS j) j
+        ON j.j < {HAAR_N} / (1 << k.k)
+      JOIN pref ps ON ps.i = (2 * j.j) * (1 << (k.k - 1))
+      JOIN pref pm ON pm.i = (2 * j.j + 1) * (1 << (k.k - 1))
+      JOIN pref pe ON pe.i = (2 * j.j + 2) * (1 << (k.k - 1))
+    ),
+    lev AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_coeffs,
+             sum(dcoef * dcoef) * (1 << ({HAAR_LEVELS} - k)) AS e_scaled
+      FROM coeffs GROUP BY k
+    ),
+    tot AS (
+      SELECT CAST({HAAR_N} AS HUGEINT) * sum(CAST(x AS HUGEINT)
+                 * CAST(x AS HUGEINT))
+               - CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT)
+                 * CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS denom
+      FROM spine
+    ),
+    pars AS (SELECT CAST(sum(e_scaled) AS HUGEINT) AS e_all FROM lev)
+    SELECT k AS level, n_coeffs,
+           round(CAST(e_scaled AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+             AS energy_share,
+           CAST((SELECT e_all FROM pars) = (SELECT denom FROM tot) AS INT)
+             AS parseval_ok
+    FROM lev CROSS JOIN tot
+    ORDER BY level
+    """,
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet energy decomposition of the first 256
+    days of 1995 daily revenue (Haar 1910; the multiresolution view of
+    a series): detail coefficient d_k,j = (right-half sum) - (left-
+    half sum) of each 2^k-day block, energy share per level — which
+    TIME SCALE carries the variance; the multiresolution complement
+    to seasonal_decompose_daily (fixed weekly period) and
+    hurst_rescaled_range (one global exponent).
+
+    Exactness is total: coefficients are integer differences of three
+    prefix-sum lookups (the 257-row prefix table built once), level
+    energies are HUGEINT/DECIMAL sums of d^2 scaled by 2^(8-k), and
+    the PARSEVAL IDENTITY holds as an exact big-integer equation
+    256*sum(x^2) - (sum x)^2 = sum_k 2^(8-k)*sum_j d_k,j^2
+    — emitted as the parseval_ok flag (an exact integer comparison,
+    not a tolerance). The only doubles are the final share ratios of
+    correctly-rounded wide->double casts. Scale: one date-pruned fact
+    scan -> <=256-row spine; every join is against the 257-row prefix
+    table."""
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.expr(f"TIMESTAMP '1995-01-01 00:00:00' + INTERVAL {HAAR_N} DAY")
+            )
+        )
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    spark_sess = spark
+    spine = (
+        spark_sess.range(HAAR_N)
+        .select(F.col("id").cast("int").alias("d"))
+        .join(daily, "d", "left")
+        .select("d", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)  # 256 rows; five consumers below
+    )
+    pref = (
+        spark_sess.range(HAAR_N + 1)
+        .select(F.col("id").cast("int").alias("i"))
+        .join(spine, F.col("d") < F.col("i"), "left")
+        .groupBy("i")
+        .agg(
+            F.coalesce(F.sum("x"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("p")
+        )
+        .localCheckpoint(eager=True)  # 257 rows; three joins below
+    )
+    levels = (
+        spark_sess.range(1, HAAR_LEVELS + 1)
+        .select(F.col("id").cast("int").alias("k"))
+        .join(
+            spark_sess.range(HAAR_N).select(F.col("id").cast("int").alias("j")),
+            F.col("j") < HAAR_N / F.pow(F.lit(2.0), F.col("k")),
+        )
+    )
+    ps = pref.select(F.col("i").alias("i_s"), F.col("p").alias("p_s"))
+    pm = pref.select(F.col("i").alias("i_m"), F.col("p").alias("p_m"))
+    pe = pref.select(F.col("i").alias("i_e"), F.col("p").alias("p_e"))
+    half = F.expr("CAST(pow(2, k - 1) AS INT)")
+    coeffs = (
+        levels.withColumn("half", half)
+        .join(ps, F.col("i_s") == (2 * F.col("j")) * F.col("half"))
+        .join(pm, F.col("i_m") == (2 * F.col("j") + 1) * F.col("half"))
+        .join(pe, F.col("i_e") == (2 * F.col("j") + 2) * F.col("half"))
+        .select(
+            "k",
+            ((F.col("p_e") - F.col("p_m")) - (F.col("p_m") - F.col("p_s"))).alias(
+                "dcoef"
+            ),
+        )
+    )
+    lev = coeffs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+        (
+            F.sum(F.col("dcoef") * F.col("dcoef"))
+            * F.expr(f"CAST(pow(2, {HAAR_LEVELS} - k) AS DECIMAL(38,0))")
+        ).alias("e_scaled"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    tot = spine.agg(
+        (
+            F.lit(HAAR_N).cast("decimal(38,0)") * F.sum(xd * xd)
+            - F.sum(xd) * F.sum(xd)
+        ).alias("denom")
+    )
+    pars = lev.agg(F.sum("e_scaled").alias("e_all"))
+    return (
+        lev.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pars))
+        .select(
+            F.col("k").alias("level"),
+            "n_coeffs",
+            F.round(
+                F.col("e_scaled").cast("double") / F.col("denom").cast("double"),
+                6,
+            ).alias("energy_share"),
+            (F.col("e_all") == F.col("denom")).cast("int").alias("parseval_ok"),
+        )
+        .orderBy("level")
+    )

@@ -1961,3 +1961,59 @@ def test_l_moments_hockey_stick_equals_direct(spark):
     assert abs(row["l_kurt"] - lam4 / lam2) < 1e-5
     assert abs(row["l_skew"]) <= 1 and abs(row["l_kurt"]) <= 1
     assert 0.25 < row["l_cv"] < 0.4  # near-uniform prices
+
+
+def test_haar_energy_parseval_and_replay(spark):
+    """Python Haar replay over the exact 256-day spine reproduces every
+    level's energy share; the integer Parseval identity holds (flag=1)
+    and the shares sum to exactly 1 up to output rounding."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        HAAR_LEVELS,
+        HAAR_N,
+        haar_wavelet_energy,
+    )
+    from .conftest import SF_SMALL
+
+    rows = haar_wavelet_energy(spark, SF_SMALL).collect()
+    assert [r["level"] for r in rows] == list(range(1, HAAR_LEVELS + 1))
+    assert all(r["parseval_ok"] == 1 for r in rows)
+    assert abs(sum(r["energy_share"] for r in rows) - 1.0) < 1e-4
+
+    daily = {
+        r["d"]: r["x"]
+        for r in load(spark, SF_SMALL)
+        .orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.expr(f"TIMESTAMP '1995-01-01 00:00:00' + INTERVAL {HAAR_N} DAY")
+            )
+        )
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias("x"))
+        .collect()
+    }
+    x = [daily.get(d, 0) for d in range(HAAR_N)]
+    denom = HAAR_N * sum(v * v for v in x) - sum(x) ** 2
+    series = x
+    total_scaled = 0
+    for r in rows:
+        k = r["level"]
+        pairs = [
+            (series[2 * j], series[2 * j + 1])
+            for j in range(len(series) // 2)
+        ]
+        dsq = sum((b - a) ** 2 for a, b in pairs)
+        e_scaled = dsq * (1 << (HAAR_LEVELS - k))
+        total_scaled += e_scaled
+        assert r["n_coeffs"] == len(pairs)
+        assert abs(r["energy_share"] - round(e_scaled / denom, 6)) < 1e-9
+        series = [a + b for a, b in pairs]
+    assert total_scaled == denom  # exact integer Parseval
