@@ -959,3 +959,140 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+KNAP_BUDGET_SHARE = 5  # budget = total tokens div 5 (20%)
+
+
+@register(
+    "knapsack_doc_selection",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS val
+      FROM documents
+    ),
+    tot AS (SELECT CAST(sum(cost) AS BIGINT) // 5 AS budget FROM docs),
+    ranked AS (
+      SELECT doc_id, cost, val,
+             (val * 1000000) // cost AS density_micro,
+             CAST(sum(cost) OVER (ORDER BY (val * 1000000) // cost DESC,
+                  doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost,
+             CAST(sum(val) OVER (ORDER BY (val * 1000000) // cost DESC,
+                  doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_val
+      FROM docs
+    ),
+    greedy AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(max(cum_cost) AS BIGINT) AS tokens_used,
+             CAST(max(cum_val) AS BIGINT) AS value_selected
+      FROM ranked CROSS JOIN tot WHERE cum_cost <= budget
+    ),
+    frontier AS (
+      -- first item past the budget: its fractional share closes the
+      -- LP relaxation; LP* (scaled by its cost) bounds OPT from above
+      SELECT r.val AS f_val, r.cost AS f_cost,
+             r.cum_cost - r.cost AS before_cost,
+             r.cum_val - r.val AS before_val
+      FROM ranked r CROSS JOIN tot
+      WHERE r.cum_cost > budget AND r.cum_cost - r.cost <= budget
+    )
+    SELECT g.n_selected, g.tokens_used, t.budget, g.value_selected,
+           CAST(f.before_val * f.f_cost
+                + (t.budget - f.before_cost) * f.f_val AS BIGINT)
+             AS lp_bound_scaled,
+           CAST(f.f_cost AS BIGINT) AS lp_scale,
+           CAST(g.value_selected * f.f_cost >=
+                f.before_val * f.f_cost
+                + (t.budget - f.before_cost) * f.f_val - f.f_val * f.f_cost
+                AS INT) AS within_one_item_of_opt
+    FROM greedy g CROSS JOIN tot t CROSS JOIN frontier f
+    """,
+)
+def knapsack_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained document selection as a knapsack: pick docs
+    maximizing total lexical value (distinct-word count) under a token
+    budget of 1/5 of the corpus — the data-selection shape every
+    "best data under a compute budget" pipeline runs (quality-weighted
+    sampling is its soft sibling, this is the hard-budget form). The
+    greedy density order (value/cost) is the classic 1/2-approximation
+    whose LP-relaxation certificate ships WITH the answer: the
+    fractional optimum before_val + remaining*density(frontier) bounds
+    OPT from above, and greedy is within ONE frontier item of it —
+    emitted as an exact integer flag (within_one_item_of_opt), scaled
+    by the frontier cost so no division ever happens.
+
+    Exactness: values/costs are integer token counts; the density sort
+    key is the exact integer (val*1e6) div cost with doc_id tie-break;
+    the global ordered prefix sums are windows over the doc table (at
+    the 100 TB design point this ordering routes through
+    ranking.global_order_stats' two-phase distributed cumsum — the
+    abc_pareto discipline; the semantics here are identical); the LP
+    bound comparison is cross-multiplied into pure integers.
+
+    Scale: one scan -> per-doc (cost, val) -> ordered prefix -> 1-row
+    certificate."""
+    d = load(spark, sf_dir).documents
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    docs = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("cost"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("val"),
+    ).withColumn("dens", F.expr("(val * 1000000) div cost"))
+    tot = docs.agg(
+        (F.sum("cost") / KNAP_BUDGET_SHARE).cast("long").alias("budget")
+    )
+    # the global density-ordered prefix sums route through the
+    # two-phase distributed cumsum (one call per measure) — never an
+    # unpartitioned window over the doc-proportional table
+    r_cost = global_order_stats(
+        docs, "dens", "doc_id", measure_col="cost", ascending=False
+    ).select("doc_id", "cost", "val", F.col("global_cum").alias("cum_cost"))
+    r_val = global_order_stats(
+        docs, "dens", "doc_id", measure_col="val", ascending=False
+    ).select(F.col("doc_id").alias("doc_id2"), F.col("global_cum").alias("cum_val"))
+    ranked = (
+        r_cost.join(r_val, F.col("doc_id") == F.col("doc_id2"))
+        .drop("doc_id2")
+        .crossJoin(F.broadcast(tot))
+    )
+    greedy = ranked.filter(F.col("cum_cost") <= F.col("budget")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.max("cum_cost").cast("long").alias("tokens_used"),
+        F.max("cum_val").cast("long").alias("value_selected"),
+    )
+    frontier = ranked.filter(
+        (F.col("cum_cost") > F.col("budget"))
+        & (F.col("cum_cost") - F.col("cost") <= F.col("budget"))
+    ).select(
+        F.col("val").alias("f_val"),
+        F.col("cost").alias("f_cost"),
+        (F.col("cum_cost") - F.col("cost")).alias("before_cost"),
+        (F.col("cum_val") - F.col("val")).alias("before_val"),
+    )
+    return (
+        greedy.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(frontier))
+        .select(
+            "n_selected",
+            "tokens_used",
+            "budget",
+            "value_selected",
+            (
+                F.col("before_val") * F.col("f_cost")
+                + (F.col("budget") - F.col("before_cost")) * F.col("f_val")
+            ).cast("long").alias("lp_bound_scaled"),
+            F.col("f_cost").cast("long").alias("lp_scale"),
+            (
+                F.col("value_selected") * F.col("f_cost")
+                >= F.col("before_val") * F.col("f_cost")
+                + (F.col("budget") - F.col("before_cost")) * F.col("f_val")
+                - F.col("f_val") * F.col("f_cost")
+            ).cast("int").alias("within_one_item_of_opt"),
+        )
+    )

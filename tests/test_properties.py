@@ -2017,3 +2017,56 @@ def test_haar_energy_parseval_and_replay(spark):
         assert abs(r["energy_share"] - round(e_scaled / denom, 6)) < 1e-9
         series = [a + b for a, b in pairs]
     assert total_scaled == denom  # exact integer Parseval
+
+
+def test_knapsack_greedy_certificate(spark):
+    """Python replay of the greedy density selection matches; the LP
+    bound dominates the greedy value; greedy is within one frontier
+    item of the bound (the 1/2-approximation certificate); budget is
+    respected."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.curation import (
+        KNAP_BUDGET_SHARE,
+        knapsack_doc_selection,
+    )
+    from .conftest import SF_SMALL
+
+    r = knapsack_doc_selection(spark, SF_SMALL).collect()[0]
+    docs = (
+        load(spark, SF_SMALL)
+        .documents.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("cost"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("val"),
+        )
+        .collect()
+    )
+    # explicit (density desc, doc_id asc) ordering, as in the query
+    ordered = sorted(
+        docs,
+        key=lambda d: (-((d["val"] * 1_000_000) // d["cost"]), d["doc_id"]),
+    )
+    budget = sum(d["cost"] for d in docs) // KNAP_BUDGET_SHARE
+    used = 0
+    value = 0
+    n_sel = 0
+    frontier = None
+    for d in ordered:
+        if used + d["cost"] <= budget:
+            used += d["cost"]
+            value += d["val"]
+            n_sel += 1
+        else:
+            frontier = d
+            break
+    assert r["budget"] == budget
+    assert r["n_selected"] == n_sel
+    assert r["tokens_used"] == used and used <= budget
+    assert r["value_selected"] == value
+    lp_scaled = value * frontier["cost"] + (budget - used) * frontier["val"]
+    assert r["lp_bound_scaled"] == lp_scaled
+    assert r["lp_scale"] == frontier["cost"]
+    assert value * frontier["cost"] <= lp_scaled  # bound dominates
+    assert r["within_one_item_of_opt"] == 1
