@@ -8257,3 +8257,141 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+RERAND_REPS = 32
+
+
+@register(
+    "rerandomization_test_ab",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT o_custkey AS uid,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y,
+             CASE WHEN md5(CAST(o_custkey AS VARCHAR)) < '8'
+                  THEN 0 ELSE 1 END AS arm
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    obs AS (
+      SELECT sum(CASE WHEN arm = 1 THEN y ELSE 0 END) * 1.0
+               / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN arm = 0 THEN y ELSE 0 END) * 1.0
+               / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d_obs,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM per_user
+    ),
+    reps AS (
+      SELECT r.r, u.y,
+             CASE WHEN md5(CAST(u.uid AS VARCHAR) || ':' ||
+                           CAST(r.r AS VARCHAR)) < '8'
+                  THEN 0 ELSE 1 END AS arm
+      FROM per_user u
+      CROSS JOIN (SELECT unnest(range(1, {RERAND_REPS} + 1)) AS r) r
+    ),
+    rep_diffs AS (
+      SELECT r,
+             sum(CASE WHEN arm = 1 THEN y ELSE 0 END) * 1.0
+               / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             - sum(CASE WHEN arm = 0 THEN y ELSE 0 END) * 1.0
+               / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS d_r
+      FROM reps GROUP BY r
+    )
+    SELECT o.n_users,
+           round(o.d_obs / 100, 4) AS diff_obs_dollars,
+           {RERAND_REPS} AS n_reps,
+           CAST(sum(CASE WHEN abs(rd.d_r) >= abs(o.d_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           round((1.0 + sum(CASE WHEN abs(rd.d_r) >= abs(o.d_obs)
+                                 THEN 1 ELSE 0 END))
+                 / (1 + {RERAND_REPS}), 6) AS p_value
+    FROM rep_diffs rd CROSS JOIN obs o
+    GROUP BY o.n_users, o.d_obs
+    """,
+)
+def rerandomization_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-randomization (Monte-Carlo permutation-style) test for the
+    hash-split A/B arms (Fisher 1935 randomization inference; the
+    add-one p of Davison & Hinkley 1997): under the sharp null the arm
+    labels are exchangeable, so re-drawing {RERAND_REPS} independent
+    deterministic assignments (md5(user:rep) — each its own fair coin)
+    and recomputing the mean-spend difference samples the null
+    distribution; p = (1 + #extreme)/(1 + B). No normality, variance
+    pooling, or CLT assumption — the nonparametric companion to
+    ab_welch_ttest, whose own z relies on moments.
+
+    Determinism: per-(user, rep) assignments are pure md5 predicates;
+    rep sums are exact BIGINT cents accumulated per rep; each rep's
+    diff is the same two-division expression of exact integers in both
+    engines, so the extreme-count and the exact rational p agree
+    bit-for-bit. Scale: one date-pruned scan -> per-user agg -> x32
+    rep fan-out of the per-user table (the poisson_bootstrap shape:
+    dimension-sized, never the fact table) -> 32-row rollup."""
+    o = load(spark, sf_dir).orders
+    per_user = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("uid"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn(
+            "arm",
+            F.when(F.md5(F.col("uid").cast("string")) < "8", 0).otherwise(1),
+        )
+        # dimension-sized (one row per 1996 customer) — staged: the
+        # observed diff and the 32-rep fan-out share it
+        .localCheckpoint(eager=True)
+    )
+    d_expr = (
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)) * 1.0
+        / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        - F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)) * 1.0
+        / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+    )
+    obs = per_user.agg(
+        d_expr.alias("d_obs"), F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    reps = per_user.select(
+        "uid",
+        "y",
+        F.explode(F.array(*[F.lit(r) for r in range(1, RERAND_REPS + 1)])).alias(
+            "r"
+        ),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.md5(
+                F.concat(
+                    F.col("uid").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            )
+            < "8",
+            0,
+        ).otherwise(1),
+    )
+    rep_diffs = reps.groupBy("r").agg(d_expr.alias("d_r"))
+    extreme = (F.abs(F.col("d_r")) >= F.abs(F.col("d_obs"))).cast("int")
+    return (
+        rep_diffs.crossJoin(F.broadcast(obs))
+        .agg(
+            F.expr("any_value(n_users)").cast("long").alias("n_users"),
+            F.round(F.expr("any_value(d_obs)") / 100, 4).alias(
+                "diff_obs_dollars"
+            ),
+            F.lit(RERAND_REPS).alias("n_reps"),
+            F.sum(extreme).cast("long").alias("n_extreme"),
+            F.round(
+                (1.0 + F.sum(extreme)) / (1 + RERAND_REPS), 6
+            ).alias("p_value"),
+        )
+    )

@@ -2400,3 +2400,72 @@ def wand_topk_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_all_candidates",
         )
     )
+
+
+@register(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, w
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS d_observed,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM counts GROUP BY lang
+    )
+    SELECT lang, d_observed, n_tokens, f1, f2,
+           round(d_observed
+                 + f1 * 1.0 * (f1 - 1) / (2 * (f2 + 1)), 2) AS chao1_est,
+           round(1.0 - f1 * 1.0 / n_tokens, 6) AS good_turing_coverage
+    FROM per_lang
+    ORDER BY lang
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation per language: the bias-corrected
+    Chao1 richness estimator D + f1(f1-1)/(2(f2+1)) (Chao 1984) from
+    singleton/doubleton counts, plus Good-Turing sample coverage
+    1 - f1/N (Good 1953) — the 'how much vocabulary has this crawl NOT
+    seen yet' readout that decides whether scraping more of a source
+    still buys new tokens (the capture-recapture complement to
+    ngram_novelty_by_source's marginal-gain curve and
+    vocab_oov_coverage's fixed-vocab view).
+
+    Exactness: D, N, f1, f2 are exact BIGINTs off the per-(lang, word)
+    count table; the estimator and coverage are each ONE division of
+    exact integers (bias-corrected form — no f2=0 special case),
+    rounded at the edge. Scale: token explode -> vocab-bounded hash
+    agg -> per-lang 5-number rollup; nothing else."""
+    d = load(spark, sf_dir).documents
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_lang = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("d_observed"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    return per_lang.select(
+        "lang",
+        "d_observed",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(
+            F.col("d_observed")
+            + F.col("f1") * 1.0 * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)),
+            2,
+        ).alias("chao1_est"),
+        F.round(1.0 - F.col("f1") * 1.0 / F.col("n_tokens"), 6).alias(
+            "good_turing_coverage"
+        ),
+    ).orderBy("lang")

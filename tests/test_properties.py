@@ -2070,3 +2070,92 @@ def test_knapsack_greedy_certificate(spark):
     assert r["lp_scale"] == frontier["cost"]
     assert value * frontier["cost"] <= lp_scaled  # bound dominates
     assert r["within_one_item_of_opt"] == 1
+
+
+def test_chao1_estimator_bounds(spark):
+    """Chao1 >= observed richness, coverage in (0,1], and a direct
+    per-lang replay from the word counts matches."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.text import (
+        chao1_vocab_richness,
+    )
+    from .conftest import SF_SMALL
+
+    rows = chao1_vocab_richness(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    counts = (
+        load(spark, SF_SMALL)
+        .documents.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .count()
+        .collect()
+    )
+    per: dict = {}
+    for c in counts:
+        d = per.setdefault(c["lang"], {"D": 0, "N": 0, "f1": 0, "f2": 0})
+        d["D"] += 1
+        d["N"] += c["count"]
+        d["f1"] += c["count"] == 1
+        d["f2"] += c["count"] == 2
+    for r in rows:
+        d = per[r["lang"]]
+        assert (r["d_observed"], r["n_tokens"], r["f1"], r["f2"]) == (
+            d["D"], d["N"], d["f1"], d["f2"],
+        )
+        expect = d["D"] + d["f1"] * (d["f1"] - 1) / (2 * (d["f2"] + 1))
+        assert abs(r["chao1_est"] - round(expect, 2)) < 1e-9
+        assert r["chao1_est"] >= r["d_observed"]
+        assert 0 < r["good_turing_coverage"] <= 1
+
+
+def test_rerandomization_p_replay(spark):
+    """Python replay over per-user sums reproduces the observed diff,
+    every replicate diff, the extreme count, and the add-one p; p is a
+    valid probability on the (1..B+1)/(B+1) grid."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        RERAND_REPS,
+        rerandomization_test_ab,
+    )
+    from .conftest import SF_SMALL
+
+    row = rerandomization_test_ab(spark, SF_SMALL).collect()[0]
+    users = (
+        load(spark, SF_SMALL)
+        .orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias("y"))
+        .collect()
+    )
+
+    def diff(assign):
+        s = {0: 0, 1: 0}
+        n = {0: 0, 1: 0}
+        for u in users:
+            a = assign(u["o_custkey"])
+            s[a] += u["y"]
+            n[a] += 1
+        return s[1] / n[1] - s[0] / n[0]
+
+    def h(key):
+        return hashlib.md5(str(key).encode()).hexdigest()
+
+    d_obs = diff(lambda uid: 0 if h(uid) < "8" else 1)
+    assert row["n_users"] == len(users)
+    assert abs(row["diff_obs_dollars"] - round(d_obs / 100, 4)) < 1e-9
+    n_extreme = sum(
+        abs(diff(lambda uid, r=r: 0 if h(f"{uid}:{r}") < "8" else 1)) >= abs(d_obs)
+        for r in range(1, RERAND_REPS + 1)
+    )
+    assert row["n_extreme"] == n_extreme
+    assert row["p_value"] == round((1 + n_extreme) / (1 + RERAND_REPS), 6)
+    assert 1 / (RERAND_REPS + 1) <= row["p_value"] <= 1
