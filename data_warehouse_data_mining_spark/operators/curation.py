@@ -1039,11 +1039,20 @@ def knapsack_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_order_stats,
     )
 
-    docs = d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("cost"),
-        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("val"),
-    ).withColumn("dens", F.expr("(val * 1000000) div cost"))
+    # narrow per-doc table (4 longs/row — the grid_lof staged-fit
+    # precedent): the two two-phase cumsum calls otherwise re-derive
+    # the tokenizing projection 15x (plan-audit r10)
+    docs = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("cost"),
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("long")
+            .alias("val"),
+        )
+        .withColumn("dens", F.expr("(val * 1000000) div cost"))
+        .localCheckpoint(eager=True)
+    )
     tot = docs.agg(
         (F.sum("cost") / KNAP_BUDGET_SHARE).cast("long").alias("budget")
     )

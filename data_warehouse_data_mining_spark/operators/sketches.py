@@ -826,9 +826,11 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma inside the band). Scale: one events scan -> ~30-row daily
     sketch table; the spine join fans out <=7 sketch rows per day."""
     e = load(spark, sf_dir).events
+    # ~30-row daily sketch table staged: the spine and merge join
+    # would each re-scan events otherwise
     daily_sk = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.hll_sketch_agg("user_id", 12).alias("sketch")
-    )
+    ).localCheckpoint(eager=True)
     days = daily_sk.select(F.col("d").alias("spine_d"))
     merged = (
         days.join(
