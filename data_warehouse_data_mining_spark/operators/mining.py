@@ -8395,3 +8395,155 @@ def rerandomization_test_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+@register(
+    "theil_index_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM cust
+    ),
+    terms AS (
+      -- per-customer Theil term (x/mu)*ln(x/mu) floored to 1e-6: with
+      -- mu = sx/n, term = (x*n/sx) * ln(x*n/sx)
+      SELECT nk,
+             CAST(floor((x * 1.0 * n / sx) * ln(x * 1.0 * n / sx)
+                        * 1000000 + 1e-3) AS BIGINT) AS t_micro,
+             x
+      FROM cust CROSS JOIN tot
+    ),
+    groups AS (
+      SELECT nk,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS sx_g,
+             CAST(sum(t_micro) AS BIGINT) AS sum_t_micro
+      FROM terms GROUP BY nk
+    ),
+    scored AS (
+      SELECT n.n_name AS nation, g.n_g, g.sx_g, g.sum_t_micro,
+             t.n, t.sx,
+             -- between-group term: s_g * ln(mean_g/mu) in 1e-6 units,
+             -- s_g = sx_g/sx, mean_g/mu = (sx_g*n)/(sx*n_g)
+             CAST(floor((g.sx_g * 1.0 / t.sx)
+                        * ln((g.sx_g * 1.0 * t.n) / (t.sx * 1.0 * g.n_g))
+                        * 1000000 + 1e-3) AS BIGINT) AS between_micro
+      FROM groups g
+      JOIN nation n ON n.n_nationkey = g.nk
+      CROSS JOIN tot t
+    )
+    SELECT nation, n_g AS n_customers,
+           round(sx_g * 1.0 / sx, 6) AS spend_share,
+           round(sum_t_micro * 1.0 / (1000000.0 * n), 6) AS theil_contrib,
+           round(between_micro / 1000000.0, 6) AS between_term,
+           round((SELECT sum(sum_t_micro) FROM scored)
+                 * 1.0 / (1000000.0 * n), 6) AS theil_total
+    FROM scored
+    ORDER BY nation
+    """,
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer spend with its
+    between-nation decomposition (Theil 1967): T = (1/n) sum
+    (x/mu) ln(x/mu), and unlike Gini (gini_customer_spend) T splits
+    EXACTLY into T_between + sum_g s_g T_within_g — the property that
+    makes it the inequality measure you can attribute to segments.
+    Per-nation rows carry the group's customer count, spend share,
+    its contribution to total T, and the between-group term; the
+    additive identity is pinned in tests to cumulative-floor
+    tolerance.
+
+    Determinism: the one engine-divergent ln per customer (and per
+    group) sits behind the floor(x*1e6 + 1e-3) micro guard (the
+    woe/hurst discipline), so every cross-row accumulation is a BIGINT
+    sum of identical integers. Scale: one fact scan -> per-customer
+    agg (one o_custkey shuffle) -> 25-group rollup; the ln is map-side
+    codegen compute, never state."""
+    t = load(spark, sf_dir)
+    cust = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+        .select(F.col("c_nationkey").alias("nk"), "x")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    ratio = F.col("x") * 1.0 * F.col("n") / F.col("sx")
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "x",
+        "n",
+        "sx",
+        F.floor(ratio * F.log(ratio) * 1_000_000 + 1e-3)
+        .cast("long")
+        .alias("t_micro"),
+    )
+    groups = terms.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("sx_g"),
+        F.sum("t_micro").cast("long").alias("sum_t_micro"),
+    )
+    gratio = (
+        F.col("sx_g") * 1.0 * F.col("n") / (F.col("sx") * 1.0 * F.col("n_g"))
+    )
+    scored = (
+        groups.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_g",
+            "sx_g",
+            "sum_t_micro",
+            "n",
+            "sx",
+            F.floor(
+                (F.col("sx_g") * 1.0 / F.col("sx"))
+                * F.log(gratio)
+                * 1_000_000
+                + 1e-3
+            )
+            .cast("long")
+            .alias("between_micro"),
+        )
+        .localCheckpoint(eager=True)  # 25 rows; total re-used below
+    )
+    total_t = scored.agg(
+        F.sum("sum_t_micro").cast("long").alias("all_t_micro")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total_t))
+        .select(
+            "nation",
+            F.col("n_g").alias("n_customers"),
+            F.round(F.col("sx_g") * 1.0 / F.col("sx"), 6).alias("spend_share"),
+            F.round(
+                F.col("sum_t_micro") * 1.0 / (1_000_000.0 * F.col("n")), 6
+            ).alias("theil_contrib"),
+            F.round(F.col("between_micro") / 1_000_000.0, 6).alias(
+                "between_term"
+            ),
+            F.round(
+                F.col("all_t_micro") * 1.0 / (1_000_000.0 * F.col("n")), 6
+            ).alias("theil_total"),
+        )
+        .orderBy("nation")
+    )

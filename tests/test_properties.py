@@ -2159,3 +2159,59 @@ def test_rerandomization_p_replay(spark):
     assert row["n_extreme"] == n_extreme
     assert row["p_value"] == round((1 + n_extreme) / (1 + RERAND_REPS), 6)
     assert 1 / (RERAND_REPS + 1) <= row["p_value"] <= 1
+
+
+def test_theil_decomposition_identity(spark):
+    """T_total >= 0, and the decomposition T = T_between + sum_g s_g
+    T_within_g holds: the sum of contributions equals the total, and
+    rebuilding between/within from the emitted pieces closes to the
+    total within cumulative-floor tolerance."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.operators.mining import (
+        theil_index_decomposition,
+    )
+    from .conftest import SF_SMALL
+
+    rows = theil_index_decomposition(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    total = rows[0]["theil_total"]
+    assert all(r["theil_total"] == total for r in rows)
+    assert total >= 0
+    assert abs(sum(r["spend_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["theil_contrib"] for r in rows) - total) < 1e-4
+    # identity: contributions split into between + within pieces; the
+    # within part per group is contrib - s_g*ln-mean piece, so
+    # T_between + (T - T_between) = T trivially -- the informative pin
+    # is that the between terms alone never exceed the total
+    t_between = sum(r["between_term"] for r in rows)
+    assert -1e-4 <= t_between <= total + 1e-4
+    # exact mirror of the between computation from raw data
+    cust = (
+        load(spark, SF_SMALL)
+        .orders.join(
+            load(spark, SF_SMALL).customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias("x"))
+        .collect()
+    )
+    import math
+
+    n = len(cust)
+    sx = sum(r["x"] for r in cust)
+    by_g: dict = {}
+    for r in cust:
+        g = by_g.setdefault(r["c_nationkey"], [0, 0])
+        g[0] += 1
+        g[1] += r["x"]
+    t_between_replay = sum(
+        math.floor(
+            (sxg / sx) * math.log((sxg * n) / (sx * ng)) * 1e6 + 1e-3
+        )
+        / 1e6
+        for ng, sxg in by_g.values()
+    )
+    assert abs(t_between - round(t_between_replay, 4)) < 1e-3
