@@ -8469,7 +8469,9 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     cust = (
         t.orders.join(
-            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            # customer is SF-proportional: no forced broadcast — AQE/static
+            # stats pick BHJ when it fits, SMJ when it doesn't.
+            t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_custkey", "c_nationkey")
