@@ -1053,8 +1053,13 @@ def knapsack_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dens", F.expr("(val * 1000000) div cost"))
         .localCheckpoint(eager=True)
     )
+    # integer `div` like the oracle's `//` (ADVICE r10): the double
+    # quotient could round across an integer boundary past ~2^52*5
+    # total tokens and shift the greedy cut by one doc
     tot = docs.agg(
-        (F.sum("cost") / KNAP_BUDGET_SHARE).cast("long").alias("budget")
+        F.expr(f"sum(cost) div {KNAP_BUDGET_SHARE}")
+        .cast("long")
+        .alias("budget")
     )
     # the global density-ordered prefix sums route through the
     # two-phase distributed cumsum (one call per measure) — never an

@@ -7815,9 +7815,13 @@ def _ucb_best_arm_sql() -> str:
 def _ucb_oracle() -> str:
     """12x2 MATERIALIZED CTE stages — DuckDB must not inline them or
     the same exponential blow-up returns."""
+    # coalesce(., 0): an empty (day, arm) cell reads as 0-ppm reward
+    # instead of a NULL that would silently propagate through every
+    # later stage of the replay (ADVICE r10) — populated at sf0.01,
+    # load-bearing on sparser slices
     pivot_cols = ",\n".join(
-        f"        max(CASE WHEN m = {t} AND a = '{a}' THEN r_ppm END)"
-        f" AS r{t}_{a}"
+        f"        coalesce(max(CASE WHEN m = {t} AND a = '{a}'"
+        f" THEN r_ppm END), 0) AS r{t}_{a}"
         for t in range(1, UCB_MONTHS + 1)
         for a in UCB_ARMS
     )
@@ -7904,10 +7908,17 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m", "a")
         .agg(F.expr("(sum(r) * 20) div count(*)").cast("long").alias("r_ppm"))
     )
+    # empty (day, arm) cells coalesce to 0 ppm, mirroring the oracle
+    # (ADVICE r10: a NULL here nulls the entire replay downstream)
     state = cells.agg(
         *[
-            F.max(
-                F.when((F.col("m") == t) & (F.col("a") == a), F.col("r_ppm"))
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("m") == t) & (F.col("a") == a), F.col("r_ppm")
+                    )
+                ),
+                F.lit(0).cast("long"),
             ).alias(f"r{t}_{a}")
             for t in range(1, UCB_MONTHS + 1)
             for a in UCB_ARMS
@@ -7940,27 +7951,33 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
-def _lmom_c(m: str, k: int, cast: str) -> str:
+def _lmom_c(m: str, k: int, cast: str, div: str = "/") -> str:
     """C(m, k) as exact big-integer SQL; `cast` wraps m into the
     engine's wide type (DECIMAL(38,0) / HUGEINT) BEFORE the products
-    so nothing overflows BIGINT at large n."""
+    so nothing overflows BIGINT at large n. `div` is the engine's
+    EXACT division operator for that wide type: DuckDB's `/` on
+    HUGEINT returns DOUBLE (ADVICE r10 — order-dependent rounding at
+    term magnitudes ~1e23), so the DuckDB path passes `//`, which
+    stays HUGEINT; the k consecutive-integer factors make the product
+    exactly divisible by k!, so integer division is lossless. Spark's
+    `/` on DECIMAL is exact decimal arithmetic and stays as-is."""
     mm = cast.format(x=m)
     if k == 1:
         return mm
     num = " * ".join(f"({mm} - {j})" for j in range(k))
     den = {2: 2, 3: 6, 4: 24}[k]
-    return f"(({num}) / {den})"
+    return f"(({num}) {div} {den})"
 
 
-def _lmom_terms(cast: str) -> str:
+def _lmom_terms(cast: str, div: str = "/") -> str:
     """Per-value hockey-stick weights: the ranks of a value-block
     (B+1..B+c) contribute sum_{i} C(i-1, r) = C(B+c, r+1) - C(B, r+1)
     exactly, so L-moment numerators need only the distinct-value
     cumulative table — no per-row ranks."""
     parts = []
     for r in range(4):
-        hi = _lmom_c("(b + c)", r + 1, cast)
-        lo = _lmom_c("b", r + 1, cast)
+        hi = _lmom_c("(b + c)", r + 1, cast, div)
+        lo = _lmom_c("b", r + 1, cast, div)
         v = cast.format(x="v")
         parts.append(f"sum({v} * ({hi} - {lo})) AS n{r}")
     return ", ".join(parts)
@@ -7986,7 +8003,7 @@ _LMOM_SPARK_CAST = "CAST({x} AS DECIMAL(38,0))"
       FROM vals
     ),
     sums AS (
-      SELECT any_value(n) AS n, {_lmom_terms(_LMOM_DUCK_CAST)}
+      SELECT any_value(n) AS n, {_lmom_terms(_LMOM_DUCK_CAST, "//")}
       FROM cum
     ),
     bs AS (

@@ -673,9 +673,19 @@ def dp_user_bounded_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     C={DPU_CAP} events (event-time order, event_id tie-break — a
     deterministic per-user window), which bounds the L1 sensitivity of
     the whole 5-type count vector at C, so ONE Laplace mechanism at
-    scale C/eps makes the entire release eps-DP under user-level
-    adjacency. Output shows raw vs capped counts (the clipping bias is
-    visible, not hidden) plus the released noisy counts.
+    scale C/eps would make a release of the noised counts ALONE eps-DP
+    under user-level adjacency.
+
+    What this query MODELS vs what it RELEASES (ADVICE r10): only
+    `released_count_micro` models the DP release; `raw_n` and
+    `capped_n` are debug/bias-inspection outputs (they make the
+    clipping bias visible and the mechanism oracle-checkable) that a
+    real release must DROP — publishing the exact counts alongside
+    voids the guarantee, and the event_type-seeded deterministic
+    Laplace here is a reproducibility device, not private noise (real
+    deployments draw from a secure RNG). The query demonstrates the
+    contribution-bounding accounting, not an end-to-end private
+    pipeline.
 
     Noise is the house seeded-deterministic Laplace (md5-dyadic
     uniform through the inverse CDF, floored to micro units) so the
