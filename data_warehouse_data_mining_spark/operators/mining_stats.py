@@ -1,0 +1,2307 @@
+"""Experiment-statistics mining tier (split from mining.py, r11):
+allocation/design (Neyman, power analysis lives in mining_policy),
+interim monitoring, the classical two-sample test kit (Welch, QTE,
+Mann-Whitney, KS, bootstrap CIs), robust trend/changepoint estimators
+(Theil-Sen, binseg), calibration (conformal), decision quantities
+(newsvendor), panel effects (diff-in-diff), correlation/diagnostics
+(Kendall, Durbin-Watson), distributional shape (Lorenz, Simpson,
+Hill, Hurst) — all oracle-checked, all fixed-point-guarded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_warehouse_data_mining_spark.catalog import load
+from data_warehouse_data_mining_spark.operators.mining_common import (
+    _CUPED_SPLIT,
+    _EV_CENTS,
+)
+from data_warehouse_data_mining_spark.registry import register
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS ss
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ),
+    w AS (
+      SELECT nk, nh,
+             sqrt((CAST(ss AS DOUBLE) * nh - CAST(s AS DOUBLE) * s))
+               / nh * nh AS wt
+      FROM m
+    ),
+    q AS (
+      SELECT nk, nh, wt,
+             {_NEYMAN_BUDGET} * wt / (SELECT sum(wt) FROM w) AS quota
+      FROM w
+    ),
+    fl AS (
+      SELECT nk, nh, wt, quota,
+             CAST(floor(quota) AS BIGINT) AS base,
+             quota - floor(quota) AS rem
+      FROM q
+    ),
+    short AS (
+      SELECT {_NEYMAN_BUDGET} - CAST(sum(base) AS BIGINT) AS k FROM fl
+    ),
+    ranked AS (
+      SELECT nk, nh, quota, base,
+             row_number() OVER (ORDER BY rem DESC, nk) AS rr
+      FROM fl
+    )
+    SELECT nk AS nationkey, nh AS n_orders,
+           round(quota, 6) AS exact_quota,
+           CAST(base + CASE WHEN rr <= (SELECT k FROM short)
+                            THEN 1 ELSE 0 END AS BIGINT) AS allocated
+    FROM ranked
+    ORDER BY nationkey
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal sample allocation: split a {_NEYMAN_BUDGET}-unit
+    audit budget across nation strata proportional to N_h·S_h (stratum
+    size × spend standard deviation) — the survey-design rule that
+    minimizes estimator variance for a fixed budget, and the statistical
+    sibling of token_budget_allocation's share-based split.
+
+    S_h comes from exact integer moment sums (one joined aggregate);
+    quotas are identical doubles on both engines, integerized with
+    LARGEST REMAINDER (floor + top-k remainders, nation tiebreak) so
+    allocations sum to exactly the budget. The remainder ranking runs
+    over the ≤25-row strata table — bounded by construction."""
+    t = load(spark, sf_dir)
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    m = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum(cents).cast("long").alias("s"),
+            F.sum(cents * cents).cast("long").alias("ss"),
+        )
+        # strata-sized; weight, total-weight and ranking all read it
+        .localCheckpoint(eager=True)
+    )
+    wt = (
+        F.sqrt(
+            F.col("ss").cast("double") * F.col("nh")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / F.col("nh")
+        * F.col("nh")
+    )
+    w = m.select("nk", "nh", wt.alias("wt"))
+    tot = w.agg(F.sum("wt").alias("twt"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "nh",
+        (F.lit(_NEYMAN_BUDGET) * F.col("wt") / F.col("twt")).alias("quota"),
+    )
+    fl = q.select(
+        "nk",
+        "nh",
+        "quota",
+        F.floor("quota").cast("long").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    ).localCheckpoint(eager=True)
+    short = fl.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base").cast("long")).alias("k")
+    )
+    wrk = W.orderBy(F.col("rem").desc(), F.col("nk"))  # ≤25 strata rows
+    return (
+        fl.withColumn("rr", F.row_number().over(wrk))
+        .crossJoin(F.broadcast(short))
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("nh").alias("n_orders"),
+            F.round("quota", 6).alias("exact_quota"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_LOOK_CUTS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00", "2024-02-01 00:00:00")
+_OBF_BOUNDS = (3.471, 2.454, 2.004)  # O'Brien-Fleming, 3 looks, two-sided 0.05
+
+
+def _interim_oracle() -> str:
+    looks = []
+    for i, (cut, bound) in enumerate(zip(_LOOK_CUTS, _OBF_BOUNDS)):
+        looks.append(f"""
+      SELECT {i + 1} AS look, '{cut[:10]}' AS cutoff,
+             CAST(sum(CASE WHEN arm = 'A' AND first_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'A' AND conv_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN arm = 'B' AND first_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 'B' AND conv_ts < TIMESTAMP '{cut}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_b,
+             CAST({bound} AS DOUBLE) AS boundary
+      FROM per_user""")
+    union = " UNION ALL ".join(looks)
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             min(ts) AS first_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    looks AS ({union}),
+    z AS (
+      SELECT look, cutoff, n_a, c_a, n_b, c_b, boundary,
+             CASE WHEN n_a = 0 OR n_b = 0
+                   OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b) THEN 0.0
+                  ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                              * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b))
+             END AS zval
+      FROM looks
+    )
+    SELECT look, cutoff, n_a, c_a, n_b, c_b,
+           round(zval, 6) AS z, boundary,
+           CASE WHEN abs(zval) > boundary THEN 1 ELSE 0 END AS crossed
+    FROM z ORDER BY look
+    """
+
+
+@register(
+    "ab_interim_monitoring",
+    oracle=_interim_oracle(),
+)
+def ab_interim_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring: the hash-split experiment
+    (ab_test_conversion's arms) evaluated at THREE interim looks (day
+    10 / 20 / end) against O'Brien-Fleming z-boundaries (3.471 / 2.454
+    / 2.004, two-sided α=0.05 over 3 looks) — the peeking-safe early-
+    stop protocol; a naive fixed 1.96 cut at every look inflates false
+    positives ~3×, which is the whole reason the spending boundaries
+    exist.
+
+    ONE per-user aggregate (first event, first conversion) feeds all
+    looks; each look is a conditional sum over the same user table, and
+    each z is the pooled two-proportion statistic over exact counts
+    with the degenerate-pool guard (the ab_test_conversion lesson).
+    Boundary crossings compare identical doubles against literal
+    thresholds."""
+    e = load(spark, sf_dir).events
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("conv_ts"),
+        )
+        .select(
+            F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+            .otherwise("B")
+            .alias("arm"),
+            "first_ts",
+            "conv_ts",
+        )
+        # user-count sized; all three looks read it
+        .localCheckpoint(eager=True)
+    )
+    rows = None
+    for i, (cut, bound) in enumerate(zip(_LOOK_CUTS, _OBF_BOUNDS)):
+        cutc = F.lit(cut).cast("timestamp")
+        r = per_user.agg(
+            F.lit(i + 1).alias("look"),
+            F.lit(cut[:10]).alias("cutoff"),
+            F.sum(
+                F.when((F.col("arm") == "A") & (F.col("first_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_a"),
+            F.sum(
+                F.when((F.col("arm") == "A") & (F.col("conv_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("c_a"),
+            F.sum(
+                F.when((F.col("arm") == "B") & (F.col("first_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_b"),
+            F.sum(
+                F.when((F.col("arm") == "B") & (F.col("conv_ts") < cutc), 1)
+                .otherwise(0)
+            ).cast("long").alias("c_b"),
+            F.lit(bound).alias("boundary"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    zval = F.when(
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")),
+        0.0,
+    ).otherwise(
+        (
+            F.col("c_a").cast("double") / F.col("n_a")
+            - F.col("c_b").cast("double") / F.col("n_b")
+        )
+        / F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    )
+    return rows.select(
+        "look",
+        "cutoff",
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(zval, 6).alias("z"),
+        "boundary",
+        F.when(F.abs(zval) > F.col("boundary"), 1).otherwise(0).alias(
+            "crossed"
+        ),
+    ).orderBy("look")
+
+
+@register(
+    "training_set_pit_features",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER w AS rn,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS label_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+           round(value, 2) AS label_value,
+           CAST(rn - 1 AS BIGINT) AS n_prior_events,
+           round(last_click_value, 2) AS last_click_value,
+           CAST(CASE WHEN last_click_ts IS NOT NULL
+                     THEN floor(date_part('epoch', ts)
+                                - date_part('epoch', last_click_ts))
+                END AS BIGINT) AS secs_since_click
+    FROM seq
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, label_event_id
+    """,
+)
+def training_set_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    discipline that keeps label leakage out of ML data: for every
+    purchase (the label event), every feature is computed over STRICTLY
+    PRIOR events only (ROWS … 1 PRECEDING frames) — the as-of click
+    value, the prior-event count, and the staleness of the last click.
+    Using a plain groupBy-per-user aggregate here (the classic mistake)
+    would fold post-label events into the features.
+
+    One shuffle on user_id; all three features share the same
+    partitioned sort, so Catalyst plans a single Sort + one Window
+    operator — the PIT join at 100 TB is a window, not an interval
+    join, when features and labels live on the same event log."""
+    e = load(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(W.unboundedPreceding, -1)
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    click_v = F.when(F.col("event_type") == "click", F.col("value"))
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior_events"),
+        F.max(click_ts).over(prior).alias("last_click_ts"),
+        F.last(click_v, ignorenulls=True).over(prior).alias("last_click_value"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+            F.round("value", 2).alias("label_value"),
+            "n_prior_events",
+            F.round("last_click_value", 2).alias("last_click_value"),
+            # CAST(ts AS DOUBLE) keeps the microsecond fraction, matching
+            # DuckDB's fractional date_part('epoch'); unix_timestamp()
+            # would truncate each side first and drift by 1s when the
+            # fractional parts wrap
+            F.floor(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double")
+            )
+            .cast("long")
+            .alias("secs_since_click"),
+        )
+        .orderBy("user_id", "label_event_id")
+    )
+
+
+@register(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN arm = 'A' THEN c * c ELSE 0 END) AS BIGINT) AS ssa,
+             CAST(sum(CASE WHEN arm = 'B' THEN c * c ELSE 0 END) AS BIGINT) AS ssb
+      FROM per_user
+    ),
+    x AS (
+      SELECT na, nb,
+             sa / (CAST(na AS DOUBLE) * 100) AS mean_a,
+             sb / (CAST(nb AS DOUBLE) * 100) AS mean_b,
+             (CAST(na AS DOUBLE) * ssa - CAST(sa AS DOUBLE) * sa)
+               / (CAST(na AS DOUBLE) * (na - 1)) / 10000.0 / na AS sq_a,
+             (CAST(nb AS DOUBLE) * ssb - CAST(sb AS DOUBLE) * sb)
+               / (CAST(nb AS DOUBLE) * (nb - 1)) / 10000.0 / nb AS sq_b
+      FROM m
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(CASE WHEN sq_a + sq_b = 0 THEN 0.0
+                      ELSE (mean_a - mean_b) / sqrt(sq_a + sq_b) END, 6)
+             AS t_stat,
+           round(CASE WHEN sq_a + sq_b = 0 THEN 0.0
+                      ELSE (sq_a + sq_b) * (sq_a + sq_b)
+                           / (sq_a * sq_a / (na - 1) + sq_b * sq_b / (nb - 1))
+                 END, 6) AS welch_df
+    FROM x
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the hash-split arms
+    (ab_test_conversion's assignment) on per-user total spend: the
+    t statistic and the Welch-Satterthwaite degrees of freedom — the
+    default two-sample test when arm variances differ (Welch 1947).
+
+    Same discipline as ab_cuped_adjustment: ONE per-user aggregation
+    pass (cents fixed-point), exact bigint moment sums (n, sum, sum of
+    squares per arm via conditional aggregation — no second shuffle),
+    then t and df as single identical double expressions on both
+    engines; the degenerate zero-variance pool guards to 0 with a CASE
+    on the double standard error (ANSI Spark raises on double/0).
+    p-values need the t CDF (not expressible identically in both
+    engines) — consumers threshold |t| against a fixed critical value,
+    which at these df is 1.96 for alpha=0.05."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    one_if = lambda a: F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+    c_if = lambda a: F.sum(F.when(F.col("arm") == a, F.col("c")).otherwise(0))
+    cc_if = lambda a: F.sum(
+        F.when(F.col("arm") == a, F.col("c") * F.col("c")).otherwise(0)
+    )
+    m = per_user.agg(
+        one_if("A").cast("long").alias("na"),
+        one_if("B").cast("long").alias("nb"),
+        c_if("A").cast("long").alias("sa"),
+        c_if("B").cast("long").alias("sb"),
+        cc_if("A").cast("long").alias("ssa"),
+        cc_if("B").cast("long").alias("ssb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    x = m.select(
+        "na",
+        "nb",
+        (F.col("sa") / (nad * 100)).alias("mean_a"),
+        (F.col("sb") / (nbd * 100)).alias("mean_b"),
+        (
+            (nad * F.col("ssa") - sad * F.col("sa"))
+            / (nad * (F.col("na") - 1))
+            / 10000.0
+            / F.col("na")
+        ).alias("sq_a"),
+        (
+            (nbd * F.col("ssb") - sbd * F.col("sb"))
+            / (nbd * (F.col("nb") - 1))
+            / 10000.0
+            / F.col("nb")
+        ).alias("sq_b"),
+    )
+    se2 = F.col("sq_a") + F.col("sq_b")
+    return x.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            F.when(se2 == 0, 0.0).otherwise(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+            ),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.when(se2 == 0, 0.0).otherwise(
+                se2
+                * se2
+                / (
+                    F.col("sq_a") * F.col("sq_a") / (F.col("na") - 1)
+                    + F.col("sq_b") * F.col("sq_b") / (F.col("nb") - 1)
+                )
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+_QTE_PS = [0.25, 0.5, 0.75]
+
+
+@register(
+    "quantile_treatment_effects",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT arm,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY c) AS p25,
+             percentile_cont(0.50) WITHIN GROUP (ORDER BY c) AS p50,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY c) AS p75
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT CAST(p AS DOUBLE) AS p,
+             CASE p WHEN 0.25 THEN max(CASE WHEN arm = 'A' THEN p25 END)
+                    WHEN 0.50 THEN max(CASE WHEN arm = 'A' THEN p50 END)
+                    ELSE max(CASE WHEN arm = 'A' THEN p75 END) END AS qa,
+             CASE p WHEN 0.25 THEN max(CASE WHEN arm = 'B' THEN p25 END)
+                    WHEN 0.50 THEN max(CASE WHEN arm = 'B' THEN p50 END)
+                    ELSE max(CASE WHEN arm = 'B' THEN p75 END) END AS qb
+      FROM q CROSS JOIN (SELECT unnest([0.25, 0.50, 0.75]) AS p) ps
+      GROUP BY p
+    )
+    SELECT p, round(qa / 100.0, 6) AS q_a, round(qb / 100.0, 6) AS q_b,
+           round(qb / 100.0 - qa / 100.0, 6) AS qte
+    FROM wide ORDER BY p
+    """,
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the hash-split experiment: the
+    per-arm exact interpolated quartiles of per-user total spend and
+    their B-minus-A gaps — the distributional view a mean-only t-test
+    (ab_welch_ttest) misses when a treatment moves the tails, not the
+    center (Koenker-Bassett quantile-effect framing).
+
+    Exact quantiles come from exact_group_percentiles'
+    sketch-bracketed selection (the median_exact machinery — never a
+    per-group whole-column agg buffer, so per-arm order statistics
+    stay scale-safe); inputs are exact cent integers so the
+    percentile_cont interpolation is the same two-value double lerp on
+    both engines."""
+    from data_warehouse_data_mining_spark.operators.relational import (
+        exact_group_percentiles,
+    )
+
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents).cast("long").alias("c"))
+        .select(
+            F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+            .otherwise("B")
+            .alias("arm"),
+            "c",
+        )
+    )
+    per_p = exact_group_percentiles(per_user, "arm", "c", _QTE_PS)
+    p_of = F.element_at(
+        F.array(*[F.lit(p) for p in _QTE_PS]), F.col("pid") + 1
+    )
+    return (
+        per_p.groupBy("pid")
+        .pivot("arm", ["A", "B"])
+        .agg(F.first("val"))
+        .select(
+            p_of.alias("p"),
+            F.round(F.col("A") / 100.0, 6).alias("q_a"),
+            F.round(F.col("B") / 100.0, 6).alias("q_b"),
+            F.round(F.col("B") / 100.0 - F.col("A") / 100.0, 6).alias("qte"),
+        )
+        .orderBy("p")
+    )
+
+
+# Cumulative Poisson(1) CDF thresholds P(X <= k), k = 0..8; computed
+# once in Python and embedded as IDENTICAL double literals in the Spark
+# plan and the oracle SQL, so the inverse-CDF step function is the same
+# on both engines. Replicate weights beyond 9 are astronomically rare
+# (P > 9 with lambda=1 is ~1e-7) and truncate to 9.
+import math as _math
+
+_POIS_CUM: list[float] = []
+_acc, _term = 0.0, _math.exp(-1.0)
+for _k in range(9):
+    _acc += _term
+    _POIS_CUM.append(_acc)
+    _term /= _k + 1
+
+BOOTSTRAP_B = 32
+
+_BOOT_HEXWORD_SQL = (
+    "list_reduce(list_transform(range(1, 9), "
+    "i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1)) - 1"
+    " AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT u.user_id, u.c, b.b,
+             md5('boot|' || CAST(u.user_id AS VARCHAR)
+                 || '|' || CAST(b.b AS VARCHAR)) AS m
+      FROM per_user u
+      CROSS JOIN (SELECT unnest(range(0, {BOOTSTRAP_B})) AS b) b
+    ),
+    wts AS (
+      SELECT b, c,
+             ({" + ".join(f"(CASE WHEN ({_BOOT_HEXWORD_SQL} + 0.5) / 4294967296.0 >= {t!r} THEN 1 ELSE 0 END)" for t in _POIS_CUM)})
+               AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b, CAST(sum(w * c) AS BIGINT) AS swc, CAST(sum(w) AS BIGINT) AS sw
+      FROM wts GROUP BY b
+    ),
+    ranked AS (
+      SELECT swc / (CAST(sw AS DOUBLE) * 100) AS mean_b,
+             row_number() OVER (ORDER BY swc / (CAST(sw AS DOUBLE) * 100)) AS rn
+      FROM means
+    ),
+    fs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             sum(c) / (CAST(count(*) AS DOUBLE) * 100) AS mean_spend
+      FROM per_user
+    )
+    SELECT f.n_users, {BOOTSTRAP_B} AS b_replicates,
+           round(f.mean_spend, 6) AS mean_spend,
+           round(max(CASE WHEN rn = 1 THEN mean_b END), 6) AS env_lo,
+           round(max(CASE WHEN rn = {BOOTSTRAP_B} THEN mean_b END), 6)
+             AS env_hi
+    FROM ranked CROSS JOIN fs f
+    GROUP BY f.n_users, f.mean_spend
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for mean per-user
+    spend: every (user, replicate) pair draws an independent Poisson(1)
+    resample weight, so each of the B=32 replicate means is computable
+    in ONE streaming pass with no resampling shuffle — the
+    single-pass bootstrap that works when the data cannot be
+    materialized B times (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massive Data Streams"). The interval is the SYMMETRIC full
+    replicate envelope — min and max of the B=32 replicate means
+    (ranks 1 and B) — which under the (B+1) order-statistic rule is an
+    equal-tailed ~94% percentile interval (1 - 2/(B+1)); with B=32 no
+    order statistic lands at exactly 2.5%/97.5%, so the output is
+    labeled env_lo/env_hi rather than claiming an exact 95% CI.
+
+    Determinism: weights come from the inverse Poisson CDF applied to
+    the md5-dyadic uniform (the dp_noisy_group_counts recipe — exactly
+    representable, never compared against a computed constant: the CDF
+    thresholds are baked as identical double literals in both plans);
+    replicate sums are exact integer (weight x cents) adds, so every
+    replicate mean is the same single double division on both engines.
+    Scale shape: explode B=32 on the per-user table (dimension-sized,
+    not event-sized), one (b)-keyed 32-group aggregate with full
+    map-side combine, then O(B) driver-free order statistics."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    reps = per_user.withColumn(
+        "b", F.explode(F.array(*[F.lit(b) for b in range(BOOTSTRAP_B)]))
+    )
+    m = F.md5(
+        F.concat(
+            F.lit("boot|"),
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    )
+    u = (F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").cast("double") + 0.5) / 4294967296.0
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POIS_CUM),
+        F.lit(0),
+    )
+    means = (
+        reps.select("b", "c", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).cast("long").alias("swc"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+    )
+    mean_b = F.col("swc") / (F.col("sw").cast("double") * 100)
+    ranked = means.select(mean_b.alias("mean_b")).withColumn(
+        "rn", F.row_number().over(W.orderBy("mean_b"))
+    )
+    full = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("c") / (F.count(F.lit(1)).cast("double") * 100)).alias(
+            "mean_spend"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full))
+        .groupBy("n_users", "mean_spend")
+        .agg(
+            F.round(F.max(F.when(F.col("rn") == 1, F.col("mean_b"))), 6).alias(
+                "env_lo"
+            ),
+            F.round(
+                F.max(
+                    F.when(F.col("rn") == BOOTSTRAP_B, F.col("mean_b"))
+                ),
+                6,
+            ).alias("env_hi"),
+        )
+        .select(
+            "n_users",
+            F.lit(BOOTSTRAP_B).alias("b_replicates"),
+            F.round("mean_spend", 6).alias("mean_spend"),
+            "env_lo",
+            "env_hi",
+        )
+    )
+
+
+HILL_K = 64
+_OP_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC) AS rn
+      FROM (SELECT {_OP_CENTS} AS c FROM orders
+            ORDER BY 1 DESC LIMIT {HILL_K + 1})
+    ),
+    thr AS (SELECT c AS xk FROM topk WHERE rn = {HILL_K + 1}),
+    terms AS (
+      SELECT CAST(floor(ln(t.c / CAST(thr.xk AS DOUBLE)) * 1000000 + 1e-3)
+                  AS BIGINT) AS term_micro
+      FROM topk t CROSS JOIN thr
+      WHERE t.rn <= {HILL_K}
+    ),
+    s AS (SELECT CAST(sum(term_micro) AS BIGINT) AS sum_micro FROM terms),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_obs FROM orders)
+    SELECT n.n_obs, {HILL_K} AS k,
+           round(thr.xk / 100.0, 2) AS threshold,
+           round(s.sum_micro / ({HILL_K} * 1000000.0), 6) AS hill_mean_log_excess,
+           round({HILL_K} * 1000000.0 / s.sum_micro, 6) AS tail_index_alpha
+    FROM s CROSS JOIN thr CROSS JOIN n
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index of the order-price
+    distribution over the top k=64 order statistics: mean log-excess
+    over the (k+1)-th largest value, whose reciprocal is the Pareto
+    tail exponent alpha (Hill 1975) — the heavy-tail diagnostic that
+    says whether means/variances of spend (or document length, at the
+    curation layer) are even stable enough to report.
+
+    Scale shape: the ONLY data-sized step is the top-(k+1) selection,
+    which Catalyst executes as TakeOrderedAndProject (per-partition
+    partial top-k, merged — never a global sort); everything after is
+    a 65-row program. Determinism: ties at the boundary don't matter
+    (only the VALUES enter the estimator, and any tie-resolution keeps
+    the same multiset); each log-excess is one ln() of a deterministic
+    exact-integer ratio, floored to 1e-6 fixed point with the +1e-3
+    nudge (the dsir discipline), so the k-term sum is an exact BIGINT
+    add on both engines."""
+    o = load(spark, sf_dir).orders
+    topk = (
+        o.select(F.expr(_OP_CENTS).alias("c"))
+        .orderBy(F.col("c").desc())
+        .limit(HILL_K + 1)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("c").desc())))
+        .localCheckpoint(eager=True)
+    )
+    thr = topk.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("c").alias("xk")
+    )
+    term = F.floor(
+        F.log(F.col("c") / F.col("xk").cast("double")) * 1_000_000 + 1e-3
+    ).cast("bigint")
+    s = (
+        topk.filter(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .select(term.alias("term_micro"))
+        .agg(F.sum("term_micro").cast("long").alias("sum_micro"))
+    )
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_obs",
+            F.lit(HILL_K).alias("k"),
+            F.round(F.col("xk") / 100.0, 2).alias("threshold"),
+            F.round(
+                F.col("sum_micro") / (HILL_K * 1_000_000.0), 6
+            ).alias("hill_mean_log_excess"),
+            F.round(
+                HILL_K * 1_000_000.0 / F.col("sum_micro"), 6
+            ).alias("tail_index_alpha"),
+        )
+    )
+
+
+@register(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+      FROM per_user GROUP BY c
+    ),
+    ranked AS (
+      SELECT c, cnt, cnt_a,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt_a * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r_a2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
+             CAST(sum(cnt_a) AS BIGINT) AS na,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS nb
+      FROM ranked
+    ),
+    u AS (
+      SELECT na, nb, tie_term,
+             r_a2 - na * (na + 1) AS u_a2,
+             CAST(na AS DOUBLE) * nb / 12.0
+               * ((na + nb + 1)
+                  - tie_term / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))
+               AS var_u
+      FROM agg
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(u_a2 / 2.0, 1) AS u_a,
+           round(CAST(na AS DOUBLE) * nb - u_a2 / 2.0, 1) AS u_b,
+           tie_term,
+           round((u_a2 - CAST(na AS DOUBLE) * nb) / (2.0 * sqrt(var_u)), 6)
+             AS z_score
+    FROM u
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the hash-split
+    arms on per-user spend — the nonparametric companion to
+    ab_welch_ttest for skewed metrics where rank shift, not mean shift,
+    is the honest question; includes the tie-corrected normal
+    approximation z.
+
+    Exactness: ranks never materialize per row — the distinct-value
+    table carries (value, tie count, arm-A count), average tie ranks
+    are kept DOUBLED so every rank sum is an exact BIGINT
+    (2*avg_rank = 2*cum_prev + cnt + 1), and the tie correction
+    sum(t³−t) is integer too; the only doubles are the final
+    variance/z expressions, identical on both engines. Scale shape:
+    one per-user pass, one distinct-value aggregate, one ordered
+    prefix window over the (bounded-cardinality) value table."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    vals = per_user.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+    ).localCheckpoint(eager=True)  # bounded distinct-value table; the
+    # two-phase ranking reads it several times — pin it so the events
+    # fact table is scanned exactly once
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    # exclusive prefix count via the two-phase distributed ordering (the
+    # distinct-value table is value-cardinality sized — a plain
+    # ORDER BY window here would be the banned single-partition shape)
+    ranked = global_order_stats(
+        vals, "c", "c", measure_col="cnt", ascending=True
+    ).withColumn(
+        "cum_prev", (F.col("global_cum") - F.col("cnt")).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_prev") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r_a2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("nb"),
+    )
+    nad = F.col("na").cast("double")
+    u_a2 = F.col("r_a2") - F.col("na") * (F.col("na") + 1)
+    n = F.col("na") + F.col("nb")
+    var_u = (
+        nad
+        * F.col("nb")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1)))
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(u_a2 / 2.0, 1).alias("u_a"),
+        F.round(nad * F.col("nb") - u_a2 / 2.0, 1).alias("u_b"),
+        "tie_term",
+        F.round((u_a2 - nad * F.col("nb")) / (2.0 * F.sqrt(var_u)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+@register(
+    "ks_two_sample",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum({_EV_CENTS}) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT c,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM per_user GROUP BY c
+    ),
+    cums AS (
+      SELECT c,
+             CAST(sum(ca) OVER (ORDER BY c) AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER (ORDER BY c) AS BIGINT) AS cum_b
+      FROM vals
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM vals
+    ),
+    gaps AS (
+      SELECT c, abs(cum_a * nb - cum_b * na) AS gap_num
+      FROM cums CROSS JOIN tot
+    ),
+    best AS (
+      SELECT CAST(max(gap_num) AS BIGINT) AS d_num FROM gaps
+    ),
+    att AS (
+      SELECT CAST(min(c) AS BIGINT) AS at_value_cents
+      FROM gaps CROSS JOIN best WHERE gap_num = d_num
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(b.d_num / (CAST(t.na AS DOUBLE) * t.nb), 6) AS ks_d,
+           round(a.at_value_cents / 100.0, 2) AS at_value,
+           round(sqrt((CAST(t.na AS DOUBLE) * t.nb) / (t.na + t.nb))
+                 * (b.d_num / (CAST(t.na AS DOUBLE) * t.nb)), 6)
+             AS scaled_statistic
+    FROM best b CROSS JOIN tot t CROSS JOIN att a
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the arms'
+    per-user spend distributions: D = max |F_A − F_B|, the value where
+    the supremum is attained, and the sqrt(na·nb/n)·D scaled statistic
+    consumers compare against the Kolmogorov critical values — the
+    whole-distribution companion to ab_welch_ttest (means) and
+    mann_whitney_u (ranks).
+
+    Exactness: both ECDFs stay integer — the gap is compared as
+    |cum_a·nb − cum_b·na| (exact cross-multiplied BIGINTs), so the
+    argmax and the tie-break (smallest attaining value) are
+    engine-exact; division by na·nb happens once at the end. Scale
+    shape: one per-user pass, one distinct-value aggregate, ECDF
+    prefix sums via the two-phase distributed ordering (one pass per
+    arm), then O(1) rollups."""
+    e = load(spark, sf_dir).events
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents).cast("long").alias("c")
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    vals = per_user.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    ).localCheckpoint(eager=True)  # read by two two-phase passes + totals
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    # inclusive ECDF prefix sums, one two-phase pass per arm (no
+    # single-partition window over the value-cardinality table)
+    ca_cum = global_order_stats(
+        vals.select("c", "ca"), "c", "c", measure_col="ca", ascending=True
+    ).select("c", F.col("global_cum").cast("long").alias("cum_a"))
+    cb_cum = global_order_stats(
+        vals.select("c", "cb"), "c", "c", measure_col="cb", ascending=True
+    ).select(F.col("c").alias("c2"), F.col("global_cum").cast("long").alias("cum_b"))
+    cums = ca_cum.join(cb_cum, F.col("c2") == F.col("c")).select(
+        "c", "cum_a", "cum_b"
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    gaps = cums.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ).alias("gap_num"),
+    )
+    best = gaps.agg(F.max("gap_num").cast("long").alias("d_num"))
+    att = (
+        gaps.crossJoin(F.broadcast(best))
+        .filter(F.col("gap_num") == F.col("d_num"))
+        .agg(F.min("c").cast("long").alias("at_value_cents"))
+    )
+    nad = F.col("na").cast("double")
+    d = F.col("d_num") / (nad * F.col("nb"))
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(att))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round(d, 6).alias("ks_d"),
+            F.round(F.col("at_value_cents") / 100.0, 2).alias("at_value"),
+            F.round(
+                F.sqrt((nad * F.col("nb")) / (F.col("na") + F.col("nb"))) * d,
+                6,
+            ).alias("scaled_statistic"),
+        )
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1996-01-01', CAST(o.o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.n_name,
+             (b.rev_c - a.rev_c) / (CAST(b.d AS DOUBLE) - a.d) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON b.n_name = a.n_name AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT n_name, slope,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY slope, d1, d2) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n_pairs
+      FROM pairs
+    ),
+    meta AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT r.n_name AS nation, m.n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           round(r.slope / 100.0, 6) AS theil_sen_slope
+    FROM ranked r JOIN meta m ON m.n_name = r.n_name
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY nation
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of 1996 daily revenue per nation: the
+    LOWER MEDIAN of all pairwise day-to-day slopes — the
+    breakdown-point-29% alternative to groupwise_ols_trend's
+    least-squares slope, immune to the outlier days OLS chases
+    (Theil 1950 / Sen 1968).
+
+    Scale shape: pairwise work is bounded by the TIME WINDOW, not the
+    corpus — daily aggregation first (one fact pass), then ≤(365
+    choose 2) pairs per nation generated by a nation-keyed self-join of
+    the bounded daily table. Determinism: slopes are exact-integer
+    differences in one double division; the median is the row_number
+    lower median with a full (slope, d1, d2) tie-break order, so both
+    engines select the identical pair even among equal slopes."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # bounded: <= nations x 366 rows; consumed by self-join + meta
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("n_name"), F.col("d").alias("d1"), F.col("rev_c").alias("r1")
+    )
+    b = daily.select(
+        F.col("n_name").alias("n2"),
+        F.col("d").alias("d2"),
+        F.col("rev_c").alias("r2"),
+    )
+    pairs = a.join(
+        b, (F.col("n2") == F.col("n_name")) & (F.col("d2") > F.col("d1"))
+    ).select(
+        "n_name",
+        ((F.col("r2") - F.col("r1")) / (F.col("d2").cast("double") - F.col("d1")))
+        .alias("slope"),
+        "d1",
+        "d2",
+    )
+    wrank = W.partitionBy("n_name").orderBy("slope", "d1", "d2")
+    wcnt = W.partitionBy("n_name")
+    ranked = pairs.select(
+        "n_name",
+        "slope",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n_pairs"),
+    ).filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2).cast("long"))
+    meta = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        ranked.join(F.broadcast(meta), "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("slope") / 100.0, 6).alias("theil_sen_slope"),
+        )
+        .orderBy("nation")
+    )
+
+
+CONFORMAL_ALPHA = 0.1
+
+
+@register(
+    "conformal_interval_calibration",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1996-01-01', CAST(o.o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    fit AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS nf,
+             CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(d * d) AS BIGINT) AS sxx,
+             CAST(sum(d * y) AS BIGINT) AS sxy
+      FROM daily WHERE d % 2 = 0 GROUP BY n_name
+      HAVING count(*) >= 2 AND count(*) * sum(d * d) <> sum(d) * sum(d)
+    ),
+    coef AS (
+      SELECT n_name, nf,
+             (CAST(nf AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(nf AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (sy - (CAST(nf AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(nf AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sx) / nf AS a
+      FROM fit
+    ),
+    resid AS (
+      SELECT c.n_name, c.nf, c.a, c.b,
+             abs(dd.y - (c.a + c.b * dd.d)) AS r
+      FROM coef c JOIN daily dd ON dd.n_name = c.n_name AND dd.d % 2 = 1
+    ),
+    ranked AS (
+      SELECT n_name, nf, a, b, r,
+             row_number() OVER (PARTITION BY n_name ORDER BY r) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS nc
+      FROM resid
+    ),
+    q AS (
+      SELECT n_name, nf, CAST(nc AS BIGINT) AS nc, a, b, r AS q_resid
+      FROM ranked
+      WHERE rn = least(CAST(ceil((nc + 1) * 0.9) AS BIGINT), nc)
+    ),
+    cov AS (
+      SELECT r.n_name,
+             CAST(sum(CASE WHEN r.r <= q.q_resid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM resid r JOIN q ON q.n_name = r.n_name
+      GROUP BY r.n_name
+    )
+    SELECT q.n_name AS nation, q.nf AS n_fit, q.nc AS n_cal,
+           round(q.b / 100.0, 6) AS slope,
+           round(q.q_resid / 100.0, 2) AS q90_resid,
+           c.n_covered,
+           round(c.n_covered / CAST(q.nc AS DOUBLE), 4) AS cal_coverage,
+           CASE WHEN c.n_covered * 10 >= q.nc * 9 THEN 1 ELSE 0 END
+             AS covers_target
+    FROM q JOIN cov c ON c.n_name = q.n_name
+    ORDER BY nation
+    """,
+)
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per nation (Vovk / Lei et
+    al.): fit the 1996 daily-revenue OLS trend on EVEN days, take the
+    ceil((n+1)·0.9)-th smallest absolute residual on the disjoint ODD
+    days as the 90% conformal radius, and report the achieved
+    calibration coverage — which is >= 90% on the calibration split BY
+    CONSTRUCTION (test-pinned), the distribution-free guarantee that
+    makes conformal the default uncertainty wrapper for any point
+    forecaster.
+
+    Determinism: OLS coefficients come from exact bigint moment sums in
+    one identical double expression (the cuped discipline); residual
+    ranking and the conformal order statistic are plain row_number over
+    deterministic doubles; the coverage gate is the exact integer
+    inequality 10·covered >= 9·n_cal. Scale shape: one fact pass to
+    bounded daily cells, per-nation moment rollups, and windows over
+    <=183-row calibration slivers — nothing corpus-sized past the
+    first aggregate."""
+    t = load(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    fit = (
+        daily.filter(F.col("d") % 2 == 0)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nf"),
+            F.sum("d").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+            F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .filter(
+            (F.col("nf") >= 2)
+            & (F.col("nf") * F.col("sxx") != F.col("sx") * F.col("sx"))
+        )
+    )
+    nfd = F.col("nf").cast("double")
+    sxd = F.col("sx").cast("double")
+    b = (nfd * F.col("sxy") - sxd * F.col("sy")) / (
+        nfd * F.col("sxx") - sxd * F.col("sx")
+    )
+    coef = fit.select(
+        "n_name", "nf", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("nf")).alias("a")
+    )
+    resid = (
+        coef.join(daily.filter(F.col("d") % 2 == 1), "n_name")
+        .select(
+            "n_name",
+            "nf",
+            "a",
+            "b",
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("d"))).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wr = W.partitionBy("n_name").orderBy("r")
+    wc = W.partitionBy("n_name")
+    q = (
+        resid.select(
+            "n_name",
+            "nf",
+            "a",
+            "b",
+            "r",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("nc"),
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.ceil((F.col("nc") + 1) * 0.9).cast("long"), F.col("nc")
+            )
+        )
+        .select("n_name", "nf", "nc", "a", "b", F.col("r").alias("q_resid"))
+    )
+    cov = (
+        resid.join(F.broadcast(q.select("n_name", "q_resid")), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("q_resid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return (
+        q.join(cov, "n_name")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("nf").alias("n_fit"),
+            F.col("nc").alias("n_cal"),
+            F.round(F.col("b") / 100.0, 6).alias("slope"),
+            F.round(F.col("q_resid") / 100.0, 2).alias("q90_resid"),
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("nc").cast("double"), 4).alias(
+                "cal_coverage"
+            ),
+            F.when(F.col("n_covered") * 10 >= F.col("nc") * 9, 1)
+            .otherwise(0)
+            .alias("covers_target"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, y,
+             CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS sl,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl
+      FROM daily
+    ),
+    tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT p.day, p.sl, p.nl, t.s - p.sl AS sr, t.n - p.nl AS nr, t.s, t.n,
+             CAST(p.sl AS DOUBLE) * p.sl / p.nl
+               + CAST(t.s - p.sl AS DOUBLE) * (t.s - p.sl) / (t.n - p.nl)
+               AS f
+      FROM pre p CROSS JOIN tot t
+      WHERE p.nl < t.n
+    ),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY f DESC, day) AS rn FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT CAST(day AS VARCHAR) AS split_after_day,
+           nl AS n_left, nr AS n_right,
+           round(sl / CAST(nl AS DOUBLE), 6) AS mean_left,
+           round(sr / CAST(nr AS DOUBLE), 6) AS mean_right,
+           round(f - CAST(s AS DOUBLE) * s / n, 6) AS sse_reduction
+    FROM best
+    """,
+)
+def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint over the daily order-count
+    series: the split that maximizes the between-segment SSE reduction
+    — since SSE = Σy² − S²/n, the y² term cancels and the objective
+    reduces to f(t) = S_L²/n_L + S_R²/n_R, so the scan needs only ONE
+    prefix sum over exact integer daily counts (Scott & Knott 1974
+    binary segmentation; the location complement to cusum_changepoint's
+    drift detector).
+
+    Determinism: S_L/n_L are exact BIGINTs from one ordered window over
+    the bounded daily table; f(t) is products of exact integers in
+    IEEE double — bit-identical across engines — and the argmax
+    tie-breaks on the earlier day. Scale shape: one fact-table date
+    rollup, one window over ~#days rows, one O(1) pick."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    wpre = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("y").over(wpre).cast("long").alias("sl"),
+        F.row_number().over(W.orderBy("day")).cast("long").alias("nl"),
+    )
+    tot = daily.agg(
+        F.sum("y").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sld = F.col("sl").cast("double")
+    srd = (F.col("s") - F.col("sl")).cast("double")
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            "day",
+            "sl",
+            "nl",
+            (F.col("s") - F.col("sl")).alias("sr"),
+            (F.col("n") - F.col("nl")).alias("nr"),
+            "s",
+            "n",
+            (
+                sld * F.col("sl") / F.col("nl")
+                + srd * (F.col("s") - F.col("sl")) / (F.col("n") - F.col("nl"))
+            ).alias("f"),
+        )
+    )
+    best = (
+        scored.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("f").desc(), "day"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("day").cast("string").alias("split_after_day"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.round(F.col("sl") / F.col("nl").cast("double"), 6).alias("mean_left"),
+        F.round(F.col("sr") / F.col("nr").cast("double"), 6).alias("mean_right"),
+        F.round(
+            F.col("f") - F.col("s").cast("double") * F.col("s") / F.col("n"), 6
+        ).alias("sse_reduction"),
+    )
+
+
+# Newsvendor cost weights: underage (lost margin) 3, overage (holding) 1
+# -> critical ratio 3/4, so q* is the smallest q with F(q) >= 0.75.
+NV_CU = 3
+NV_CO = 1
+
+
+@register(
+    "newsvendor_order_quantity",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT p.p_brand AS brand, date_trunc('week', l.l_shipdate) AS wk,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, d,
+             row_number() OVER (PARTITION BY brand ORDER BY d, wk) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM weekly
+    ),
+    qstar AS (
+      SELECT brand, CAST(n AS BIGINT) AS n_weeks, d AS q_star
+      FROM ranked
+      WHERE rn = ({NV_CU} * n + {NV_CU + NV_CO - 1}) // {NV_CU + NV_CO}
+    ),
+    naive AS (
+      SELECT brand,
+             CAST((2 * sum(d) + count(*)) // (2 * count(*)) AS BIGINT)
+               AS q_naive
+      FROM weekly GROUP BY brand
+    ),
+    costs AS (
+      SELECT w.brand,
+             CAST(sum({NV_CO} * greatest(q.q_star - w.d, 0)
+                      + {NV_CU} * greatest(w.d - q.q_star, 0))
+                  AS BIGINT) AS cost_qstar,
+             CAST(sum({NV_CO} * greatest(nv.q_naive - w.d, 0)
+                      + {NV_CU} * greatest(w.d - nv.q_naive, 0))
+                  AS BIGINT) AS cost_naive
+      FROM weekly w
+      JOIN qstar q ON q.brand = w.brand
+      JOIN naive nv ON nv.brand = w.brand
+      GROUP BY w.brand
+    )
+    SELECT q.brand, q.n_weeks, q.q_star, nv.q_naive,
+           c.cost_qstar, c.cost_naive,
+           round((c.cost_naive - c.cost_qstar) * 100.0
+                 / greatest(c.cost_naive, 1), 6) AS saving_pct
+    FROM qstar q
+    JOIN naive nv ON nv.brand = q.brand
+    JOIN costs c ON c.brand = q.brand
+    ORDER BY q.brand
+    """,
+)
+def newsvendor_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal order quantity per brand from the empirical
+    weekly-demand distribution: with underage cost 3 and overage cost 1
+    the critical ratio is 3/4, so q* is the ceil(3n/4)-th smallest
+    weekly demand — evaluated against the naive order-the-mean policy
+    with both policies' exact empirical costs (the classic result that
+    the profit-maximizing stock level is a QUANTILE, not the mean;
+    Arrow-Harris-Marschak 1951).
+
+    Everything is exact integers: demands are summed BIGINT quantities,
+    the critical order statistic uses the integer identity
+    ceil(3n/4) = (3n+3)//4, costs are integer-weighted piecewise sums,
+    and the only double is the final saving percentage. Scale shape:
+    one fact pass to the bounded (brand, week) table; per-brand windows
+    over week-count slivers; two broadcast-sized policy joins."""
+    t = load(spark, sf_dir)
+    weekly = (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    wr = W.partitionBy("brand").orderBy("d", "wk")
+    wn = W.partitionBy("brand")
+    k = F.expr(
+        f"({NV_CU} * n + {NV_CU + NV_CO - 1}) div {NV_CU + NV_CO}"
+    )
+    qstar = (
+        weekly.select(
+            "brand",
+            "d",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == k)
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_weeks"),
+            F.col("d").alias("q_star"),
+        )
+    )
+    naive = (
+        weekly.groupBy("brand")
+        .agg(
+            F.sum("d").cast("long").alias("sd"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        # round-half-up integer mean, exact: (2S + n) div (2n)
+        .select("brand", F.expr("(2 * sd + cnt) div (2 * cnt)").cast("long").alias("q_naive"))
+    )
+    costs = (
+        weekly.join(qstar.select("brand", "q_star"), "brand")
+        .join(naive, "brand")
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                NV_CO * F.greatest(F.col("q_star") - F.col("d"), F.lit(0))
+                + NV_CU * F.greatest(F.col("d") - F.col("q_star"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cost_qstar"),
+            F.sum(
+                NV_CO * F.greatest(F.col("q_naive") - F.col("d"), F.lit(0))
+                + NV_CU * F.greatest(F.col("d") - F.col("q_naive"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cost_naive"),
+        )
+    )
+    return (
+        qstar.join(naive, "brand")
+        .join(costs, "brand")
+        .select(
+            "brand",
+            "n_weeks",
+            "q_star",
+            "q_naive",
+            "cost_qstar",
+            "cost_naive",
+            F.round(
+                (F.col("cost_naive") - F.col("cost_qstar"))
+                * 100.0
+                / F.greatest(F.col("cost_naive"), F.lit(1)),
+                6,
+            ).alias("saving_pct"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "diff_in_diff",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS pre_c,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                           THEN {_EV_CENTS} ELSE 0 END) AS BIGINT) AS post_c
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN arm = 'A' THEN pre_c ELSE 0 END) AS BIGINT) AS pa,
+             CAST(sum(CASE WHEN arm = 'B' THEN pre_c ELSE 0 END) AS BIGINT) AS pb,
+             CAST(sum(CASE WHEN arm = 'A' THEN post_c ELSE 0 END) AS BIGINT) AS qa,
+             CAST(sum(CASE WHEN arm = 'B' THEN post_c ELSE 0 END) AS BIGINT) AS qb,
+             CAST(sum(CASE WHEN arm = 'A'
+                           THEN (post_c - pre_c) * (post_c - pre_c)
+                           ELSE 0 END) AS BIGINT) AS dda,
+             CAST(sum(CASE WHEN arm = 'B'
+                           THEN (post_c - pre_c) * (post_c - pre_c)
+                           ELSE 0 END) AS BIGINT) AS ddb
+      FROM per_user
+    ),
+    x AS (
+      SELECT na, nb,
+             pa / (CAST(na AS DOUBLE) * 100) AS pre_a,
+             pb / (CAST(nb AS DOUBLE) * 100) AS pre_b,
+             qa / (CAST(na AS DOUBLE) * 100) AS post_a,
+             qb / (CAST(nb AS DOUBLE) * 100) AS post_b,
+             (CAST(na AS DOUBLE) * dda - CAST(qa - pa AS DOUBLE) * (qa - pa))
+               / (CAST(na AS DOUBLE) * (na - 1)) / 10000.0 / na AS sq_a,
+             (CAST(nb AS DOUBLE) * ddb - CAST(qb - pb AS DOUBLE) * (qb - pb))
+               / (CAST(nb AS DOUBLE) * (nb - 1)) / 10000.0 / nb AS sq_b
+      FROM m
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(pre_a, 6) AS pre_a, round(post_a, 6) AS post_a,
+           round(pre_b, 6) AS pre_b, round(post_b, 6) AS post_b,
+           round((post_b - pre_b) - (post_a - pre_a), 6) AS did_estimate,
+           round(CASE WHEN sq_a + sq_b = 0 THEN 0.0
+                      ELSE ((post_b - pre_b) - (post_a - pre_a))
+                           / sqrt(sq_a + sq_b) END, 6) AS t_stat
+    FROM x
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the hash-split panel: each user is
+    observed pre and post the 2024-01-15 cutover (ab_cuped_adjustment's
+    periods), so DiD = (post_B − pre_B) − (post_A − pre_A) removes both
+    the arm-level baseline and the common time shock — the workhorse
+    causal estimator when assignment isn't randomized; its t uses the
+    per-arm variance of the user-level CHANGE post−pre (the panel form,
+    which differences out user fixed effects).
+
+    Same one-pass discipline as ab_welch_ttest: exact bigint per-arm
+    moment sums (now including Σ(post−pre)²), every statistic a single
+    identical double expression, degenerate variances guarded by a
+    CASE. Scale shape: one per-user aggregate, one 1-row rollup."""
+    e = load(spark, sf_dir).events
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    cents = F.expr(_EV_CENTS)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+        .cast("long")
+        .alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0))
+        .cast("long")
+        .alias("post_c"),
+    ).select(
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A")
+        .otherwise("B")
+        .alias("arm"),
+        "pre_c",
+        "post_c",
+    )
+    d = F.col("post_c") - F.col("pre_c")
+    s_if = lambda a, c: F.sum(F.when(F.col("arm") == a, c).otherwise(0)).cast("long")
+    m = per_user.agg(
+        s_if("A", F.lit(1)).alias("na"),
+        s_if("B", F.lit(1)).alias("nb"),
+        s_if("A", F.col("pre_c")).alias("pa"),
+        s_if("B", F.col("pre_c")).alias("pb"),
+        s_if("A", F.col("post_c")).alias("qa"),
+        s_if("B", F.col("post_c")).alias("qb"),
+        s_if("A", d * d).alias("dda"),
+        s_if("B", d * d).alias("ddb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    da = (F.col("qa") - F.col("pa")).cast("double")
+    db = (F.col("qb") - F.col("pb")).cast("double")
+    x = m.select(
+        "na",
+        "nb",
+        (F.col("pa") / (nad * 100)).alias("pre_a"),
+        (F.col("pb") / (nbd * 100)).alias("pre_b"),
+        (F.col("qa") / (nad * 100)).alias("post_a"),
+        (F.col("qb") / (nbd * 100)).alias("post_b"),
+        (
+            (nad * F.col("dda") - da * (F.col("qa") - F.col("pa")))
+            / (nad * (F.col("na") - 1))
+            / 10000.0
+            / F.col("na")
+        ).alias("sq_a"),
+        (
+            (nbd * F.col("ddb") - db * (F.col("qb") - F.col("pb")))
+            / (nbd * (F.col("nb") - 1))
+            / 10000.0
+            / F.col("nb")
+        ).alias("sq_b"),
+    )
+    did = (F.col("post_b") - F.col("pre_b")) - (F.col("post_a") - F.col("pre_a"))
+    se2 = F.col("sq_a") + F.col("sq_b")
+    return x.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("pre_a", 6).alias("pre_a"),
+        F.round("post_a", 6).alias("post_a"),
+        F.round("pre_b", 6).alias("pre_b"),
+        F.round("post_b", 6).alias("post_b"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(
+            F.when(se2 == 0, 0.0).otherwise(did / F.sqrt(se2)), 6
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.n - b.n) * (a.rev - b.rev) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.n - b.n) * (a.rev - b.rev) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN a.n = b.n AND a.rev <> b.rev THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.rev = b.rev AND a.n <> b.n THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS nc, CAST(sum(d) AS BIGINT) AS nd,
+             CAST(sum(tx) AS BIGINT) AS ntx, CAST(sum(ty) AS BIGINT) AS nty,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    )
+    SELECT n_pairs, nc AS concordant, nd AS discordant,
+           ntx AS ties_x_only, nty AS ties_y_only,
+           round((nc - nd) / sqrt((CAST(n_pairs AS DOUBLE) - ntx)
+                                  * (CAST(n_pairs AS DOUBLE) - nty)), 6)
+             AS tau_b
+    FROM agg
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation between daily 1996 order count
+    and daily revenue — the outlier-immune alternative to Pearson
+    (acf/correlation_matrix) built from concordant/discordant pair
+    counts, with the τ-b tie correction.
+
+    Exactness: every pair classification is an exact integer sign test
+    ((Δn)·(Δrev) > 0 on BIGINTs), so concordant/discordant/tie counts
+    are exact; τ-b is one double expression over them. Scale shape:
+    pairwise work is bounded by the TIME WINDOW (≤366·365/2 pairs —
+    SF-independent), after one fact-table date rollup; the same
+    bounded-pairs discipline as theil_sen_trend."""
+    o = load(spark, sf_dir).orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("n").alias("n1"), F.col("rev").alias("r1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("n").alias("n2"), F.col("rev").alias("r2")
+    )
+    prod = (F.col("n1") - F.col("n2")) * (F.col("r1") - F.col("r2"))
+    agg = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            F.when(prod > 0, 1).otherwise(0).alias("c"),
+            F.when(prod < 0, 1).otherwise(0).alias("d"),
+            F.when(
+                (F.col("n1") == F.col("n2")) & (F.col("r1") != F.col("r2")), 1
+            )
+            .otherwise(0)
+            .alias("tx"),
+            F.when(
+                (F.col("r1") == F.col("r2")) & (F.col("n1") != F.col("n2")), 1
+            )
+            .otherwise(0)
+            .alias("ty"),
+        )
+        .agg(
+            F.sum("c").cast("long").alias("nc"),
+            F.sum("d").cast("long").alias("nd"),
+            F.sum("tx").cast("long").alias("ntx"),
+            F.sum("ty").cast("long").alias("nty"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    npd = F.col("n_pairs").cast("double")
+    return agg.select(
+        "n_pairs",
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        F.col("ntx").alias("ties_x_only"),
+        F.col("nty").alias("ties_y_only"),
+        F.round(
+            (F.col("nc") - F.col("nd"))
+            / F.sqrt((npd - F.col("ntx")) * (npd - F.col("nty"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "durbin_watson_residuals",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d * d) AS BIGINT) AS sxx,
+             CAST(sum(d * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    coef AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+             (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * sx) / n AS a
+      FROM m
+    ),
+    resid AS (
+      SELECT d, y - (c.a + c.b * d) AS e FROM daily CROSS JOIN coef c
+    ),
+    lagged AS (
+      SELECT e, lag(e) OVER (ORDER BY d) AS ep FROM resid
+    )
+    SELECT (SELECT n FROM coef) AS n_days,
+           round((SELECT b FROM coef) / 100.0, 6) AS slope,
+           round(sum(CASE WHEN ep IS NULL THEN 0.0
+                          ELSE (e - ep) * (e - ep) END)
+                 / sum(e * e), 6) AS durbin_watson
+    FROM lagged
+    """,
+)
+def durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic of the 1996 daily-revenue
+    OLS trend residuals: DW = Σ(e_t − e_{t−1})² / Σe_t² — near 2 means
+    the trend line left white noise, near 0 says positive serial
+    correlation (the trend is missing structure, e.g. weekly
+    seasonality), the go/no-go check before trusting OLS standard
+    errors (Durbin & Watson 1950).
+
+    Determinism: coefficients from exact bigint moment sums (the
+    conformal/cuped discipline); residuals are identical doubles on
+    both engines, and DW's two quadratic sums run over the SAME
+    bounded daily table in one lag window — ≤366 terms, both sums
+    whole-double-ulp stable at this magnitude (the e² terms span <3
+    decades, no catastrophic cancellation). Scale shape: one fact
+    rollup, one O(1) moment pass, one ordered lag window."""
+    o = load(spark, sf_dir).orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1996-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+    )
+    ndb = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    b = (ndb * F.col("sxy") - sxd * F.col("sy")) / (
+        ndb * F.col("sxx") - sxd * F.col("sx")
+    )
+    coef = m.select(
+        "n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a")
+    )
+    resid = daily.crossJoin(F.broadcast(coef)).select(
+        "d", "n", "b", (F.col("y") - (F.col("a") + F.col("b") * F.col("d"))).alias("e")
+    )
+    lagged = resid.withColumn("ep", F.lag("e").over(W.orderBy("d")))
+    return (
+        lagged.groupBy("n", "b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("ep").isNull(), 0.0).otherwise(
+                        (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                    )
+                )
+                / F.sum(F.col("e") * F.col("e")),
+                6,
+            ).alias("durbin_watson")
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("b") / 100.0, 6).alias("slope"),
+            "durbin_watson",
+        )
+    )
+
+
+@register(
+    "lorenz_curve_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                             AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             CAST(sum(c) OVER (ORDER BY c, o_custkey) AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS tot
+      FROM per_cust
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(max(rn) AS BIGINT) AS n_customers,
+           CAST(max(cum) AS BIGINT) AS cum_cents,
+           round(max(cum) / CAST(max(tot) AS DOUBLE), 6) AS cum_share
+    FROM (SELECT rn, cum, tot, (rn * 10 - 1) // n + 1 AS decile FROM ranked)
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend at decile resolution — the
+    curve behind gini_customer_spend: customers sorted poorest-first,
+    each decile reporting its cumulative share of total spend (the
+    "bottom 50% hold X%" numbers an inequality report quotes).
+
+    Exactness: cumulative cents are exact BIGINT prefix sums with a
+    full (spend, custkey) tie-break order; decile assignment is the
+    integer identity (rn·10−1)//n + 1 (largest-remainder-free, exact);
+    the only double is the final share. Scale shape: one fact rollup,
+    then rank + prefix sum via ranking.global_order_stats' two-phase
+    range-partitioned form — NO single-partition window — and a 10-row
+    rollup."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    o = load(spark, sf_dir).orders
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("c")
+    )
+    ranked = global_order_stats(
+        per_cust, "c", "o_custkey", measure_col="c", ascending=True
+    ).select(
+        F.col("global_rank").alias("rn"),
+        F.col("global_cum").cast("long").alias("cum"),
+    )
+    tots = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tots))
+        .select(
+            F.expr("(rn * 10 - 1) div n + 1").cast("long").alias("decile"),
+            "rn",
+            "cum",
+            "tot",
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("rn").cast("long").alias("n_customers"),
+            F.max("cum").cast("long").alias("cum_cents"),
+            F.round(
+                F.max("cum") / F.max("tot").cast("double"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pairs_same
+      FROM vc GROUP BY source
+    )
+    SELECT source, n AS n_tokens, n_types,
+           round(pairs_same / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS simpson_lambda,
+           round((CAST(n AS DOUBLE) * (n - 1)) / pairs_same, 6)
+             AS inverse_simpson
+    FROM agg
+    ORDER BY source
+    """,
+)
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each source's token distribution: λ = the
+    probability two random tokens coincide, Σc(c−1)/(N(N−1)) — and its
+    inverse, the "effective vocabulary size" — the ecology-standard
+    concentration measure that, unlike entropy, is an exact RATIONAL of
+    the counts (no logs anywhere), complementing column_entropy_profile
+    and hapax_ratio_by_source in the corpus-diversity panel.
+
+    One token pass to the (source, type) count table, one rollup; both
+    outputs are one double division of exact BIGINTs. Degenerate
+    single-token sources would zero the denominator — impossible here
+    (every synthetic doc has tokens), and the oracle would fail loudly
+    rather than silently diverge if that assumption broke."""
+    d = load(spark, sf_dir).documents
+    from data_warehouse_data_mining_spark.functions import texthash as th
+
+    vc = (
+        d.select("source", F.explode(th.words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = vc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("pairs_same"),
+    )
+    ndb = F.col("n").cast("double")
+    return agg.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        F.round(F.col("pairs_same") / (ndb * (F.col("n") - 1)), 6).alias(
+            "simpson_lambda"
+        ),
+        F.round((ndb * (F.col("n") - 1)) / F.col("pairs_same"), 6).alias(
+            "inverse_simpson"
+        ),
+    ).orderBy("source")
+
+
+HURST_WINDOWS = [16, 32, 64]
+_HURST_LNW = {16: 2.772588722239781, 32: 3.4657359027997265, 64: 4.1588830833596715}
+
+
+def _hurst_oracle() -> str:
+    lnw_case = " ".join(
+        f"WHEN {w} THEN {_HURST_LNW[w]!r}" for w in HURST_WINDOWS
+    )
+    ws = ", ".join(str(w) for w in HURST_WINDOWS)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    blocks AS (
+      SELECT w.w, (i - 1) // w.w AS blk, y,
+             CAST(row_number() OVER (PARTITION BY w.w, (i - 1) // w.w
+                                     ORDER BY i) AS BIGINT) AS k,
+             CAST(sum(y) OVER (PARTITION BY w.w, (i - 1) // w.w
+                               ORDER BY i) AS BIGINT) AS pk
+      FROM idx CROSS JOIN (SELECT unnest([{ws}]) AS w) w
+    ),
+    blocks2 AS (
+      SELECT w, blk, y,
+             w * pk - k * (sum(y) OVER (PARTITION BY w, blk)) AS wz
+      FROM blocks
+    ),
+    per_block AS (
+      SELECT w, blk,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss,
+             CAST(max(wz) AS BIGINT) AS wz_max,
+             CAST(min(wz) AS BIGINT) AS wz_min
+      FROM blocks2 GROUP BY w, blk
+    ),
+    rs AS (
+      SELECT w, blk,
+             CAST(floor(ln((greatest(wz_max, 0) - least(wz_min, 0))
+                           / sqrt(CAST(w * ss - s * s AS DOUBLE)))
+                        * 1000000 + 1e-3) AS BIGINT) AS lrs_micro
+      FROM per_block
+      WHERE cnt = w AND w * ss - s * s > 0
+            AND greatest(wz_max, 0) - least(wz_min, 0) > 0
+    ),
+    per_w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(lrs_micro) AS BIGINT) AS sum_micro,
+             CASE w {lnw_case} END AS lnw
+      FROM rs GROUP BY w
+    ),
+    fit AS (
+      SELECT count(*) AS k,
+             sum(lnw) AS sx, sum(sum_micro / (1000000.0 * n_blocks)) AS sy,
+             sum(lnw * lnw) AS sxx,
+             sum(lnw * sum_micro / (1000000.0 * n_blocks)) AS sxy
+      FROM per_w
+    )
+    SELECT p.w, p.n_blocks,
+           round(p.sum_micro / (1000000.0 * p.n_blocks), 6) AS mean_log_rs,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst_exponent
+    FROM per_w p CROSS JOIN fit f
+    ORDER BY p.w
+    """
+
+
+@register("hurst_rescaled_range", oracle=_hurst_oracle())
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily order-count series by classic
+    rescaled-range (R/S) analysis (Hurst 1951, Mandelbrot-Wallis form):
+    tumbling blocks of w=16/32/64 days, per block the range of
+    mean-centered cumulative deviations over the population std, then H
+    = the log-log OLS slope of mean ln(R/S) against ln(w) — H≈0.5 is a
+    memoryless walk, H>0.5 long-range persistence (trending demand),
+    H<0.5 mean reversion; the long-memory companion to acf/DW.
+
+    Exactness discipline: inside each block the centered cumulative
+    deviation is kept as the exact integer w·Z_k = w·P_k − k·S, the
+    range and w²·variance are exact BIGINTs, each block contributes ONE
+    ln() of a deterministic double (floored to 1e-6 micro units with
+    the +1e-3 nudge), per-w means stay integer until one division, and
+    the ln(w) regressors are baked literals — so the 3-point OLS slope
+    is a single identical double expression. Degenerate blocks (zero
+    variance or zero range) are excluded by exact integer guards on
+    BOTH engines. Scale shape: one fact rollup, windows over the
+    3×#days exploded table, O(1) fits."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    idx = daily.select(
+        "y", F.row_number().over(W.orderBy("day")).cast("long").alias("i")
+    )
+    ws = F.explode(F.array(*[F.lit(w) for w in HURST_WINDOWS])).alias("w")
+    blocks = idx.select("y", "i", ws).select(
+        "w",
+        F.expr("(i - 1) div w").alias("blk"),
+        "y",
+        "i",
+    )
+    wb = W.partitionBy("w", "blk").orderBy("i")
+    blocks = blocks.select(
+        "w",
+        "blk",
+        "y",
+        F.row_number().over(wb).cast("long").alias("k"),
+        F.sum("y").over(wb.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pk"),
+    )
+    wball = W.partitionBy("w", "blk")
+    wz = F.col("w") * F.col("pk") - F.col("k") * F.sum("y").over(wball)
+    per_block = (
+        blocks.select(
+            "w", "blk", "y", wz.alias("wz")
+        )
+        .groupBy("w", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+            F.max("wz").cast("long").alias("wz_max"),
+            F.min("wz").cast("long").alias("wz_min"),
+        )
+    )
+    rng = F.greatest(F.col("wz_max"), F.lit(0)) - F.least(
+        F.col("wz_min"), F.lit(0)
+    )
+    varw = F.col("w") * F.col("ss") - F.col("s") * F.col("s")
+    rs = (
+        per_block.filter(
+            (F.col("cnt") == F.col("w")) & (varw > 0) & (rng > 0)
+        )
+        .select(
+            "w",
+            F.floor(
+                F.log(rng / F.sqrt(varw.cast("double"))) * 1_000_000 + 1e-3
+            )
+            .cast("bigint")
+            .alias("lrs_micro"),
+        )
+    )
+    lnw = F.create_map(
+        *[x for w in HURST_WINDOWS for x in (F.lit(w), F.lit(_HURST_LNW[w]))]
+    )[F.col("w")]
+    per_w = (
+        rs.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("lrs_micro").cast("long").alias("sum_micro"),
+        )
+        .select("w", "n_blocks", "sum_micro", lnw.alias("lnw"))
+        .localCheckpoint(eager=True)
+    )
+    ybar = F.col("sum_micro") / (1_000_000.0 * F.col("n_blocks"))
+    fit = per_w.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lnw").alias("sx"),
+        F.sum(ybar).alias("sy"),
+        F.sum(F.col("lnw") * F.col("lnw")).alias("sxx"),
+        F.sum(F.col("lnw") * ybar).alias("sxy"),
+    )
+    return (
+        per_w.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "n_blocks",
+            F.round(ybar, 6).alias("mean_log_rs"),
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("hurst_exponent"),
+        )
+        .orderBy("w")
+    )
