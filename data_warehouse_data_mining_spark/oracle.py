@@ -73,10 +73,19 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
-def compare_query(name: str, spark: SparkSession, con, sf_dir: str) -> str | None:
-    """Return None on exact match, else a short mismatch description."""
+def compare_query(
+    name: str, spark: SparkSession, con, sf_dir: str, sdf=None
+) -> str | None:
+    """Return None on exact match, else a short mismatch description.
+
+    ``sdf``: optionally a pre-bound DataFrame for this query at
+    ``sf_dir`` — the test suite passes the session-shared bound
+    registry (conftest.bound_registry_dfs) so the ~5-minute bind pass
+    over 400+ builders is paid ONCE, not once per consumer (VERDICT
+    r10 #4)."""
     q = all_queries()[name]
-    sdf = q.builder(spark, sf_dir)
+    if sdf is None:
+        sdf = q.builder(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     cur = con.execute(q.oracle)

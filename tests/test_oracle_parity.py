@@ -25,16 +25,24 @@ def duck_small():
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
-def test_oracle_parity(spark, duck_small, name):
-    err = oracle.compare_query(name, spark, duck_small, SF_SMALL)
+def test_oracle_parity(spark, duck_small, bound_registry_dfs, name):
+    # reuse the session-shared bound DataFrame (VERDICT r10 #4): the
+    # 400+-builder bind pass is paid once for parity + type + plan lints
+    sdf = bound_registry_dfs.get(name)
+    if isinstance(sdf, str):
+        pytest.fail(f"{name}: {sdf}")
+    err = oracle.compare_query(name, spark, duck_small, SF_SMALL, sdf=sdf)
     assert err is None, f"{name}: {err}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_queries_run(spark, name):
+def test_rows_only_queries_run(spark, bound_registry_dfs, name):
     """Queries without an oracle must still run and return a stable,
     non-degenerate result (the driver's weaker check)."""
-    q = _QUERIES[name]
-    df = q.builder(spark, SF_SMALL)
+    df = bound_registry_dfs.get(name)
+    if isinstance(df, str):
+        pytest.fail(f"{name}: {df}")
+    if df is None:
+        df = _QUERIES[name].builder(spark, SF_SMALL)
     assert df.count() >= 0
     assert len(df.columns) > 0
