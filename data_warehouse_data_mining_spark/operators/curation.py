@@ -1110,3 +1110,206 @@ def knapsack_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("within_one_item_of_opt"),
         )
     )
+
+
+# KNN-Shapley data valuation: K neighbors, T held-out test points
+# (vec_id < KSH_T is the test set; the rest of the corpus is the
+# "training data" being valued). 1e12 fixed point: the recursion's
+# smallest term is 1/(K*N) ~ 4e-4 at this SF, so micro12 keeps ~8
+# significant digits of headroom under BIGINT suffix sums.
+KSH_K = 5
+KSH_T = 20
+_KSH_SCALE = "1000000000000.0"
+
+
+def _ksh_cos(qv: str, v: str) -> str:
+    """Engine-common cosine text (the knn_brute_force discipline):
+    Spark spells dot products via aggregate/zip_with lambdas, DuckDB
+    via list_inner_product; both are sequential in-order folds over
+    the same 64 doubles, proven hash-identical by every ANN oracle."""
+    return (
+        f"list_inner_product({qv}, {v}) / "
+        f"(sqrt(list_inner_product({qv}, {qv})) * "
+        f"sqrt(list_inner_product({v}, {v})))"
+    )
+
+
+@register(
+    "knn_shapley_data_values",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+          WHERE vec_id < {KSH_T}),
+    tr AS (SELECT vec_id, label, v FROM e WHERE vec_id >= {KSH_T}),
+    ranked AS (
+      SELECT q.q_id, tr.vec_id, tr.label,
+             CASE WHEN tr.label = q.q_label THEN 1 ELSE 0 END AS eq,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {_ksh_cos('q.qv', 'tr.v')} DESC, tr.vec_id) AS rn
+      FROM q JOIN tr ON true
+    ),
+    w AS (
+      SELECT q_id, vec_id, label, rn, eq,
+             lead(eq) OVER (PARTITION BY q_id ORDER BY rn) AS eqn,
+             CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n,
+             max(CASE WHEN rn = cnt THEN eq END)
+               OVER (PARTITION BY q_id) AS eq_last
+      FROM (SELECT *, count(*) OVER (PARTITION BY q_id) AS cnt
+            FROM ranked)
+    ),
+    d AS (
+      SELECT q_id, vec_id, label, rn, n, eq_last,
+             CASE WHEN eqn IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(((eq - eqn) * least({KSH_K}, rn)
+                                   * {_KSH_SCALE})
+                                  / ({KSH_K} * rn)) AS BIGINT)
+             END AS d_micro
+      FROM w
+    ),
+    s AS (
+      SELECT q_id, vec_id, label,
+             CAST(sum(d_micro) OVER (
+               PARTITION BY q_id ORDER BY rn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS BIGINT)
+             + CAST(floor(eq_last * {_KSH_SCALE} / n) AS BIGINT)
+             AS s_micro
+      FROM d
+    ),
+    v AS (
+      SELECT vec_id, label,
+             CAST(sum(s_micro) AS BIGINT) AS shap_micro_sum
+      FROM s GROUP BY vec_id, label
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INT) AS label,
+           shap_micro_sum,
+           round(shap_micro_sum / ({KSH_T} * {_KSH_SCALE}), 6) AS shap_value
+    FROM v ORDER BY shap_micro_sum DESC, vec_id LIMIT 20
+    """,
+)
+def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-example data valuation for a K-NN surrogate classifier
+    — KNN-Shapley (Jia et al., VLDB 2019, "Efficient Task-Specific
+    Data Valuation for Nearest Neighbor Algorithms"): the Shapley
+    value of every training point for a K-NN utility has the CLOSED
+    FORM s_(N) = 1[y_(N)=y_t]/N, s_(i) = s_(i+1) +
+    (1[y_(i)=y_t] - 1[y_(i+1)=y_t])/K * min(K,i)/i over the
+    distance-sorted training points — which is a per-test-point SUFFIX
+    SUM, so the "combinatorial" Shapley computation is two window
+    functions, no sampling, no iteration. This is the data-selection
+    complement to the heuristic curation tier (gopher rules, DSIR,
+    SoftDeDup): it scores each example by its marginal contribution to
+    held-out accuracy, the quantity the others approximate.
+
+    Determinism: ranks tie-break on vec_id; each recursion term is a
+    ratio of small exact integers evaluated in one correctly-rounded
+    double division, floored to 1e-12 fixed point (the woe/hurst
+    discipline), so every cross-row accumulation — the suffix sum and
+    the per-point sum over test points — is an exact BIGINT sum of
+    identical integers. Top-20 by exact integer total, vec_id
+    tie-break.
+
+    Scale shape: T is bounded (T=20 broadcast), so the cross join is
+    one linear pass over the corpus and the rank/suffix windows
+    partition per test point — T-way parallel, each partition one
+    sorted pass (the exact-valuation yardstick, like
+    knn_brute_force). At 100 TB you'd value against IVF-candidate
+    neighborhoods per test point instead of the full corpus; the
+    suffix-sum algebra is unchanged. Property test pins the
+    efficiency identity sum_j s_tj = (#label-matching top-K)/K per
+    test point."""
+    from data_warehouse_data_mining_spark.functions import vectors as V
+
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < KSH_T).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    tr = e.filter(F.col("vec_id") >= KSH_T)
+    cos = V.dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(V.dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(V.dot(F.col("v"), F.col("v")))
+    )
+    wq = W.partitionBy("q_id")
+    ranked = (
+        # broadcast-ok: q is bounded by KSH_T (literal id filter)
+        tr.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("eq"),
+            cos.alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("cos").desc(), F.col("vec_id"))
+            ),
+        )
+        .drop("cos")
+    )
+    w = ranked.select(
+        "q_id",
+        "vec_id",
+        "label",
+        "rn",
+        "eq",
+        F.lead("eq").over(wq.orderBy("rn")).alias("eqn"),
+        F.count(F.lit(1)).over(wq).cast("long").alias("n"),
+    ).withColumn(
+        "eq_last",
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("eq"))).over(wq),
+    )
+    d = w.select(
+        "q_id",
+        "vec_id",
+        "label",
+        "rn",
+        "n",
+        "eq_last",
+        F.when(F.col("eqn").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST(floor(((eq - eqn) * least({KSH_K}, rn)"
+                f" * {_KSH_SCALE}) / ({KSH_K} * rn)) AS BIGINT)"
+            )
+        )
+        .alias("d_micro"),
+    )
+    s = d.select(
+        "q_id",
+        "vec_id",
+        "label",
+        (
+            F.sum("d_micro")
+            .over(
+                wq.orderBy("rn").rowsBetween(0, W.unboundedFollowing)
+            )
+            .cast("long")
+            + F.expr(
+                f"CAST(floor(eq_last * {_KSH_SCALE} / n) AS BIGINT)"
+            )
+        ).alias("s_micro"),
+    )
+    return (
+        s.groupBy("vec_id", "label")
+        .agg(F.sum("s_micro").cast("long").alias("shap_micro_sum"))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            "shap_micro_sum",
+            F.round(
+                F.col("shap_micro_sum") / (KSH_T * 1_000_000_000_000.0), 6
+            ).alias("shap_value"),
+        )
+        .orderBy(F.col("shap_micro_sum").desc(), "vec_id")
+        .limit(20)
+    )

@@ -410,3 +410,102 @@ def test_prefix_filter_pairs_meet_threshold(spark):
     for r in rows:
         assert 3 * r["inter"] >= r["size_a"] + r["size_b"]
         assert r["jaccard"] >= 0.5 - 1e-9
+
+
+def test_knn_shapley_efficiency_identity(spark):
+    """The KNN-Shapley closed form must satisfy the efficiency axiom
+    per test point: sum over ALL training points of s_tj equals the
+    utility of the full training set, i.e. (# of the K nearest
+    neighbors whose label matches y_t) / K. Recomputed here from the
+    UN-truncated per-(test, train) table (the registered query emits
+    the top-20 aggregate); tolerance is N floor-errors of 1e-12."""
+    from data_warehouse_data_mining_spark.functions import vectors as V
+    from data_warehouse_data_mining_spark.operators.curation import (
+        KSH_K,
+        KSH_T,
+    )
+    from pyspark.sql import Window as W
+
+    from data_warehouse_data_mining_spark.catalog import load
+
+    e = load(spark, SF_SMALL).embeddings.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < KSH_T).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    tr = e.filter(F.col("vec_id") >= KSH_T)
+    cos = V.dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(V.dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(V.dot(F.col("v"), F.col("v")))
+    )
+    wq = W.partitionBy("q_id")
+    ranked = (
+        tr.crossJoin(F.broadcast(q))  # broadcast-ok: KSH_T-row test set
+        .select(
+            "q_id",
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("eq"),
+            cos.alias("cos"),
+            "vec_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("cos").desc(), F.col("vec_id"))
+            ),
+        )
+    )
+    per_test = {
+        r["q_id"]: r
+        for r in ranked.groupBy("q_id")
+        .agg(
+            F.sum(F.when(F.col("rn") <= KSH_K, F.col("eq"))).alias("topk_eq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    # replicate the fixed-point recursion in Python per test point
+    rows = ranked.select("q_id", "rn", "eq").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], {})[r["rn"]] = r["eq"]
+    import math
+
+    for q_id, eqs in by_q.items():
+        n = len(eqs)
+        s = [0] * (n + 2)
+        s[n] = math.floor(eqs[n] * 1e12 / n)
+        for i in range(n - 1, 0, -1):
+            d = math.floor(
+                ((eqs[i] - eqs[i + 1]) * min(KSH_K, i) * 1e12) / (KSH_K * i)
+            )
+            s[i] = s[i + 1] + d
+        total = sum(s[1 : n + 1]) / 1e12
+        expect = per_test[q_id]["topk_eq"] / KSH_K
+        # s_i carries up to (n-i) accumulated 1e-12 floor errors, so the
+        # efficiency total accumulates O(n^2/2) of them
+        assert abs(total - expect) <= n * n * 1e-12 + 1e-9, (
+            q_id,
+            total,
+            expect,
+        )
+
+
+def test_knn_shapley_registered_output_shape(spark):
+    from data_warehouse_data_mining_spark.operators.curation import (
+        knn_shapley_data_values,
+    )
+
+    rows = knn_shapley_data_values(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    sums = [r["shap_micro_sum"] for r in rows]
+    assert sums == sorted(sums, reverse=True)
+    # top-valued points must be positive contributors
+    assert sums[0] > 0
+    for r in rows:
+        # shap_value is round(.., 6) of the exact micro12 ratio
+        assert abs(r["shap_value"] - r["shap_micro_sum"] / 2e13) <= 5e-7

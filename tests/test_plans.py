@@ -500,6 +500,7 @@ def test_no_broadcast_hints_on_unbounded_tables():
     )
     # pinned waiver inventory — every entry must be bounded BY DESIGN
     assert sorted(waivers) == [
+        ("curation.py", "q is bounded by KSH_T (literal id filter)"),
         ("similarity.py", "bounded by N_QUERIES*ADC_NPROBE rows"),
         ("similarity.py", "bounded by N_QUERIES*nprobe rows"),
         ("similarity.py", "lut is bounded by N_QUERIES*ADC_M*ADC_K rows"),
