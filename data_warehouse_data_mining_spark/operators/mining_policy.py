@@ -3091,6 +3091,171 @@ def l_moments_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GPD_THRESHOLD_CENTS = 40_000_000  # $400k peaks-over-threshold cutoff
+
+
+@register(
+    "gpd_tail_fit",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               - {GPD_THRESHOLD_CENTS} AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders
+      WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            > {GPD_THRESHOLD_CENTS}
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+                  AS BIGINT) AS b,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM vals
+    ),
+    sums AS (
+      SELECT any_value(n) AS n,
+             sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS n0,
+             sum(CAST(v AS HUGEINT)
+                 * ((CAST((b + c) AS HUGEINT) * (CAST((b + c) AS HUGEINT) - 1)
+                     - CAST(b AS HUGEINT) * (CAST(b AS HUGEINT) - 1)) // 2))
+               AS n1
+      FROM cum
+    ),
+    bs AS (
+      SELECT n,
+             CAST(n0 AS DOUBLE) / n AS b0,
+             CAST(n1 AS DOUBLE) / (n * (CAST(n AS DOUBLE) - 1)) AS b1
+      FROM sums
+    ),
+    fit AS (
+      SELECT n, b0, 2 * b1 - b0 AS l2,
+             b0 / (2 * b1 - b0) - 2 AS k
+      FROM bs
+    ),
+    scal AS (
+      SELECT n, b0, l2, k, b0 * (1 + k) AS alpha,
+             CAST(floor(exp(k * ln(0.01)) * 1000000 + 0.001) AS BIGINT)
+               AS pow99_micro,
+             CAST(floor(exp(k * ln(0.1)) * 1000000 + 0.001) AS BIGINT)
+               AS pow90_micro
+      FROM fit
+    )
+    SELECT n AS n_exceed,
+           {GPD_THRESHOLD_CENTS / 100} AS threshold_dollars,
+           round(b0 / 100, 4) AS lambda1_dollars,
+           round(l2 / 100, 4) AS lambda2_dollars,
+           round(k, 6) AS shape_k,
+           round(alpha / 100, 4) AS scale_alpha_dollars,
+           round((alpha / k) * (1 - pow90_micro / 1000000.0) / 100, 4)
+             AS ret_level90_dollars,
+           round((alpha / k) * (1 - pow99_micro / 1000000.0) / 100, 4)
+             AS ret_level99_dollars
+    FROM scal
+    """,
+)
+def gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-Pareto peaks-over-threshold tail fit via
+    probability-weighted moments (Hosking & Wallis 1987) — the EVT
+    companion to hill_tail_index: where Hill assumes a pure power law,
+    the GPD's L-moment estimators k = lambda1/lambda2 - 2,
+    alpha = lambda1(1+k) (Hosking's sign: k>0 is a BOUNDED tail,
+    k = -xi) recover shape AND scale of the excess distribution over a
+    fixed threshold, giving return levels (the 90%/99% excess
+    quantiles x_p = (alpha/k)(1-(1-p)^k)) — the risk-quantile output
+    an ops/finance warehouse actually publishes.
+
+    Reuses the l_moments_order_values hockey-stick identity: lambda1,
+    lambda2 need only n0 = sum(v*c) and n1 = sum(v*(C(b+c,2)-C(b,2)))
+    over the distinct-exceedance cumulative table, all exact wide
+    integers (HUGEINT `//` / DECIMAL division by 2 — exactly
+    divisible), so both engines see bit-identical moment sums; the
+    single wide->double cast per moment is correctly rounded and the
+    downstream scalar algebra is one identical expression tree. The
+    two engine-divergent pow() calls are spelled exp(k*ln p) behind
+    the floor(x*1e6+1e-3) micro guard. On this near-uniform upper
+    tail k fits ~1 (uniform excess: tau2=1/3 exactly); the estimator
+    degenerates only at k->0 (exponential tail), away from this data.
+
+    Scale: one fact scan with the threshold pushed to parquet ->
+    value-cardinality-bounded cumulative table; no global sort of raw
+    rows (docstring of l_moments_order_values for the identity)."""
+    o = load(spark, sf_dir).orders
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    vals = (
+        o.select(cents.alias("cents"))
+        .filter(F.col("cents") > GPD_THRESHOLD_CENTS)
+        .select((F.col("cents") - GPD_THRESHOLD_CENTS).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wseq = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = vals.select(
+        "v",
+        "c",
+        (F.sum("c").over(wseq) - F.col("c")).cast("long").alias("b"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    sums = cum.agg(
+        F.expr("any_value(n)").alias("n"),
+        F.expr(
+            "sum(CAST(v AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+        ).alias("n0"),
+        F.expr(
+            "sum(CAST(v AS DECIMAL(38,0))"
+            " * ((CAST((b + c) AS DECIMAL(38,0))"
+            "     * (CAST((b + c) AS DECIMAL(38,0)) - 1)"
+            "     - CAST(b AS DECIMAL(38,0))"
+            "     * (CAST(b AS DECIMAL(38,0)) - 1)) / 2))"
+        ).alias("n1"),
+    )
+    bs = sums.select(
+        "n",
+        F.expr("CAST(n0 AS DOUBLE) / n").alias("b0"),
+        F.expr(
+            "CAST(n1 AS DOUBLE) / (n * (CAST(n AS DOUBLE) - 1))"
+        ).alias("b1"),
+    )
+    fit = bs.select(
+        "n",
+        "b0",
+        (2 * F.col("b1") - F.col("b0")).alias("l2"),
+        (F.col("b0") / (2 * F.col("b1") - F.col("b0")) - 2).alias("k"),
+    )
+    scal = fit.select(
+        "n",
+        "b0",
+        "l2",
+        "k",
+        (F.col("b0") * (1 + F.col("k"))).alias("alpha"),
+        F.expr(
+            "CAST(floor(exp(k * ln(0.01)) * 1000000 + 0.001) AS BIGINT)"
+        ).alias("pow99_micro"),
+        F.expr(
+            "CAST(floor(exp(k * ln(0.1)) * 1000000 + 0.001) AS BIGINT)"
+        ).alias("pow90_micro"),
+    )
+    ret = lambda pm: F.round(  # noqa: E731
+        (F.col("alpha") / F.col("k"))
+        * (1 - F.col(pm) / 1_000_000.0)
+        / 100,
+        4,
+    )
+    return scal.select(
+        F.col("n").alias("n_exceed"),
+        F.lit(GPD_THRESHOLD_CENTS / 100).alias("threshold_dollars"),
+        F.round(F.col("b0") / 100, 4).alias("lambda1_dollars"),
+        F.round(F.col("l2") / 100, 4).alias("lambda2_dollars"),
+        F.round(F.col("k"), 6).alias("shape_k"),
+        F.round(F.col("alpha") / 100, 4).alias("scale_alpha_dollars"),
+        ret("pow90_micro").alias("ret_level90_dollars"),
+        ret("pow99_micro").alias("ret_level99_dollars"),
+    )
+
+
 HAAR_N = 256  # 2^8 days from 1995-01-01
 HAAR_LEVELS = 8
 

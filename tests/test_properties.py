@@ -2215,3 +2215,37 @@ def test_theil_decomposition_identity(spark):
         for ng, sxg in by_g.values()
     )
     assert abs(t_between - round(t_between_replay, 4)) < 1e-3
+
+
+def test_gpd_tail_fit_uniform_excess_identities(spark, duck):
+    """o_totalprice's upper tail is ~uniform, so the GPD PWM fit must
+    recover k ~= 1 (uniform excess: tau2 = 1/3 exactly => k = 1) and
+    alpha ~= the excess range; return levels are the excess quantiles
+    x_p = (alpha/k)(1-(1-p)^k) and must be ordered below the k>0
+    upper endpoint alpha/k. lambda1 must equal the exact mean excess
+    (direct DuckDB computation, not the hockey-stick path)."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        GPD_THRESHOLD_CENTS,
+        gpd_tail_fit,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = gpd_tail_fit(spark, SF_SMALL).collect()[0]
+    assert 0.7 < r["shape_k"] < 1.3  # uniform-ish excess
+    assert (
+        0
+        < r["ret_level90_dollars"]
+        < r["ret_level99_dollars"]
+        < r["scale_alpha_dollars"] / r["shape_k"] + 1e-6
+    )
+    mean_excess = duck.execute(
+        f"""
+        SELECT avg(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   - {GPD_THRESHOLD_CENTS}) / 100
+        FROM '{SF_SMALL}/orders.parquet'
+        WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              > {GPD_THRESHOLD_CENTS}
+        """
+    ).fetchone()[0]
+    assert abs(r["lambda1_dollars"] - mean_excess) < 0.01
