@@ -1874,3 +1874,185 @@ def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniform, 2).alias("uniform_est_rows"),
         F.round(F.col("predicted_join_rows") / uniform, 6).alias("skew_ratio"),
     )
+
+
+# Fellegi-Sunter probabilistic record linkage. m-probabilities are the
+# standard clerical priors (no labeled duplicates exist in TPC-H);
+# u-probabilities are estimated EXACTLY from the data via the random-
+# agreement identity u_k = sum_v n_v(n_v-1) / N(N-1).
+FS_FIELDS = (
+    # (name, m_probability): comparison vector gamma per blocked pair.
+    # The synthetic customer table carries (custkey, name, nationkey,
+    # acctbal, mktsegment); the four comparison transforms below play
+    # the role of the phone/address/zip fields of a real CRM linkage —
+    # the algebra is field-agnostic.
+    ("bal", 0.90),   # floor(c_acctbal / 1000) bucket (~11 values)
+    ("pen", 0.95),   # acctbal pennies, abs(cents) % 100  (100 values)
+    ("tail", 0.85),  # last 3 digits of c_name            (1000 values)
+    ("mid", 0.80),   # digits 5-6 of the c_name id        (100 values)
+)
+_FS_EXPRS = {
+    "bal": "CAST(floor(c_acctbal / 1000.0) AS BIGINT)",
+    "pen": "abs(CAST(round(c_acctbal * 100, 0) AS BIGINT)) % 100",
+    "tail": "substring(c_name, 16, 3)",
+    "mid": "substring(c_name, 14, 2)",
+}
+# log2 weights in 1e-6 fixed point, one ln per (field, side) on the
+# 4-row model table; u clamped to >= 1/(N(N-1)) so an all-unique field
+# at tiny SF cannot produce an infinite agreement weight
+_FS_W = (
+    "CAST(floor(ln({num} / {den}) / ln(2.0) * 1000000 + 0.001)"
+    " AS BIGINT)"
+)
+
+
+def _fs_weight_sql(m: float, u_num: str, u_den: str) -> tuple[str, str]:
+    agree = _FS_W.format(
+        num=f"({m} * {u_den})", den=f"greatest({u_num}, 1.0)"
+    )
+    # den - num clamped too: a CONSTANT field at tiny SF (num = den)
+    # has no disagreeing pair, so its (unused) disagreement weight just
+    # needs to be finite, not meaningful
+    disagree = _FS_W.format(
+        num=f"({1 - m:.2f} * {u_den})",
+        den=f"greatest({u_den} - greatest({u_num}, 1.0), 1.0)",
+    )
+    return agree, disagree
+
+
+def _fs_oracle() -> str:
+    field_cols = ",\n             ".join(
+        f"{_FS_EXPRS[f]} AS {f}" for f, _m in FS_FIELDS
+    )
+    u_aggs = ",\n      ".join(
+        f"(SELECT CAST(sum(c * (c - 1)) AS DOUBLE) FROM "
+        f"(SELECT count(*) AS c FROM recs GROUP BY {f}) t_{f}) AS num_{f}"
+        for f, _m in FS_FIELDS
+    )
+    w_cols = []
+    for f, m in FS_FIELDS:
+        a, d = _fs_weight_sql(m, f"num_{f}", "den")
+        w_cols.append(f"{a} AS a_{f}, {d} AS d_{f}")
+    score = " + ".join(
+        f"(CASE WHEN x.{f} = y.{f} THEN w.a_{f} ELSE w.d_{f} END)"
+        for f, _m in FS_FIELDS
+    )
+    return f"""
+    WITH recs AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             {field_cols}
+      FROM customer
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM recs),
+    u AS (
+      SELECT nn * (nn - 1) AS den,
+      {u_aggs}
+      FROM n
+    ),
+    w AS (SELECT den, {', '.join(w_cols)} FROM u),
+    pairs AS (
+      SELECT ({score}) AS total_micro
+      FROM recs x JOIN recs y
+        ON x.c_nationkey = y.c_nationkey
+       AND x.c_mktsegment = y.c_mktsegment
+       AND x.c_custkey < y.c_custkey
+      CROSS JOIN w
+    )
+    SELECT CAST(floor(total_micro / 2000000.0) AS BIGINT) AS weight_band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(total_micro) / 1000000.0, 6) AS min_weight,
+           round(max(total_micro) / 1000000.0, 6) AS max_weight
+    FROM pairs
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("fellegi_sunter_linkage", oracle=_fs_oracle())
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969; the Splink
+    /census-linkage workhorse): blocked candidate pairs of customer
+    records are scored by the sum of per-field log2(m/u) agreement /
+    log2((1-m)/(1-u)) disagreement weights, the log-likelihood ratio
+    that drives the match/possible/non-match decision bands. m-
+    probabilities are clerical priors (TPC-H has no labeled dupes);
+    u-probabilities are estimated EXACTLY from the data by the random-
+    agreement identity u_k = sum_v n_v(n_v-1)/(N(N-1)) — the standard
+    u-estimation that needs no training pairs. Output: the pair-count
+    histogram over 2-log2-unit weight bands with each band's exact
+    weight range — the reviewer-facing artifact that sets the two
+    clerical thresholds.
+
+    Determinism: the 8 weights are computed ONCE on a 4-row model
+    table, each behind the floor(x*1e6+1e-3) micro guard (one ln per
+    field-side), so every pair score is a sum of 4 identical BIGINTs
+    picked by exact equality bits; band floors and counts are then
+    exact. u is clamped to >= 1/(N(N-1)) so an all-unique field at
+    tiny SF cannot yield an infinite agreement weight.
+
+    Scale: blocking on (nation, mktsegment) caps block fanout (the
+    classic multi-key blocking slot — at 100 TB you'd add a phone-
+    prefix key the same way); u-estimation is one groupBy per field
+    feeding a broadcast-sized model row; the pair join is a blocked
+    equi-join, never all-pairs. Pair scoring is codegen CASE sums."""
+    c = load(spark, sf_dir).customer
+    recs = c.selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        *[f"{_FS_EXPRS[f]} AS {f}" for f, _m in FS_FIELDS],
+    )
+    n = recs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    u = n.select((F.col("nn") * (F.col("nn") - 1)).alias("den"))
+    for f, _m in FS_FIELDS:
+        cnt = (
+            recs.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                .cast("double")
+                .alias(f"num_{f}")
+            )
+        )
+        u = u.crossJoin(F.broadcast(cnt))
+    w_exprs = []
+    for f, m in FS_FIELDS:
+        a, d = _fs_weight_sql(m, f"num_{f}", "den")
+        w_exprs += [f"{a} AS a_{f}", f"{d} AS d_{f}"]
+    w = u.selectExpr("den", *w_exprs)
+    x = recs.select(
+        *[F.col(col).alias(f"x_{col}") for col in recs.columns]
+    )
+    y = recs.select(
+        *[F.col(col).alias(f"y_{col}") for col in recs.columns]
+    )
+    score = " + ".join(
+        f"(CASE WHEN x_{f} = y_{f} THEN a_{f} ELSE d_{f} END)"
+        for f, _m in FS_FIELDS
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("x_c_nationkey") == F.col("y_c_nationkey"))
+            & (F.col("x_c_mktsegment") == F.col("y_c_mktsegment"))
+            & (F.col("x_c_custkey") < F.col("y_c_custkey")),
+        )
+        .crossJoin(F.broadcast(w))
+        .selectExpr(f"({score}) AS total_micro")
+    )
+    return (
+        pairs.groupBy(
+            F.expr(
+                "CAST(floor(total_micro / 2000000.0) AS BIGINT)"
+            ).alias("weight_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.min("total_micro") / 1_000_000.0, 6).alias(
+                "min_weight"
+            ),
+            F.round(F.max("total_micro") / 1_000_000.0, 6).alias(
+                "max_weight"
+            ),
+        )
+        .orderBy("weight_band")
+    )

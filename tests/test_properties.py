@@ -2249,3 +2249,64 @@ def test_gpd_tail_fit_uniform_excess_identities(spark, duck):
         """
     ).fetchone()[0]
     assert abs(r["lambda1_dollars"] - mean_excess) < 0.01
+
+
+def test_fellegi_sunter_band_histogram_consistency(spark, duck):
+    """The weight-band histogram must partition the exact blocked-pair
+    count (computed independently here from block sizes), and every
+    band's weight range must lie inside [sum of disagreement weights,
+    sum of agreement weights] — the LLR bounds for a 4-field
+    comparison vector."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.quality import (
+        FS_FIELDS,
+        _FS_EXPRS,
+        fellegi_sunter_linkage,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = fellegi_sunter_linkage(spark, SF_SMALL).collect()
+    assert rows, "histogram must be non-empty"
+    n_pairs_expected = duck.execute(
+        f"""
+        SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) FROM (
+          SELECT count(*) AS c
+          FROM '{SF_SMALL}/customer.parquet'
+          GROUP BY c_nationkey, c_mktsegment)
+        """
+    ).fetchone()[0]
+    assert sum(r["n_pairs"] for r in rows) == n_pairs_expected
+    # recompute the 8 weights in Python from exact counts
+    nn = duck.execute(
+        f"SELECT count(*) FROM '{SF_SMALL}/customer.parquet'"
+    ).fetchone()[0]
+    den = nn * (nn - 1)
+    lo_sum = hi_sum = 0
+    for f, m in FS_FIELDS:
+        num = duck.execute(
+            f"""
+            SELECT CAST(sum(c * (c - 1)) AS DOUBLE) FROM (
+              SELECT count(*) AS c
+              FROM '{SF_SMALL}/customer.parquet' GROUP BY {_FS_EXPRS[f]})
+            """
+        ).fetchone()[0]
+        num = max(num or 0.0, 1.0)
+        a = math.floor(math.log(m * den / num) / math.log(2.0) * 1e6 + 1e-3)
+        d = math.floor(
+            math.log((1 - m) * den / max(den - num, 1.0)) / math.log(2.0)
+            * 1e6
+            + 1e-3
+        )
+        if num < den:  # non-constant field: agreeing must raise the LLR
+            assert m * den / num > 1.0
+            lo_sum += min(a, d)
+            hi_sum += max(a, d)
+        else:  # constant field: every pair agrees, only `a` is reachable
+            lo_sum += a
+            hi_sum += a
+    for r in rows:
+        assert lo_sum / 1e6 - 1e-6 <= r["min_weight"] <= r["max_weight"]
+        assert r["max_weight"] <= hi_sum / 1e6 + 1e-6
+        assert r["weight_band"] == math.floor(r["min_weight"] / 2)
