@@ -2305,3 +2305,170 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+LB_H = 10  # Ljung-Box horizon
+# chi-square 95th-percentile ladder for df = 1..10, baked to 4 dp so
+# neither engine evaluates an inverse-CDF (the bh_fdr z-ladder rule)
+LB_CHI2_95 = (
+    3.8415, 5.9915, 7.8147, 9.4877, 11.0705,
+    12.5916, 14.0671, 15.5073, 16.9190, 18.3070,
+)
+_LB_CRIT_VALUES = ", ".join(
+    f"({i + 1}, {c})" for i, c in enumerate(LB_CHI2_95)
+)
+
+
+@register(
+    "ljung_box_whiteness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s
+          FROM daily),
+    a AS (
+      SELECT day,
+             CAST(n AS DECIMAL(38,0)) * x - CAST(s AS DECIMAL(38,0)) AS a,
+             n
+      FROM daily CROSS JOIN g
+    ),
+    den AS (SELECT any_value(n) AS n, sum(a * a) AS d2 FROM a),
+    lags AS (
+      SELECT l.lag AS lag, a1.a AS ax, a2.a AS ay
+      FROM a a1
+      CROSS JOIN (SELECT unnest(range(1, {LB_H + 1})) AS lag) l
+      JOIN a a2 ON a2.day = a1.day + CAST(l.lag AS INT)
+    ),
+    num AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS np,
+             sum(ax * ay) AS nk
+      FROM lags GROUP BY lag
+    ),
+    terms AS (
+      SELECT CAST(num.lag AS BIGINT) AS lag, np,
+             CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE) AS rho,
+             CAST(floor((CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE))
+                        * (CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE))
+                        / np * 1000000000000.0 + 0.001) AS BIGINT)
+               AS t_micro,
+             n
+      FROM num CROSS JOIN den
+    ),
+    q AS (
+      SELECT lag, np, rho, n,
+             CAST(sum(t_micro) OVER (ORDER BY lag
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_micro
+      FROM terms
+    )
+    SELECT q.lag, np AS n_pairs, round(rho, 6) AS acf,
+           round(n * (n + 2) * cum_micro / 1000000000000.0, 6) AS q_stat,
+           CAST(c.crit AS DOUBLE) AS chi2_crit_95,
+           CAST(n * (n + 2) * cum_micro / 1000000000000.0 > c.crit
+                AS INT) AS reject_white
+    FROM q JOIN (VALUES {_LB_CRIT_VALUES}) AS c(df, crit) ON c.df = q.lag
+    ORDER BY q.lag
+    """,
+)
+def ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (Ljung & Box 1978) on the
+    daily order-count series: Q(h) = n(n+2) sum_{{k<=h}} rho_k^2/n_k
+    against the chi-square(h) 95% critical ladder, for h = 1..{LB_H} —
+    the serial-correlation diagnostic that certifies (or refutes)
+    "these residuals are white noise", completing the time-series
+    diagnostics row next to acf_daily_orders (which reports the rho_k
+    themselves) and durbin_watson_residuals (lag-1 only). The
+    synthetic order stream has Poisson-like arrivals with no weekly
+    cycle, so the test correctly ACCEPTS whiteness at every horizon
+    (all |acf| < 0.03, Q well under the ladder) — the accept is the
+    pin; on seasonal data the lag-7 horizon would reject.
+
+    Exactness: the series is demeaned in scaled integers a_t = n*x_t -
+    S (DECIMAL(38,0)), so numerators sum(a_t a_{{t+k}}) and the
+    denominator sum(a_t^2) are exact wide integers; rho_k is one
+    double ratio of identical exact values, each Q term sits behind
+    the floor(x*1e12+1e-3) guard, and the cumulative Q is an exact
+    BIGINT running sum over the h-row lag table. Pair counts n_k are
+    the gap-adjusted count of day/day+k pairs actually present
+    (calendar gaps drop pairs identically in both engines). The
+    critical values are baked literals (the bh_fdr inverse-CDF rule).
+
+    Scale: one fact scan -> day-cardinality table; the lag self-join
+    and every window run on that bounded series table."""
+    o = load(spark, sf_dir).orders
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)  # days-sized; read by both join sides
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    a = daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * x - CAST(s AS DECIMAL(38,0))"
+        ).alias("a"),
+        "n",
+    )
+    den = a.agg(
+        F.expr("any_value(n)").alias("n"),
+        F.expr("sum(a * a)").alias("d2"),
+    )
+    probes = a.select(
+        "day",
+        F.col("a").alias("ax"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, LB_H + 1)])
+        ).alias("lag"),
+    ).withColumn("match_day", F.date_add("day", F.col("lag")))
+    num = (
+        probes.join(
+            a.select(
+                F.col("day").alias("match_day"), F.col("a").alias("ay")
+            ),
+            "match_day",
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.expr("sum(ax * ay)").alias("nk"),
+        )
+    )
+    terms = num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "np",
+        F.expr("CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE)").alias("rho"),
+        F.expr(
+            "CAST(floor((CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE))"
+            " * (CAST(nk AS DOUBLE) / CAST(d2 AS DOUBLE))"
+            " / np * 1000000000000.0 + 0.001) AS BIGINT)"
+        ).alias("t_micro"),
+        "n",
+    )
+    wcum = W.orderBy("lag").rowsBetween(W.unboundedPreceding, 0)
+    q = terms.withColumn(
+        "cum_micro", F.sum("t_micro").over(wcum).cast("long")
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(LB_CHI2_95)], "df long, crit double"
+    )
+    qexpr = F.col("n") * (F.col("n") + 2) * F.col("cum_micro") / 1e12
+    return (
+        q.join(F.broadcast(crit), F.col("df") == F.col("lag"))
+        .select(
+            "lag",
+            F.col("np").alias("n_pairs"),
+            F.round("rho", 6).alias("acf"),
+            F.round(qexpr, 6).alias("q_stat"),
+            F.col("crit").alias("chi2_crit_95"),
+            (qexpr > F.col("crit")).cast("int").alias("reject_white"),
+        )
+        .orderBy("lag")
+    )

@@ -2310,3 +2310,49 @@ def test_fellegi_sunter_band_histogram_consistency(spark, duck):
         assert lo_sum / 1e6 - 1e-6 <= r["min_weight"] <= r["max_weight"]
         assert r["max_weight"] <= hi_sum / 1e6 + 1e-6
         assert r["weight_band"] == math.floor(r["min_weight"] / 2)
+
+
+def test_ljung_box_monotone_and_white_on_poisson_arrivals(spark):
+    """Q(h) is a cumulative sum of nonnegative terms, so it must be
+    nondecreasing in h; acf bounded in [-1, 1]; and on the synthetic
+    Poisson-like arrival series the test must ACCEPT whiteness at
+    every horizon (the data's own pin)."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        ljung_box_whiteness,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = ljung_box_whiteness(spark, SF_SMALL).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 11))
+    qs = [r["q_stat"] for r in rows]
+    assert all(q >= 0 for q in qs)
+    assert qs == sorted(qs)
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["reject_white"] in (0, 1)
+    assert all(r["reject_white"] == 0 for r in rows)
+
+
+def test_adamic_adar_scores_match_common_neighbor_counts(spark, duck):
+    """Every emitted pair must be a NON-edge with n_common >= 1, scores
+    sorted desc with full tie-breaks, and aa_micro consistent with
+    n_common bounds: n_common/ln(d_max) <= aa <= n_common/ln(2)."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = adamic_adar_link_prediction(spark, SF_SMALL).collect()
+    assert rows
+    keys = [(-r["aa_micro"], r["item_a"], r["item_b"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["item_a"] < r["item_b"]
+        assert r["n_common"] >= 1
+        aa = r["aa_micro"] / 1e6
+        assert aa <= r["n_common"] / math.log(2.0) + 1e-6
+        assert abs(r["aa_score"] - aa) <= 5e-7
