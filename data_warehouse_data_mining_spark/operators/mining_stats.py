@@ -2472,3 +2472,162 @@ def ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+HT_N_TARGET = 500  # expected PPS sample size
+# 8-hex-char -> BIGINT parser (the privacy-tier house idiom: DuckDB has
+# no conv(); both engines derive the SAME 32-bit word from md5)
+_HT_HEXWORD_DUCK = (
+    "list_reduce(list_transform(range(1, 9), "
+    "i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1)) - 1"
+    " AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "horvitz_thompson_total",
+    oracle=f"""
+    WITH y AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS yc,
+             md5('ht|' || CAST(o_orderkey AS VARCHAR)) AS m
+      FROM orders
+    ),
+    tot AS (SELECT CAST(sum(yc) AS BIGINT) AS yy,
+                   CAST(count(*) AS BIGINT) AS n_pop
+            FROM y),
+    u AS (
+      SELECT yc, {_HT_HEXWORD_DUCK} AS b, yy, n_pop
+      FROM y CROSS JOIN tot
+    ),
+    marks AS (
+      SELECT yc, yy, n_pop,
+             (CAST(yc AS DECIMAL(38,0)) * {HT_N_TARGET}
+              >= CAST(yy AS DECIMAL(38,0))) AS certainty,
+             (CAST(b AS DECIMAL(38,0)) * CAST(yy AS DECIMAL(38,0))
+              < CAST(yc AS DECIMAL(38,0)) * {HT_N_TARGET} * 4294967296)
+               AS included
+      FROM u
+    ),
+    agg AS (
+      SELECT any_value(yy) AS yy, any_value(n_pop) AS n_pop,
+             CAST(sum(CASE WHEN certainty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cert,
+             CAST(sum(CASE WHEN certainty THEN yc ELSE 0 END) AS BIGINT)
+               AS y_cert,
+             CAST(sum(CASE WHEN NOT certainty AND included
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_samp,
+             CAST(sum(CASE WHEN NOT certainty AND included
+                           THEN yc ELSE 0 END) AS BIGINT) AS y_samp
+      FROM marks
+    )
+    SELECT n_pop, n_cert, n_samp,
+           round(yy / 100.0, 2) AS exact_total_dollars,
+           round((y_cert + n_samp * (CAST(yy AS DOUBLE) / {HT_N_TARGET}))
+                 / 100.0, 2) AS ht_total_dollars,
+           round(((y_cert + n_samp * (CAST(yy AS DOUBLE) / {HT_N_TARGET}))
+                  - yy) * 100.0 / yy, 6) AS rel_err_pct,
+           round(sqrt((CAST(yy AS DOUBLE) / {HT_N_TARGET})
+                      * (CAST(yy AS DOUBLE) / {HT_N_TARGET})
+                      * (n_samp - {HT_N_TARGET} * (CAST(y_samp AS DOUBLE)
+                                                   / yy))) / 100.0, 2)
+             AS se_dollars
+    FROM agg
+    """,
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation under Poisson PPS sampling
+    (Horvitz & Thompson 1952): each order is included with probability
+    proportional to its value, pi_i = min(1, n*y_i/Y), and the total
+    is estimated as sum over the sample of y_i/pi_i — the
+    unequal-probability survey estimator that powers audit sampling
+    and monetary-unit sampling. PPS collapses every non-certainty
+    contribution to the CONSTANT Y/n, so the estimate and its Poisson
+    variance V = (Y/n)^2 * (m - n*S_s/Y) assemble from four exact
+    integers (Y, m, S_s, n) — the estimator's classic self-weighting
+    property, visible in the algebra. Completes the sampling-design
+    tier (neyman_allocation, ipf_raking_weights, bernoulli/stratified
+    samples) with the ESTIMATION side: design weights, not just draws.
+
+    Determinism: inclusion is the house content-hash draw — a 32-bit
+    md5 word b, included iff b*Y < y*n*2^32, an EXACT wide-integer
+    predicate (no doubles anywhere in the sampling step); certainty
+    units (pi >= 1) contribute exactly. The estimate/SE are one
+    identical double expression over exact integer aggregates.
+
+    Scale: one fact scan, one global agg for Y, one map-side
+    mark-and-aggregate pass. Nothing is per-row stateful."""
+    o = load(spark, sf_dir).orders
+    y = o.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("yc"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('ht|',"
+            " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("b"),
+    )
+    tot = y.agg(
+        F.sum("yc").cast("long").alias("yy"),
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+    )
+    marks = y.crossJoin(F.broadcast(tot)).select(
+        "yc",
+        "yy",
+        "n_pop",
+        F.expr(
+            f"CAST(yc AS DECIMAL(38,0)) * {HT_N_TARGET}"
+            " >= CAST(yy AS DECIMAL(38,0))"
+        ).alias("certainty"),
+        F.expr(
+            "CAST(b AS DECIMAL(38,0)) * CAST(yy AS DECIMAL(38,0))"
+            f" < CAST(yc AS DECIMAL(38,0)) * {HT_N_TARGET} * 4294967296"
+        ).alias("included"),
+    )
+    agg = marks.agg(
+        F.expr("any_value(yy)").alias("yy"),
+        F.expr("any_value(n_pop)").alias("n_pop"),
+        F.sum(F.when(F.col("certainty"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cert"),
+        F.sum(F.when(F.col("certainty"), F.col("yc")).otherwise(0))
+        .cast("long")
+        .alias("y_cert"),
+        F.sum(
+            F.when(~F.col("certainty") & F.col("included"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_samp"),
+        F.sum(
+            F.when(
+                ~F.col("certainty") & F.col("included"), F.col("yc")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_samp"),
+    )
+    ht = F.col("y_cert") + F.col("n_samp") * (
+        F.expr(f"CAST(yy AS DOUBLE) / {HT_N_TARGET}")
+    )
+    return agg.select(
+        "n_pop",
+        "n_cert",
+        "n_samp",
+        F.round(F.col("yy") / 100.0, 2).alias("exact_total_dollars"),
+        F.round(ht / 100.0, 2).alias("ht_total_dollars"),
+        F.round((ht - F.col("yy")) * 100.0 / F.col("yy"), 6).alias(
+            "rel_err_pct"
+        ),
+        F.round(
+            F.sqrt(
+                F.expr(f"CAST(yy AS DOUBLE) / {HT_N_TARGET}")
+                * F.expr(f"CAST(yy AS DOUBLE) / {HT_N_TARGET}")
+                * (
+                    F.col("n_samp")
+                    - HT_N_TARGET
+                    * F.expr("CAST(y_samp AS DOUBLE) / yy")
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("se_dollars"),
+    )

@@ -2469,3 +2469,134 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_turing_coverage"
         ),
     ).orderBy("lang")
+
+
+GT_MAX_R = 10
+
+
+@register(
+    "good_turing_estimates",
+    oracle=f"""
+    WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+      SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+      FROM ws, unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    ),
+    counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    fof AS (
+      SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+      FROM counts GROUP BY c
+    ),
+    grid AS (
+      SELECT g.r,
+             coalesce(f.n_r, 0) AS n_r,
+             coalesce(f1.n_r, 0) AS n_r1
+      FROM (SELECT unnest(range(1, {GT_MAX_R + 1})) AS r) g
+      LEFT JOIN fof f ON f.r = g.r
+      LEFT JOIN fof f1 ON f1.r = g.r + 1
+    )
+    SELECT CAST(grid.r AS BIGINT) AS r, n_r,
+           round(CASE WHEN n_r > 0
+                      THEN (grid.r + 1) * 1.0 * n_r1 / n_r
+                      ELSE 0.0 END, 6) AS r_star,
+           round(CASE WHEN n_r > 0
+                      THEN (grid.r + 1) * 1000000.0 * n_r1 / (n_r * n)
+                      ELSE 0.0 END / 1.0, 6) AS p_item_ppm,
+           n AS n_tokens,
+           round(coalesce((SELECT n_r FROM fof WHERE r = 1), 0) * 1.0 / n,
+                 6) AS p0_unseen
+    FROM grid CROSS JOIN tot
+    ORDER BY grid.r
+    """,
+)
+def good_turing_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good 1953) over the corpus
+    TRIGRAM distribution (the synthetic vocabulary is 31 words, each
+    ~900x — unigrams have no rare tail; word trigrams are properly
+    Zipfian here with N_1 ~ 9.4k singletons at sf0.01, and trigram
+    events are what Katz backoff actually smooths): the
+    frequency-of-frequencies table N_r and
+    the Turing-adjusted counts r* = (r+1) N_(r+1)/N_r for r = 1..10,
+    plus the unseen-event mass P0 = N_1/N — the smoothing table every
+    count-based LM (Katz backoff) is built from, and the probability-
+    mass complement to chao1_vocab_richness (which estimates unseen
+    TYPES; this estimates unseen PROBABILITY and discounts seen
+    counts). A healthy Zipfian corpus shows r* < r at small r (mass
+    shaved off rare events) — visible directly in the output.
+
+    Exactness: N_r, N and the r* numerators are exact BIGINTs off the
+    word-count table; r*, per-item probability (in ppm) and P0 are
+    each ONE division of exact integers rounded at the edge — no
+    transcendentals at all. Empty N_r rows report 0 (the r grid is a
+    10-row literal spine, so the output schema is SF-independent).
+
+    Scale: token explode -> vocab-bounded hash agg -> count-of-counts
+    agg (bounded by max frequency); the 10-row spine join is a
+    broadcast. One corpus scan total."""
+    d = load(spark, sf_dir).documents
+    counts = (
+        d.select(F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("n"))
+    fof = counts.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    # aggregate (never filter-to-maybe-empty): a corpus with no
+    # singletons must yield f1 = 0, not an empty frame that zeroes the
+    # cross join
+    f1 = fof.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("f1")
+    )
+    grid = spark.range(1, GT_MAX_R + 1).select(F.col("id").alias("r"))
+    g = (
+        grid.join(F.broadcast(fof), "r", "left")
+        .withColumn("n_r", F.coalesce("n_r", F.lit(0)))
+        .join(
+            F.broadcast(
+                fof.select(
+                    (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+                )
+            ),
+            "r",
+            "left",
+        )
+        .withColumn("n_r1", F.coalesce("n_r1", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(f1))
+    )
+    rs = F.when(
+        F.col("n_r") > 0,
+        (F.col("r") + 1) * 1.0 * F.col("n_r1") / F.col("n_r"),
+    ).otherwise(F.lit(0.0))
+    pp = F.when(
+        F.col("n_r") > 0,
+        (F.col("r") + 1) * 1_000_000.0 * F.col("n_r1")
+        / (F.col("n_r") * F.col("n")),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("r").cast("long").alias("r"),
+        "n_r",
+        F.round(rs, 6).alias("r_star"),
+        F.round(pp, 6).alias("p_item_ppm"),
+        F.col("n").alias("n_tokens"),
+        F.round(F.col("f1") * 1.0 / F.col("n"), 6).alias("p0_unseen"),
+    ).orderBy("r")

@@ -2356,3 +2356,63 @@ def test_adamic_adar_scores_match_common_neighbor_counts(spark, duck):
         aa = r["aa_micro"] / 1e6
         assert aa <= r["n_common"] / math.log(2.0) + 1e-6
         assert abs(r["aa_score"] - aa) <= 5e-7
+
+
+def test_good_turing_mass_identities(spark, duck):
+    """Good-Turing internals: r* must equal (r+1)N_{r+1}/N_r from the
+    independently-computed DuckDB frequency-of-frequencies, P0 = N1/N,
+    and on a Zipfian tail r*(1) < 1 (mass is shaved off singletons to
+    fund the unseen)."""
+    from data_warehouse_data_mining_spark.operators.text import (
+        good_turing_estimates,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = {r["r"]: r for r in good_turing_estimates(spark, SF_SMALL).collect()}
+    fof = dict(
+        duck.execute(
+            f"""
+            WITH ws AS (SELECT string_split(text, ' ') AS ws
+                        FROM '{SF_SMALL}/documents.parquet'),
+            tok AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+                    FROM ws, unnest(range(1, len(ws) - 1)) AS t(i)
+                    WHERE len(ws) >= 3),
+            c AS (SELECT w, count(*) AS c FROM tok GROUP BY w)
+            SELECT c, count(*) FROM c GROUP BY c
+            """
+        ).fetchall()
+    )
+    n_tokens = sum(r * n for r, n in fof.items())
+    assert rows[1]["n_tokens"] == n_tokens
+    assert abs(rows[1]["p0_unseen"] - fof.get(1, 0) / n_tokens) <= 5e-7
+    assert 0 < rows[1]["r_star"] < 1  # singleton discount
+    for r in range(1, 11):
+        nr, nr1 = fof.get(r, 0), fof.get(r + 1, 0)
+        want = (r + 1) * nr1 / nr if nr else 0.0
+        assert abs(rows[r]["r_star"] - want) <= 5e-7, (r, want)
+
+
+def test_horvitz_thompson_unbiasedness_envelope(spark):
+    """The HT estimate must land within 4 SE of the exact total (the
+    hash draw is fixed, so this is a deterministic pin, not a flaky
+    statistical one), the realized sample size near its expectation,
+    and SE > 0."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        HT_N_TARGET,
+        horvitz_thompson_total,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = horvitz_thompson_total(spark, SF_SMALL).collect()[0]
+    assert r["se_dollars"] > 0
+    assert (
+        abs(r["ht_total_dollars"] - r["exact_total_dollars"])
+        <= 4 * r["se_dollars"]
+    )
+    n_expected = min(HT_N_TARGET, r["n_pop"])
+    assert (
+        abs(r["n_cert"] + r["n_samp"] - n_expected)
+        <= 5 * max(n_expected, 1) ** 0.5
+    )
