@@ -3721,3 +3721,197 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+RDD_CUTOFF_CENTS = 500_000   # $5,000 account-balance cutoff
+RDD_BANDWIDTH_CENTS = 300_000  # +/- $3,000 local-linear window
+_RDD_SIDE_STATS = """
+  CAST(count(*) AS DECIMAL(38,0)) AS n,
+  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+  sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+  sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+"""
+# per-side OLS quantities as one identical double expression tree over
+# the exact decimal moment sums (the groupwise_ols_trend discipline)
+_RDD_FITS = """
+  CAST(n AS DOUBLE) AS nd,
+  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+  (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept
+"""
+
+
+@register(
+    "regression_discontinuity_effect",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    run AS (
+      SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT)
+               - {RDD_CUTOFF_CENTS} AS x,
+             coalesce(s.y, 0) AS y
+      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+      WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT)
+            BETWEEN {RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS}
+                AND {RDD_CUTOFF_CENTS + RDD_BANDWIDTH_CENTS - 1}
+    ),
+    sides AS (
+      SELECT (x >= 0) AS treated, {_RDD_SIDE_STATS}
+      FROM run GROUP BY 1
+    ),
+    fits AS (
+      SELECT treated, {_RDD_FITS},
+             CAST(syy AS DOUBLE) AS syyd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+      FROM sides
+    ),
+    se AS (
+      SELECT treated, nd, slope, intercept, den,
+             sqrt(greatest(syyd - intercept * syd - slope * sxyd, 0.0)
+                  / (nd - 2) * sxxd / den) AS se_int
+      FROM fits
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN NOT treated THEN nd END) AS n_l,
+        max(CASE WHEN treated THEN nd END) AS n_r,
+        max(CASE WHEN NOT treated THEN slope END) AS sl_l,
+        max(CASE WHEN treated THEN slope END) AS sl_r,
+        max(CASE WHEN NOT treated THEN intercept END) AS int_l,
+        max(CASE WHEN treated THEN intercept END) AS int_r,
+        max(CASE WHEN NOT treated THEN se_int END) AS se_l,
+        max(CASE WHEN treated THEN se_int END) AS se_r
+      FROM se
+    )
+    SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+           round(sl_l, 6) AS slope_left_per_dollar,
+           round(sl_r, 6) AS slope_right_per_dollar,
+           round(int_l / 100, 2) AS intercept_left_dollars,
+           round(int_r / 100, 2) AS intercept_right_dollars,
+           round((int_r - int_l) / 100, 2) AS rd_effect_dollars,
+           round(sqrt(se_l * se_l + se_r * se_r) / 100, 2)
+             AS se_effect_dollars,
+           CAST(abs(int_r - int_l)
+                > 1.96 * sqrt(se_l * se_l + se_r * se_r) AS INT)
+             AS significant_95
+    FROM wide
+    """,
+)
+def regression_discontinuity_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux 2008) of the effect of crossing a
+    $5,000 account-balance cutoff on total customer spend: local
+    linear fits on each side of the cutoff within a +/-$3,000
+    bandwidth, effect = intercept_right - intercept_left at the
+    boundary, with the conventional intercept-variance SE and a 95%
+    z-flag. Completes the causal kit's identification-strategy row
+    (diff_in_diff: parallel trends; stratified_att: selection on
+    observables; RDD: local randomization at a threshold). The
+    synthetic balances are independent of spend, so this is a PLACEBO
+    design — the honest expectation, pinned in tests, is a
+    non-significant effect near 0.
+
+    Determinism: per-side moment sums (n, Sx, Sy, Sxy, Sxx, Syy)
+    accumulate in exact DECIMAL(38,0) cents; slope/intercept/SE are
+    one identical double expression tree over those exact values (the
+    groupwise_ols_trend discipline); negative rounding residue in the
+    RSS is clamped at 0 before the sqrt.
+
+    Scale: one orders scan (per-customer spend agg), one customer
+    scan with the bandwidth filter pushed to parquet, a 2-row side
+    table thereafter."""
+    t = load(spark, sf_dir)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("y")
+    )
+    bal = F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")
+    run = (
+        t.customer.select("c_custkey", bal.alias("balc"))
+        .filter(
+            F.col("balc").between(
+                RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS,
+                RDD_CUTOFF_CENTS + RDD_BANDWIDTH_CENTS - 1,
+            )
+        )
+        .join(spend, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            (F.col("balc") - RDD_CUTOFF_CENTS).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    sides = run.groupBy((F.col("x") >= 0).alias("treated")).agg(
+        *[
+            F.expr(e.strip().rsplit(" AS ", 1)[0]).alias(
+                e.strip().rsplit(" AS ", 1)[1]
+            )
+            for e in _RDD_SIDE_STATS.strip().split(",\n")
+        ]
+    )
+    fits = sides.selectExpr(
+        "treated",
+        "CAST(n AS DOUBLE) AS nd",
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den",
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope",
+        "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept",
+        "CAST(syy AS DOUBLE) AS syyd",
+        "CAST(sy AS DOUBLE) AS syd",
+        "CAST(sxy AS DOUBLE) AS sxyd",
+        "CAST(sxx AS DOUBLE) AS sxxd",
+    )
+    se = fits.selectExpr(
+        "treated",
+        "nd",
+        "slope",
+        "intercept",
+        "sqrt(greatest(syyd - intercept * syd - slope * sxyd, 0.0)"
+        " / (nd - 2) * sxxd / den) AS se_int",
+    )
+    wide = se.agg(
+        *[
+            F.max(F.when(F.col("treated") == lit, F.col(c))).alias(
+                f"{c[:3]}_{suf}"
+            )
+            for lit, suf in ((False, "l"), (True, "r"))
+            for c in ("nd", "slope", "intercept", "se_int")
+        ]
+    ).toDF("nd_l", "slo_l", "int_l", "se__l", "nd_r", "slo_r", "int_r", "se__r")
+    eff = F.col("int_r") - F.col("int_l")
+    se2 = F.sqrt(
+        F.col("se__l") * F.col("se__l") + F.col("se__r") * F.col("se__r")
+    )
+    return wide.select(
+        F.col("nd_l").cast("long").alias("n_left"),
+        F.col("nd_r").cast("long").alias("n_right"),
+        F.round(F.col("slo_l"), 6).alias("slope_left_per_dollar"),
+        F.round(F.col("slo_r"), 6).alias("slope_right_per_dollar"),
+        F.round(F.col("int_l") / 100, 2).alias("intercept_left_dollars"),
+        F.round(F.col("int_r") / 100, 2).alias("intercept_right_dollars"),
+        F.round(eff / 100, 2).alias("rd_effect_dollars"),
+        F.round(se2 / 100, 2).alias("se_effect_dollars"),
+        (F.abs(eff) > 1.96 * se2).cast("int").alias("significant_95"),
+    )

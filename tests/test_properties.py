@@ -2416,3 +2416,48 @@ def test_horvitz_thompson_unbiasedness_envelope(spark):
         abs(r["n_cert"] + r["n_samp"] - n_expected)
         <= 5 * max(n_expected, 1) ** 0.5
     )
+
+
+def test_rdd_placebo_and_ols_parity(spark, duck):
+    """The balances are independent of spend, so the sharp RD at the
+    arbitrary $5k cutoff must be a PLACEBO: non-significant at 95%.
+    The left-side intercept/slope must match an independent numpy-free
+    OLS on the same rows pulled through DuckDB."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        RDD_BANDWIDTH_CENTS,
+        RDD_CUTOFF_CENTS,
+        regression_discontinuity_effect,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = regression_discontinuity_effect(spark, SF_SMALL).collect()[0]
+    assert r["significant_95"] == 0
+    assert r["n_left"] > 2 and r["n_right"] > 2
+    assert r["se_effect_dollars"] > 0
+    rows = duck.execute(
+        f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+          FROM '{SF_SMALL}/orders.parquet' GROUP BY 1)
+        SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                 - {RDD_CUTOFF_CENTS} AS x,
+               coalesce(s.y, 0) AS y
+        FROM '{SF_SMALL}/customer.parquet' c
+        LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT)
+              BETWEEN {RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS}
+                  AND {RDD_CUTOFF_CENTS - 1}
+        """
+    ).fetchall()
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy * sxx - sx * sxy) / den
+    assert abs(r["slope_left_per_dollar"] - slope) <= 1e-4
+    assert abs(r["intercept_left_dollars"] - intercept / 100) <= 0.5
