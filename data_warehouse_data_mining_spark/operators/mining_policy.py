@@ -3915,3 +3915,264 @@ def regression_discontinuity_effect(
         F.round(se2 / 100, 2).alias("se_effect_dollars"),
         (F.abs(eff) > 1.96 * se2).cast("int").alias("significant_95"),
     )
+
+
+@register(
+    "psm_att_matched",
+    oracle="""
+    WITH pre AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x,
+             max(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS treated
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    outcome AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y96
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    panel AS (
+      SELECT p.o_custkey AS k, p.x, p.treated,
+             coalesce(o.y96, 0) AS y
+      FROM pre p LEFT JOIN outcome o ON o.o_custkey = p.o_custkey
+    ),
+    lined AS (
+      SELECT k, x, treated, y,
+             last_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
+               OVER w_prev AS px,
+             last_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+               OVER w_prev AS py,
+             first_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
+               OVER w_next AS nx,
+             first_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
+               OVER w_next AS ny
+      FROM panel
+      WINDOW
+        w_prev AS (ORDER BY x, treated, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (ORDER BY x, treated, k
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    matched AS (
+      SELECT k, x, y,
+             CASE WHEN px IS NULL THEN ny
+                  WHEN nx IS NULL THEN py
+                  WHEN x - px <= nx - x THEN py ELSE ny END AS yc,
+             CASE WHEN px IS NULL THEN nx - x
+                  WHEN nx IS NULL THEN x - px
+                  WHEN x - px <= nx - x THEN x - px ELSE nx - x
+             END AS dx
+      FROM lined WHERE treated = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_treated,
+           (SELECT CAST(sum(1 - treated) AS BIGINT) FROM panel)
+             AS n_controls,
+           round(sum(y) * 1.0 / (100 * count(*)), 4)
+             AS mean_treated_dollars,
+           round(sum(yc) * 1.0 / (100 * count(*)), 4)
+             AS mean_matched_control_dollars,
+           round(sum(y - yc) * 1.0 / (100 * count(*)), 4)
+             AS att_matched_dollars,
+           round(sum(dx) * 1.0 / (100 * count(*)), 4)
+             AS mean_match_distance_dollars
+    FROM matched
+    """,
+)
+def psm_att_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT by 1-nearest-neighbor covariate matching WITH REPLACEMENT
+    (Abadie & Imbens 2006) on the stratified_att_adjustment scenario:
+    each treated customer (high-priority 1995 order) is matched to the
+    control whose pre-treatment 1995 spend is nearest, and the ATT on
+    1996 spend is the mean matched difference. With-replacement 1-NN
+    on a 1-D covariate needs NO pair join at all: sort everyone by the
+    covariate once, and each treated unit's match is either the last
+    control before it or the first control after it (window functions
+    with IGNORE NULLS) — the matching estimator as two windows, the
+    estimator-side completion of the causal kit next to
+    subclassification (stratified_att_adjustment) and weighting
+    (ips_offline_policy_eval).
+
+    Determinism: the sort key chain (x, treated, k) is total, distance
+    ties break toward the PREVIOUS control (<=), and all sums are
+    exact BIGINT cents; the four output ratios round at the edge.
+    Greedy WITHOUT-replacement matching is order-sequential and
+    deliberately avoided — with-replacement is the parallelizable
+    variant and its bias correction is the documented trade-off.
+
+    Scale: two fact scans (pre/outcome years, date filter pushed), one
+    customer-sized panel. The oracle's single global window is
+    decomposed into the bucketed two-phase shape (the
+    global_order_stats pattern): within-$100k-bucket windows run
+    partition-parallel, and only the one-row-per-bucket boundary
+    table (value-domain-bounded) sees an unpartitioned window; the
+    DuckDB hash match proves the decomposition lossless. No treated x
+    control join ever materializes."""
+    o = load(spark, sf_dir).orders
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    pre = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(cents).cast("long").alias("x"),
+            F.max(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("treated"),
+        )
+    )
+    outcome = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(F.sum(cents).cast("long").alias("y96"))
+    )
+    panel = (
+        pre.join(outcome, F.col("o_custkey") == F.col("k2"), "left")
+        .select(
+            F.col("o_custkey").alias("k"),
+            "x",
+            "treated",
+            F.coalesce("y96", F.lit(0)).alias("y"),
+        )
+    )
+    # two-phase distributed nearest-control: the global sort the oracle
+    # window expresses would serialize onto one task in Spark, so the
+    # panel is bucketed by a monotone image of x ($100k spend buckets —
+    # value-domain-bounded, so the bucket table stays small at any SF),
+    # within-bucket windows run partition-parallel, and only the
+    # bucket-level boundary table (one row per bucket) sees an
+    # unpartitioned window (the global_order_stats pattern).
+    panel = panel.withColumn(
+        "b", F.floor(F.col("x") / 10_000_000).cast("long")
+    )
+    order = [F.col("x"), F.col("treated"), F.col("k")]
+    wb_prev = (
+        W.partitionBy("b").orderBy(*order).rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    wb_next = (
+        W.partitionBy("b").orderBy(*order).rowsBetween(
+            1, W.unboundedFollowing
+        )
+    )
+    cx = F.when(F.col("treated") == 0, F.col("x"))
+    cy = F.when(F.col("treated") == 0, F.col("y"))
+    lined_in = panel.select(
+        "k",
+        "b",
+        "x",
+        "treated",
+        "y",
+        F.last(cx, ignorenulls=True).over(wb_prev).alias("px_in"),
+        F.last(cy, ignorenulls=True).over(wb_prev).alias("py_in"),
+        F.first(cx, ignorenulls=True).over(wb_next).alias("nx_in"),
+        F.first(cy, ignorenulls=True).over(wb_next).alias("ny_in"),
+    )
+    ctrl = panel.filter(F.col("treated") == 0)
+    w_last = W.partitionBy("b").orderBy(
+        F.col("x").desc(), F.col("k").desc()
+    )
+    w_first = W.partitionBy("b").orderBy(F.col("x"), F.col("k"))
+    summary = (
+        ctrl.withColumn("rl", F.row_number().over(w_last))
+        .withColumn("rf", F.row_number().over(w_first))
+        .filter((F.col("rl") == 1) | (F.col("rf") == 1))
+        .groupBy("b")
+        .agg(
+            F.max(F.when(F.col("rl") == 1, F.col("x"))).alias("last_x"),
+            F.max(F.when(F.col("rl") == 1, F.col("y"))).alias("last_y"),
+            F.max(F.when(F.col("rf") == 1, F.col("x"))).alias("first_x"),
+            F.max(F.when(F.col("rf") == 1, F.col("y"))).alias("first_y"),
+        )
+    )
+    spine = (
+        panel.select("b")
+        .distinct()
+        .join(summary, "b", "left")
+        # bucket-count-sized table: the unpartitioned window is bounded
+        .select(
+            "b",
+            F.last(F.col("last_x"), ignorenulls=True)
+            .over(W.orderBy("b").rowsBetween(W.unboundedPreceding, -1))
+            .alias("prev_bx"),
+            F.last(F.col("last_y"), ignorenulls=True)
+            .over(W.orderBy("b").rowsBetween(W.unboundedPreceding, -1))
+            .alias("prev_by"),
+            F.first(F.col("first_x"), ignorenulls=True)
+            .over(W.orderBy("b").rowsBetween(1, W.unboundedFollowing))
+            .alias("next_bx"),
+            F.first(F.col("first_y"), ignorenulls=True)
+            .over(W.orderBy("b").rowsBetween(1, W.unboundedFollowing))
+            .alias("next_by"),
+        )
+    )
+    lined = lined_in.join(F.broadcast(spine), "b").select(
+        "k",
+        "x",
+        "treated",
+        "y",
+        F.coalesce("px_in", "prev_bx").alias("px"),
+        F.coalesce("py_in", "prev_by").alias("py"),
+        F.coalesce("nx_in", "next_bx").alias("nx"),
+        F.coalesce("ny_in", "next_by").alias("ny"),
+    )
+    take_prev = (
+        F.col("nx").isNull()
+        | (
+            F.col("px").isNotNull()
+            & (F.col("x") - F.col("px") <= F.col("nx") - F.col("x"))
+        )
+    )
+    matched = lined.filter(F.col("treated") == 1).select(
+        "k",
+        "x",
+        "y",
+        F.when(take_prev, F.col("py")).otherwise(F.col("ny")).alias("yc"),
+        F.when(take_prev, F.col("x") - F.col("px"))
+        .otherwise(F.col("nx") - F.col("x"))
+        .alias("dx"),
+    )
+    n_controls = panel.agg(
+        F.sum(1 - F.col("treated")).cast("long").alias("n_controls")
+    )
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_treated"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum("yc").cast("long").alias("syc"),
+            F.sum("dx").cast("long").alias("sdx"),
+        )
+        .crossJoin(F.broadcast(n_controls))
+        .select(
+            "n_treated",
+            "n_controls",
+            F.round(F.col("sy") * 1.0 / (100 * F.col("n_treated")), 4)
+            .alias("mean_treated_dollars"),
+            F.round(F.col("syc") * 1.0 / (100 * F.col("n_treated")), 4)
+            .alias("mean_matched_control_dollars"),
+            F.round(
+                (F.col("sy") - F.col("syc"))
+                * 1.0
+                / (100 * F.col("n_treated")),
+                4,
+            ).alias("att_matched_dollars"),
+            F.round(F.col("sdx") * 1.0 / (100 * F.col("n_treated")), 4)
+            .alias("mean_match_distance_dollars"),
+        )
+    )

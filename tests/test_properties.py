@@ -2461,3 +2461,67 @@ def test_rdd_placebo_and_ols_parity(spark, duck):
     intercept = (sy * sxx - sx * sxy) / den
     assert abs(r["slope_left_per_dollar"] - slope) <= 1e-4
     assert abs(r["intercept_left_dollars"] - intercept / 100) <= 0.5
+
+
+def test_psm_match_is_true_nearest_control(spark, duck):
+    """The bucketed two-phase match must equal the brute-force nearest
+    control computed in Python from the same panel (with the <=
+    prev-on-tie rule), and the registered aggregates must equal the
+    brute-force ATT."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        psm_att_matched,
+    )
+
+    from .conftest import SF_SMALL
+
+    panel = duck.execute(
+        f"""
+        WITH pre AS (
+          SELECT o_custkey,
+                 sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x,
+                 max(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS treated
+          FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1),
+        outcome AS (
+          SELECT o_custkey,
+                 sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+          FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1)
+        SELECT p.o_custkey, p.x, p.treated, coalesce(o.y, 0)
+        FROM pre p LEFT JOIN outcome o USING (o_custkey)
+        """
+    ).fetchall()
+    rows = sorted(panel, key=lambda r: (r[1], r[2], r[0]))
+    controls = [(x, y) for _, x, t, y in panel if t == 0]
+    controls.sort()
+    import bisect
+
+    diffs = []
+    dxs = []
+    for _, x, t, y in panel:
+        if t != 1:
+            continue
+        i = bisect.bisect_right([c[0] for c in controls], x)
+        # emulate the window rule: prev = last control with sort key
+        # strictly before the treated row; controls sort before treated
+        # at equal x (treated flag 0 < 1), so prev includes x-ties
+        cand = []
+        if i > 0:
+            cand.append((x - controls[i - 1][0], 0, controls[i - 1][1]))
+        if i < len(controls):
+            cand.append((controls[i][0] - x, 1, controls[i][1]))
+        dx, _, yc = min(cand)
+        diffs.append(y - yc)
+        dxs.append(dx)
+    r = psm_att_matched(spark, SF_SMALL).collect()[0]
+    assert r["n_treated"] == len(diffs)
+    assert abs(r["att_matched_dollars"] - sum(diffs) / 100 / len(diffs)) <= 0.01
+    assert (
+        abs(r["mean_match_distance_dollars"] - sum(dxs) / 100 / len(dxs))
+        <= 0.01
+    )
