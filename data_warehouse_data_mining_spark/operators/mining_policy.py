@@ -4176,3 +4176,185 @@ def psm_att_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_match_distance_dollars"),
         )
     )
+
+
+@register(
+    "mantel_haenszel_odds",
+    oracle="""
+    WITH pre AS (
+      SELECT o.o_custkey, c.c_nationkey AS nk,
+             max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS treated
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    conv AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    panel AS (
+      SELECT p.nk, p.treated,
+             CASE WHEN cv.o_custkey IS NULL THEN 0 ELSE 1 END AS conv
+      FROM pre p LEFT JOIN conv cv ON cv.o_custkey = p.o_custkey
+    ),
+    cells AS (
+      SELECT nk,
+             CAST(sum(CASE WHEN treated = 1 AND conv = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN treated = 1 AND conv = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN treated = 0 AND conv = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN treated = 0 AND conv = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM panel GROUP BY nk
+    ),
+    terms AS (
+      SELECT nk, a, b, c, d, a + b + c + d AS n,
+             CAST(floor(a * d * 1000000.0 / (a + b + c + d) + 0.001)
+                  AS BIGINT) AS r_micro,
+             CAST(floor(b * c * 1000000.0 / (a + b + c + d) + 0.001)
+                  AS BIGINT) AS s_micro,
+             CAST(floor((a + b) * (a + c) * 1000000.0 / (a + b + c + d)
+                        + 0.001) AS BIGINT) AS ea_micro,
+             CAST(floor((a + b) * (c + d) * 1.0 * (a + c) * (b + d)
+                        * 1000000.0
+                        / ((a + b + c + d) * 1.0 * (a + b + c + d)
+                           * (a + b + c + d - 1)) + 0.001) AS BIGINT)
+               AS va_micro
+      FROM cells WHERE a + b + c + d > 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(r_micro) AS BIGINT) AS sr,
+             CAST(sum(s_micro) AS BIGINT) AS ss,
+             CAST(sum(ea_micro) AS BIGINT) AS sea,
+             CAST(sum(va_micro) AS BIGINT) AS sva
+      FROM terms
+    )
+    SELECT n_strata, sum_a,
+           round(CAST(sr AS DOUBLE) / ss, 6) AS mh_odds_ratio,
+           round((abs(sum_a * 1000000.0 - sea) - 500000.0)
+                 * (abs(sum_a * 1000000.0 - sea) - 500000.0)
+                 / (sva * 1000000.0), 6) AS cmh_chi2,
+           CAST((abs(sum_a * 1000000.0 - sea) - 500000.0)
+                * (abs(sum_a * 1000000.0 - sea) - 500000.0)
+                / (sva * 1000000.0) > 3.8415 AS INT) AS significant_95
+    FROM agg
+    """,
+)
+def mantel_haenszel_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio and continuity-corrected CMH
+    chi-square (Mantel & Haenszel 1959) for the high-priority-1995 ->
+    converted-in-1996 2x2 table stratified by customer nation — the
+    meta-analytic pooled-effect estimator (OR_MH = sum a_i d_i / n_i
+    over sum b_i c_i / n_i) that complements the per-stratum view of
+    stratified_att_adjustment and the paired design of
+    mcnemar_paired_conversion: many small 2x2s pooled WITHOUT assuming
+    a common baseline rate.
+
+    Determinism: each stratum's four cells are exact integers; the
+    per-stratum ratio terms a_i d_i/n_i, b_i c_i/n_i, the CMH
+    expectation (row*col)/n and hypergeometric variance are each one
+    double division floored to 1e-6 fixed point, so the cross-stratum
+    sums are exact BIGINT; the final OR and chi2 (with Yates 0.5
+    continuity correction in micro units) are identical scalar
+    expressions. Degenerate strata (n <= 1) are excluded identically.
+
+    Scale: one orders scan per period, one customer-sized panel, a
+    25-row stratum table thereafter."""
+    t = load(spark, sf_dir)
+    o = t.orders
+    pre = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("treated")
+        )
+        .select(
+            "o_custkey", F.col("c_nationkey").alias("nk"), "treated"
+        )
+    )
+    conv = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    panel = pre.join(conv, F.col("o_custkey") == F.col("ck"), "left").select(
+        "nk",
+        "treated",
+        F.when(F.col("ck").isNull(), 0).otherwise(1).alias("conv"),
+    )
+    cells = panel.groupBy("nk").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treated") == tr) & (F.col("conv") == cv), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(name)
+            for name, tr, cv in (
+                ("a", 1, 1),
+                ("b", 1, 0),
+                ("c", 0, 1),
+                ("d", 0, 0),
+            )
+        ]
+    )
+    terms = cells.filter(
+        F.col("a") + F.col("b") + F.col("c") + F.col("d") > 1
+    ).selectExpr(
+        "nk",
+        "a",
+        "CAST(floor(a * d * 1000000.0 / (a + b + c + d) + 0.001)"
+        " AS BIGINT) AS r_micro",
+        "CAST(floor(b * c * 1000000.0 / (a + b + c + d) + 0.001)"
+        " AS BIGINT) AS s_micro",
+        "CAST(floor((a + b) * (a + c) * 1000000.0 / (a + b + c + d)"
+        " + 0.001) AS BIGINT) AS ea_micro",
+        "CAST(floor((a + b) * (c + d) * 1.0 * (a + c) * (b + d)"
+        " * 1000000.0"
+        " / ((a + b + c + d) * 1.0 * (a + b + c + d)"
+        "    * (a + b + c + d - 1)) + 0.001) AS BIGINT) AS va_micro",
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("r_micro").cast("long").alias("sr"),
+        F.sum("s_micro").cast("long").alias("ss"),
+        F.sum("ea_micro").cast("long").alias("sea"),
+        F.sum("va_micro").cast("long").alias("sva"),
+    )
+    chi2 = (
+        (F.abs(F.col("sum_a") * 1_000_000.0 - F.col("sea")) - 500_000.0)
+        * (F.abs(F.col("sum_a") * 1_000_000.0 - F.col("sea")) - 500_000.0)
+        / (F.col("sva") * 1_000_000.0)
+    )
+    return agg.select(
+        "n_strata",
+        "sum_a",
+        F.round(F.expr("CAST(sr AS DOUBLE) / ss"), 6).alias(
+            "mh_odds_ratio"
+        ),
+        F.round(chi2, 6).alias("cmh_chi2"),
+        (chi2 > 3.8415).cast("int").alias("significant_95"),
+    )

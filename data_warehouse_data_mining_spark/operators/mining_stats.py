@@ -2631,3 +2631,108 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("se_dollars"),
     )
+
+
+@register(
+    "spearman_rho_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day,
+             2 * rank() OVER (ORDER BY x)
+               + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS rx,
+             2 * rank() OVER (ORDER BY y)
+               + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS ry
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(rx) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(ry) AS DECIMAL(38,0)) AS sy,
+             sum(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+               AS sxy,
+             sum(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0)))
+               AS sxx,
+             sum(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+               AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order count and daily
+    revenue — the rank-based row of the correlation kit
+    (kendall_tau_daily: concordant pairs; acf: Pearson in time;
+    correlation_matrix: Pearson across measures). Spearman = Pearson
+    on MIDRANKS; ties get the average rank, kept exact by the
+    2x-scaled integer midrank identity 2*midrank = 2*rank + ties - 1
+    (both terms window functions), so every moment sum is an exact
+    DECIMAL(38,0) and the output is one identical double expression.
+
+    Scale: one fact scan -> day-cardinality table; both rank windows
+    and the moment agg run on that bounded series."""
+    o = load(spark, sf_dir).orders
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # days-sized, read by both rankings
+    )
+    ranked = daily.select(
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("x")).cast("long")
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(W.orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("y")).cast("long")
+            - 1
+        ).alias("ry"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.expr(
+            "sum(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))"
+        ).alias("sxy"),
+        F.expr(
+            "sum(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0)))"
+        ).alias("sxx"),
+        F.expr(
+            "sum(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))"
+        ).alias("syy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+        " AS spearman_rho",
+    )

@@ -2525,3 +2525,114 @@ def test_psm_match_is_true_nearest_control(spark, duck):
         abs(r["mean_match_distance_dollars"] - sum(dxs) / 100 / len(dxs))
         <= 0.01
     )
+
+
+def test_spearman_matches_python_midranks(spark, duck):
+    """Spearman via the 2x-midrank integer identity must equal a plain
+    Python midrank Pearson on the same daily table; count and revenue
+    co-move, so rho is strongly positive."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        spearman_rho_daily,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = spearman_rho_daily(spark, SF_SMALL).collect()[0]
+    daily = duck.execute(
+        f"""
+        SELECT count(*) AS x,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        FROM '{SF_SMALL}/orders.parquet'
+        GROUP BY date_trunc('day', o_orderdate)
+        """
+    ).fetchall()
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mr = (i + 1 + j) / 2
+            for k in range(i, j):
+                out[order[k]] = mr
+            i = j
+        return out
+
+    rx = midranks([x for x, _ in daily])
+    ry = midranks([y for _, y in daily])
+    n = len(daily)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert abs(r["spearman_rho"] - num / den) <= 1e-5
+    assert r["spearman_rho"] > 0.5
+    assert r["n_days"] == n
+
+
+def test_mantel_haenszel_matches_python_cells(spark, duck):
+    """OR_MH and the CMH statistic recomputed in Python from the exact
+    per-nation 2x2 cells must match the registered output (to the
+    1e-6 fixed-point floor)."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        mantel_haenszel_odds,
+    )
+
+    from .conftest import SF_SMALL
+
+    cells = duck.execute(
+        f"""
+        WITH pre AS (
+          SELECT o.o_custkey, c.c_nationkey AS nk,
+                 max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS tr
+          FROM '{SF_SMALL}/orders.parquet' o
+          JOIN '{SF_SMALL}/customer.parquet' c ON c.c_custkey = o.o_custkey
+          WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o.o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+        conv AS (
+          SELECT DISTINCT o_custkey FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT nk,
+               sum(CASE WHEN tr = 1 AND cv.o_custkey IS NOT NULL
+                        THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN tr = 1 AND cv.o_custkey IS NULL
+                        THEN 1 ELSE 0 END) AS b,
+               sum(CASE WHEN tr = 0 AND cv.o_custkey IS NOT NULL
+                        THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN tr = 0 AND cv.o_custkey IS NULL
+                        THEN 1 ELSE 0 END) AS d
+        FROM pre LEFT JOIN conv cv ON cv.o_custkey = pre.o_custkey
+        GROUP BY nk
+        """
+    ).fetchall()
+    import math
+
+    sr = ss = sea = sva = sum_a = 0
+    n_strata = 0
+    for _, a, b, c, d in cells:
+        n = a + b + c + d
+        if n <= 1:
+            continue
+        n_strata += 1
+        sum_a += a
+        sr += math.floor(a * d * 1e6 / n + 1e-3)
+        ss += math.floor(b * c * 1e6 / n + 1e-3)
+        sea += math.floor((a + b) * (a + c) * 1e6 / n + 1e-3)
+        sva += math.floor(
+            (a + b) * (c + d) * 1.0 * (a + c) * (b + d) * 1e6
+            / (n * 1.0 * n * (n - 1))
+            + 1e-3
+        )
+    r = mantel_haenszel_odds(spark, SF_SMALL).collect()[0]
+    assert r["n_strata"] == n_strata and r["sum_a"] == sum_a
+    assert abs(r["mh_odds_ratio"] - sr / ss) <= 1e-5
+    chi2 = (abs(sum_a * 1e6 - sea) - 5e5) ** 2 / (sva * 1e6)
+    assert abs(r["cmh_chi2"] - chi2) <= 1e-4
+    assert r["significant_95"] == int(chi2 > 3.8415)
