@@ -4358,3 +4358,140 @@ def mantel_haenszel_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("cmh_chi2"),
         (chi2 > 3.8415).cast("int").alias("significant_95"),
     )
+
+
+# Gumbel return-level constants, baked to 9 dp (no engine evaluates a
+# double-ln at runtime): c_T = -ln(-ln(1 - 1/T)); Euler-Mascheroni and
+# ln 2 likewise literals.
+GUMBEL_C12 = 2.441716399
+GUMBEL_C120 = 4.783310536
+_GUMBEL_EULER = 0.577215665
+_GUMBEL_LN2 = 0.693147181
+
+
+@register(
+    "gumbel_block_maxima",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    blocks AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             CAST(max(rev) AS BIGINT) AS x
+      FROM daily GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY x, month) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM blocks
+    ),
+    sums AS (
+      SELECT any_value(n) AS n,
+             CAST(sum(x) AS BIGINT) AS s0,
+             CAST(sum((i - 1) * x) AS BIGINT) AS s1
+      FROM ranked
+    ),
+    lmom AS (
+      SELECT n,
+             CAST(s0 AS DOUBLE) / n AS l1,
+             2.0 * CAST(s1 AS DOUBLE) / (n * (CAST(n AS DOUBLE) - 1))
+               - CAST(s0 AS DOUBLE) / n AS l2
+      FROM sums
+    ),
+    fit AS (
+      SELECT n, l1, l2,
+             l2 / {_GUMBEL_LN2} AS alpha,
+             l1 - {_GUMBEL_EULER} * (l2 / {_GUMBEL_LN2}) AS mu
+      FROM lmom
+    )
+    SELECT n AS n_blocks,
+           round(l1 / 100, 2) AS lambda1_dollars,
+           round(l2 / 100, 2) AS lambda2_dollars,
+           round(mu / 100, 2) AS location_mu_dollars,
+           round(alpha / 100, 2) AS scale_alpha_dollars,
+           round((mu + alpha * {GUMBEL_C12}) / 100, 2)
+             AS ret_level_1y_dollars,
+           round((mu + alpha * {GUMBEL_C120}) / 100, 2)
+             AS ret_level_10y_dollars
+    FROM fit
+    """,
+)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) block-maxima fit via L-moments (Hosking 1990):
+    monthly maxima of daily revenue, location/scale from the exact
+    identities alpha = lambda2/ln2, mu = lambda1 - gamma*alpha, and
+    the 1-year / 10-year return levels mu - alpha*ln(-ln(1-1/T)) with
+    the T-constants baked as literals. The block-maxima complement to
+    gpd_tail_fit's peaks-over-threshold view — together the two
+    classical EVT routes to 'how big is the worst month we should
+    plan for'.
+
+    Exactness: the block table is months-sized, so lambda1/lambda2
+    come from the direct order-statistic sums sum(x), sum((i-1)x)
+    (exact BIGINTs off a row_number window with a total tie-break);
+    every constant (Euler-Mascheroni, ln2, c_T) is a baked literal, so
+    the whole fit is one identical double expression tree — no
+    engine-side transcendentals at all.
+
+    Scale: one fact scan -> day agg -> month agg; the ranking window
+    runs on the months-bounded block table."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev")
+    )
+    blocks = daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(F.max("rev").cast("long").alias("x"))
+    ranked = blocks.select(
+        "x",
+        F.row_number()
+        .over(W.orderBy("x", "month"))
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("n"),
+    )
+    sums = ranked.agg(
+        F.expr("any_value(n)").alias("n"),
+        F.sum("x").cast("long").alias("s0"),
+        F.sum((F.col("i") - 1) * F.col("x")).cast("long").alias("s1"),
+    )
+    lmom = sums.selectExpr(
+        "n",
+        "CAST(s0 AS DOUBLE) / n AS l1",
+        "2.0 * CAST(s1 AS DOUBLE) / (n * (CAST(n AS DOUBLE) - 1))"
+        " - CAST(s0 AS DOUBLE) / n AS l2",
+    )
+    fit = lmom.select(
+        "n",
+        "l1",
+        "l2",
+        (F.col("l2") / _GUMBEL_LN2).alias("alpha"),
+        (F.col("l1") - _GUMBEL_EULER * (F.col("l2") / _GUMBEL_LN2)).alias(
+            "mu"
+        ),
+    )
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        F.round(F.col("l1") / 100, 2).alias("lambda1_dollars"),
+        F.round(F.col("l2") / 100, 2).alias("lambda2_dollars"),
+        F.round(F.col("mu") / 100, 2).alias("location_mu_dollars"),
+        F.round(F.col("alpha") / 100, 2).alias("scale_alpha_dollars"),
+        F.round((F.col("mu") + F.col("alpha") * GUMBEL_C12) / 100, 2).alias(
+            "ret_level_1y_dollars"
+        ),
+        F.round(
+            (F.col("mu") + F.col("alpha") * GUMBEL_C120) / 100, 2
+        ).alias("ret_level_10y_dollars"),
+    )

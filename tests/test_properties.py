@@ -2636,3 +2636,64 @@ def test_mantel_haenszel_matches_python_cells(spark, duck):
     chi2 = (abs(sum_a * 1e6 - sea) - 5e5) ** 2 / (sva * 1e6)
     assert abs(r["cmh_chi2"] - chi2) <= 1e-4
     assert r["significant_95"] == int(chi2 > 3.8415)
+
+
+def test_cochran_armitage_exact_integer_replica(spark, duck):
+    """chi2_trend recomputed in exact Python integers from the group
+    table must match; rates and counts must partition the panel."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        cochran_armitage_trend,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = cochran_armitage_trend(spark, SF_SMALL).collect()
+    assert [r["stratum"] for r in rows] == [1, 2, 3]
+    g = duck.execute(
+        f"""
+        WITH pre AS (
+          SELECT o_custkey, count(*) AS n95
+          FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1),
+        conv AS (
+          SELECT DISTINCT o_custkey FROM '{SF_SMALL}/orders.parquet'
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT CASE WHEN n95 >= 3 THEN 3 ELSE n95 END AS s,
+               count(*) AS n,
+               sum(CASE WHEN cv.o_custkey IS NULL THEN 0 ELSE 1 END) AS r
+        FROM pre LEFT JOIN conv cv USING (o_custkey) GROUP BY 1
+        """
+    ).fetchall()
+    N = sum(n for _, n, _ in g)
+    R = sum(r for _, _, r in g)
+    ssr = sum(s * r for s, _, r in g)
+    ssn = sum(s * n for s, n, _ in g)
+    sssn = sum(s * s * n for s, n, _ in g)
+    A = N * ssr - R * ssn
+    C = N * sssn - ssn * ssn
+    chi2 = A * A * N / (R * (N - R) * C)
+    for r in rows:
+        assert abs(r["chi2_trend"] - chi2) <= 1e-5
+        assert r["significant_95"] == int(chi2 > 3.8415)
+    assert sum(r["n_customers"] for r in rows) == N
+
+
+def test_gumbel_fit_on_synthetic_gumbel_identity(spark):
+    """On the registered data the fitted mu/alpha must reproduce
+    lambda1/lambda2 through the exact inverse identities (a round-trip
+    algebra check), and return levels must be ordered above mu."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        gumbel_block_maxima,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = gumbel_block_maxima(spark, SF_SMALL).collect()[0]
+    mu, alpha = r["location_mu_dollars"], r["scale_alpha_dollars"]
+    assert alpha > 0
+    assert abs((r["lambda2_dollars"] / 0.693147181) - alpha) <= 0.02
+    assert abs((mu + 0.577215665 * alpha) - r["lambda1_dollars"]) <= 0.02
+    assert mu < r["ret_level_1y_dollars"] < r["ret_level_10y_dollars"]
