@@ -2600,3 +2600,137 @@ def good_turing_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_tokens"),
         F.round(F.col("f1") * 1.0 / F.col("n"), 6).alias("p0_unseen"),
     ).orderBy("r")
+
+
+TR_ITERS = 8
+TR_UNIT = 1_000_000_000_000  # 1.0 of rank mass in fixed-point units
+TR_TOP = 15
+
+
+def _textrank_oracle() -> str:
+    steps = []
+    for i in range(TR_ITERS):
+        steps.append(
+            f"""r{i + 1} AS MATERIALIZED (
+      SELECT e.dst AS w,
+             (15 * {TR_UNIT} // 100)
+             + (85 * CAST(sum((r{i}.rank * e.cnt) // wd.wdeg) AS BIGINT))
+               // 100 AS rank
+      FROM r{i}
+      JOIN wd ON wd.w = r{i}.w
+      JOIN e ON e.src = r{i}.w
+      GROUP BY e.dst
+    )"""
+        )
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    adj AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM ws, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    pairw AS (
+      SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM adj WHERE a <> b GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT lo AS src, hi AS dst, cnt FROM pairw
+      UNION ALL
+      SELECT hi AS src, lo AS dst, cnt FROM pairw
+    ),
+    wd AS MATERIALIZED (
+      SELECT src AS w, CAST(sum(cnt) AS BIGINT) AS wdeg
+      FROM e GROUP BY src
+    ),
+    r0 AS (SELECT w, CAST({TR_UNIT} AS BIGINT) AS rank FROM wd),
+    {unrolled}
+    SELECT w AS word, rank AS rank_units,
+           round(rank / {TR_UNIT}.0, 6) AS rank_score
+    FROM r{TR_ITERS}
+    ORDER BY rank DESC, w LIMIT {TR_TOP}
+    """
+
+
+@register("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph (adjacent-word edges,
+    weight = corpus co-occurrence count), damping 0.85, {TR_ITERS}
+    power iterations, top-{TR_TOP} words by rank. The graph-centrality
+    member of the keyword tier next to rake_keyphrases (degree/freq
+    heuristic) and tfidf_top_terms (document-frequency weighting) —
+    the three classic extractors, now all present.
+
+    Exactness: the graph_pagerank integer discipline — rank mass in
+    1e12 fixed-point units, per-edge contribution floor(rank*w/W_u)
+    via integer division, damping as (85*x)//100 — so every iteration
+    is bit-identical in both engines (DuckDB materialized-CTE unroll
+    mirrors the Spark loop; Spark localCheckpoints each step to
+    truncate lineage).
+
+    Scale: the node set is the corpus VOCABULARY and the edge set the
+    distinct adjacent-word pairs — both saturate far below corpus
+    size, so iterations run on bounded tables; only the one token
+    explode scans the corpus."""
+    d = load(spark, sf_dir).documents
+    adj = (
+        d.select(F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS a, ws[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    pairw = adj.groupBy(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    e = pairw.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst"), "cnt"
+    ).unionAll(
+        pairw.select(
+            F.col("hi").alias("src"), F.col("lo").alias("dst"), "cnt"
+        )
+    ).localCheckpoint(eager=True)  # vocab-bounded edge list, reused 8x
+    wd = e.groupBy(F.col("src").alias("w")).agg(
+        F.sum("cnt").cast("long").alias("wdeg")
+    ).localCheckpoint(eager=True)
+    ranks = wd.select("w", F.lit(TR_UNIT).cast("long").alias("rank"))
+    base = 15 * TR_UNIT // 100
+    for _ in range(TR_ITERS):
+        contrib = (
+            ranks.join(wd, "w")
+            .join(e, F.col("w") == F.col("src"))
+            .select(
+                F.col("dst"),
+                F.expr("(rank * cnt) div wdeg").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("w"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr("(85 * CAST(sum(c) AS BIGINT)) div 100")
+                )
+                .cast("long")
+                .alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("w").alias("word"),
+            F.col("rank").alias("rank_units"),
+            F.round(F.col("rank") / float(TR_UNIT), 6).alias("rank_score"),
+        )
+        .orderBy(F.col("rank_units").desc(), "word")
+        .limit(TR_TOP)
+    )

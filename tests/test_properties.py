@@ -2697,3 +2697,26 @@ def test_gumbel_fit_on_synthetic_gumbel_identity(spark):
     assert abs((r["lambda2_dollars"] / 0.693147181) - alpha) <= 0.02
     assert abs((mu + 0.577215665 * alpha) - r["lambda1_dollars"]) <= 0.02
     assert mu < r["ret_level_1y_dollars"] < r["ret_level_10y_dollars"]
+
+
+def test_textrank_rank_mass_and_ordering(spark):
+    """Total rank mass stays near n_nodes * UNIT (PageRank mass
+    conservation, minus integer-floor leakage), output is sorted with
+    full tie-breaks, and scores are the exact unit ratio."""
+    from data_warehouse_data_mining_spark.operators.text import (
+        TR_TOP,
+        TR_UNIT,
+        textrank_keywords,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = textrank_keywords(spark, SF_SMALL).collect()
+    assert len(rows) == TR_TOP
+    keys = [(-r["rank_units"], r["word"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["rank_units"] > 0
+        assert abs(r["rank_score"] - r["rank_units"] / TR_UNIT) <= 5e-7
+    # the top word must carry more than uniform mass
+    assert rows[0]["rank_units"] > TR_UNIT
