@@ -2761,3 +2761,166 @@ from data_warehouse_data_mining_spark.operators.mining_policy import (  # noqa: 
     _MTA_CHANNELS,
     _MTA_W,
 )
+
+
+RMST_TAU_DAYS = 60  # restriction horizon
+
+
+@register(
+    "rmst_restricted_mean",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS first_day,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS end_day
+               FROM events),
+    lives AS (
+      SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS t_days,
+             CASE WHEN date_diff('day', last_day, end_day) < 14
+                  THEN 0 ELSE 1 END AS churned
+      FROM spans CROSS JOIN bounds
+    ),
+    per_t AS (
+      SELECT t_days,
+             CAST(sum(churned) AS BIGINT) AS n_churned,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM lives GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, n_churned,
+             CAST(sum(n_total) OVER (ORDER BY t_days ROWS BETWEEN
+                    CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS n_risk
+      FROM per_t
+    ),
+    km AS (
+      SELECT t_days,
+             CAST(floor(exp(sum(CASE WHEN n_churned > 0
+                                THEN ln(1 - n_churned * 1.0 / n_risk)
+                                ELSE 0.0 END)
+                       OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)) * 1000000
+                       + 0.001) AS BIGINT) AS s_micro,
+             lead(t_days) OVER (ORDER BY t_days) AS next_t
+      FROM risk
+    ),
+    segs AS (
+      SELECT t_days, s_micro,
+             greatest(least(coalesce(next_t, {RMST_TAU_DAYS}),
+                            {RMST_TAU_DAYS}) - t_days, 0) AS width
+      FROM km WHERE t_days < {RMST_TAU_DAYS}
+    ),
+    head AS (
+      SELECT least(min(t_days), {RMST_TAU_DAYS}) AS w0 FROM km
+    ),
+    agg AS (
+      SELECT CAST(sum(s_micro * width) AS BIGINT) AS area_micro,
+             (SELECT w0 FROM head) AS w0,
+             CAST(max(CASE WHEN t_days < {RMST_TAU_DAYS}
+                           THEN s_micro END) AS BIGINT)
+               AS last_s_micro
+      FROM segs
+    )
+    SELECT {RMST_TAU_DAYS} AS tau_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM lives) AS n_users,
+           round((w0 * 1000000 + area_micro) / 1000000.0, 4)
+             AS rmst_days,
+           round((SELECT min(s_micro) FROM segs) / 1000000.0, 6)
+             AS km_floor_in_window
+    FROM agg
+    """,
+)
+def rmst_restricted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013; Uno 2014)
+    at tau = {RMST_TAU_DAYS} days: the area under the Kaplan-Meier
+    curve up to tau — 'expected days retained in the first {RMST_TAU_DAYS}'
+    — the single-number survival summary regulators and experimenters
+    prefer over medians when curves cross. Builds directly on
+    survival_km_curve's estimator (same right-censoring rule).
+
+    Determinism: the KM product is exp of a running ln-sum as in the
+    curve query, but each step's S is FLOORED to 1e-6 fixed point
+    BEFORE the area sum, so the integral is an exact BIGINT sum of
+    s_micro * integer day widths (the step function's exact area) —
+    cross-row double accumulation never happens. The [0, t_min)
+    segment at S=1 is added exactly.
+
+    Scale: identical to survival_km_curve — one user collapse, then
+    all windows on the distinct-lifetime-day table."""
+    e = load(spark, sf_dir).events
+    spans = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+    )
+    bounds = e.agg(F.to_date(F.max("ts")).alias("end_day"))
+    lives = spans.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t_days"),
+        F.when(F.datediff("end_day", "last_day") < 14, 0)
+        .otherwise(1)
+        .alias("churned"),
+    )
+    per_t = (
+        lives.groupBy("t_days")
+        .agg(
+            F.sum("churned").alias("n_churned"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_risk = W.orderBy("t_days").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    w_km = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = per_t.withColumn("n_risk", F.sum("n_total").over(w_risk))
+    ln_term = F.when(
+        F.col("n_churned") > 0,
+        F.log(1 - F.col("n_churned") / F.col("n_risk")),
+    ).otherwise(0.0)
+    km = risk.select(
+        "t_days",
+        F.floor(F.exp(F.sum(ln_term).over(w_km)) * 1_000_000 + 0.001)
+        .cast("long")
+        .alias("s_micro"),
+        F.lead("t_days").over(W.orderBy("t_days")).alias("next_t"),
+    ).localCheckpoint(eager=True)
+    segs = km.filter(F.col("t_days") < RMST_TAU_DAYS).select(
+        "t_days",
+        "s_micro",
+        F.greatest(
+            F.least(
+                F.coalesce(F.col("next_t"), F.lit(RMST_TAU_DAYS)),
+                F.lit(RMST_TAU_DAYS),
+            )
+            - F.col("t_days"),
+            F.lit(0),
+        ).alias("width"),
+    )
+    head = km.agg(
+        F.least(F.min("t_days"), F.lit(RMST_TAU_DAYS)).alias("w0")
+    )
+    n_users = lives.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return (
+        segs.agg(
+            F.sum(F.col("s_micro") * F.col("width"))
+            .cast("long")
+            .alias("area_micro"),
+            F.min("s_micro").cast("long").alias("min_s_micro"),
+        )
+        .crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.lit(RMST_TAU_DAYS).alias("tau_days"),
+            "n_users",
+            F.round(
+                (F.col("w0") * 1_000_000 + F.col("area_micro"))
+                / 1_000_000.0,
+                4,
+            ).alias("rmst_days"),
+            F.round(F.col("min_s_micro") / 1_000_000.0, 6).alias(
+                "km_floor_in_window"
+            ),
+        )
+    )

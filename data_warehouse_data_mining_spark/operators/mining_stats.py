@@ -2868,3 +2868,203 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# chi-square 95% ladder extended to df 24 (Kruskal-Wallis across up to
+# 25 nation groups; LB_CHI2_95 covers df 1..10)
+KW_CHI2_95 = LB_CHI2_95 + (
+    19.6751, 21.0261, 22.3620, 23.6848, 24.9958, 26.2962, 27.5871,
+    28.8693, 30.1435, 31.4104, 32.6706, 33.9244, 35.1725, 36.4150,
+)
+_KW_CRIT_VALUES = ", ".join(
+    f"({i + 1}, {c})" for i, c in enumerate(KW_CHI2_95)
+)
+
+
+@register(
+    "kruskal_wallis_nations",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    vals AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM per_cust GROUP BY c
+    ),
+    ranked AS (
+      SELECT c, cnt,
+             CAST(sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  - cnt AS BIGINT) AS cum_prev
+      FROM vals
+    ),
+    gk AS (
+      SELECT p.nk,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(2 * r.cum_prev + r.cnt + 1) AS BIGINT) AS sr2
+      FROM per_cust p JOIN ranked r ON r.c = p.c
+      GROUP BY p.nk
+    ),
+    tots AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM gk
+    ),
+    terms AS (
+      SELECT gk.nk, gk.n_g, gk.sr2, t.nn, t.k,
+             CAST(floor(CAST(CAST(gk.sr2 AS DECIMAL(38,0))
+                             * CAST(gk.sr2 AS DECIMAL(38,0)) AS DOUBLE)
+                        / (4.0 * gk.n_g) * 1000000 + 0.001) AS BIGINT)
+               AS rsq_micro
+      FROM gk CROSS JOIN tots t
+    ),
+    ties AS (
+      SELECT CAST(sum(CAST(cnt AS DECIMAL(38,0))
+                      * CAST(cnt AS DECIMAL(38,0)) * cnt - cnt)
+                  AS DECIMAL(38,0)) AS t3t
+      FROM vals
+    ),
+    h AS (
+      SELECT any_value(nn) AS nn, any_value(k) AS k,
+             CAST(sum(rsq_micro) AS BIGINT) AS srq,
+             any_value(t3t) AS t3t
+      FROM terms CROSS JOIN ties
+    ),
+    stat AS (
+      SELECT nn, k,
+             12.0 / (CAST(nn AS DOUBLE) * (nn + 1))
+             * (srq / 1000000.0) - 3.0 * (nn + 1) AS h_raw,
+             1.0 - CAST(t3t AS DOUBLE)
+                   / (CAST(nn AS DOUBLE) * nn * nn - nn) AS tie_corr
+      FROM h
+    )
+    SELECT nn AS n_customers, k AS n_groups,
+           round(h_raw, 6) AS h_stat,
+           round(h_raw / tie_corr, 6) AS h_tie_corrected,
+           CAST(c.crit AS DOUBLE) AS chi2_crit_95,
+           CAST(h_raw / tie_corr > c.crit AS INT) AS significant_95
+    FROM stat JOIN (VALUES {_KW_CRIT_VALUES}) AS c(df, crit)
+      ON c.df = stat.k - 1
+    """,
+)
+def kruskal_wallis_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank one-way ANOVA (Kruskal & Wallis 1952) of
+    per-customer spend across nations — does ANY nation's spend
+    distribution sit higher? The k-group generalization of
+    mann_whitney_u (its 2-group special case) and the rank-based
+    complement to brown_forsythe_variance: location shift without
+    normality. Tie-corrected H against the baked chi-square ladder at
+    df = k-1 (k from the data, so a tiny SF missing nations picks the
+    right critical value).
+
+    Exactness: the mann_whitney doubled-midrank discipline — ranks
+    never materialize per row; the distinct-value table carries
+    (value, cnt, exclusive prefix), each (value, nation) cell
+    contributes cnt * (2*cum_prev + cnt + 1) to an exact BIGINT
+    doubled rank sum; R_g^2/n_g terms go through DECIMAL(38,0)
+    squaring (sr2^2 exceeds 2^53 past sf0.02) then one floored 1e-6
+    division each, so the cross-group sum is exact; tie term
+    sum(t^3-t) is exact DECIMAL. Only the final H expression is
+    floating point, identical in both engines.
+
+    Scale: one fact scan -> per-customer agg -> value-cardinality
+    table; the rank window runs on that bounded table (oracle spells
+    it as one ordered window; Spark uses the same two-phase
+    global_order_stats decomposition as mann_whitney)."""
+    t = load(spark, sf_dir)
+    per_cust = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("c")
+        )
+        .select(F.col("c_nationkey").alias("nk"), "c")
+    )
+    vals = (
+        per_cust.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    ranked = global_order_stats(
+        vals, "c", "c", measure_col="cnt", ascending=True
+    ).withColumn(
+        "cum_prev", (F.col("global_cum") - F.col("cnt")).cast("long")
+    )
+    gk = (
+        per_cust.join(
+            ranked.select("c", "cnt", "cum_prev"), "c"
+        )
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum(2 * F.col("cum_prev") + F.col("cnt") + 1)
+            .cast("long")
+            .alias("sr2"),
+        )
+    )
+    tots = gk.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    terms = gk.crossJoin(F.broadcast(tots)).selectExpr(
+        "nk",
+        "n_g",
+        "nn",
+        "k",
+        "CAST(floor(CAST(CAST(sr2 AS DECIMAL(38,0))"
+        " * CAST(sr2 AS DECIMAL(38,0)) AS DOUBLE)"
+        " / (4.0 * n_g) * 1000000 + 0.001) AS BIGINT) AS rsq_micro",
+    )
+    ties = vals.agg(
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0))"
+            " * CAST(cnt AS DECIMAL(38,0)) * cnt - cnt)"
+            " AS DECIMAL(38,0))"
+        ).alias("t3t")
+    )
+    h = (
+        terms.agg(
+            F.expr("any_value(nn)").alias("nn"),
+            F.expr("any_value(k)").alias("k"),
+            F.sum("rsq_micro").cast("long").alias("srq"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    stat = h.selectExpr(
+        "nn",
+        "k",
+        "12.0 / (CAST(nn AS DOUBLE) * (nn + 1))"
+        " * (srq / 1000000.0) - 3.0 * (nn + 1) AS h_raw",
+        "1.0 - CAST(t3t AS DOUBLE)"
+        " / (CAST(nn AS DOUBLE) * nn * nn - nn) AS tie_corr",
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(KW_CHI2_95)],
+        "df long, crit double",
+    )
+    return stat.join(
+        F.broadcast(crit), F.col("df") == F.col("k") - 1
+    ).select(
+        F.col("nn").alias("n_customers"),
+        F.col("k").alias("n_groups"),
+        F.round(F.col("h_raw"), 6).alias("h_stat"),
+        F.round(F.col("h_raw") / F.col("tie_corr"), 6).alias(
+            "h_tie_corrected"
+        ),
+        F.col("crit").alias("chi2_crit_95"),
+        (F.col("h_raw") / F.col("tie_corr") > F.col("crit"))
+        .cast("int")
+        .alias("significant_95"),
+    )

@@ -2720,3 +2720,82 @@ def test_textrank_rank_mass_and_ordering(spark):
         assert abs(r["rank_score"] - r["rank_units"] / TR_UNIT) <= 5e-7
     # the top word must carry more than uniform mass
     assert rows[0]["rank_units"] > TR_UNIT
+
+
+def test_kruskal_wallis_python_replica(spark, duck):
+    """H (tie-corrected) recomputed in Python with scipy-free midranks
+    from the exact per-customer panel must match to the 1e-6 floor."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        kruskal_wallis_nations,
+    )
+
+    from .conftest import SF_SMALL
+
+    panel = duck.execute(
+        f"""
+        SELECT c.c_nationkey,
+               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS c
+        FROM '{SF_SMALL}/orders.parquet' o
+        JOIN '{SF_SMALL}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+        """
+    ).fetchall()
+    vals = sorted(c for _, c in panel)
+    # midranks
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    groups: dict = {}
+    for nk, c in panel:
+        groups.setdefault(nk, []).append(rank[c])
+    n = len(panel)
+    srq = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h_raw = 12 / (n * (n + 1)) * srq - 3 * (n + 1)
+    from collections import Counter
+
+    tcnt = Counter(vals)
+    tie = 1 - sum(t**3 - t for t in tcnt.values()) / (n**3 - n)
+    r = kruskal_wallis_nations(spark, SF_SMALL).collect()[0]
+    assert r["n_customers"] == n
+    assert r["n_groups"] == len(groups)
+    assert abs(r["h_stat"] - h_raw) <= 1e-4
+    assert abs(r["h_tie_corrected"] - h_raw / tie) <= 1e-4
+    assert r["significant_95"] == int(h_raw / tie > r["chi2_crit_95"])
+
+
+def test_rmst_bounds_and_km_consistency(spark):
+    """RMST must lie in [tau * S_floor, tau], and integrating the
+    registered survival_km_curve step function up to tau (in Python,
+    with the same 1e-6 floors) must reproduce it exactly."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        RMST_TAU_DAYS,
+        rmst_restricted_mean,
+        survival_km_curve,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = rmst_restricted_mean(spark, SF_SMALL).collect()[0]
+    assert 0 < r["rmst_days"] <= RMST_TAU_DAYS
+    assert r["rmst_days"] >= RMST_TAU_DAYS * r["km_floor_in_window"] - 1e-3
+    curve = sorted(
+        (row["t_days"], row["km_survival"])
+        for row in survival_km_curve(spark, SF_SMALL).collect()
+    )
+    area = min(curve[0][0], RMST_TAU_DAYS)  # S=1 head segment
+    for i, (t, s) in enumerate(curve):
+        if t >= RMST_TAU_DAYS:
+            break
+        nxt = curve[i + 1][0] if i + 1 < len(curve) else RMST_TAU_DAYS
+        width = max(min(nxt, RMST_TAU_DAYS) - t, 0)
+        area += math.floor(s * 1e6 + 0.5) / 1e6 * width
+    # km_survival is rounded to 6dp (vs the floor in rmst): allow the
+    # rounding-vs-floor gap across <=60 one-day segments
+    assert abs(r["rmst_days"] - area) <= 60 * 1e-6 + 1e-4
