@@ -1313,3 +1313,78 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shap_micro_sum").desc(), "vec_id")
         .limit(20)
     )
+
+
+WRS_K = 20  # weighted sample size
+# 8-hex-char md5 word -> BIGINT (DuckDB has no conv(); house idiom)
+_HEX8_DUCK = (
+    "list_reduce(list_transform(range(1, 9), "
+    "i -> CAST(strpos('0123456789abcdef', substr(m, CAST(i AS INT), 1)) - 1"
+    " AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             md5('wrs|' || CAST(doc_id AS VARCHAR)) AS m
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, w,
+             CAST(floor(ln(({_HEX8_DUCK} + 0.5) / 4294967296.0) / w
+                        * 1000000000 + 0.001) AS BIGINT) AS key_nano
+      FROM d
+    )
+    SELECT doc_id, w AS weight_tokens, key_nano,
+           CAST(row_number() OVER (ORDER BY key_nano DESC, doc_id)
+                AS BIGINT) AS rn
+    FROM keyed
+    ORDER BY key_nano DESC, doc_id LIMIT {WRS_K}
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis & Spirakis 2006,
+    algorithm A-ES): each document draws key = u^(1/w) — here in the
+    equivalent log form ln(u)/w — and the top-{WRS_K} keys are a
+    without-replacement sample with inclusion probability proportional
+    to token-count weight. The WEIGHTED member of the deterministic
+    sampling tier (bernoulli / stratified / hash-split are unweighted;
+    horvitz_thompson_total estimates FROM a weighted design — this
+    DRAWS one): the standard single-pass way to sample a training
+    corpus by length without a global shuffle.
+
+    Determinism: u is the house md5 32-bit word; the one ln per row is
+    ORDER-ONLY state and still floored to 1e-9 fixed point so both
+    engines rank identical integers (cross-engine libm ulp differences
+    cannot reorder near-ties), with doc_id as the total tie-break.
+
+    Scale: one corpus scan -> per-row key -> distributed top-k
+    (TakeOrdered); nothing shuffles the corpus and no state grows with
+    it."""
+    d = load(spark, sf_dir).documents
+    keyed = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+        F.expr(
+            "CAST(floor(ln((CAST(conv(substring(md5(concat('wrs|',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) + 0.5)"
+            " / 4294967296.0)"
+            " / CAST(size(split(text, ' ')) AS BIGINT)"
+            " * 1000000000 + 0.001) AS BIGINT)"
+        ).alias("key_nano"),
+    )
+    wk = W.orderBy(F.col("key_nano").desc(), F.col("doc_id"))
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("w").alias("weight_tokens"),
+            "key_nano",
+            F.row_number().over(wk).cast("long").alias("rn"),
+        )
+        .orderBy(F.col("key_nano").desc(), "doc_id")
+        .limit(WRS_K)
+    )

@@ -2799,3 +2799,42 @@ def test_rmst_bounds_and_km_consistency(spark):
     # km_survival is rounded to 6dp (vs the floor in rmst): allow the
     # rounding-vs-floor gap across <=60 one-day segments
     assert abs(r["rmst_days"] - area) <= 60 * 1e-6 + 1e-4
+
+
+def test_weighted_reservoir_is_length_biased(spark, duck):
+    """The A-ES sample must be biased toward longer documents (mean
+    sampled weight > corpus mean weight), keys strictly ordered with
+    doc_id tie-breaks, and every key must equal the Python replica
+    floor(ln(u)/w * 1e9 + 1e-3) for its doc."""
+    import hashlib
+    import math
+
+    from data_warehouse_data_mining_spark.operators.curation import (
+        WRS_K,
+        weighted_reservoir_sample,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = weighted_reservoir_sample(spark, SF_SMALL).collect()
+    assert len(rows) == WRS_K
+    keys = [(-r["key_nano"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    corpus = duck.execute(
+        f"""SELECT doc_id, len(string_split(text, ' '))
+            FROM '{SF_SMALL}/documents.parquet'"""
+    ).fetchall()
+    wmap = dict(corpus)
+    for r in rows:
+        assert r["weight_tokens"] == wmap[r["doc_id"]]
+        b = int(
+            hashlib.md5(f"wrs|{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        u = (b + 0.5) / 4294967296.0
+        want = math.floor(
+            math.log(u) / r["weight_tokens"] * 1e9 + 1e-3
+        )
+        assert r["key_nano"] == want
+    mean_corpus = sum(w for _, w in corpus) / len(corpus)
+    mean_sample = sum(r["weight_tokens"] for r in rows) / len(rows)
+    assert mean_sample > mean_corpus
