@@ -3068,3 +3068,136 @@ def kruskal_wallis_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("significant_95"),
     )
+
+
+_DEMING_PANEL = """
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                            AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                           THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                           THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+      HAVING x > 0 AND y > 0
+"""
+
+
+@register(
+    "deming_regression",
+    oracle=f"""
+    WITH panel AS ({_DEMING_PANEL}),
+    m AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS sxy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS sxx,
+             sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS syy
+      FROM panel
+    ),
+    c AS (
+      SELECT CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+      FROM m
+    ),
+    fit AS (
+      SELECT nd, sxd, syd, cxy, cxx, cyy,
+             (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                               + 4 * cxy * cxy)) / (2 * cxy)
+               AS slope_d,
+             cxy / cxx AS slope_ols
+      FROM c
+    )
+    SELECT CAST(nd AS BIGINT) AS n_customers,
+           round(slope_d, 6) AS slope_deming,
+           round(slope_ols, 6) AS slope_ols,
+           round((syd - slope_d * sxd) / (nd * 100), 2)
+             AS intercept_deming_dollars,
+           round(slope_ols / slope_d, 6) AS attenuation_ratio
+    FROM fit
+    """,
+)
+def deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-variables) regression of 1996 on 1995
+    per-customer spend with equal error variances (delta = 1 — the
+    orthogonal-regression case, Deming 1943): slope = (Syy - Sxx +
+    sqrt((Syy - Sxx)^2 + 4 Sxy^2)) / (2 Sxy) over centered moments.
+    When BOTH variables carry noise, OLS attenuates toward zero
+    (errors-in-x bias); the reported attenuation_ratio =
+    slope_ols/slope_deming < 1 makes the bias visible — the
+    measurement-error counterpart of the causal kit's selection
+    adjustments, and the method-comparison regression labs use.
+
+    Exactness: centered moments assemble from exact DECIMAL(38,0)
+    sums scaled by n (the formula is degree-homogeneous, so the
+    scaling cancels); the slope is one identical double expression
+    with a single sqrt. Customers active in both years only (HAVING
+    pushed into the panel agg).
+
+    Scale: ONE fact scan (both year measures in one conditional agg),
+    customer-sized panel, then scalar algebra."""
+    o = load(spark, sf_dir).orders
+    cents = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+    panel = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN o_orderdate >= '1995-01-01'"
+                " AND o_orderdate < '1996-01-01'"
+                f" THEN {cents} ELSE 0 END) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(sum(CASE WHEN o_orderdate >= '1996-01-01'"
+                " AND o_orderdate < '1997-01-01'"
+                f" THEN {cents} ELSE 0 END) AS BIGINT)"
+            ).alias("y"),
+        )
+        .filter((F.col("x") > 0) & (F.col("y") > 0))
+    )
+    m = panel.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.expr(
+            "sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+        ).alias("sxy"),
+        F.expr(
+            "sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))"
+        ).alias("sxx"),
+        F.expr(
+            "sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+        ).alias("syy"),
+    )
+    c = m.selectExpr(
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(sx AS DOUBLE) AS sxd",
+        "CAST(sy AS DOUBLE) AS syd",
+        "CAST(n * sxy - sx * sy AS DOUBLE) AS cxy",
+        "CAST(n * sxx - sx * sx AS DOUBLE) AS cxx",
+        "CAST(n * syy - sy * sy AS DOUBLE) AS cyy",
+    )
+    fit = c.selectExpr(
+        "nd",
+        "sxd",
+        "syd",
+        "(cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)"
+        " + 4 * cxy * cxy)) / (2 * cxy) AS slope_d",
+        "cxy / cxx AS slope_ols",
+    )
+    return fit.selectExpr(
+        "CAST(nd AS BIGINT) AS n_customers",
+        "round(slope_d, 6) AS slope_deming",
+        "round(slope_ols, 6) AS slope_ols",
+        "round((syd - slope_d * sxd) / (nd * 100), 2)"
+        " AS intercept_deming_dollars",
+        "round(slope_ols / slope_d, 6) AS attenuation_ratio",
+    )

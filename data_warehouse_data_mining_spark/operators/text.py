@@ -2734,3 +2734,102 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_units").desc(), "word")
         .limit(TR_TOP)
     )
+
+
+def _kappa_oracle() -> str:
+    scores = ", ".join(
+        f"sum(CASE WHEN w IN {_sql_in(ws)} THEN 1 ELSE 0 END) AS s_{lg}"
+        for lg, ws in LANG_PROFILES.items()
+    )
+    pred = _langid_case_sql({lg: f"s_{lg}" for lg in LANG_PROFILES})
+    return f"""
+    WITH {_ORACLE_TOK},
+    scores AS (SELECT doc_id, lang, {scores} FROM tok
+               GROUP BY doc_id, lang),
+    pred AS (SELECT lang, {pred} AS p FROM scores),
+    cm AS (SELECT lang, p, CAST(count(*) AS BIGINT) AS n
+           FROM pred GROUP BY 1, 2),
+    rm AS (SELECT lang AS l, CAST(sum(n) AS BIGINT) AS rn
+           FROM cm GROUP BY 1),
+    cl AS (SELECT p AS l, CAST(sum(n) AS BIGINT) AS cn
+           FROM cm GROUP BY 1),
+    chance AS (
+      SELECT CAST(sum(rm.rn * cl.cn) AS BIGINT) AS chance_num
+      FROM rm JOIN cl ON cl.l = rm.l
+    ),
+    tots AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN lang = p THEN n ELSE 0 END) AS BIGINT)
+               AS agree,
+             (SELECT chance_num FROM chance) AS chance_num
+      FROM cm
+    )
+    SELECT nn AS n_docs, agree AS n_agree,
+           round(CAST(agree AS DOUBLE) / nn, 6) AS observed_agreement,
+           round(CAST(chance_num AS DOUBLE)
+                 / CAST(CAST(nn AS DECIMAL(38,0)) * nn AS DOUBLE), 6)
+             AS chance_agreement,
+           round(CAST(CAST(nn AS DECIMAL(38,0)) * agree - chance_num
+                      AS DOUBLE)
+                 / CAST(CAST(nn AS DECIMAL(38,0)) * nn - chance_num
+                        AS DOUBLE), 6)
+             AS cohens_kappa
+    FROM tots
+    """
+
+
+@register("cohens_kappa_langid", oracle=_kappa_oracle())
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the n-gram language-ID
+    heuristic's predictions and the labeled lang column — agreement
+    BEYOND CHANCE, the honest skill metric when classes are imbalanced
+    (raw accuracy rewards predicting the majority language; kappa
+    subtracts the marginal-product chance agreement). The
+    inter-rater-agreement member of the evaluation kit beside the raw
+    confusion table (text_langid_heuristic) and the paired-outcome
+    test (mcnemar_paired_conversion).
+
+    Fully exact: the confusion matrix, row/column marginals, observed
+    agreement N*sum(n_ii) and chance term sum(r_i*c_i) are all exact
+    integers (DECIMAL(38,0) products); kappa is ONE division of exact
+    values — no transcendentals, no floor guards. Honest readout on
+    this synthetic corpus: kappa ~= 0.013 at sf0.01 (accuracy 30.4%
+    vs 29.5% chance) — the shared 31-word vocabulary gives the
+    stopword-profile heuristic almost no signal, exactly the
+    imbalance-blind-accuracy trap kappa exists to expose.
+
+    Scale: one token explode -> per-doc score agg -> 16-cell confusion
+    matrix; everything after is scalar."""
+    scored = langid_scores(_doc_tokens(spark, sf_dir))
+    cm = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows_m = cm.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("rn")
+    )
+    cols_m = cm.groupBy(F.col("predicted_lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("cn")
+    )
+    chance = (
+        rows_m.join(cols_m, "l")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("long").alias("chance_num"))
+    )
+    tots = cm.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("predicted_lang"), F.col("n")))
+        .cast("long")
+        .alias("agree"),
+    ).crossJoin(F.broadcast(chance))
+    return tots.selectExpr(
+        "nn AS n_docs",
+        "agree AS n_agree",
+        "round(CAST(agree AS DOUBLE) / nn, 6) AS observed_agreement",
+        "round(CAST(chance_num AS DOUBLE)"
+        " / CAST(CAST(nn AS DECIMAL(38,0)) * nn AS DOUBLE), 6)"
+        " AS chance_agreement",
+        "round(CAST(CAST(nn AS DECIMAL(38,0)) * agree - chance_num"
+        " AS DOUBLE)"
+        " / CAST(CAST(nn AS DECIMAL(38,0)) * nn - chance_num"
+        " AS DOUBLE), 6)"
+        " AS cohens_kappa",
+    )
