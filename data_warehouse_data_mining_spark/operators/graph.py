@@ -1079,6 +1079,10 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cobuys"))
         .filter(F.col("n_cobuys") >= 2)
         .select("lo", "hi")
+        # narrow staged edge table (2 longs/row, catalog-pair-sized —
+        # the grid_lof staged-model-table precedent): sym/deg/wedge/
+        # anti-join otherwise re-derive the basket self-join 7x
+        .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
         e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))

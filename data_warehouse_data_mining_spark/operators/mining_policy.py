@@ -4049,6 +4049,11 @@ def psm_att_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
             "treated",
             F.coalesce("y96", F.lit(0)).alias("y"),
         )
+        # narrow staged panel (4 longs/row, customer-level — the
+        # grid_lof staged-model-table precedent): the in-bucket
+        # windows, control summaries, bucket spine and control count
+        # otherwise re-run the two fact scans 4x each (plan audit)
+        .localCheckpoint(eager=True)
     )
     # two-phase distributed nearest-control: the global sort the oracle
     # window expresses would serialize onto one task in Spark, so the

@@ -2974,7 +2974,7 @@ def kruskal_wallis_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     it as one ordered window; Spark uses the same two-phase
     global_order_stats decomposition as mann_whitney)."""
     t = load(spark, sf_dir)
-    per_cust = (
+    vc = (
         t.orders.join(
             t.customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -2986,11 +2986,15 @@ def kruskal_wallis_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("c")
         )
-        .select(F.col("c_nationkey").alias("nk"), "c")
+        .groupBy(F.col("c_nationkey").alias("nk"), "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_g"))
+        # staged (value, nation) cell table — vals and the per-nation
+        # rank sums both derive from it, so the fact join runs ONCE
+        .localCheckpoint(eager=True)
     )
     vals = (
-        per_cust.groupBy("c")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        vc.groupBy("c")
+        .agg(F.sum("cnt_g").cast("long").alias("cnt"))
         .localCheckpoint(eager=True)
     )
     from data_warehouse_data_mining_spark.operators.ranking import (
@@ -3003,13 +3007,14 @@ def kruskal_wallis_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_prev", (F.col("global_cum") - F.col("cnt")).cast("long")
     )
     gk = (
-        per_cust.join(
-            ranked.select("c", "cnt", "cum_prev"), "c"
-        )
+        vc.join(ranked.select("c", "cnt", "cum_prev"), "c")
         .groupBy("nk")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_g"),
-            F.sum(2 * F.col("cum_prev") + F.col("cnt") + 1)
+            F.sum("cnt_g").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt_g")
+                * (2 * F.col("cum_prev") + F.col("cnt") + 1)
+            )
             .cast("long")
             .alias("sr2"),
         )

@@ -2000,20 +2000,39 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
         *[f"{_FS_EXPRS[f]} AS {f}" for f, _m in FS_FIELDS],
+    ).localCheckpoint(eager=True)
+    # ^ narrow staged record table (7 small cols/row — the grid_lof
+    # staged-model-table precedent): the u-estimation, the N count and
+    # BOTH pair-join sides otherwise re-scan customer 14x (plan audit)
+    # one-pass u-estimation: stack the 4 fields into (field, value)
+    # rows, count per value, then sum c*(c-1) per field and pivot back
+    stack_expr = ", ".join(
+        f"'{f}', CAST({f} AS STRING)" for f, _m in FS_FIELDS
     )
-    n = recs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
-    u = n.select((F.col("nn") * (F.col("nn") - 1)).alias("den"))
-    for f, _m in FS_FIELDS:
-        cnt = (
-            recs.groupBy(f)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(
-                F.sum(F.col("c") * (F.col("c") - 1))
-                .cast("double")
-                .alias(f"num_{f}")
-            )
+    per_field = (
+        recs.selectExpr(
+            f"stack({len(FS_FIELDS)}, {stack_expr}) AS (fld, val)"
         )
-        u = u.crossJoin(F.broadcast(cnt))
+        .groupBy("fld", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("fld")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1))
+            .cast("double")
+            .alias("num")
+        )
+    )
+    nums = per_field.groupBy().pivot(
+        "fld", [f for f, _m in FS_FIELDS]
+    ).agg(F.first("num"))
+    n = recs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    u = (
+        n.select((F.col("nn") * (F.col("nn") - 1)).alias("den"))
+        .crossJoin(F.broadcast(nums))
+        .selectExpr(
+            "den", *[f"`{f}` AS num_{f}" for f, _m in FS_FIELDS]
+        )
+    )
     w_exprs = []
     for f, m in FS_FIELDS:
         a, d = _fs_weight_sql(m, f"num_{f}", "den")

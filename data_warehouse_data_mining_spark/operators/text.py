@@ -2552,9 +2552,16 @@ def good_turing_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    tot = counts.agg(F.sum("c").cast("long").alias("n"))
-    fof = counts.groupBy(F.col("c").alias("r")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_r")
+    fof = (
+        counts.groupBy(F.col("c").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+        # frequency-of-frequencies: bounded by the max trigram count —
+        # pinning it makes the trigram-type table single-consumer, so
+        # the corpus is tokenized exactly once (N = sum r*n_r below)
+        .localCheckpoint(eager=True)
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n")
     )
     # aggregate (never filter-to-maybe-empty): a corpus with no
     # singletons must yield f1 = 0, not an empty frame that zeroes the
