@@ -3142,7 +3142,7 @@ GPD_THRESHOLD_CENTS = 40_000_000  # $400k peaks-over-threshold cutoff
       FROM fit
     )
     SELECT n AS n_exceed,
-           {GPD_THRESHOLD_CENTS / 100} AS threshold_dollars,
+           CAST({GPD_THRESHOLD_CENTS / 100} AS DOUBLE) AS threshold_dollars,
            round(b0 / 100, 4) AS lambda1_dollars,
            round(l2 / 100, 4) AS lambda2_dollars,
            round(k, 6) AS shape_k,
