@@ -9,6 +9,8 @@ Python UDAF can stay oracle-checkable when its math has a SQL twin.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -832,4 +834,164 @@ def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size_smoothed long, interval_smoothed long, croston_rate double",
         )
         .orderBy("partkey")
+    )
+
+
+EWMA_D2 = 1.128  # moving-range d2 constant for individuals charts
+EWMA_L = 3.0     # 3-sigma control limits
+
+
+def ewma_step(s: int, x: int) -> int:
+    """One lambda = 1/2 integer EWMA step: s' = floor((x + s)/2). Shared
+    with the test replica (the holt_step pattern)."""
+    return (x + s) // 2
+
+
+@register(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+      SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation ORDER BY month)
+               AS rn
+      FROM m
+    ),
+    st AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sumx
+      FROM seq GROUP BY nation
+    ),
+    mr AS (
+      SELECT a.nation,
+             CAST(sum(abs(b.x - a.x)) AS BIGINT) AS smr
+      FROM seq a JOIN seq b
+        ON b.nation = a.nation AND b.rn = a.rn + 1
+      GROUP BY a.nation
+    ),
+    walk(nation, rn, s, q) AS (
+      SELECT seq.nation, seq.rn,
+             (seq.x + st.sumx // st.n) // 2,
+             CAST(0.25 AS DOUBLE)
+      FROM seq JOIN st ON st.nation = seq.nation WHERE seq.rn = 1
+      UNION ALL
+      SELECT seq.nation, seq.rn, (seq.x + w.s) // 2, w.q * 0.25
+      FROM walk w
+      JOIN seq ON seq.nation = w.nation AND seq.rn = w.rn + 1
+    ),
+    flags AS (
+      SELECT w.nation, w.rn, w.s,
+             CASE WHEN abs(w.s - CAST(st.sumx AS DOUBLE) / st.n)
+                       > {EWMA_L} * ((CAST(mr.smr AS DOUBLE)
+                                      / (st.n - 1)) / {EWMA_D2})
+                         * sqrt((1.0 - w.q) / 3.0)
+                  THEN 1 ELSE 0 END AS ooc
+      FROM walk w
+      JOIN st ON st.nation = w.nation
+      JOIN mr ON mr.nation = w.nation
+    )
+    SELECT st.nation, st.n AS n_months,
+           round(((CAST(mr.smr AS DOUBLE) / (st.n - 1)) / {EWMA_D2})
+                 / 100, 2) AS sigma_hat_dollars,
+           CAST(f.n_ooc AS BIGINT) AS n_out_of_control,
+           round(f.last_s / 100.0, 2) AS last_ewma_dollars
+    FROM st
+    JOIN mr ON mr.nation = st.nation
+    JOIN (SELECT nation, sum(ooc) AS n_ooc,
+                 max(CASE WHEN rn = (SELECT max(rn) FROM walk w2
+                                     WHERE w2.nation = flags.nation)
+                          THEN s END) AS last_s
+          FROM flags GROUP BY nation) f ON f.nation = st.nation
+    ORDER BY st.nation
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) over
+    each nation's monthly revenue: lambda = 1/2 smoothing, center =
+    the series mean, sigma estimated from the mean moving range
+    (MR-bar/d2, the individuals-chart estimator), and time-varying
+    L=3 limits center +/- 3 sigma sqrt(lambda/(2-lambda) *
+    (1-(1-lambda)^(2t))) — the variance ramp that makes early points
+    tighter. Reports per nation the out-of-control count and final
+    EWMA level: the PROCESS-MONITORING member of the SPC row beside
+    cusum_changepoint (location shift) and page_hinkley_drift
+    (sequential drift alarm).
+
+    Determinism: the smoothed state walks in exact integer cents
+    (lambda = 1/2 => s' = floor((x+s)/2), the holt_step discipline);
+    the variance ramp (1-lambda)^(2t) = 0.25^t accumulates by exact
+    binary-scaling multiplications, so q is bit-identical; center,
+    sigma-hat and the limit are one identical double expression, and
+    the out-of-control comparison runs on identical doubles. Oracle
+    walks the same recurrence as a recursive CTE.
+
+    Scale: one fact scan -> (nation, month) agg; the walk is the
+    stateful-per-key applyInPandas pattern — state never leaves the
+    executor, parallelism = #series, series length is calendar-bounded."""
+    t = load(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        xs = [int(v) for v in pdf["x"].to_numpy()]
+        n = len(xs)
+        sumx = sum(xs)
+        smr = sum(abs(b - a) for a, b in zip(xs, xs[1:]))
+        center = sumx / n
+        sigma = (smr / (n - 1)) / EWMA_D2 if n > 1 else 0.0
+        s = sumx // n
+        q = 1.0
+        n_ooc = 0
+        for x in xs:
+            s = ewma_step(s, x)
+            q *= 0.25
+            # math.sqrt, not **0.5: pow is not guaranteed correctly
+            # rounded; sqrt is, and the oracle uses sqrt()
+            if abs(s - center) > EWMA_L * sigma * math.sqrt((1.0 - q) / 3.0):
+                n_ooc += 1
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "n_months": [n],
+                "sigma_hat_dollars": [round(sigma / 100, 2)],
+                "n_out_of_control": [n_ooc],
+                "last_ewma_dollars": [round(s / 100, 2)],
+            }
+        )
+
+    return (
+        monthly.groupBy("nation")
+        .applyInPandas(
+            walk,
+            schema=(
+                "nation string, n_months long, sigma_hat_dollars double,"
+                " n_out_of_control long, last_ewma_dollars double"
+            ),
+        )
+        .orderBy("nation")
     )

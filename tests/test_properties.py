@@ -2901,3 +2901,50 @@ def test_deming_quadratic_and_attenuation(spark, duck):
     # defining quadratic, scale-normalized
     resid = (cxy * b * b + (cxx - cyy) * b - cxy) / abs(cxy)
     assert abs(resid) <= 1e-3  # b rounded to 6dp upstream
+
+
+def test_ewma_chart_python_replica(spark, duck):
+    """Replay each nation's chart in pure Python (ewma_step + the
+    variance-ramp limits) from the DuckDB monthly series; counts and
+    final levels must match exactly."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.udfs import (
+        EWMA_D2,
+        EWMA_L,
+        ewma_control_chart,
+        ewma_step,
+    )
+
+    from .conftest import SF_SMALL
+
+    series = duck.execute(
+        f"""
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS m,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+        FROM '{SF_SMALL}/orders.parquet'
+        JOIN '{SF_SMALL}/customer.parquet' ON o_custkey = c_custkey
+        JOIN '{SF_SMALL}/nation.parquet' ON c_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    by_nation: dict = {}
+    for nat, _m, x in series:
+        by_nation.setdefault(nat, []).append(int(x))
+    rows = {r["nation"]: r for r in ewma_control_chart(spark, SF_SMALL).collect()}
+    assert set(rows) == set(by_nation)
+    for nat, xs in by_nation.items():
+        n = len(xs)
+        sumx, smr = sum(xs), sum(abs(b - a) for a, b in zip(xs, xs[1:]))
+        center = sumx / n
+        sigma = (smr / (n - 1)) / EWMA_D2 if n > 1 else 0.0
+        s, q, ooc = sumx // n, 1.0, 0
+        for x in xs:
+            s = ewma_step(s, x)
+            q *= 0.25
+            if abs(s - center) > EWMA_L * sigma * math.sqrt((1 - q) / 3):
+                ooc += 1
+        r = rows[nat]
+        assert r["n_months"] == n
+        assert r["n_out_of_control"] == ooc
+        assert abs(r["last_ewma_dollars"] - round(s / 100, 2)) < 1e-9
