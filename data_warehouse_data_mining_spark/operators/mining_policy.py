@@ -4500,3 +4500,208 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mu") + F.col("alpha") * GUMBEL_C120) / 100, 2
         ).alias("ret_level_10y_dollars"),
     )
+
+
+BT_ITERS = 8
+BT_UNIT = 1_000_000_000_000
+
+
+def _bt_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for t in range(1, BT_ITERS + 1):
+        steps.append(f"""d{t} AS MATERIALIZED (
+      SELECT s.i,
+             CAST(sum(CAST(floor((CAST(m.n AS DOUBLE) * {BT_UNIT})
+                                 * {BT_UNIT} / (s.p + p2.p) + 0.001)
+                           AS BIGINT)) AS BIGINT) AS d
+      FROM sym m
+      JOIN {prev} s ON s.i = m.i
+      JOIN {prev} p2 ON p2.i = m.j
+      GROUP BY s.i
+    ),
+    r{t} AS MATERIALIZED (
+      SELECT w.i,
+             CAST(floor((CAST(w.w AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}
+                        / greatest(d{t}.d, 1) + 0.001) AS BIGINT) AS praw
+      FROM w JOIN d{t} ON d{t}.i = w.i
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT i,
+             CAST(floor((CAST(praw AS DOUBLE) * {BT_UNIT})
+                        / (SELECT sum(praw) FROM r{t}) + 0.001)
+                  AS BIGINT) AS p
+      FROM r{t}
+    )""")
+        prev = f"p{t}"
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH cells AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS i,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    duels AS (
+      SELECT a.i AS wi, b.i AS li
+      FROM cells a JOIN cells b
+        ON b.day = a.day AND a.i <> b.i AND a.rev > b.rev
+    ),
+    wins AS (
+      SELECT wi, li, CAST(count(*) AS BIGINT) AS nw
+      FROM duels GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a.wi AS i, a.li AS j,
+             a.nw + coalesce(b.nw, 0) AS n
+      FROM wins a LEFT JOIN wins b ON b.wi = a.li AND b.li = a.wi
+      UNION
+      SELECT a.li, a.wi, a.nw + coalesce(b.nw, 0)
+      FROM wins a LEFT JOIN wins b ON b.wi = a.li AND b.li = a.wi
+    ),
+    w AS MATERIALIZED (
+      SELECT wi AS i, CAST(sum(nw) AS BIGINT) AS w FROM wins GROUP BY 1
+    ),
+    p0 AS (SELECT i, CAST({BT_UNIT} // 5 AS BIGINT) AS p FROM w),
+    {unrolled}
+    SELECT w.i AS event_type, w.w AS n_wins,
+           (SELECT CAST(sum(n) AS BIGINT) FROM sym s WHERE s.i = w.i)
+             AS n_contests,
+           p.p AS strength_units,
+           round(p.p / {BT_UNIT}.0, 6) AS bt_strength
+    FROM w JOIN p{BT_ITERS} p ON p.i = w.i
+    ORDER BY p.p DESC, w.i
+    """
+
+
+@register("bradley_terry_event_strengths", oracle=_bt_oracle())
+def bradley_terry_event_strengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry paired-comparison strengths (Bradley & Terry
+    1952) of the five event types, learned from daily revenue duels
+    (type i beats type j on a day when its daily revenue is strictly
+    higher): {BT_ITERS} Hunter-(2004)-MM iterations p_i <- W_i /
+    sum_j n_ij/(p_i+p_j), renormalized each step — ranking from
+    pairwise outcomes, the model behind chess Elo aggregates, match-up
+    analysis and LLM preference leaderboards; complements
+    ucb1_bandit_replay (which LEARNS while playing — this RATES after
+    the fact).
+
+    Determinism: the duel counts are exact integers; each MM step runs
+    in {BT_UNIT} fixed-point units with every division spelled as the
+    SAME double expression in both engines behind the
+    floor(x + 1e-3) guard (the n*U^2 numerators exceed BIGINT, and
+    identical-input correctly-rounded double ops floor to identical
+    integers), so all {BT_ITERS} iterations are bit-identical walks of
+    a 5-row state table — Spark localCheckpoints each step, the oracle
+    unrolls materialized CTEs.
+
+    Scale: one fact scan -> (day, type) hash agg; duels, wins and all
+    iterations run on calendar x 5-type bounded tables."""
+    e = load(spark, sf_dir).events
+    cells = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.col("event_type").alias("i"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)  # calendar x 5 table, read twice
+    )
+    b = cells.select(
+        F.col("day").alias("day2"),
+        F.col("i").alias("j"),
+        F.col("rev").alias("rev2"),
+    )
+    wins = (
+        cells.join(
+            b,
+            (F.col("day") == F.col("day2"))
+            & (F.col("i") != F.col("j"))
+            & (F.col("rev") > F.col("rev2")),
+        )
+        .groupBy(F.col("i").alias("wi"), F.col("j").alias("li"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+        .localCheckpoint(eager=True)
+    )
+    back = wins.select(
+        F.col("wi").alias("bwi"), F.col("li").alias("bli"),
+        F.col("nw").alias("bnw"),
+    )
+    sym = (
+        wins.join(
+            back,
+            (F.col("bwi") == F.col("li")) & (F.col("bli") == F.col("wi")),
+            "left",
+        )
+        .select(
+            F.col("wi").alias("i"),
+            F.col("li").alias("j"),
+            (F.col("nw") + F.coalesce(F.col("bnw"), F.lit(0))).alias("n"),
+        )
+        .unionAll(
+            wins.join(
+                back,
+                (F.col("bwi") == F.col("li"))
+                & (F.col("bli") == F.col("wi")),
+                "left",
+            ).select(
+                F.col("li").alias("i"),
+                F.col("wi").alias("j"),
+                (F.col("nw") + F.coalesce(F.col("bnw"), F.lit(0))).alias(
+                    "n"
+                ),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w = wins.groupBy(F.col("wi").alias("i")).agg(
+        F.sum("nw").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    state = w.select("i", F.lit(BT_UNIT // 5).cast("long").alias("p"))
+    for _ in range(BT_ITERS):
+        p2 = state.select(F.col("i").alias("j2"), F.col("p").alias("pj"))
+        d = (
+            sym.join(state, "i")
+            .join(p2, F.col("j") == F.col("j2"))
+            .selectExpr(
+                "i",
+                f"CAST(floor((CAST(n AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}"
+                " / (p + pj) + 0.001) AS BIGINT) AS term",
+            )
+            .groupBy("i")
+            .agg(F.sum("term").cast("long").alias("d"))
+        )
+        praw = w.join(d, "i").selectExpr(
+            "i",
+            f"CAST(floor((CAST(w AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}"
+            " / greatest(d, 1) + 0.001) AS BIGINT) AS praw",
+        )
+        tot = praw.agg(F.sum("praw").cast("long").alias("s"))
+        state = (
+            praw.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "i",
+                f"CAST(floor((CAST(praw AS DOUBLE) * {BT_UNIT}) / s"
+                " + 0.001) AS BIGINT) AS p",
+            )
+            .localCheckpoint(eager=True)
+        )
+    contests = sym.groupBy("i").agg(F.sum("n").cast("long").alias("n_contests"))
+    return (
+        w.join(state, "i")
+        .join(contests, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("w").alias("n_wins"),
+            "n_contests",
+            F.col("p").alias("strength_units"),
+            F.round(F.col("p") / float(BT_UNIT), 6).alias("bt_strength"),
+        )
+        .orderBy(F.col("strength_units").desc(), "event_type")
+    )

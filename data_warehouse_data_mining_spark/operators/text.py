@@ -2840,3 +2840,195 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DOUBLE), 6)"
         " AS cohens_kappa",
     )
+
+
+LP_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_LP_IN = "(" + ", ".join(f"'{s}'" for s in LP_SOURCES) + ")"
+
+
+@register(
+    "lincoln_petersen_overlap",
+    oracle=f"""
+    WITH ws AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+      WHERE source IN {_LP_IN}
+    ),
+    tg AS (
+      SELECT DISTINCT source,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS t
+      FROM ws, unnest(range(1, len(ws) - 1)) AS x(i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS m
+      FROM tg a JOIN tg b ON b.t = a.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.sa AS source_a, i.sb AS source_b,
+           na.n AS n_a, nb.n AS n_b, i.m AS n_shared,
+           na.n + nb.n - i.m AS observed_union,
+           round((na.n + 1.0) * (nb.n + 1.0) / (i.m + 1.0) - 1.0, 2)
+             AS chapman_estimate,
+           round(((na.n + 1.0) * (nb.n + 1.0) / (i.m + 1.0) - 1.0)
+                 / (na.n + nb.n - i.m), 4) AS est_over_observed
+    FROM inter i
+    JOIN sizes na ON na.source = i.sa
+    JOIN sizes nb ON nb.source = i.sb
+    ORDER BY i.sa, i.sb
+    """,
+)
+def lincoln_petersen_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Lincoln 1930; Petersen
+    1896; Chapman 1951 bias-corrected form) treating two crawl
+    sources' TRIGRAM-TYPE sets as two independent captures from the
+    same underlying language: N-hat = (n_a+1)(n_b+1)/(m+1) - 1
+    estimates the total trigram population, and est/observed-union > 1
+    quantifies how much of the language BOTH crawls missed — the
+    two-sample complement to chao1_vocab_richness's within-sample
+    singleton estimator, and the statistical backing for 'will another
+    source still add novelty' (ngram_novelty_by_source measures it
+    marginally).
+
+    Exactness: set sizes and intersections are exact distinct counts
+    (one (source, trigram) dedup + a self-equi-join on trigram);
+    Chapman and the ratio are each one double expression over exact
+    integers. All 10 pairs of the 5 audited sources.
+
+    Scale: one corpus scan -> per-source type dedup (vocab-bounded) ->
+    type-keyed equi-join; never doc x doc."""
+    d = load(spark, sf_dir).documents.filter(
+        F.col("source").isin(*LP_SOURCES)
+    )
+    tg = (
+        d.select("source", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("t"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # (source, type) table, vocab-bounded
+    )
+    sizes = tg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b = tg.select(F.col("source").alias("sb"), F.col("t").alias("tb"))
+    inter = (
+        tg.join(
+            b, (F.col("t") == F.col("tb")) & (F.col("source") < F.col("sb"))
+        )
+        .groupBy(F.col("source").alias("sa"), "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    chap = (
+        (F.col("n_a") + 1.0) * (F.col("n_b") + 1.0) / (F.col("m") + 1.0)
+        - 1.0
+    )
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_a",
+            "n_b",
+            F.col("m").alias("n_shared"),
+            (F.col("n_a") + F.col("n_b") - F.col("m")).alias(
+                "observed_union"
+            ),
+            F.round(chap, 2).alias("chapman_estimate"),
+            F.round(
+                chap / (F.col("n_a") + F.col("n_b") - F.col("m")), 4
+            ).alias("est_over_observed"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "hill_numbers_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cells AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS d0,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(c * ln(c) * 1000000 + 0.001)
+                           AS BIGINT)) AS BIGINT) AS slnc_micro,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM cells GROUP BY source
+    )
+    SELECT source, n AS n_tokens, d0 AS d0_richness,
+           round(exp(ln(CAST(n AS DOUBLE))
+                     - slnc_micro / (1000000.0 * n)), 4) AS d1_shannon,
+           round(CAST(n AS DOUBLE) * n / sc2, 4) AS d2_simpson,
+           round(exp(ln(CAST(n AS DOUBLE))
+                     - slnc_micro / (1000000.0 * n)) / d0, 4)
+             AS evenness_d1_over_d0
+    FROM per_source ORDER BY source
+    """,
+)
+def hill_numbers_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile (Hill 1973; Jost 2006) of each
+    source's token distribution: D0 = richness, D1 = exp(Shannon H)
+    and D2 = inverse Simpson — the three classic diversity indices
+    unified as 'effective number of equally-common types' at q=0/1/2,
+    plus the evenness ratio D1/D0. One scale for 'how repetitive is
+    this crawl source' that simpson_diversity_by_source (q=2 only)
+    and column_entropy_profile (H in nats) each show one slice of.
+
+    Exactness: per-(source, word) counts are exact; H assembles as
+    ln N - (sum c ln c)/N where each c*ln(c) cell term is floored to
+    1e-6 fixed point (bounded cell table) so the cross-cell sum is an
+    exact BIGINT; the one ln(N) and one exp per source are single
+    identical-double ops; D2 = N^2/sum(c^2) is exact-integer rational.
+
+    Scale: one token explode -> (source, word) hash agg (vocab x
+    sources bounded) -> per-source rollup."""
+    d = load(spark, sf_dir).documents
+    cells = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_source = cells.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.expr("CAST(floor(c * ln(c) * 1000000 + 0.001) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("slnc_micro"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    d1 = F.exp(
+        F.log(F.col("n").cast("double"))
+        - F.col("slnc_micro") / (1_000_000.0 * F.col("n"))
+    )
+    return per_source.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("d0").alias("d0_richness"),
+        F.round(d1, 4).alias("d1_shannon"),
+        F.round(
+            F.col("n").cast("double") * F.col("n") / F.col("sc2"), 4
+        ).alias("d2_simpson"),
+        F.round(d1 / F.col("d0"), 4).alias("evenness_d1_over_d0"),
+    ).orderBy("source")

@@ -2948,3 +2948,43 @@ def test_ewma_chart_python_replica(spark, duck):
         assert r["n_months"] == n
         assert r["n_out_of_control"] == ooc
         assert abs(r["last_ewma_dollars"] - round(s / 100, 2)) < 1e-9
+
+
+def test_bradley_terry_fixed_point_and_mass(spark, duck):
+    """Strengths must sum to ~1 (integer-floor slack), be positive, and
+    approximately satisfy the BT stationarity condition
+    W_i = p_i * sum_j n_ij/(p_i + p_j) after the 8 MM iterations."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        bradley_terry_event_strengths,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = bradley_terry_event_strengths(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    total = sum(r["bt_strength"] for r in rows)
+    assert abs(total - 1.0) <= 1e-4
+    p = {r["event_type"]: r["strength_units"] for r in rows}
+    wins = duck.execute(
+        f"""
+        WITH cells AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS i,
+                 sum(CAST(round(value * 100, 0) AS BIGINT)) AS rev
+          FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2)
+        SELECT a.i, b.i, count(*) FROM cells a
+        JOIN cells b ON b.day = a.day AND a.i <> b.i AND a.rev > b.rev
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    w = {}
+    n = {}
+    for wi, li, c in wins:
+        w[wi] = w.get(wi, 0) + c
+        n[(wi, li)] = n.get((wi, li), 0) + c
+        n[(li, wi)] = n.get((li, wi), 0) + c
+    for i, pi in p.items():
+        denom = sum(
+            n.get((i, j), 0) / (pi + pj) for j, pj in p.items() if j != i
+        )
+        residual = abs(w.get(i, 0) - pi * denom) / max(w.get(i, 0), 1)
+        assert residual < 0.05, (i, residual)
