@@ -4705,3 +4705,164 @@ def bradley_terry_event_strengths(
         )
         .orderBy(F.col("strength_units").desc(), "event_type")
     )
+
+
+ELO_K_MILLI = 16_000      # K-factor, milli-points
+ELO_START_MILLI = 1_000_000  # 1000.000 start rating
+_ELO_LN10 = 2.302585093   # baked ln(10)
+_ELO_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def elo_expected_micro(d_milli: int) -> int:
+    """E = 1/(1+10^(d/400)) for rating gap d = R_opp - R_self in
+    milli-points, floored to 1e-6 fixed point; 10^x spelled
+    exp(x*ln10) with ln10 a baked literal so both engines run the
+    same single transcendental behind the floor guard."""
+    import math
+
+    return math.floor(
+        1_000_000 / (1 + math.exp(d_milli / 400_000.0 * _ELO_LN10)) + 0.001
+    )
+
+
+def _elo_oracle() -> str:
+    cols = ", ".join(f"r_{t}" for t in _ELO_TYPES)
+    start = ", ".join(
+        f"CAST({ELO_START_MILLI} AS BIGINT) AS r_{t}" for t in _ELO_TYPES
+    )
+    upd = []
+    for t in _ELO_TYPES:
+        upd.append(f"""
+             CASE WHEN d.wi = '{t}' THEN w.r_{t}
+                    + ({ELO_K_MILLI} * (1000000 - CAST(floor(1000000.0
+                      / (1 + exp((CASE {' '.join(f"WHEN d.li = '{u}' THEN w.r_{u}" for u in _ELO_TYPES)} END
+                         - w.r_{t}) / 400000.0 * {_ELO_LN10})) + 0.001)
+                      AS BIGINT))) // 1000000
+                  WHEN d.li = '{t}' THEN w.r_{t}
+                    - ({ELO_K_MILLI} * CAST(floor(1000000.0
+                      / (1 + exp(((CASE {' '.join(f"WHEN d.wi = '{u}' THEN w.r_{u}" for u in _ELO_TYPES)} END)
+                         - w.r_{t}) / 400000.0 * {_ELO_LN10})) + 0.001)
+                      AS BIGINT)) // 1000000
+                  ELSE w.r_{t} END AS r_{t}""")
+    updates = ",".join(upd)
+    return f"""
+    WITH RECURSIVE cells AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS i,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    duel_seq AS (
+      SELECT row_number() OVER (ORDER BY a.day, a.i, b.i) AS rn,
+             a.i AS wi, b.i AS li
+      FROM cells a JOIN cells b
+        ON b.day = a.day AND a.i <> b.i AND a.rev > b.rev
+    ),
+    nmax AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM duel_seq),
+    walk(rn, {cols}) AS (
+      SELECT CAST(0 AS BIGINT), {start}
+      UNION ALL
+      SELECT w.rn + 1,{updates}
+      FROM walk w JOIN duel_seq d ON d.rn = w.rn + 1
+    ),
+    final AS (
+      SELECT * FROM walk CROSS JOIN nmax WHERE walk.rn = nmax.n
+    ),
+    duels_per AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n_duels FROM (
+        SELECT wi AS i FROM duel_seq UNION ALL SELECT li FROM duel_seq
+      ) GROUP BY i
+    )
+    SELECT u.i AS event_type, d.n_duels,
+           CAST(u.r AS BIGINT) AS elo_milli,
+           round(u.r / 1000.0, 3) AS elo_rating
+    FROM (
+      {' UNION ALL '.join(f"SELECT '{t}' AS i, r_{t} AS r FROM final" for t in _ELO_TYPES)}
+    ) u JOIN duels_per d ON d.i = u.i
+    ORDER BY u.r DESC, u.i
+    """
+
+
+@register("elo_rating_replay", oracle=_elo_oracle())
+def elo_rating_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elo rating replay (Elo 1978) over the time-ordered daily
+    revenue duels between the five event types: K=16, start 1000,
+    expected score E = 1/(1+10^(gap/400)) — the ONLINE sequential
+    rating whose batch/stationary counterpart is
+    bradley_terry_event_strengths (Elo is stochastic-gradient BT; the
+    final orderings should broadly agree, pinned in tests).
+
+    Determinism: ratings walk in integer milli-points; each duel's
+    expected score is ONE exp (10^x spelled exp(x*ln10), ln10 baked)
+    floored to 1e-6 before the integer K-update, so the ~600-step
+    walk is bit-identical in both engines (the ucb1/msprt guard
+    discipline); duels are totally ordered by (day, winner, loser).
+
+    Scale: one fact scan -> (day, type) agg; the duel sequence is
+    calendar x 10-pairs bounded, walked stateful-per-key in
+    applyInPandas (single bounded group — the rating state is 5
+    numbers, never data-sized)."""
+    e = load(spark, sf_dir).events
+    cells = (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.col("event_type").alias("i"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = cells.select(
+        F.col("day").alias("day2"),
+        F.col("i").alias("j"),
+        F.col("rev").alias("rev2"),
+    )
+    duels = (
+        cells.join(
+            b,
+            (F.col("day") == F.col("day2"))
+            & (F.col("i") != F.col("j"))
+            & (F.col("rev") > F.col("rev2")),
+        )
+        .select("day", F.col("i").alias("wi"), F.col("j").alias("li"))
+    )
+
+    import pandas as pd
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["day", "wi", "li"])
+        r = {t: ELO_START_MILLI for t in _ELO_TYPES}
+        nd = {t: 0 for t in _ELO_TYPES}
+        for wi, li in zip(pdf["wi"], pdf["li"]):
+            ew = elo_expected_micro(r[li] - r[wi])
+            el = elo_expected_micro(r[wi] - r[li])
+            # winner gains K(1 - E_w); loser loses K*E_l (score 0) —
+            # with E_w + E_l = 1 the exchange is zero-sum up to floors
+            r[wi] += ELO_K_MILLI * (1_000_000 - ew) // 1_000_000
+            r[li] -= ELO_K_MILLI * el // 1_000_000
+            nd[wi] += 1
+            nd[li] += 1
+        return pd.DataFrame(
+            {
+                "event_type": list(_ELO_TYPES),
+                "n_duels": [nd[t] for t in _ELO_TYPES],
+                "elo_milli": [r[t] for t in _ELO_TYPES],
+                "elo_rating": [round(r[t] / 1000.0, 3) for t in _ELO_TYPES],
+            }
+        )
+
+    return (
+        duels.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            walk,
+            schema=(
+                "event_type string, n_duels long, elo_milli long,"
+                " elo_rating double"
+            ),
+        )
+        .orderBy(F.col("elo_milli").desc(), "event_type")
+    )

@@ -2988,3 +2988,47 @@ def test_bradley_terry_fixed_point_and_mass(spark, duck):
         )
         residual = abs(w.get(i, 0) - pi * denom) / max(w.get(i, 0), 1)
         assert residual < 0.05, (i, residual)
+
+
+def test_elo_replay_python_replica_and_conservation(spark, duck):
+    """Replay the duel sequence in pure Python (elo_expected_micro +
+    the integer K-updates) — final ratings must match exactly; the
+    rating exchange is zero-sum up to one floor unit per duel; and the
+    clearly-weakest arm agrees with Bradley-Terry's bottom rank."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        ELO_K_MILLI,
+        ELO_START_MILLI,
+        _ELO_TYPES,
+        bradley_terry_event_strengths,
+        elo_expected_micro,
+        elo_rating_replay,
+    )
+
+    from .conftest import SF_SMALL
+
+    duels = duck.execute(
+        f"""
+        WITH cells AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 event_type AS i,
+                 sum(CAST(round(value * 100, 0) AS BIGINT)) AS rev
+          FROM '{SF_SMALL}/events.parquet' GROUP BY 1, 2)
+        SELECT a.day, a.i, b.i FROM cells a
+        JOIN cells b ON b.day = a.day AND a.i <> b.i AND a.rev > b.rev
+        ORDER BY a.day, a.i, b.i
+        """
+    ).fetchall()
+    r = {t: ELO_START_MILLI for t in _ELO_TYPES}
+    for _day, wi, li in duels:
+        ew = elo_expected_micro(r[li] - r[wi])
+        el = elo_expected_micro(r[wi] - r[li])
+        r[wi] += ELO_K_MILLI * (1_000_000 - ew) // 1_000_000
+        r[li] -= ELO_K_MILLI * el // 1_000_000
+    rows = {x["event_type"]: x for x in elo_rating_replay(spark, SF_SMALL).collect()}
+    for t in _ELO_TYPES:
+        assert rows[t]["elo_milli"] == r[t], t
+    total = sum(r.values())
+    assert abs(total - 5 * ELO_START_MILLI) <= len(duels) + 5
+    bt = bradley_terry_event_strengths(spark, SF_SMALL).collect()
+    elo_last = min(rows.values(), key=lambda x: x["elo_milli"])["event_type"]
+    assert bt[-1]["event_type"] == elo_last
