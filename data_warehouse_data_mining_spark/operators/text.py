@@ -3032,3 +3032,130 @@ def hill_numbers_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d2_simpson"),
         F.round(d1 / F.col("d0"), 4).alias("evenness_d1_over_d0"),
     ).orderBy("source")
+
+
+_DLL_XLNX = (
+    "CASE WHEN ({x}) > 0 THEN CAST(floor(({x}) * ln({x}) * 1000000"
+    " + 0.001) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+)
+
+
+def _dll_terms(sign: str, xs: list[str]) -> str:
+    return " + ".join(
+        f"({sign}1) * ({_DLL_XLNX.format(x=x)})" for x in xs
+    )
+
+
+@register(
+    "dunning_llr_collocations",
+    oracle=f"""
+    WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM ws, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    pair AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+      FROM bg GROUP BY 1, 2
+    ),
+    rowm AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS r FROM pair GROUP BY 1),
+    colm AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c FROM pair GROUP BY 1),
+    tot AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM pair),
+    cells AS (
+      SELECT p.w1, p.w2, p.k11,
+             rowm.r - p.k11 AS k12,
+             colm.c - p.k11 AS k21,
+             tot.n - rowm.r - colm.c + p.k11 AS k22,
+             rowm.r AS r, colm.c AS c, tot.n AS n
+      FROM pair p
+      JOIN rowm ON rowm.w1 = p.w1
+      JOIN colm ON colm.w2 = p.w2
+      CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT w1, w2, k11,
+             2 * ({_dll_terms('+', ['k11', 'k12', 'k21', 'k22', 'n'])}
+                  + {_dll_terms('-', ['r', 'n - r', 'c', 'n - c'])})
+               AS llr_micro2
+      FROM cells
+    )
+    SELECT w1 || ' ' || w2 AS bigram, k11 AS n_cooccur,
+           llr_micro2,
+           round(llr_micro2 / 1000000.0, 4) AS llr
+    FROM scored
+    ORDER BY llr_micro2 DESC, w1, w2 LIMIT 20
+    """,
+)
+def dunning_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood ratio
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    and Coincidence"): every adjacent word bigram scored by the G^2
+    statistic of its 2x2 contingency table against independence —
+    the rare-count-robust alternative to pointwise mutual information
+    (pmi_token_cooccurrence overweights hapax pairs; LLR is the
+    standard fix) and the statistical member of the keyword tier next
+    to RAKE/TF-IDF/TextRank.
+
+    Determinism: all eight contingency cells and marginals are exact
+    integers off the bigram-type table; each x*ln(x) entropy term is
+    floored to 1e-6 fixed point, so G^2 assembles as an exact BIGINT
+    sum of nine identical terms per bigram (0 ln 0 = 0 handled by the
+    CASE); ranking ties break on the bigram text.
+
+    Scale: one corpus scan -> bigram-type hash agg (vocab^2-bounded);
+    marginals and scores live on that bounded table."""
+    d = load(spark, sf_dir).documents
+    pair = (
+        d.select(F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+        .localCheckpoint(eager=True)  # bigram-type table, read 3x
+    )
+    rowm = pair.groupBy("w1").agg(F.sum("k11").cast("long").alias("r"))
+    colm = pair.groupBy("w2").agg(F.sum("k11").cast("long").alias("c"))
+    tot = pair.agg(F.sum("k11").cast("long").alias("n"))
+    cells = (
+        pair.join(F.broadcast(rowm), "w1")
+        .join(F.broadcast(colm), "w2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w1",
+            "w2",
+            "k11",
+            "r - k11 AS k12",
+            "c - k11 AS k21",
+            "n - r - c + k11 AS k22",
+            "r",
+            "c",
+            "n",
+        )
+    )
+    scored = cells.selectExpr(
+        "w1",
+        "w2",
+        "k11",
+        f"2 * ({_dll_terms('+', ['k11', 'k12', 'k21', 'k22', 'n'])}"
+        f" + {_dll_terms('-', ['r', 'n - r', 'c', 'n - c'])})"
+        " AS llr_micro2",
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("k11").alias("n_cooccur"),
+            "llr_micro2",
+            F.round(F.col("llr_micro2") / 1_000_000.0, 4).alias("llr"),
+        )
+        .orderBy(F.col("llr_micro2").desc(), "bigram")
+        .limit(20)
+    )

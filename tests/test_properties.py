@@ -3032,3 +3032,53 @@ def test_elo_replay_python_replica_and_conservation(spark, duck):
     bt = bradley_terry_event_strengths(spark, SF_SMALL).collect()
     elo_last = min(rows.values(), key=lambda x: x["elo_milli"])["event_type"]
     assert bt[-1]["event_type"] == elo_last
+
+
+def test_dunning_llr_python_replica(spark, duck):
+    """Top-20 LLR scores must match a pure-Python replica (same 1e-6
+    term floors) computed from exact bigram contingency tables."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.text import (
+        dunning_llr_collocations,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = dunning_llr_collocations(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    pairs = duck.execute(
+        f"""
+        WITH ws AS (SELECT string_split(text, ' ') AS ws
+                    FROM '{SF_SMALL}/documents.parquet'),
+        bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+               FROM ws, unnest(range(1, len(ws))) AS t(i)
+               WHERE len(ws) >= 2)
+        SELECT w1, w2, count(*) FROM bg GROUP BY 1, 2
+        """
+    ).fetchall()
+    rowm: dict = {}
+    colm: dict = {}
+    n = 0
+    k = {}
+    for w1, w2, c in pairs:
+        k[(w1, w2)] = c
+        rowm[w1] = rowm.get(w1, 0) + c
+        colm[w2] = colm.get(w2, 0) + c
+        n += c
+
+    def xlnx(x):
+        return math.floor(x * math.log(x) * 1e6 + 1e-3) if x > 0 else 0
+
+    for rrow in rows:
+        w1, w2 = rrow["bigram"].split(" ", 1)
+        k11 = k[(w1, w2)]
+        r, c = rowm[w1], colm[w2]
+        k12, k21, k22 = r - k11, c - k11, n - r - c + k11
+        llr2 = 2 * (
+            xlnx(k11) + xlnx(k12) + xlnx(k21) + xlnx(k22) + xlnx(n)
+            - xlnx(r) - xlnx(n - r) - xlnx(c) - xlnx(n - c)
+        )
+        assert rrow["llr_micro2"] == llr2, rrow["bigram"]
+        assert rrow["n_cooccur"] == k11
+        assert rrow["llr"] >= -0.001  # G^2 >= 0 up to floor residue
