@@ -3206,3 +3206,130 @@ def deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS intercept_deming_dollars",
         "round(slope_ols / slope_d, 6) AS attenuation_ratio",
     )
+
+
+@register(
+    "kulldorff_temporal_scan",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT month, c,
+             CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn,
+             CAST(sum(c) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM monthly
+    ),
+    tot AS (SELECT CAST(max(cum) AS BIGINT) AS ctot,
+                   CAST(max(rn) AS BIGINT) AS m
+            FROM seq),
+    win AS (
+      SELECT a.month AS start_month, b.month AS end_month,
+             b.rn - a.rn + 1 AS width,
+             b.cum - a.cum + a.c AS cw, t.ctot, t.m
+      FROM seq a JOIN seq b ON b.rn >= a.rn CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT start_month, end_month, width, cw,
+             CAST(ctot AS DOUBLE) * width / m AS ew, ctot,
+             CASE WHEN cw * m > ctot * width THEN
+               CAST(floor(cw * ln(cw / (CAST(ctot AS DOUBLE) * width / m))
+                          * 1000000 + 0.001) AS BIGINT)
+               + CAST(floor((ctot - cw)
+                            * ln((ctot - cw)
+                                 / (ctot - CAST(ctot AS DOUBLE) * width / m))
+                            * 1000000 + 0.001) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS llr_micro
+      FROM win
+    )
+    SELECT start_month, end_month, CAST(width AS BIGINT) AS width_months,
+           cw AS n_orders, round(ew, 2) AS expected_orders,
+           llr_micro, round(llr_micro / 1000000.0, 4) AS llr
+    FROM scored
+    ORDER BY llr_micro DESC, start_month, end_month LIMIT 10
+    """,
+)
+def kulldorff_temporal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulldorff temporal scan statistic (Kulldorff 1997) over monthly
+    order counts: every contiguous month window is scored by the
+    Poisson log-likelihood ratio c ln(c/E) + (C-c) ln((C-c)/(C-E))
+    against the uniform-rate baseline (only excess windows, c > E,
+    score), and the top-10 windows localize WHERE the rate anomaly is
+    — the window-localization complement to the pointwise monitors
+    (cusum/page_hinkley say WHEN something drifted; the scan says
+    WHICH interval is hottest, the disease-surveillance workhorse).
+
+    Determinism: window counts come from exact prefix sums (one
+    ordered window over the months-bounded series + an O(M^2/2)
+    bounded pair join — ~3k candidate windows); the two ln terms per
+    window are floored to 1e-6 so scores are exact BIGINTs with
+    (start, end) tie-breaks.
+
+    Scale: one fact scan -> months table; the candidate-window join is
+    calendar-quadratic, which is bounded and SF-independent —
+    never data-sized."""
+    o = load(spark, sf_dir).orders
+    monthly = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wseq = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
+    seq = monthly.select(
+        "month",
+        "c",
+        F.row_number().over(W.orderBy("month")).cast("long").alias("rn"),
+        F.sum("c").over(wseq).cast("long").alias("cum"),
+    ).localCheckpoint(eager=True)  # months-sized, read by both join sides
+    tot = seq.agg(
+        F.max("cum").cast("long").alias("ctot"),
+        F.max("rn").cast("long").alias("m"),
+    )
+    b = seq.select(
+        F.col("month").alias("end_month"),
+        F.col("rn").alias("rnb"),
+        F.col("cum").alias("cumb"),
+    )
+    win = (
+        seq.join(b, F.col("rnb") >= F.col("rn"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "month AS start_month",
+            "end_month",
+            "rnb - rn + 1 AS width",
+            "cumb - cum + c AS cw",
+            "ctot",
+            "m",
+        )
+    )
+    scored = win.selectExpr(
+        "start_month",
+        "end_month",
+        "width",
+        "cw",
+        "CAST(ctot AS DOUBLE) * width / m AS ew",
+        "ctot",
+        "CASE WHEN cw * m > ctot * width THEN"
+        " CAST(floor(cw * ln(cw / (CAST(ctot AS DOUBLE) * width / m))"
+        " * 1000000 + 0.001) AS BIGINT)"
+        " + CAST(floor((ctot - cw)"
+        " * ln((ctot - cw) / (ctot - CAST(ctot AS DOUBLE) * width / m))"
+        " * 1000000 + 0.001) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS llr_micro",
+    )
+    return (
+        scored.select(
+            "start_month",
+            "end_month",
+            F.col("width").cast("long").alias("width_months"),
+            F.col("cw").alias("n_orders"),
+            F.round("ew", 2).alias("expected_orders"),
+            "llr_micro",
+            F.round(F.col("llr_micro") / 1_000_000.0, 4).alias("llr"),
+        )
+        .orderBy(F.col("llr_micro").desc(), "start_month", "end_month")
+        .limit(10)
+    )

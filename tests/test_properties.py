@@ -3082,3 +3082,47 @@ def test_dunning_llr_python_replica(spark, duck):
         assert rrow["llr_micro2"] == llr2, rrow["bigram"]
         assert rrow["n_cooccur"] == k11
         assert rrow["llr"] >= -0.001  # G^2 >= 0 up to floor residue
+
+
+def test_kulldorff_scan_python_replica(spark, duck):
+    """Top-10 windows and scores must match a brute-force Python scan
+    over all contiguous windows (same 1e-6 floors)."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        kulldorff_temporal_scan,
+    )
+
+    from .conftest import SF_SMALL
+
+    months = duck.execute(
+        f"""
+        SELECT strftime(o_orderdate, '%Y-%m'), count(*)
+        FROM '{SF_SMALL}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    cs = [c for _, c in months]
+    names = [mth for mth, _ in months]
+    ctot, m = sum(cs), len(cs)
+    best = []
+    for i in range(m):
+        cw = 0
+        for j in range(i, m):
+            cw += cs[j]
+            width = j - i + 1
+            ew = ctot * width / m
+            if cw * m > ctot * width:
+                llr = math.floor(cw * math.log(cw / ew) * 1e6 + 1e-3) + \
+                    math.floor(
+                        (ctot - cw) * math.log((ctot - cw) / (ctot - ew))
+                        * 1e6 + 1e-3
+                    )
+            else:
+                llr = 0
+            best.append((-llr, names[i], names[j], cw))
+    best.sort()
+    rows = kulldorff_temporal_scan(spark, SF_SMALL).collect()
+    for r, (negllr, sm, em, cw) in zip(rows, best[:10]):
+        assert (r["start_month"], r["end_month"]) == (sm, em)
+        assert r["llr_micro"] == -negllr
+        assert r["n_orders"] == cw
