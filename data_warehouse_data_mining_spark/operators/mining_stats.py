@@ -3333,3 +3333,133 @@ def kulldorff_temporal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr_micro").desc(), "start_month", "end_month")
         .limit(10)
     )
+
+
+@register(
+    "wasserstein_drift_by_nation",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_nationkey AS nk, n.n_name AS nation,
+             strftime(o.o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    spine AS (SELECT DISTINCT month FROM base),
+    gm AS (
+      SELECT month, CAST(sum(c) AS BIGINT) AS cg FROM base GROUP BY 1
+    ),
+    nat AS (
+      SELECT s.month, b.nation, b.nk, coalesce(t.c, 0) AS cn
+      FROM spine s
+      CROSS JOIN (SELECT DISTINCT nation, nk FROM base) b
+      LEFT JOIN base t ON t.month = s.month AND t.nk = b.nk
+    ),
+    cums AS (
+      SELECT n.nation, n.month,
+             CAST(sum(n.cn) OVER (PARTITION BY n.nation ORDER BY n.month
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+             CAST(sum(g.cg) OVER (PARTITION BY n.nation ORDER BY n.month
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+      FROM nat n JOIN gm g ON g.month = n.month
+    ),
+    tots AS (
+      SELECT nation,
+             max(cum_n) AS tn, max(cum_g) AS tg,
+             CAST(sum(abs(cum_n * tg_all - cum_g * tn_all)) AS DECIMAL(38,0))
+               AS num
+      FROM (
+        SELECT c.*,
+               max(cum_n) OVER (PARTITION BY nation) AS tn_all,
+               max(cum_g) OVER (PARTITION BY nation) AS tg_all
+        FROM cums c
+      ) GROUP BY nation
+    )
+    SELECT nation, tn AS n_orders,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(tn AS DOUBLE) * tg), 6) AS w1_months
+    FROM tots ORDER BY nation
+    """,
+)
+def wasserstein_drift_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance between each nation's
+    monthly order-arrival distribution and the global one, in MONTH
+    units — on the line W1 has the exact closed form
+    integral |F_nation - F_global|, so no Sinkhorn iteration is
+    needed: it is the drift metric that reports HOW FAR IN TIME mass
+    moved, where js_divergence_sources / dq_distribution_drift report
+    only THAT the distributions differ (a one-month uniform shift and
+    a 12-month shift get the same JS but 1 vs 12 here).
+
+    Exactness: both CDFs are exact integer prefix sums on the shared
+    month spine; |F_n - F_g| sums via the cross-multiplied integers
+    |cum_n*T_g - cum_g*T_n| in DECIMAL(38,0), and ONE division by
+    T_n*T_g happens at the output edge — no per-term floats at all.
+
+    Scale: one fact scan -> (nation, month) hash agg; spine join,
+    windows and rollups all run on the 25 x months bounded grid."""
+    t = load(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # 25 x months grid, read 3x
+    )
+    spine = base.select("month").distinct()
+    nations = base.select("nation").distinct()
+    glob = base.groupBy("month").agg(F.sum("c").cast("long").alias("cg"))
+    nat = (
+        spine.crossJoin(nations)
+        .join(base, ["month", "nation"], "left")
+        .select(
+            "month", "nation", F.coalesce("c", F.lit(0)).alias("cn")
+        )
+    )
+    wn = W.partitionBy("nation").orderBy("month").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cums = nat.join(glob, "month").select(
+        "nation",
+        "month",
+        F.sum("cn").over(wn).cast("long").alias("cum_n"),
+        F.sum("cg").over(wn).cast("long").alias("cum_g"),
+    )
+    wt = W.partitionBy("nation")
+    with_t = cums.select(
+        "nation",
+        "cum_n",
+        "cum_g",
+        F.max("cum_n").over(wt).alias("tn"),
+        F.max("cum_g").over(wt).alias("tg"),
+    )
+    tots = with_t.groupBy("nation").agg(
+        F.max("tn").cast("long").alias("tn"),
+        F.max("tg").cast("long").alias("tg"),
+        F.expr(
+            "CAST(sum(abs(CAST(cum_n AS DECIMAL(38,0)) * tg"
+            " - CAST(cum_g AS DECIMAL(38,0)) * tn)) AS DECIMAL(38,0))"
+        ).alias("num"),
+    )
+    return tots.select(
+        "nation",
+        F.col("tn").alias("n_orders"),
+        F.round(
+            F.expr(
+                "CAST(num AS DOUBLE)"
+                " / (CAST(tn AS DOUBLE) * tg)"
+            ),
+            6,
+        ).alias("w1_months"),
+    ).orderBy("nation")

@@ -3126,3 +3126,44 @@ def test_kulldorff_scan_python_replica(spark, duck):
         assert (r["start_month"], r["end_month"]) == (sm, em)
         assert r["llr_micro"] == -negllr
         assert r["n_orders"] == cw
+
+
+def test_wasserstein_drift_python_replica(spark, duck):
+    """W1 per nation must equal the exact Python CDF-difference sum,
+    and be bounded by the series length in months."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        wasserstein_drift_by_nation,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = {r["nation"]: r for r in
+            wasserstein_drift_by_nation(spark, SF_SMALL).collect()}
+    base = duck.execute(
+        f"""
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS m, count(*)
+        FROM '{SF_SMALL}/orders.parquet'
+        JOIN '{SF_SMALL}/customer.parquet' ON c_custkey = o_custkey
+        JOIN '{SF_SMALL}/nation.parquet' ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    months = sorted({m for _, m, _ in base})
+    glob = {m: 0 for m in months}
+    per: dict = {}
+    for nat, m, c in base:
+        per.setdefault(nat, {m2: 0 for m2 in months})[m] = c
+        glob[m] += c
+    tg = sum(glob.values())
+    for nat, series in per.items():
+        tn = sum(series.values())
+        cn = cg = 0
+        num = 0
+        for m in months:
+            cn += series[m]
+            cg += glob[m]
+            num += abs(cn * tg - cg * tn)
+        w1 = num / (tn * tg)
+        assert abs(rows[nat]["w1_months"] - w1) <= 5e-7, nat
+        assert 0 <= rows[nat]["w1_months"] <= len(months)
+        assert rows[nat]["n_orders"] == tn
