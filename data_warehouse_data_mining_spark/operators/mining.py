@@ -2924,3 +2924,191 @@ def rmst_restricted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "logrank_test_arms",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS first_day,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS last_day,
+             CAST(date_trunc('day', min(CASE WHEN event_type = 'purchase'
+                                             THEN ts END)) AS DATE)
+               AS purchase_day
+      FROM events GROUP BY user_id
+    ),
+    lives AS (
+      SELECT arm,
+             CAST(date_diff('day', first_day,
+                            coalesce(purchase_day, last_day)) AS BIGINT)
+               AS t_days,
+             CASE WHEN purchase_day IS NULL THEN 0 ELSE 1 END AS churned
+      FROM spans
+    ),
+    per_t AS (
+      SELECT t_days,
+             CAST(sum(churned) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 'A' THEN churned ELSE 0 END)
+                  AS BIGINT) AS d_a,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS total_a
+      FROM lives GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, d, d_a,
+             CAST(sum(total) OVER (ORDER BY t_days ROWS BETWEEN
+                  CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+             CAST(sum(total_a) OVER (ORDER BY t_days ROWS BETWEEN
+                  CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_a
+      FROM per_t
+    ),
+    terms AS (
+      SELECT d_a,
+             CAST(floor(d * (CAST(n_a AS DOUBLE) / n) * 1000000 + 0.001)
+                  AS BIGINT) AS e_micro,
+             CASE WHEN n > 1 THEN
+               CAST(floor(d * (CAST(n_a AS DOUBLE) / n)
+                          * (1 - CAST(n_a AS DOUBLE) / n)
+                          * (n - d) / (n - 1) * 1000000 + 0.001)
+                    AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS v_micro
+      FROM risk WHERE d > 0
+    ),
+    agg AS (
+      SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+             CAST(sum(e_micro) AS BIGINT) AS se,
+             CAST(sum(v_micro) AS BIGINT) AS sv
+      FROM terms
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users_b
+      FROM lives
+    )
+    SELECT n_users_a, n_users_b, o_a AS observed_a,
+           round(se / 1000000.0, 4) AS expected_a,
+           round((o_a - se / 1000000.0) * (o_a - se / 1000000.0)
+                 / (sv / 1000000.0), 6) AS chi2_logrank,
+           CAST((o_a - se / 1000000.0) * (o_a - se / 1000000.0)
+                / (sv / 1000000.0) > 3.8415 AS INT) AS significant_95
+    FROM agg CROSS JOIN counts
+    """,
+)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the hash-split user arms on
+    TIME TO FIRST PURCHASE (Mantel 1966) — users who never purchase
+    are right-censored at their last activity: at each distinct event
+    time the
+    observed arm-A churn count is compared to its hypergeometric
+    expectation d*n_A/n with variance d(n_A/n)(1-n_A/n)(n-d)/(n-1),
+    and chi2 = (O-E)^2/V on the sums — the standard two-sample
+    survival comparison that completes the survival kit
+    (survival_km_curve: the curve; nelson_aalen_hazard: the hazard;
+    rmst_restricted_mean: the scalar; log-rank: the TEST). The arms
+    are a content-hash split, so the honest expectation — pinned — is
+    a non-significant placebo.
+
+    Determinism: per-time counts and reverse-cumulative risk sets are
+    exact integers; each time's E and V are one double expression
+    floored to 1e-6 (the mantel_haenszel discipline), so the sums are
+    exact BIGINTs and chi2 is one identical scalar expression.
+    Times with no churn events contribute nothing and are excluded
+    identically (d > 0).
+
+    Scale: one user collapse (one user_id shuffle), then every window
+    and sum runs on the distinct-lifetime-day table."""
+    e = load(spark, sf_dir).events
+    spans = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day"),
+        F.to_date(F.max("ts")).alias("last_day"),
+        F.to_date(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchase_day"),
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "first_day",
+        "last_day",
+        "purchase_day",
+    )
+    lives = spans.select(
+        "arm",
+        F.datediff(
+            F.coalesce("purchase_day", "last_day"), "first_day"
+        )
+        .cast("long")
+        .alias("t_days"),
+        F.when(F.col("purchase_day").isNull(), 0).otherwise(1).alias(
+            "churned"
+        ),
+    )
+    per_t = (
+        lives.groupBy("t_days")
+        .agg(
+            F.sum("churned").cast("long").alias("d"),
+            F.sum(F.when(F.col("arm") == "A", F.col("churned")).otherwise(0))
+            .cast("long")
+            .alias("d_a"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("total_a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_risk = W.orderBy("t_days").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    risk = per_t.select(
+        "t_days",
+        "d",
+        "d_a",
+        F.sum("total").over(w_risk).cast("long").alias("n"),
+        F.sum("total_a").over(w_risk).cast("long").alias("n_a"),
+    )
+    terms = risk.filter(F.col("d") > 0).selectExpr(
+        "d_a",
+        "CAST(floor(d * (CAST(n_a AS DOUBLE) / n) * 1000000 + 0.001)"
+        " AS BIGINT) AS e_micro",
+        "CASE WHEN n > 1 THEN"
+        " CAST(floor(d * (CAST(n_a AS DOUBLE) / n)"
+        " * (1 - CAST(n_a AS DOUBLE) / n)"
+        " * (n - d) / (n - 1) * 1000000 + 0.001) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS v_micro",
+    )
+    agg = terms.agg(
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum("e_micro").cast("long").alias("se"),
+        F.sum("v_micro").cast("long").alias("sv"),
+    )
+    counts = lives.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_b"),
+    )
+    chi2 = (
+        (F.col("o_a") - F.col("se") / 1_000_000.0)
+        * (F.col("o_a") - F.col("se") / 1_000_000.0)
+        / (F.col("sv") / 1_000_000.0)
+    )
+    return agg.crossJoin(F.broadcast(counts)).select(
+        "n_users_a",
+        "n_users_b",
+        F.col("o_a").alias("observed_a"),
+        F.round(F.col("se") / 1_000_000.0, 4).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2_logrank"),
+        (chi2 > 3.8415).cast("int").alias("significant_95"),
+    )

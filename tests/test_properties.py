@@ -3167,3 +3167,63 @@ def test_wasserstein_drift_python_replica(spark, duck):
         assert abs(rows[nat]["w1_months"] - w1) <= 5e-7, nat
         assert 0 <= rows[nat]["w1_months"] <= len(months)
         assert rows[nat]["n_orders"] == tn
+
+
+def test_logrank_python_replica_and_placebo(spark, duck):
+    """chi2 recomputed in Python from the exact per-time risk tables
+    must match to the 1e-6 floor; the hash-split arms are a placebo,
+    so the test must not reject."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        logrank_test_arms,
+    )
+
+    from .conftest import SF_SMALL
+
+    lives = duck.execute(
+        f"""
+        WITH spans AS (
+          SELECT user_id,
+                 CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                           < '8' THEN 'A' ELSE 'B' END AS arm,
+                 CAST(date_trunc('day', min(ts)) AS DATE) AS f,
+                 CAST(date_trunc('day', max(ts)) AS DATE) AS l,
+                 CAST(date_trunc('day', min(CASE WHEN event_type =
+                     'purchase' THEN ts END)) AS DATE) AS p
+          FROM '{SF_SMALL}/events.parquet' GROUP BY 1)
+        SELECT arm, date_diff('day', f, coalesce(p, l)),
+               CASE WHEN p IS NULL THEN 0 ELSE 1 END
+        FROM spans
+        """
+    ).fetchall()
+    per_t: dict = {}
+    for arm, t, ev in lives:
+        rec = per_t.setdefault(t, [0, 0, 0, 0])  # d, d_a, total, total_a
+        rec[0] += ev
+        rec[2] += 1
+        if arm == "A":
+            rec[1] += ev
+            rec[3] += 1
+    times = sorted(per_t)
+    o_a = se = sv = 0
+    n = sum(per_t[t][2] for t in times)
+    n_a = sum(per_t[t][3] for t in times)
+    for t in times:
+        d, d_a, total, total_a = per_t[t]
+        if d > 0:
+            o_a += d_a
+            se += math.floor(d * (n_a / n) * 1e6 + 1e-3)
+            if n > 1:
+                sv += math.floor(
+                    d * (n_a / n) * (1 - n_a / n) * (n - d) / (n - 1)
+                    * 1e6 + 1e-3
+                )
+        n -= total
+        n_a -= total_a
+    chi2 = (o_a - se / 1e6) ** 2 / (sv / 1e6)
+    r = logrank_test_arms(spark, SF_SMALL).collect()[0]
+    assert r["observed_a"] == o_a
+    assert abs(r["expected_a"] - se / 1e6) <= 1e-3
+    assert abs(r["chi2_logrank"] - chi2) <= 1e-4
+    assert r["significant_95"] == 0  # placebo split
