@@ -3112,3 +3112,134 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2_logrank"),
         (chi2 > 3.8415).cast("int").alias("significant_95"),
     )
+
+
+@register(
+    "weibull_lifetime_fit",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS f,
+             CAST(date_trunc('day', min(CASE WHEN event_type = 'purchase'
+                                             THEN ts END)) AS DATE) AS p
+      FROM events GROUP BY user_id
+    ),
+    lives AS (
+      SELECT CAST(date_diff('day', f, p) + 1 AS BIGINT) AS t
+      FROM spans WHERE p IS NOT NULL
+    ),
+    ranked AS (
+      SELECT t,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM lives
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(t) * 1000000 + 0.001) AS BIGINT) AS x_micro,
+             CAST(floor(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) * 1000000
+                        + 0.001) AS BIGINT) AS y_micro,
+             n
+      FROM ranked
+    ),
+    m AS (
+      SELECT any_value(n) AS n,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(x_micro) AS BIGINT) AS sx,
+             CAST(sum(y_micro) AS BIGINT) AS sy,
+             sum(CAST(x_micro AS DECIMAL(38,0)) * y_micro) AS sxy,
+             sum(CAST(x_micro AS DECIMAL(38,0)) * x_micro) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS k,
+             CAST(sx AS DOUBLE) / (np * 1000000.0) AS mx,
+             CAST(sy AS DOUBLE) / (np * 1000000.0) AS my
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           round(k, 6) AS shape_k,
+           round(exp(mx - my / k), 4) AS scale_days,
+           round(exp(mx - my / k)
+                 * exp(ln(0.693147181) / k), 4) AS median_days
+    FROM fit
+    """,
+)
+def weibull_lifetime_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of time-to-first-purchase by median-rank
+    probability-plot regression (Bernard's approximation F_i =
+    (i-0.3)/(n+0.4); the reliability-engineering standard when you
+    want shape AND scale without an iterative MLE): regressing
+    y = ln(-ln(1-F)) on x = ln t gives slope = shape k and intercept
+    -k ln(lambda), so scale = exp(mean_x - mean_y/k); shape k < 1
+    means purchase hazard DECREASES with tenure (buy-early-or-never),
+    k > 1 means it accumulates. Median lifetime lambda*(ln 2)^(1/k)
+    reported alongside. Parametric companion to the nonparametric
+    survival kit (KM / Nelson-Aalen / RMST / log-rank); uncensored
+    purchasers only, the classic plotting-paper simplification
+    (documented trade-off vs the censoring-aware MLE).
+
+    Determinism: ranks come from a total-ordered window; each row's
+    TWO transcendentals (ln t and ln(-ln(1-F)) — F an exact rational)
+    are floored to 1e-6 fixed point, so the OLS moment sums are exact
+    BIGINT/DECIMAL and the fit is one identical double expression
+    (ln 2 spelled as a literal; exp single ops).
+
+    Scale: one fact scan -> user collapse -> purchaser-sized ranked
+    table (the mann_whitney window discipline; the oracle's single
+    window is over the same bounded table)."""
+    e = load(spark, sf_dir).events
+    spans = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("f"),
+        F.to_date(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("p"),
+    )
+    lives = spans.filter(F.col("p").isNotNull()).select(
+        (F.datediff("p", "f") + 1).cast("long").alias("t")
+    )
+    ranked = lives.select(
+        "t",
+        F.row_number().over(W.orderBy("t")).cast("long").alias("i"),
+        F.count(F.lit(1))
+        .over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("long")
+        .alias("n"),
+    )
+    pts = ranked.selectExpr(
+        "CAST(floor(ln(t) * 1000000 + 0.001) AS BIGINT) AS x_micro",
+        "CAST(floor(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) * 1000000"
+        " + 0.001) AS BIGINT) AS y_micro",
+        "n",
+    )
+    m = pts.agg(
+        F.expr("any_value(n)").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.expr("sum(CAST(x_micro AS DECIMAL(38,0)) * y_micro)").alias(
+            "sxy"
+        ),
+        F.expr("sum(CAST(x_micro AS DECIMAL(38,0)) * x_micro)").alias(
+            "sxx"
+        ),
+    )
+    fit = m.selectExpr(
+        "n",
+        "(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS k",
+        "CAST(sx AS DOUBLE) / (np * 1000000.0) AS mx",
+        "CAST(sy AS DOUBLE) / (np * 1000000.0) AS my",
+    )
+    return fit.selectExpr(
+        "CAST(n AS BIGINT) AS n_events",
+        "round(k, 6) AS shape_k",
+        "round(exp(mx - my / k), 4) AS scale_days",
+        "round(exp(mx - my / k) * exp(ln(0.693147181) / k), 4)"
+        " AS median_days",
+    )

@@ -3227,3 +3227,50 @@ def test_logrank_python_replica_and_placebo(spark, duck):
     assert abs(r["expected_a"] - se / 1e6) <= 1e-3
     assert abs(r["chi2_logrank"] - chi2) <= 1e-4
     assert r["significant_95"] == 0  # placebo split
+
+
+def test_weibull_fit_python_replica(spark, duck):
+    """Shape/scale recomputed in Python with the same 1e-6 floors must
+    match; shape must be positive and the median below the scale for
+    any k (ln2 < 1)."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining import (
+        weibull_lifetime_fit,
+    )
+
+    from .conftest import SF_SMALL
+
+    ts = [
+        t for (t,) in duck.execute(
+            f"""
+            WITH spans AS (
+              SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS f,
+                     CAST(date_trunc('day', min(CASE WHEN event_type =
+                         'purchase' THEN ts END)) AS DATE) AS p
+              FROM '{SF_SMALL}/events.parquet' GROUP BY 1)
+            SELECT date_diff('day', f, p) + 1 FROM spans
+            WHERE p IS NOT NULL ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    n = len(ts)
+    xs = [math.floor(math.log(t) * 1e6 + 1e-3) for t in ts]
+    ys = [
+        math.floor(
+            math.log(-math.log(1.0 - (i - 0.3) / (n + 0.4))) * 1e6 + 1e-3
+        )
+        for i in range(1, n + 1)
+    ]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mx, my = sx / (n * 1e6), sy / (n * 1e6)
+    scale = math.exp(mx - my / k)
+    r = weibull_lifetime_fit(spark, SF_SMALL).collect()[0]
+    assert r["n_events"] == n
+    assert abs(r["shape_k"] - k) <= 1e-5
+    assert abs(r["scale_days"] - scale) <= 1e-3
+    assert r["shape_k"] > 0
+    assert r["median_days"] < r["scale_days"]
