@@ -3294,7 +3294,9 @@ def kulldorff_temporal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").alias("cumb"),
     )
     win = (
-        seq.join(b, F.col("rnb") >= F.col("rn"))
+        # months-bounded right side: broadcast turns the non-equi pair
+        # join into BNLJ instead of a CartesianProduct plan
+        seq.join(F.broadcast(b), F.col("rnb") >= F.col("rn"))
         .crossJoin(F.broadcast(tot))
         .selectExpr(
             "month AS start_month",
@@ -3421,7 +3423,7 @@ def wasserstein_drift_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = base.select("nation").distinct()
     glob = base.groupBy("month").agg(F.sum("c").cast("long").alias("cg"))
     nat = (
-        spine.crossJoin(nations)
+        spine.crossJoin(F.broadcast(nations))
         .join(base, ["month", "nation"], "left")
         .select(
             "month", "nation", F.coalesce("c", F.lit(0)).alias("cn")
