@@ -3723,646 +3723,6 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RDD_CUTOFF_CENTS = 500_000   # $5,000 account-balance cutoff
-RDD_BANDWIDTH_CENTS = 300_000  # +/- $3,000 local-linear window
-_RDD_SIDE_STATS = """
-  CAST(count(*) AS DECIMAL(38,0)) AS n,
-  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
-  sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
-  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
-  sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
-"""
-# per-side OLS quantities as one identical double expression tree over
-# the exact decimal moment sums (the groupwise_ols_trend discipline)
-_RDD_FITS = """
-  CAST(n AS DOUBLE) AS nd,
-  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
-  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-  (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
-   - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept
-"""
-
-
-@register(
-    "regression_discontinuity_effect",
-    oracle=f"""
-    WITH spend AS (
-      SELECT o_custkey,
-             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS y
-      FROM orders GROUP BY 1
-    ),
-    run AS (
-      SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT)
-               - {RDD_CUTOFF_CENTS} AS x,
-             coalesce(s.y, 0) AS y
-      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
-      WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT)
-            BETWEEN {RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS}
-                AND {RDD_CUTOFF_CENTS + RDD_BANDWIDTH_CENTS - 1}
-    ),
-    sides AS (
-      SELECT (x >= 0) AS treated, {_RDD_SIDE_STATS}
-      FROM run GROUP BY 1
-    ),
-    fits AS (
-      SELECT treated, {_RDD_FITS},
-             CAST(syy AS DOUBLE) AS syyd, CAST(sy AS DOUBLE) AS syd,
-             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
-      FROM sides
-    ),
-    se AS (
-      SELECT treated, nd, slope, intercept, den,
-             sqrt(greatest(syyd - intercept * syd - slope * sxyd, 0.0)
-                  / (nd - 2) * sxxd / den) AS se_int
-      FROM fits
-    ),
-    wide AS (
-      SELECT
-        max(CASE WHEN NOT treated THEN nd END) AS n_l,
-        max(CASE WHEN treated THEN nd END) AS n_r,
-        max(CASE WHEN NOT treated THEN slope END) AS sl_l,
-        max(CASE WHEN treated THEN slope END) AS sl_r,
-        max(CASE WHEN NOT treated THEN intercept END) AS int_l,
-        max(CASE WHEN treated THEN intercept END) AS int_r,
-        max(CASE WHEN NOT treated THEN se_int END) AS se_l,
-        max(CASE WHEN treated THEN se_int END) AS se_r
-      FROM se
-    )
-    SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
-           round(sl_l, 6) AS slope_left_per_dollar,
-           round(sl_r, 6) AS slope_right_per_dollar,
-           round(int_l / 100, 2) AS intercept_left_dollars,
-           round(int_r / 100, 2) AS intercept_right_dollars,
-           round((int_r - int_l) / 100, 2) AS rd_effect_dollars,
-           round(sqrt(se_l * se_l + se_r * se_r) / 100, 2)
-             AS se_effect_dollars,
-           CAST(abs(int_r - int_l)
-                > 1.96 * sqrt(se_l * se_l + se_r * se_r) AS INT)
-             AS significant_95
-    FROM wide
-    """,
-)
-def regression_discontinuity_effect(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Sharp regression-discontinuity estimate (Thistlethwaite &
-    Campbell 1960; Imbens & Lemieux 2008) of the effect of crossing a
-    $5,000 account-balance cutoff on total customer spend: local
-    linear fits on each side of the cutoff within a +/-$3,000
-    bandwidth, effect = intercept_right - intercept_left at the
-    boundary, with the conventional intercept-variance SE and a 95%
-    z-flag. Completes the causal kit's identification-strategy row
-    (diff_in_diff: parallel trends; stratified_att: selection on
-    observables; RDD: local randomization at a threshold). The
-    synthetic balances are independent of spend, so this is a PLACEBO
-    design — the honest expectation, pinned in tests, is a
-    non-significant effect near 0.
-
-    Determinism: per-side moment sums (n, Sx, Sy, Sxy, Sxx, Syy)
-    accumulate in exact DECIMAL(38,0) cents; slope/intercept/SE are
-    one identical double expression tree over those exact values (the
-    groupwise_ols_trend discipline); negative rounding residue in the
-    RSS is clamped at 0 before the sqrt.
-
-    Scale: one orders scan (per-customer spend agg), one customer
-    scan with the bandwidth filter pushed to parquet, a 2-row side
-    table thereafter."""
-    t = load(spark, sf_dir)
-    spend = t.orders.groupBy("o_custkey").agg(
-        F.expr(
-            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
-            " AS BIGINT)"
-        ).alias("y")
-    )
-    bal = F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")
-    run = (
-        t.customer.select("c_custkey", bal.alias("balc"))
-        .filter(
-            F.col("balc").between(
-                RDD_CUTOFF_CENTS - RDD_BANDWIDTH_CENTS,
-                RDD_CUTOFF_CENTS + RDD_BANDWIDTH_CENTS - 1,
-            )
-        )
-        .join(spend, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .select(
-            (F.col("balc") - RDD_CUTOFF_CENTS).alias("x"),
-            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
-        )
-    )
-    sides = run.groupBy((F.col("x") >= 0).alias("treated")).agg(
-        *[
-            F.expr(e.strip().rsplit(" AS ", 1)[0]).alias(
-                e.strip().rsplit(" AS ", 1)[1]
-            )
-            for e in _RDD_SIDE_STATS.strip().split(",\n")
-        ]
-    )
-    fits = sides.selectExpr(
-        "treated",
-        "CAST(n AS DOUBLE) AS nd",
-        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den",
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope",
-        "(CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
-        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept",
-        "CAST(syy AS DOUBLE) AS syyd",
-        "CAST(sy AS DOUBLE) AS syd",
-        "CAST(sxy AS DOUBLE) AS sxyd",
-        "CAST(sxx AS DOUBLE) AS sxxd",
-    )
-    se = fits.selectExpr(
-        "treated",
-        "nd",
-        "slope",
-        "intercept",
-        "sqrt(greatest(syyd - intercept * syd - slope * sxyd, 0.0)"
-        " / (nd - 2) * sxxd / den) AS se_int",
-    )
-    wide = se.agg(
-        *[
-            F.max(F.when(F.col("treated") == lit, F.col(c))).alias(
-                f"{c[:3]}_{suf}"
-            )
-            for lit, suf in ((False, "l"), (True, "r"))
-            for c in ("nd", "slope", "intercept", "se_int")
-        ]
-    ).toDF("nd_l", "slo_l", "int_l", "se__l", "nd_r", "slo_r", "int_r", "se__r")
-    eff = F.col("int_r") - F.col("int_l")
-    se2 = F.sqrt(
-        F.col("se__l") * F.col("se__l") + F.col("se__r") * F.col("se__r")
-    )
-    return wide.select(
-        F.col("nd_l").cast("long").alias("n_left"),
-        F.col("nd_r").cast("long").alias("n_right"),
-        F.round(F.col("slo_l"), 6).alias("slope_left_per_dollar"),
-        F.round(F.col("slo_r"), 6).alias("slope_right_per_dollar"),
-        F.round(F.col("int_l") / 100, 2).alias("intercept_left_dollars"),
-        F.round(F.col("int_r") / 100, 2).alias("intercept_right_dollars"),
-        F.round(eff / 100, 2).alias("rd_effect_dollars"),
-        F.round(se2 / 100, 2).alias("se_effect_dollars"),
-        (F.abs(eff) > 1.96 * se2).cast("int").alias("significant_95"),
-    )
-
-
-@register(
-    "psm_att_matched",
-    oracle="""
-    WITH pre AS (
-      SELECT o_custkey,
-             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS x,
-             max(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS treated
-      FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-      GROUP BY 1
-    ),
-    outcome AS (
-      SELECT o_custkey,
-             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS y96
-      FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-      GROUP BY 1
-    ),
-    panel AS (
-      SELECT p.o_custkey AS k, p.x, p.treated,
-             coalesce(o.y96, 0) AS y
-      FROM pre p LEFT JOIN outcome o ON o.o_custkey = p.o_custkey
-    ),
-    lined AS (
-      SELECT k, x, treated, y,
-             last_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
-               OVER w_prev AS px,
-             last_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
-               OVER w_prev AS py,
-             first_value(CASE WHEN treated = 0 THEN x END IGNORE NULLS)
-               OVER w_next AS nx,
-             first_value(CASE WHEN treated = 0 THEN y END IGNORE NULLS)
-               OVER w_next AS ny
-      FROM panel
-      WINDOW
-        w_prev AS (ORDER BY x, treated, k
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        w_next AS (ORDER BY x, treated, k
-                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-    ),
-    matched AS (
-      SELECT k, x, y,
-             CASE WHEN px IS NULL THEN ny
-                  WHEN nx IS NULL THEN py
-                  WHEN x - px <= nx - x THEN py ELSE ny END AS yc,
-             CASE WHEN px IS NULL THEN nx - x
-                  WHEN nx IS NULL THEN x - px
-                  WHEN x - px <= nx - x THEN x - px ELSE nx - x
-             END AS dx
-      FROM lined WHERE treated = 1
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_treated,
-           (SELECT CAST(sum(1 - treated) AS BIGINT) FROM panel)
-             AS n_controls,
-           round(sum(y) * 1.0 / (100 * count(*)), 4)
-             AS mean_treated_dollars,
-           round(sum(yc) * 1.0 / (100 * count(*)), 4)
-             AS mean_matched_control_dollars,
-           round(sum(y - yc) * 1.0 / (100 * count(*)), 4)
-             AS att_matched_dollars,
-           round(sum(dx) * 1.0 / (100 * count(*)), 4)
-             AS mean_match_distance_dollars
-    FROM matched
-    """,
-)
-def psm_att_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ATT by 1-nearest-neighbor covariate matching WITH REPLACEMENT
-    (Abadie & Imbens 2006) on the stratified_att_adjustment scenario:
-    each treated customer (high-priority 1995 order) is matched to the
-    control whose pre-treatment 1995 spend is nearest, and the ATT on
-    1996 spend is the mean matched difference. With-replacement 1-NN
-    on a 1-D covariate needs NO pair join at all: sort everyone by the
-    covariate once, and each treated unit's match is either the last
-    control before it or the first control after it (window functions
-    with IGNORE NULLS) — the matching estimator as two windows, the
-    estimator-side completion of the causal kit next to
-    subclassification (stratified_att_adjustment) and weighting
-    (ips_offline_policy_eval).
-
-    Determinism: the sort key chain (x, treated, k) is total, distance
-    ties break toward the PREVIOUS control (<=), and all sums are
-    exact BIGINT cents; the four output ratios round at the edge.
-    Greedy WITHOUT-replacement matching is order-sequential and
-    deliberately avoided — with-replacement is the parallelizable
-    variant and its bias correction is the documented trade-off.
-
-    Scale: two fact scans (pre/outcome years, date filter pushed), one
-    customer-sized panel. The oracle's single global window is
-    decomposed into the bucketed two-phase shape (the
-    global_order_stats pattern): within-$100k-bucket windows run
-    partition-parallel, and only the one-row-per-bucket boundary
-    table (value-domain-bounded) sees an unpartitioned window; the
-    DuckDB hash match proves the decomposition lossless. No treated x
-    control join ever materializes."""
-    o = load(spark, sf_dir).orders
-    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
-    pre = (
-        o.filter(
-            (F.col("o_orderdate") >= "1995-01-01")
-            & (F.col("o_orderdate") < "1996-01-01")
-        )
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(cents).cast("long").alias("x"),
-            F.max(
-                F.when(
-                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-                ).otherwise(0)
-            ).alias("treated"),
-        )
-    )
-    outcome = (
-        o.filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1997-01-01")
-        )
-        .groupBy(F.col("o_custkey").alias("k2"))
-        .agg(F.sum(cents).cast("long").alias("y96"))
-    )
-    panel = (
-        pre.join(outcome, F.col("o_custkey") == F.col("k2"), "left")
-        .select(
-            F.col("o_custkey").alias("k"),
-            "x",
-            "treated",
-            F.coalesce("y96", F.lit(0)).alias("y"),
-        )
-        # narrow staged panel (4 longs/row, customer-level — the
-        # grid_lof staged-model-table precedent): the in-bucket
-        # windows, control summaries, bucket spine and control count
-        # otherwise re-run the two fact scans 4x each (plan audit)
-        .localCheckpoint(eager=True)
-    )
-    # two-phase distributed nearest-control: the global sort the oracle
-    # window expresses would serialize onto one task in Spark, so the
-    # panel is bucketed by a monotone image of x ($100k spend buckets —
-    # value-domain-bounded, so the bucket table stays small at any SF),
-    # within-bucket windows run partition-parallel, and only the
-    # bucket-level boundary table (one row per bucket) sees an
-    # unpartitioned window (the global_order_stats pattern).
-    panel = panel.withColumn(
-        "b", F.floor(F.col("x") / 10_000_000).cast("long")
-    )
-    order = [F.col("x"), F.col("treated"), F.col("k")]
-    wb_prev = (
-        W.partitionBy("b").orderBy(*order).rowsBetween(
-            W.unboundedPreceding, -1
-        )
-    )
-    wb_next = (
-        W.partitionBy("b").orderBy(*order).rowsBetween(
-            1, W.unboundedFollowing
-        )
-    )
-    cx = F.when(F.col("treated") == 0, F.col("x"))
-    cy = F.when(F.col("treated") == 0, F.col("y"))
-    lined_in = panel.select(
-        "k",
-        "b",
-        "x",
-        "treated",
-        "y",
-        F.last(cx, ignorenulls=True).over(wb_prev).alias("px_in"),
-        F.last(cy, ignorenulls=True).over(wb_prev).alias("py_in"),
-        F.first(cx, ignorenulls=True).over(wb_next).alias("nx_in"),
-        F.first(cy, ignorenulls=True).over(wb_next).alias("ny_in"),
-    )
-    ctrl = panel.filter(F.col("treated") == 0)
-    w_last = W.partitionBy("b").orderBy(
-        F.col("x").desc(), F.col("k").desc()
-    )
-    w_first = W.partitionBy("b").orderBy(F.col("x"), F.col("k"))
-    summary = (
-        ctrl.withColumn("rl", F.row_number().over(w_last))
-        .withColumn("rf", F.row_number().over(w_first))
-        .filter((F.col("rl") == 1) | (F.col("rf") == 1))
-        .groupBy("b")
-        .agg(
-            F.max(F.when(F.col("rl") == 1, F.col("x"))).alias("last_x"),
-            F.max(F.when(F.col("rl") == 1, F.col("y"))).alias("last_y"),
-            F.max(F.when(F.col("rf") == 1, F.col("x"))).alias("first_x"),
-            F.max(F.when(F.col("rf") == 1, F.col("y"))).alias("first_y"),
-        )
-    )
-    spine = (
-        panel.select("b")
-        .distinct()
-        .join(summary, "b", "left")
-        # bucket-count-sized table: the unpartitioned window is bounded
-        .select(
-            "b",
-            F.last(F.col("last_x"), ignorenulls=True)
-            .over(W.orderBy("b").rowsBetween(W.unboundedPreceding, -1))
-            .alias("prev_bx"),
-            F.last(F.col("last_y"), ignorenulls=True)
-            .over(W.orderBy("b").rowsBetween(W.unboundedPreceding, -1))
-            .alias("prev_by"),
-            F.first(F.col("first_x"), ignorenulls=True)
-            .over(W.orderBy("b").rowsBetween(1, W.unboundedFollowing))
-            .alias("next_bx"),
-            F.first(F.col("first_y"), ignorenulls=True)
-            .over(W.orderBy("b").rowsBetween(1, W.unboundedFollowing))
-            .alias("next_by"),
-        )
-    )
-    lined = lined_in.join(F.broadcast(spine), "b").select(
-        "k",
-        "x",
-        "treated",
-        "y",
-        F.coalesce("px_in", "prev_bx").alias("px"),
-        F.coalesce("py_in", "prev_by").alias("py"),
-        F.coalesce("nx_in", "next_bx").alias("nx"),
-        F.coalesce("ny_in", "next_by").alias("ny"),
-    )
-    take_prev = (
-        F.col("nx").isNull()
-        | (
-            F.col("px").isNotNull()
-            & (F.col("x") - F.col("px") <= F.col("nx") - F.col("x"))
-        )
-    )
-    matched = lined.filter(F.col("treated") == 1).select(
-        "k",
-        "x",
-        "y",
-        F.when(take_prev, F.col("py")).otherwise(F.col("ny")).alias("yc"),
-        F.when(take_prev, F.col("x") - F.col("px"))
-        .otherwise(F.col("nx") - F.col("x"))
-        .alias("dx"),
-    )
-    n_controls = panel.agg(
-        F.sum(1 - F.col("treated")).cast("long").alias("n_controls")
-    )
-    return (
-        matched.agg(
-            F.count(F.lit(1)).cast("long").alias("n_treated"),
-            F.sum("y").cast("long").alias("sy"),
-            F.sum("yc").cast("long").alias("syc"),
-            F.sum("dx").cast("long").alias("sdx"),
-        )
-        .crossJoin(F.broadcast(n_controls))
-        .select(
-            "n_treated",
-            "n_controls",
-            F.round(F.col("sy") * 1.0 / (100 * F.col("n_treated")), 4)
-            .alias("mean_treated_dollars"),
-            F.round(F.col("syc") * 1.0 / (100 * F.col("n_treated")), 4)
-            .alias("mean_matched_control_dollars"),
-            F.round(
-                (F.col("sy") - F.col("syc"))
-                * 1.0
-                / (100 * F.col("n_treated")),
-                4,
-            ).alias("att_matched_dollars"),
-            F.round(F.col("sdx") * 1.0 / (100 * F.col("n_treated")), 4)
-            .alias("mean_match_distance_dollars"),
-        )
-    )
-
-
-@register(
-    "mantel_haenszel_odds",
-    oracle="""
-    WITH pre AS (
-      SELECT o.o_custkey, c.c_nationkey AS nk,
-             max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS treated
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-      GROUP BY 1, 2
-    ),
-    conv AS (
-      SELECT DISTINCT o_custkey FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-    ),
-    panel AS (
-      SELECT p.nk, p.treated,
-             CASE WHEN cv.o_custkey IS NULL THEN 0 ELSE 1 END AS conv
-      FROM pre p LEFT JOIN conv cv ON cv.o_custkey = p.o_custkey
-    ),
-    cells AS (
-      SELECT nk,
-             CAST(sum(CASE WHEN treated = 1 AND conv = 1
-                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
-             CAST(sum(CASE WHEN treated = 1 AND conv = 0
-                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
-             CAST(sum(CASE WHEN treated = 0 AND conv = 1
-                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
-             CAST(sum(CASE WHEN treated = 0 AND conv = 0
-                           THEN 1 ELSE 0 END) AS BIGINT) AS d
-      FROM panel GROUP BY nk
-    ),
-    terms AS (
-      SELECT nk, a, b, c, d, a + b + c + d AS n,
-             CAST(floor(a * d * 1000000.0 / (a + b + c + d) + 0.001)
-                  AS BIGINT) AS r_micro,
-             CAST(floor(b * c * 1000000.0 / (a + b + c + d) + 0.001)
-                  AS BIGINT) AS s_micro,
-             CAST(floor((a + b) * (a + c) * 1000000.0 / (a + b + c + d)
-                        + 0.001) AS BIGINT) AS ea_micro,
-             CAST(floor((a + b) * (c + d) * 1.0 * (a + c) * (b + d)
-                        * 1000000.0
-                        / ((a + b + c + d) * 1.0 * (a + b + c + d)
-                           * (a + b + c + d - 1)) + 0.001) AS BIGINT)
-               AS va_micro
-      FROM cells WHERE a + b + c + d > 1
-    ),
-    agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_strata,
-             CAST(sum(a) AS BIGINT) AS sum_a,
-             CAST(sum(r_micro) AS BIGINT) AS sr,
-             CAST(sum(s_micro) AS BIGINT) AS ss,
-             CAST(sum(ea_micro) AS BIGINT) AS sea,
-             CAST(sum(va_micro) AS BIGINT) AS sva
-      FROM terms
-    )
-    SELECT n_strata, sum_a,
-           round(CAST(sr AS DOUBLE) / ss, 6) AS mh_odds_ratio,
-           round((abs(sum_a * 1000000.0 - sea) - 500000.0)
-                 * (abs(sum_a * 1000000.0 - sea) - 500000.0)
-                 / (sva * 1000000.0), 6) AS cmh_chi2,
-           CAST((abs(sum_a * 1000000.0 - sea) - 500000.0)
-                * (abs(sum_a * 1000000.0 - sea) - 500000.0)
-                / (sva * 1000000.0) > 3.8415 AS INT) AS significant_95
-    FROM agg
-    """,
-)
-def mantel_haenszel_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mantel-Haenszel pooled odds ratio and continuity-corrected CMH
-    chi-square (Mantel & Haenszel 1959) for the high-priority-1995 ->
-    converted-in-1996 2x2 table stratified by customer nation — the
-    meta-analytic pooled-effect estimator (OR_MH = sum a_i d_i / n_i
-    over sum b_i c_i / n_i) that complements the per-stratum view of
-    stratified_att_adjustment and the paired design of
-    mcnemar_paired_conversion: many small 2x2s pooled WITHOUT assuming
-    a common baseline rate.
-
-    Determinism: each stratum's four cells are exact integers; the
-    per-stratum ratio terms a_i d_i/n_i, b_i c_i/n_i, the CMH
-    expectation (row*col)/n and hypergeometric variance are each one
-    double division floored to 1e-6 fixed point, so the cross-stratum
-    sums are exact BIGINT; the final OR and chi2 (with Yates 0.5
-    continuity correction in micro units) are identical scalar
-    expressions. Degenerate strata (n <= 1) are excluded identically.
-
-    Scale: one orders scan per period, one customer-sized panel, a
-    25-row stratum table thereafter."""
-    t = load(spark, sf_dir)
-    o = t.orders
-    pre = (
-        o.filter(
-            (F.col("o_orderdate") >= "1995-01-01")
-            & (F.col("o_orderdate") < "1996-01-01")
-        )
-        .join(
-            t.customer.select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .groupBy("o_custkey", "c_nationkey")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-                ).otherwise(0)
-            ).alias("treated")
-        )
-        .select(
-            "o_custkey", F.col("c_nationkey").alias("nk"), "treated"
-        )
-    )
-    conv = (
-        o.filter(
-            (F.col("o_orderdate") >= "1996-01-01")
-            & (F.col("o_orderdate") < "1997-01-01")
-        )
-        .select(F.col("o_custkey").alias("ck"))
-        .distinct()
-    )
-    panel = pre.join(conv, F.col("o_custkey") == F.col("ck"), "left").select(
-        "nk",
-        "treated",
-        F.when(F.col("ck").isNull(), 0).otherwise(1).alias("conv"),
-    )
-    cells = panel.groupBy("nk").agg(
-        *[
-            F.sum(
-                F.when(
-                    (F.col("treated") == tr) & (F.col("conv") == cv), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias(name)
-            for name, tr, cv in (
-                ("a", 1, 1),
-                ("b", 1, 0),
-                ("c", 0, 1),
-                ("d", 0, 0),
-            )
-        ]
-    )
-    terms = cells.filter(
-        F.col("a") + F.col("b") + F.col("c") + F.col("d") > 1
-    ).selectExpr(
-        "nk",
-        "a",
-        "CAST(floor(a * d * 1000000.0 / (a + b + c + d) + 0.001)"
-        " AS BIGINT) AS r_micro",
-        "CAST(floor(b * c * 1000000.0 / (a + b + c + d) + 0.001)"
-        " AS BIGINT) AS s_micro",
-        "CAST(floor((a + b) * (a + c) * 1000000.0 / (a + b + c + d)"
-        " + 0.001) AS BIGINT) AS ea_micro",
-        "CAST(floor((a + b) * (c + d) * 1.0 * (a + c) * (b + d)"
-        " * 1000000.0"
-        " / ((a + b + c + d) * 1.0 * (a + b + c + d)"
-        "    * (a + b + c + d - 1)) + 0.001) AS BIGINT) AS va_micro",
-    )
-    agg = terms.agg(
-        F.count(F.lit(1)).cast("long").alias("n_strata"),
-        F.sum("a").cast("long").alias("sum_a"),
-        F.sum("r_micro").cast("long").alias("sr"),
-        F.sum("s_micro").cast("long").alias("ss"),
-        F.sum("ea_micro").cast("long").alias("sea"),
-        F.sum("va_micro").cast("long").alias("sva"),
-    )
-    chi2 = (
-        (F.abs(F.col("sum_a") * 1_000_000.0 - F.col("sea")) - 500_000.0)
-        * (F.abs(F.col("sum_a") * 1_000_000.0 - F.col("sea")) - 500_000.0)
-        / (F.col("sva") * 1_000_000.0)
-    )
-    return agg.select(
-        "n_strata",
-        "sum_a",
-        F.round(F.expr("CAST(sr AS DOUBLE) / ss"), 6).alias(
-            "mh_odds_ratio"
-        ),
-        F.round(chi2, 6).alias("cmh_chi2"),
-        (chi2 > 3.8415).cast("int").alias("significant_95"),
-    )
 
 
 # Gumbel return-level constants, baked to 9 dp (no engine evaluates a
@@ -4502,367 +3862,10 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BT_ITERS = 8
-BT_UNIT = 1_000_000_000_000
-
-
-def _bt_oracle() -> str:
-    steps = []
-    prev = "p0"
-    for t in range(1, BT_ITERS + 1):
-        steps.append(f"""d{t} AS MATERIALIZED (
-      SELECT s.i,
-             CAST(sum(CAST(floor((CAST(m.n AS DOUBLE) * {BT_UNIT})
-                                 * {BT_UNIT} / (s.p + p2.p) + 0.001)
-                           AS BIGINT)) AS BIGINT) AS d
-      FROM sym m
-      JOIN {prev} s ON s.i = m.i
-      JOIN {prev} p2 ON p2.i = m.j
-      GROUP BY s.i
-    ),
-    r{t} AS MATERIALIZED (
-      SELECT w.i,
-             CAST(floor((CAST(w.w AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}
-                        / greatest(d{t}.d, 1) + 0.001) AS BIGINT) AS praw
-      FROM w JOIN d{t} ON d{t}.i = w.i
-    ),
-    p{t} AS MATERIALIZED (
-      SELECT i,
-             CAST(floor((CAST(praw AS DOUBLE) * {BT_UNIT})
-                        / (SELECT sum(praw) FROM r{t}) + 0.001)
-                  AS BIGINT) AS p
-      FROM r{t}
-    )""")
-        prev = f"p{t}"
-    unrolled = ",\n    ".join(steps)
-    return f"""
-    WITH cells AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS i,
-             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-               AS rev
-      FROM events GROUP BY 1, 2
-    ),
-    duels AS (
-      SELECT a.i AS wi, b.i AS li
-      FROM cells a JOIN cells b
-        ON b.day = a.day AND a.i <> b.i AND a.rev > b.rev
-    ),
-    wins AS (
-      SELECT wi, li, CAST(count(*) AS BIGINT) AS nw
-      FROM duels GROUP BY 1, 2
-    ),
-    sym AS MATERIALIZED (
-      SELECT a.wi AS i, a.li AS j,
-             a.nw + coalesce(b.nw, 0) AS n
-      FROM wins a LEFT JOIN wins b ON b.wi = a.li AND b.li = a.wi
-      UNION
-      SELECT a.li, a.wi, a.nw + coalesce(b.nw, 0)
-      FROM wins a LEFT JOIN wins b ON b.wi = a.li AND b.li = a.wi
-    ),
-    w AS MATERIALIZED (
-      SELECT wi AS i, CAST(sum(nw) AS BIGINT) AS w FROM wins GROUP BY 1
-    ),
-    p0 AS (SELECT i, CAST({BT_UNIT} // 5 AS BIGINT) AS p FROM w),
-    {unrolled}
-    SELECT w.i AS event_type, w.w AS n_wins,
-           (SELECT CAST(sum(n) AS BIGINT) FROM sym s WHERE s.i = w.i)
-             AS n_contests,
-           p.p AS strength_units,
-           round(p.p / {BT_UNIT}.0, 6) AS bt_strength
-    FROM w JOIN p{BT_ITERS} p ON p.i = w.i
-    ORDER BY p.p DESC, w.i
-    """
-
-
-@register("bradley_terry_event_strengths", oracle=_bt_oracle())
-def bradley_terry_event_strengths(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Bradley-Terry paired-comparison strengths (Bradley & Terry
-    1952) of the five event types, learned from daily revenue duels
-    (type i beats type j on a day when its daily revenue is strictly
-    higher): {BT_ITERS} Hunter-(2004)-MM iterations p_i <- W_i /
-    sum_j n_ij/(p_i+p_j), renormalized each step — ranking from
-    pairwise outcomes, the model behind chess Elo aggregates, match-up
-    analysis and LLM preference leaderboards; complements
-    ucb1_bandit_replay (which LEARNS while playing — this RATES after
-    the fact).
-
-    Determinism: the duel counts are exact integers; each MM step runs
-    in {BT_UNIT} fixed-point units with every division spelled as the
-    SAME double expression in both engines behind the
-    floor(x + 1e-3) guard (the n*U^2 numerators exceed BIGINT, and
-    identical-input correctly-rounded double ops floor to identical
-    integers), so all {BT_ITERS} iterations are bit-identical walks of
-    a 5-row state table — Spark localCheckpoints each step, the oracle
-    unrolls materialized CTEs.
-
-    Scale: one fact scan -> (day, type) hash agg; duels, wins and all
-    iterations run on calendar x 5-type bounded tables."""
-    e = load(spark, sf_dir).events
-    cells = (
-        e.groupBy(
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
-            F.col("event_type").alias("i"),
-        )
-        .agg(
-            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
-            .cast("long")
-            .alias("rev")
-        )
-        .localCheckpoint(eager=True)  # calendar x 5 table, read twice
-    )
-    b = cells.select(
-        F.col("day").alias("day2"),
-        F.col("i").alias("j"),
-        F.col("rev").alias("rev2"),
-    )
-    wins = (
-        cells.join(
-            b,
-            (F.col("day") == F.col("day2"))
-            & (F.col("i") != F.col("j"))
-            & (F.col("rev") > F.col("rev2")),
-        )
-        .groupBy(F.col("i").alias("wi"), F.col("j").alias("li"))
-        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
-        .localCheckpoint(eager=True)
-    )
-    back = wins.select(
-        F.col("wi").alias("bwi"), F.col("li").alias("bli"),
-        F.col("nw").alias("bnw"),
-    )
-    sym = (
-        wins.join(
-            back,
-            (F.col("bwi") == F.col("li")) & (F.col("bli") == F.col("wi")),
-            "left",
-        )
-        .select(
-            F.col("wi").alias("i"),
-            F.col("li").alias("j"),
-            (F.col("nw") + F.coalesce(F.col("bnw"), F.lit(0))).alias("n"),
-        )
-        .unionAll(
-            wins.join(
-                back,
-                (F.col("bwi") == F.col("li"))
-                & (F.col("bli") == F.col("wi")),
-                "left",
-            ).select(
-                F.col("li").alias("i"),
-                F.col("wi").alias("j"),
-                (F.col("nw") + F.coalesce(F.col("bnw"), F.lit(0))).alias(
-                    "n"
-                ),
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    w = wins.groupBy(F.col("wi").alias("i")).agg(
-        F.sum("nw").cast("long").alias("w")
-    ).localCheckpoint(eager=True)
-    state = w.select("i", F.lit(BT_UNIT // 5).cast("long").alias("p"))
-    for _ in range(BT_ITERS):
-        p2 = state.select(F.col("i").alias("j2"), F.col("p").alias("pj"))
-        d = (
-            sym.join(state, "i")
-            .join(p2, F.col("j") == F.col("j2"))
-            .selectExpr(
-                "i",
-                f"CAST(floor((CAST(n AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}"
-                " / (p + pj) + 0.001) AS BIGINT) AS term",
-            )
-            .groupBy("i")
-            .agg(F.sum("term").cast("long").alias("d"))
-        )
-        praw = w.join(d, "i").selectExpr(
-            "i",
-            f"CAST(floor((CAST(w AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}"
-            " / greatest(d, 1) + 0.001) AS BIGINT) AS praw",
-        )
-        tot = praw.agg(F.sum("praw").cast("long").alias("s"))
-        state = (
-            praw.crossJoin(F.broadcast(tot))
-            .selectExpr(
-                "i",
-                f"CAST(floor((CAST(praw AS DOUBLE) * {BT_UNIT}) / s"
-                " + 0.001) AS BIGINT) AS p",
-            )
-            .localCheckpoint(eager=True)
-        )
-    contests = sym.groupBy("i").agg(F.sum("n").cast("long").alias("n_contests"))
-    return (
-        w.join(state, "i")
-        .join(contests, "i")
-        .select(
-            F.col("i").alias("event_type"),
-            F.col("w").alias("n_wins"),
-            "n_contests",
-            F.col("p").alias("strength_units"),
-            F.round(F.col("p") / float(BT_UNIT), 6).alias("bt_strength"),
-        )
-        .orderBy(F.col("strength_units").desc(), "event_type")
-    )
-
-
-ELO_K_MILLI = 16_000      # K-factor, milli-points
-ELO_START_MILLI = 1_000_000  # 1000.000 start rating
-_ELO_LN10 = 2.302585093   # baked ln(10)
-_ELO_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-def elo_expected_micro(d_milli: int) -> int:
-    """E = 1/(1+10^(d/400)) for rating gap d = R_opp - R_self in
-    milli-points, floored to 1e-6 fixed point; 10^x spelled
-    exp(x*ln10) with ln10 a baked literal so both engines run the
-    same single transcendental behind the floor guard."""
-    import math
-
-    return math.floor(
-        1_000_000 / (1 + math.exp(d_milli / 400_000.0 * _ELO_LN10)) + 0.001
-    )
-
-
-def _elo_oracle() -> str:
-    cols = ", ".join(f"r_{t}" for t in _ELO_TYPES)
-    start = ", ".join(
-        f"CAST({ELO_START_MILLI} AS BIGINT) AS r_{t}" for t in _ELO_TYPES
-    )
-    upd = []
-    for t in _ELO_TYPES:
-        upd.append(f"""
-             CASE WHEN d.wi = '{t}' THEN w.r_{t}
-                    + ({ELO_K_MILLI} * (1000000 - CAST(floor(1000000.0
-                      / (1 + exp((CASE {' '.join(f"WHEN d.li = '{u}' THEN w.r_{u}" for u in _ELO_TYPES)} END
-                         - w.r_{t}) / 400000.0 * {_ELO_LN10})) + 0.001)
-                      AS BIGINT))) // 1000000
-                  WHEN d.li = '{t}' THEN w.r_{t}
-                    - ({ELO_K_MILLI} * CAST(floor(1000000.0
-                      / (1 + exp(((CASE {' '.join(f"WHEN d.wi = '{u}' THEN w.r_{u}" for u in _ELO_TYPES)} END)
-                         - w.r_{t}) / 400000.0 * {_ELO_LN10})) + 0.001)
-                      AS BIGINT)) // 1000000
-                  ELSE w.r_{t} END AS r_{t}""")
-    updates = ",".join(upd)
-    return f"""
-    WITH RECURSIVE cells AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS i,
-             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-               AS rev
-      FROM events GROUP BY 1, 2
-    ),
-    duel_seq AS (
-      SELECT row_number() OVER (ORDER BY a.day, a.i, b.i) AS rn,
-             a.i AS wi, b.i AS li
-      FROM cells a JOIN cells b
-        ON b.day = a.day AND a.i <> b.i AND a.rev > b.rev
-    ),
-    nmax AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM duel_seq),
-    walk(rn, {cols}) AS (
-      SELECT CAST(0 AS BIGINT), {start}
-      UNION ALL
-      SELECT w.rn + 1,{updates}
-      FROM walk w JOIN duel_seq d ON d.rn = w.rn + 1
-    ),
-    final AS (
-      SELECT * FROM walk CROSS JOIN nmax WHERE walk.rn = nmax.n
-    ),
-    duels_per AS (
-      SELECT i, CAST(count(*) AS BIGINT) AS n_duels FROM (
-        SELECT wi AS i FROM duel_seq UNION ALL SELECT li FROM duel_seq
-      ) GROUP BY i
-    )
-    SELECT u.i AS event_type, d.n_duels,
-           CAST(u.r AS BIGINT) AS elo_milli,
-           round(u.r / 1000.0, 3) AS elo_rating
-    FROM (
-      {' UNION ALL '.join(f"SELECT '{t}' AS i, r_{t} AS r FROM final" for t in _ELO_TYPES)}
-    ) u JOIN duels_per d ON d.i = u.i
-    ORDER BY u.r DESC, u.i
-    """
-
-
-@register("elo_rating_replay", oracle=_elo_oracle())
-def elo_rating_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Elo rating replay (Elo 1978) over the time-ordered daily
-    revenue duels between the five event types: K=16, start 1000,
-    expected score E = 1/(1+10^(gap/400)) — the ONLINE sequential
-    rating whose batch/stationary counterpart is
-    bradley_terry_event_strengths (Elo is stochastic-gradient BT; the
-    final orderings should broadly agree, pinned in tests).
-
-    Determinism: ratings walk in integer milli-points; each duel's
-    expected score is ONE exp (10^x spelled exp(x*ln10), ln10 baked)
-    floored to 1e-6 before the integer K-update, so the ~600-step
-    walk is bit-identical in both engines (the ucb1/msprt guard
-    discipline); duels are totally ordered by (day, winner, loser).
-
-    Scale: one fact scan -> (day, type) agg; the duel sequence is
-    calendar x 10-pairs bounded, walked stateful-per-key in
-    applyInPandas (single bounded group — the rating state is 5
-    numbers, never data-sized)."""
-    e = load(spark, sf_dir).events
-    cells = (
-        e.groupBy(
-            F.to_date(F.date_trunc("day", "ts")).alias("day"),
-            F.col("event_type").alias("i"),
-        )
-        .agg(
-            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
-            .cast("long")
-            .alias("rev")
-        )
-        .localCheckpoint(eager=True)
-    )
-    b = cells.select(
-        F.col("day").alias("day2"),
-        F.col("i").alias("j"),
-        F.col("rev").alias("rev2"),
-    )
-    duels = (
-        cells.join(
-            b,
-            (F.col("day") == F.col("day2"))
-            & (F.col("i") != F.col("j"))
-            & (F.col("rev") > F.col("rev2")),
-        )
-        .select("day", F.col("i").alias("wi"), F.col("j").alias("li"))
-    )
-
-    import pandas as pd
-
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["day", "wi", "li"])
-        r = {t: ELO_START_MILLI for t in _ELO_TYPES}
-        nd = {t: 0 for t in _ELO_TYPES}
-        for wi, li in zip(pdf["wi"], pdf["li"]):
-            ew = elo_expected_micro(r[li] - r[wi])
-            el = elo_expected_micro(r[wi] - r[li])
-            # winner gains K(1 - E_w); loser loses K*E_l (score 0) —
-            # with E_w + E_l = 1 the exchange is zero-sum up to floors
-            r[wi] += ELO_K_MILLI * (1_000_000 - ew) // 1_000_000
-            r[li] -= ELO_K_MILLI * el // 1_000_000
-            nd[wi] += 1
-            nd[li] += 1
-        return pd.DataFrame(
-            {
-                "event_type": list(_ELO_TYPES),
-                "n_duels": [nd[t] for t in _ELO_TYPES],
-                "elo_milli": [r[t] for t in _ELO_TYPES],
-                "elo_rating": [round(r[t] / 1000.0, 3) for t in _ELO_TYPES],
-            }
-        )
-
-    return (
-        duels.withColumn("g", F.lit(1))
-        .groupBy("g")
-        .applyInPandas(
-            walk,
-            schema=(
-                "event_type string, n_duels long, elo_milli long,"
-                " elo_rating double"
-            ),
-        )
-        .orderBy(F.col("elo_milli").desc(), "event_type")
-    )
+# --- compatibility re-exports (r11 split) -----------------------------
+from data_warehouse_data_mining_spark.operators.mining_causal import *  # noqa: F401,F403,E402
+from data_warehouse_data_mining_spark.operators.mining_ratings import *  # noqa: F401,F403,E402
+from data_warehouse_data_mining_spark.operators.mining_ratings import (  # noqa: F401,E402
+    _ELO_TYPES,
+    _ELO_LN10,
+)
