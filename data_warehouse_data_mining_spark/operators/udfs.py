@@ -13,7 +13,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_data_mining_spark.catalog import load
@@ -994,4 +994,120 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("nation")
+    )
+
+
+_MER_LN2 = 0.693147181
+
+
+@register(
+    "markov_entropy_rate",
+    oracle=_MARKOV_ORACLE.replace(
+        f" SELECT state, round(prob, 6) AS stationary_prob"
+        f" FROM r{_MARKOV_ITERS}",
+        f""",
+    hrow AS (
+      SELECT prev_type AS state,
+             CAST(sum(CASE WHEN p > 0 THEN
+               -CAST(floor(p * ln(p) * 1000000 - 0.001) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS h_micro
+      FROM trans GROUP BY prev_type
+    ),
+    joined AS (
+      SELECT h.state, r.prob, h.h_micro
+      FROM hrow h JOIN r{_MARKOV_ITERS} r ON r.state = h.state
+    ),
+    tot AS (
+      SELECT round(sum(prob * h_micro) / (1000000.0 * {_MER_LN2}), 6)
+        AS rate FROM joined
+    )
+    SELECT j.state, round(j.prob, 6) AS stationary_prob,
+           round(j.h_micro / (1000000.0 * {_MER_LN2}), 6)
+             AS state_entropy_bits,
+           t.rate AS entropy_rate_bits
+    FROM joined j CROSS JOIN tot t
+    ORDER BY j.state
+    """,
+    ),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain (Shannon 1948:
+    H = -sum_i pi_i sum_j P_ij log2 P_ij): how many bits of surprise
+    each successive event carries once the chain mixes — the
+    information-theoretic single number for 'how predictable are user
+    journeys', decomposed per state (a state whose row entropy is low
+    is a funnel; high is a crossroads). Builds on
+    markov_stationary_distribution's 12-step power iteration and the
+    same bigram transition table.
+
+    Determinism: transition probabilities are exact rationals; each
+    P ln P cell term is floored to 1e-6 (the floor at -0.001 keeps
+    the NEGATIVE terms' guard on the correct side), so row entropies
+    are exact BIGINTs; the stationary vector follows its sibling
+    query's accepted plain-double discipline (5-state sums, 1e-16 ulp
+    noise ~8 orders below the 6-dp rounding).
+
+    Scale: one fact scan -> bigram hash agg; everything else runs on
+    the 5x5 transition table."""
+    e = load(spark, sf_dir).events
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = (
+        e.select(
+            "event_type",
+            F.lag("event_type").over(wlag).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # 5x5 table, read by both paths
+    )
+    wrow = Window.partitionBy("prev_type")
+    trans = big.select(
+        "prev_type",
+        "next_type",
+        (F.col("n") * 1.0 / F.sum("n").over(wrow)).alias("p"),
+    )
+    states = trans.select("prev_type").distinct()
+    n_states = states.count()
+    ranks = states.select(
+        F.col("prev_type").alias("state"),
+        F.lit(1.0 / n_states).alias("prob"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        ranks = (
+            trans.join(ranks, F.col("prev_type") == F.col("state"))
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("prob")).alias("prob"))
+        )
+    hrow = trans.groupBy(F.col("prev_type").alias("hstate")).agg(
+        F.sum(
+            F.when(
+                F.col("p") > 0,
+                -F.expr(
+                    "CAST(floor(p * ln(p) * 1000000 - 0.001) AS BIGINT)"
+                ),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("h_micro")
+    )
+    joined = hrow.join(ranks, F.col("state") == F.col("hstate"))
+    tot = joined.agg(
+        F.round(
+            F.sum(F.col("prob") * F.col("h_micro"))
+            / (1_000_000.0 * _MER_LN2),
+            6,
+        ).alias("entropy_rate_bits")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            F.round("prob", 6).alias("stationary_prob"),
+            F.round(
+                F.col("h_micro") / (1_000_000.0 * _MER_LN2), 6
+            ).alias("state_entropy_bits"),
+            "entropy_rate_bits",
+        )
+        .orderBy("state")
     )

@@ -3274,3 +3274,50 @@ def test_weibull_fit_python_replica(spark, duck):
     assert abs(r["scale_days"] - scale) <= 1e-3
     assert r["shape_k"] > 0
     assert r["median_days"] < r["scale_days"]
+
+
+def test_markov_entropy_rate_bounds_and_replica(spark, duck):
+    """Row entropies recomputed in Python from the exact bigram table
+    must match; the rate must lie in [0, log2(5)] and be a pi-weighted
+    average of the row entropies."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.udfs import (
+        markov_entropy_rate,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = {r["state"]: r for r in markov_entropy_rate(spark, SF_SMALL).collect()}
+    big = duck.execute(
+        f"""
+        SELECT prev_type, event_type, count(*) FROM (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM '{SF_SMALL}/events.parquet') t
+        WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    per: dict = {}
+    for pt, _nt, n in big:
+        per[pt] = per.get(pt, 0) + n
+    hrow: dict = {}
+    for pt, _nt, n in big:
+        p = n / per[pt]
+        hrow[pt] = hrow.get(pt, 0) - math.floor(
+            p * math.log(p) * 1e6 - 1e-3
+        )
+    maxbits = math.log2(5)
+    wsum = 0.0
+    psum = 0.0
+    for st, r in rows.items():
+        want = hrow[st] / (1e6 * 0.693147181)
+        assert abs(r["state_entropy_bits"] - want) <= 5e-6, st
+        assert 0 <= r["state_entropy_bits"] <= maxbits + 1e-6
+        wsum += r["stationary_prob"] * r["state_entropy_bits"]
+        psum += r["stationary_prob"]
+    assert abs(psum - 1.0) <= 1e-4
+    rate = next(iter(rows.values()))["entropy_rate_bits"]
+    assert 0 <= rate <= maxbits + 1e-6
+    assert abs(rate - wsum) <= 1e-3
