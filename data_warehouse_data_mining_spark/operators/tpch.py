@@ -1467,3 +1467,131 @@ def credit_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("over_exposure_rate"),
     )
+
+
+@register(
+    "price_index_fisher",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS pk,
+             CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS spend_c,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    both_years AS (
+      SELECT a.pk,
+             a.spend_c AS s0, a.qty AS q0,
+             b.spend_c AS s1, b.qty AS q1
+      FROM per a JOIN per b ON b.pk = a.pk AND a.yr = 1995 AND b.yr = 1996
+      WHERE a.qty > 0 AND b.qty > 0
+    ),
+    sums AS (
+      -- price p = spend/qty; index terms cross-multiplied into exact
+      -- integers: sum(p1*q0) = sum(s1*q0/q1) needs one division per
+      -- part -> floor to micro-cents; p0*q0 = s0 exactly (own-year)
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(s0) AS BIGINT) AS l_den,
+             CAST(sum(CAST(floor(CAST(s1 AS DOUBLE) * q0 / q1 * 1000
+                                 + 0.001) AS BIGINT)) AS BIGINT)
+               AS l_num_milli,
+             CAST(sum(s1) AS BIGINT) AS p_num,
+             CAST(sum(CAST(floor(CAST(s0 AS DOUBLE) * q1 / q0 * 1000
+                                 + 0.001) AS BIGINT)) AS BIGINT)
+               AS p_den_milli
+      FROM both_years
+    )
+    SELECT n_parts,
+           round(l_num_milli / (1000.0 * l_den), 6) AS laspeyres,
+           round(p_num * 1000.0 / p_den_milli, 6) AS paasche,
+           round(sqrt((l_num_milli / (1000.0 * l_den))
+                      * (p_num * 1000.0 / p_den_milli)), 6) AS fisher
+    FROM sums
+    """,
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices (Fisher 1922 'ideal
+    index') for 1996 vs base-1995 over parts traded in BOTH years:
+    Laspeyres sum(p1 q0)/sum(p0 q0) holds the base basket fixed
+    (overstates inflation under substitution), Paasche
+    sum(p1 q1)/sum(p0 q1) holds the current basket (understates), and
+    Fisher is their geometric mean — the national-accounts standard.
+    The index-number row of the economics kit beside
+    discount_elasticity and revenue_bridge_yoy (which decomposes
+    revenue change; this isolates pure PRICE change).
+
+    Exactness: per-(part, year) spend and quantity are exact integers;
+    own-year basket terms sum(p_y q_y) = spend_y EXACTLY (no division
+    at all); the two cross-basket terms need one division per part
+    (p1*q0 = s1*q0/q1), floored to milli-cents so their sums are exact
+    BIGINTs; the three index ratios are one double expression each.
+
+    Scale: one lineitem-orders join (date filter pushed) -> per-(part,
+    year) hash agg -> part-keyed self-join; all sums map-side
+    partial-aggregate."""
+    t = load(spark, sf_dir)
+    per = (
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("spend_c"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    a = per.filter((F.col("yr") == 1995) & (F.col("qty") > 0)).select(
+        "pk", F.col("spend_c").alias("s0"), F.col("qty").alias("q0")
+    )
+    b = per.filter((F.col("yr") == 1996) & (F.col("qty") > 0)).select(
+        F.col("pk").alias("pk2"),
+        F.col("spend_c").alias("s1"),
+        F.col("qty").alias("q1"),
+    )
+    both = a.join(b, F.col("pk") == F.col("pk2"))
+    sums = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("s0").cast("long").alias("l_den"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(s1 AS DOUBLE) * q0 / q1 * 1000 + 0.001)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("l_num_milli"),
+        F.sum("s1").cast("long").alias("p_num"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(s0 AS DOUBLE) * q1 / q0 * 1000 + 0.001)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("p_den_milli"),
+    )
+    lasp = F.col("l_num_milli") / (1000.0 * F.col("l_den"))
+    paas = F.col("p_num") * 1000.0 / F.col("p_den_milli")
+    return sums.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

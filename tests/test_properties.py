@@ -3321,3 +3321,45 @@ def test_markov_entropy_rate_bounds_and_replica(spark, duck):
     rate = next(iter(rows.values()))["entropy_rate_bits"]
     assert 0 <= rate <= maxbits + 1e-6
     assert abs(rate - wsum) <= 1e-3
+
+
+def test_fisher_index_geometric_mean_and_bounds(spark, duck):
+    """Fisher must be the geometric mean of Laspeyres and Paasche and
+    lie between them; all three recomputed from an exact Python
+    replica of the per-part baskets."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.tpch import (
+        price_index_fisher,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = price_index_fisher(spark, SF_SMALL).collect()[0]
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
+    assert abs(r["fisher"] - math.sqrt(r["laspeyres"] * r["paasche"])) <= 2e-6
+    rows = duck.execute(
+        f"""
+        WITH per AS (
+          SELECT l_partkey AS pk, CAST(strftime(o_orderdate, '%Y') AS INT)
+                   AS yr,
+                 sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS s,
+                 sum(CAST(l_quantity AS BIGINT)) AS q
+          FROM '{SF_SMALL}/lineitem.parquet'
+          JOIN '{SF_SMALL}/orders.parquet' ON o_orderkey = l_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2)
+        SELECT a.s, a.q, b.s, b.q
+        FROM per a JOIN per b ON b.pk = a.pk AND a.yr = 1995 AND b.yr = 1996
+        WHERE a.q > 0 AND b.q > 0
+        """
+    ).fetchall()
+    l_num = sum(math.floor(s1 * q0 / q1 * 1000 + 1e-3) for s0, q0, s1, q1 in rows)
+    l_den = sum(s0 for s0, _q0, _s1, _q1 in rows)
+    p_num = sum(s1 for _s0, _q0, s1, _q1 in rows)
+    p_den = sum(math.floor(s0 * q1 / q0 * 1000 + 1e-3) for s0, q0, s1, q1 in rows)
+    assert r["n_parts"] == len(rows)
+    assert abs(r["laspeyres"] - l_num / (1000.0 * l_den)) <= 1e-5
+    assert abs(r["paasche"] - p_num * 1000.0 / p_den) <= 1e-5
