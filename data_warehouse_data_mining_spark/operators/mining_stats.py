@@ -3465,3 +3465,140 @@ def wasserstein_drift_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w1_months"),
     ).orderBy("nation")
+
+
+NW_LAGS = 7  # Bartlett-kernel truncation (weekly horizon)
+
+
+@register(
+    "newey_west_robust_se",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s FROM daily),
+    a AS (
+      SELECT day,
+             CAST(n AS DECIMAL(38,0)) * x - CAST(s AS DECIMAL(38,0)) AS a,
+             n, s
+      FROM daily CROSS JOIN g
+    ),
+    g0 AS (SELECT any_value(n) AS n, any_value(s) AS s,
+                  sum(a * a) AS d0 FROM a),
+    lags AS (
+      SELECT l.lag AS lag, a1.a AS ax, a2.a AS ay
+      FROM a a1
+      CROSS JOIN (SELECT unnest(range(1, {NW_LAGS + 1})) AS lag) l
+      JOIN a a2 ON a2.day = a1.day + CAST(l.lag AS INT)
+    ),
+    dk AS (
+      SELECT CAST(sum(({NW_LAGS + 1} - lag) * ax * ay) AS DECIMAL(38,0))
+        AS wsum
+      FROM lags
+    ),
+    v AS (
+      SELECT n, s,
+             CAST(d0 AS DOUBLE) / (CAST(n AS DOUBLE) * n * n * n) AS var_n,
+             (CAST(d0 AS DOUBLE) * {NW_LAGS + 1} + 2 * CAST(wsum AS DOUBLE))
+             / ({NW_LAGS + 1} * CAST(n AS DOUBLE) * n * n * n) AS var_nw
+      FROM g0 CROSS JOIN dk
+    )
+    SELECT n AS n_days,
+           round(CAST(s AS DOUBLE) / (100.0 * n), 2) AS mean_daily_dollars,
+           round(sqrt(var_n) / 100, 4) AS naive_se_dollars,
+           round(sqrt(greatest(var_nw, 0.0)) / 100, 4) AS nw_se_dollars,
+           round(sqrt(greatest(var_nw, 0.0) / var_n), 6)
+             AS se_inflation_ratio
+    FROM v
+    """,
+)
+def newey_west_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC standard error (Newey & West 1987) of the mean
+    daily revenue with a Bartlett kernel truncated at {NW_LAGS} lags:
+    serial correlation makes the naive sigma/sqrt(n) SE dishonest,
+    and the reported inflation ratio nw_se/naive_se is the one number
+    that says HOW dishonest — the error-bar companion to
+    ljung_box_whiteness (which tests whether correlation exists; this
+    prices it into the interval). On these near-white arrivals the
+    ratio sits near 1, the honest readout.
+
+    Exactness: the ljung_box machinery — demeaned in scaled integers
+    a_t = n*x_t - S, autocovariance numerators D_k = sum(a_t a_(t+k))
+    exact DECIMAL(38,0); the Bartlett weights (L+1-k)/(L+1) enter as
+    exact integer multipliers INSIDE the decimal sum, so the whole
+    variance assembles from two exact wide integers and divides once;
+    negative rounding residue clamps at 0 before the sqrt. Pair
+    windows are gap-adjusted identically via the day+k join.
+
+    Scale: one fact scan -> day table; lag join and sums on the
+    calendar-bounded series."""
+    o = load(spark, sf_dir).orders
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    a = daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * x - CAST(s AS DECIMAL(38,0))"
+        ).alias("a"),
+        "n",
+        "s",
+    ).localCheckpoint(eager=True)  # days-sized, read by g0 + both lag sides
+    g0 = a.agg(
+        F.expr("any_value(n)").alias("n"),
+        F.expr("any_value(s)").alias("s"),
+        F.expr("sum(a * a)").alias("d0"),
+    )
+    probes = a.select(
+        "day",
+        F.col("a").alias("ax"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, NW_LAGS + 1)])
+        ).alias("lag"),
+    ).withColumn("match_day", F.date_add("day", F.col("lag")))
+    dk = (
+        probes.join(
+            a.select(
+                F.col("day").alias("match_day"), F.col("a").alias("ay")
+            ),
+            "match_day",
+        )
+        .agg(
+            F.expr(
+                f"CAST(sum(({NW_LAGS + 1} - lag) * ax * ay)"
+                " AS DECIMAL(38,0))"
+            ).alias("wsum")
+        )
+    )
+    v = g0.crossJoin(F.broadcast(dk)).selectExpr(
+        "n",
+        "s",
+        "CAST(d0 AS DOUBLE) / (CAST(n AS DOUBLE) * n * n * n) AS var_n",
+        f"(CAST(d0 AS DOUBLE) * {NW_LAGS + 1} + 2 * CAST(wsum AS DOUBLE))"
+        f" / ({NW_LAGS + 1} * CAST(n AS DOUBLE) * n * n * n) AS var_nw",
+    )
+    return v.selectExpr(
+        "n AS n_days",
+        "round(CAST(s AS DOUBLE) / (100.0 * n), 2) AS mean_daily_dollars",
+        "round(sqrt(var_n) / 100, 4) AS naive_se_dollars",
+        "round(sqrt(greatest(var_nw, 0.0)) / 100, 4) AS nw_se_dollars",
+        "round(sqrt(greatest(var_nw, 0.0) / var_n), 6)"
+        " AS se_inflation_ratio",
+    )

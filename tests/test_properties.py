@@ -3363,3 +3363,49 @@ def test_fisher_index_geometric_mean_and_bounds(spark, duck):
     assert r["n_parts"] == len(rows)
     assert abs(r["laspeyres"] - l_num / (1000.0 * l_den)) <= 1e-5
     assert abs(r["paasche"] - p_num * 1000.0 / p_den) <= 1e-5
+
+
+def test_newey_west_near_white_ratio_and_replica(spark, duck):
+    """On the near-white arrival series the inflation ratio must sit
+    near 1; the variance terms must match an exact Python replica of
+    the scaled-integer autocovariances with Bartlett weights."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        NW_LAGS,
+        newey_west_robust_se,
+    )
+
+    from .conftest import SF_SMALL
+
+    r = newey_west_robust_se(spark, SF_SMALL).collect()[0]
+    assert 0.5 < r["se_inflation_ratio"] < 1.5  # near-white arrivals
+    daily = dict(
+        duck.execute(
+            f"""
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE),
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            FROM '{SF_SMALL}/orders.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    days = sorted(daily)
+    n = len(days)
+    s = sum(daily.values())
+    av = {d: n * daily[d] - s for d in days}
+    d0 = sum(v * v for v in av.values())
+    wsum = 0
+    import datetime
+
+    for d in days:
+        for k in range(1, NW_LAGS + 1):
+            d2 = d + datetime.timedelta(days=k)
+            if d2 in av:
+                wsum += (NW_LAGS + 1 - k) * av[d] * av[d2]
+    var_n = d0 / (n**4)
+    var_nw = (d0 * (NW_LAGS + 1) + 2 * wsum) / ((NW_LAGS + 1) * n**4)
+    assert r["n_days"] == n
+    assert abs(r["naive_se_dollars"] - math.sqrt(var_n) / 100) <= 1e-3
+    assert (
+        abs(r["nw_se_dollars"] - math.sqrt(max(var_nw, 0.0)) / 100) <= 1e-3
+    )
