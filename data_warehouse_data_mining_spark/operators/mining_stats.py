@@ -3602,3 +3602,146 @@ def newey_west_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(sqrt(greatest(var_nw, 0.0) / var_n), 6)"
         " AS se_inflation_ratio",
     )
+
+
+CVM_CRIT_95 = 0.461  # asymptotic two-sample 5% point (Anderson 1962)
+
+
+@register(
+    "cramer_von_mises_arms",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events GROUP BY user_id
+    ),
+    vals AS (
+      SELECT c,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a
+      FROM per_user GROUP BY c
+    ),
+    cums AS (
+      SELECT c, cnt,
+             CAST(sum(cnt_a) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_a,
+             CAST(sum(cnt - cnt_a) OVER (ORDER BY c
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      FROM vals
+    ),
+    tots AS (
+      SELECT CAST(max(cum_a) AS BIGINT) AS n,
+             CAST(max(cum_b) AS BIGINT) AS m
+      FROM cums
+    ),
+    ssum AS (
+      SELECT any_value(n) AS n, any_value(m) AS m,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0))
+                      * (CAST(cum_a AS DECIMAL(38,0)) * m
+                         - CAST(cum_b AS DECIMAL(38,0)) * n)
+                      * (CAST(cum_a AS DECIMAL(38,0)) * m
+                         - CAST(cum_b AS DECIMAL(38,0)) * n))
+                  AS DECIMAL(38,0)) AS q
+      FROM cums CROSS JOIN tots
+    )
+    SELECT n AS n_a, m AS n_b,
+           round(CAST(q AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * m * (n + m) * (n + m)), 6)
+             AS cvm_t,
+           CAST(CAST(q AS DOUBLE)
+                / (CAST(n AS DOUBLE) * m * (n + m) * (n + m))
+                > {CVM_CRIT_95} AS INT) AS significant_95
+    FROM ssum
+    """,
+)
+def cramer_von_mises_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises test (Anderson 1962) between the
+    hash-split arms on per-user spend: T = nm/N^2 * sum over the
+    pooled sample of (F_A - F_B)^2 — the INTEGRATED-gap member of the
+    two-sample kit (mann_whitney: rank shift; ks_two_sample: the
+    WORST gap; CvM: the whole curve, more powerful against
+    distributed differences), against the asymptotic 5% point
+    {CVM_CRIT_95}. The hash split is a placebo — non-rejection
+    pinned.
+
+    Fully exact until one division: the pooled distinct-value table
+    carries exact arm CDFs as integer prefix sums; each squared gap
+    is the cross-multiplied integer (cum_A*m - cum_B*n)^2 weighted by
+    the pooled multiplicity, summed in DECIMAL(38,0) — zero per-term
+    floats, no floor guards anywhere (the cochran_armitage class).
+
+    Scale: one fact scan -> per-user agg -> value-cardinality table;
+    the prefix window runs on that bounded table (the oracle's single
+    window; Spark mirrors via the same shape as mann_whitney)."""
+    e = load(spark, sf_dir).events
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)"
+        ).alias("c")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "c",
+    )
+    vals = (
+        per_user.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    # two-phase distributed prefix sums (the mann_whitney discipline —
+    # a bare ORDER BY window here would be the banned single-partition
+    # shape on the value-cardinality table)
+    ca = global_order_stats(
+        vals, "c", "c", measure_col="cnt_a", ascending=True
+    ).select("c", "cnt", F.col("global_cum").cast("long").alias("cum_a"))
+    ct = global_order_stats(
+        vals, "c", "c", measure_col="cnt", ascending=True
+    ).select(
+        F.col("c").alias("c2"), F.col("global_cum").cast("long").alias("cum_t")
+    )
+    cums = ca.join(ct, F.col("c") == F.col("c2")).select(
+        "c",
+        "cnt",
+        "cum_a",
+        (F.col("cum_t") - F.col("cum_a")).cast("long").alias("cum_b"),
+    )
+    tots = cums.agg(
+        F.max("cum_a").cast("long").alias("n"),
+        F.max("cum_b").cast("long").alias("m"),
+    )
+    ssum = cums.crossJoin(F.broadcast(tots)).agg(
+        F.expr("any_value(n)").alias("n"),
+        F.expr("any_value(m)").alias("m"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0))"
+            " * (CAST(cum_a AS DECIMAL(38,0)) * m"
+            "    - CAST(cum_b AS DECIMAL(38,0)) * n)"
+            " * (CAST(cum_a AS DECIMAL(38,0)) * m"
+            "    - CAST(cum_b AS DECIMAL(38,0)) * n)) AS DECIMAL(38,0))"
+        ).alias("q"),
+    )
+    t_expr = F.expr(
+        "CAST(q AS DOUBLE) / (CAST(n AS DOUBLE) * m * (n + m) * (n + m))"
+    )
+    return ssum.select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.round(t_expr, 6).alias("cvm_t"),
+        (t_expr > CVM_CRIT_95).cast("int").alias("significant_95"),
+    )

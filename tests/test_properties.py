@@ -3409,3 +3409,40 @@ def test_newey_west_near_white_ratio_and_replica(spark, duck):
     assert (
         abs(r["nw_se_dollars"] - math.sqrt(max(var_nw, 0.0)) / 100) <= 1e-3
     )
+
+
+def test_cvm_python_replica_and_placebo(spark, duck):
+    """T recomputed exactly in Python integers from the pooled CDFs
+    must match; the hash-split placebo must not reject."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        cramer_von_mises_arms,
+    )
+
+    from .conftest import SF_SMALL
+
+    per = duck.execute(
+        f"""
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END,
+               sum(CAST(round(value * 100, 0) AS BIGINT))
+        FROM '{SF_SMALL}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    from collections import Counter
+
+    cnt = Counter(c for _, c in per)
+    cnt_a = Counter(c for arm, c in per if arm == "A")
+    n = sum(cnt_a.values())
+    m = sum(cnt.values()) - n
+    cum_a = cum_b = 0
+    q = 0
+    for c in sorted(cnt):
+        ca = cnt_a.get(c, 0)
+        cum_a += ca
+        cum_b += cnt[c] - ca
+        q += cnt[c] * (cum_a * m - cum_b * n) ** 2
+    t = q / (n * m * (n + m) ** 2)
+    r = cramer_von_mises_arms(spark, SF_SMALL).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n, m)
+    assert abs(r["cvm_t"] - t) <= 5e-7
+    assert r["significant_95"] == 0  # placebo
