@@ -3745,3 +3745,145 @@ def cramer_von_mises_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_expr, 6).alias("cvm_t"),
         (t_expr > CVM_CRIT_95).cast("int").alias("significant_95"),
     )
+
+
+KW_YEARS = (1993, 1994, 1995, 1996, 1997)  # five full order years
+
+
+@register(
+    "kendalls_w_nation_ranks",
+    oracle=f"""
+    WITH annual AS (
+      SELECT n.n_name AS nation,
+             CAST(strftime(o.o_orderdate, '%Y') AS INT) AS yr,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE CAST(strftime(o.o_orderdate, '%Y') AS INT)
+            BETWEEN {KW_YEARS[0]} AND {KW_YEARS[-1]}
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nation, yr,
+             CAST(row_number() OVER (PARTITION BY yr
+                  ORDER BY rev DESC, nation) AS BIGINT) AS rk
+      FROM annual
+    ),
+    sums AS (
+      SELECT nation, CAST(sum(rk) AS BIGINT) AS r_i,
+             CAST(count(*) AS BIGINT) AS m_i
+      FROM ranked GROUP BY nation
+    ),
+    consts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(any_value(m_i) AS BIGINT) AS m
+      FROM sums
+    ),
+    s AS (
+      SELECT n, m,
+             CAST(sum((2 * r_i - m * (n + 1))
+                      * (2 * r_i - m * (n + 1))) AS BIGINT) AS s4
+      FROM sums CROSS JOIN consts GROUP BY n, m
+    )
+    SELECT n AS n_nations, m AS m_years,
+           round(3.0 * s4 / (CAST(m AS DOUBLE) * m * (n * n * n - n)), 6)
+             AS w_concordance,
+           round(3.0 * s4 * (n - 1)
+                 / (CAST(m AS DOUBLE) * (n * n * n - n)), 6)
+             AS friedman_chi2,
+           36.415 AS chi2_crit_95,
+           CAST(3.0 * s4 * (n - 1)
+                / (CAST(m AS DOUBLE) * (n * n * n - n)) > 36.415
+                AS INT) AS significant_95
+    FROM s
+    """,
+)
+def kendalls_w_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) + the equivalent Friedman chi-square (Friedman 1937,
+    chi2 = m(n-1)W) over the five yearly revenue RANKINGS of the 25
+    nations: do the years agree on which nations are big? W = 1 is
+    identical league tables every year, W = 0 is random reshuffling —
+    the multi-rater agreement statistic (the m-ranking generalization
+    of spearman_rho_daily, which is W's m=2 special case), tested at
+    the df=24 chi-square 95% point.
+
+    Fully exact (the cochran_armitage class — no floor guards): ranks
+    are total-ordered (revenue desc, nation tie-break; exact-cents
+    ties are absent in this data and the tie-break keeps both engines
+    identical regardless), rank sums R_i and the 4x-scaled deviation
+    sum S4 = sum((2R_i - m(n+1))^2) are exact BIGINTs, and
+    W = 3*S4/(m^2(n^3-n)) is one double division.
+
+    Scale: one fact scan -> (nation, year) hash agg; the per-year
+    rank windows and everything after run on the 25 x 5 grid."""
+    t = load(spark, sf_dir)
+    annual = (
+        t.orders.filter(
+            (F.year("o_orderdate") >= KW_YEARS[0])
+            & (F.year("o_orderdate") <= KW_YEARS[-1])
+        )
+        .join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    ranked = annual.select(
+        "nation",
+        "yr",
+        F.row_number()
+        .over(
+            W.partitionBy("yr").orderBy(F.col("rev").desc(), F.col("nation"))
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    sums = ranked.groupBy("nation").agg(
+        F.sum("rk").cast("long").alias("r_i"),
+        F.count(F.lit(1)).cast("long").alias("m_i"),
+    )
+    consts = sums.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("any_value(m_i)").cast("long").alias("m"),
+    )
+    s = (
+        sums.crossJoin(F.broadcast(consts))
+        .groupBy("n", "m")
+        .agg(
+            F.sum(
+                (2 * F.col("r_i") - F.col("m") * (F.col("n") + 1))
+                * (2 * F.col("r_i") - F.col("m") * (F.col("n") + 1))
+            )
+            .cast("long")
+            .alias("s4")
+        )
+    )
+    w = F.expr(
+        "3.0 * s4 / (CAST(m AS DOUBLE) * m * (n * n * n - n))"
+    )
+    chi2 = F.expr(
+        "3.0 * s4 * (n - 1) / (CAST(m AS DOUBLE) * (n * n * n - n))"
+    )
+    return s.select(
+        F.col("n").alias("n_nations"),
+        F.col("m").alias("m_years"),
+        F.round(w, 6).alias("w_concordance"),
+        F.round(chi2, 6).alias("friedman_chi2"),
+        F.lit(36.415).alias("chi2_crit_95"),
+        (chi2 > 36.415).cast("int").alias("significant_95"),
+    )

@@ -3446,3 +3446,42 @@ def test_cvm_python_replica_and_placebo(spark, duck):
     assert (r["n_a"], r["n_b"]) == (n, m)
     assert abs(r["cvm_t"] - t) <= 5e-7
     assert r["significant_95"] == 0  # placebo
+
+
+def test_kendalls_w_python_replica_and_identity(spark, duck):
+    """W and Friedman chi2 recomputed from exact Python ranks must
+    match; chi2 must equal m(n-1)W; W in [0, 1]."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        KW_YEARS,
+        kendalls_w_nation_ranks,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = duck.execute(
+        f"""
+        SELECT n_name, CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+        FROM '{SF_SMALL}/orders.parquet'
+        JOIN '{SF_SMALL}/customer.parquet' ON c_custkey = o_custkey
+        JOIN '{SF_SMALL}/nation.parquet' ON n_nationkey = c_nationkey
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT)
+              BETWEEN {KW_YEARS[0]} AND {KW_YEARS[-1]}
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_year: dict = {}
+    for nat, yr, rev in rows:
+        by_year.setdefault(yr, []).append((-rev, nat))
+    rsum: dict = {}
+    for yr, lst in by_year.items():
+        for rk, (_negrev, nat) in enumerate(sorted(lst), start=1):
+            rsum[nat] = rsum.get(nat, 0) + rk
+    n, m = len(rsum), len(by_year)
+    s4 = sum((2 * r - m * (n + 1)) ** 2 for r in rsum.values())
+    w = 3.0 * s4 / (m * m * (n**3 - n))
+    r = kendalls_w_nation_ranks(spark, SF_SMALL).collect()[0]
+    assert (r["n_nations"], r["m_years"]) == (n, m)
+    assert abs(r["w_concordance"] - w) <= 1e-5
+    assert abs(r["friedman_chi2"] - m * (n - 1) * w) <= 1e-3
+    assert 0 <= r["w_concordance"] <= 1
