@@ -3887,3 +3887,123 @@ def kendalls_w_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(36.415).alias("chi2_crit_95"),
         (chi2 > 36.415).cast("int").alias("significant_95"),
     )
+
+
+@register(
+    "moran_i_regional",
+    oracle="""
+    WITH x AS (
+      SELECT n.n_nationkey AS nk, n.n_regionkey AS rk,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rev) AS BIGINT) AS s FROM x),
+    z AS (
+      SELECT rk,
+             CAST(n AS DECIMAL(38,0)) * rev - CAST(s AS DECIMAL(38,0))
+               AS z,
+             n
+      FROM x CROSS JOIN g
+    ),
+    per_region AS (
+      SELECT rk, CAST(count(*) AS BIGINT) AS n_r,
+             CAST(sum(z) AS DECIMAL(38,0)) AS sz,
+             CAST(sum(z * z) AS DECIMAL(38,0)) AS szz
+      FROM z GROUP BY rk
+    ),
+    agg AS (
+      SELECT any_value(g.n) AS n,
+             CAST(sum(pr.sz * pr.sz - pr.szz) AS DECIMAL(38,0)) AS num,
+             CAST(sum(pr.szz) AS DECIMAL(38,0)) AS den,
+             CAST(sum(pr.n_r * (pr.n_r - 1)) AS BIGINT) AS w_tot
+      FROM per_region pr CROSS JOIN g
+    )
+    SELECT n AS n_nations, w_tot AS n_neighbor_pairs,
+           round(CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+                 / (w_tot * CAST(den AS DOUBLE)), 6) AS moran_i,
+           round(-1.0 / (n - 1), 6) AS expected_i,
+           CAST(CAST(n AS DOUBLE) * CAST(num AS DOUBLE)
+                / (w_tot * CAST(den AS DOUBLE)) > -1.0 / (n - 1)
+                AS INT) AS positive_autocorrelation
+    FROM agg
+    """,
+)
+def moran_i_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation (Moran 1950) of national
+    revenue under same-region adjacency: do nations in the same
+    region have similar revenue levels? I = (n/W) sum_ij w_ij z_i z_j
+    / sum z_i^2 with the binary same-region weight matrix — the
+    spatial-econometrics workhorse, here with ZERO pair joins: within
+    a region, sum_{i != j} z_i z_j = (sum_R z)^2 - sum_R z^2, so the
+    whole double sum collapses to per-region aggregates (the same
+    telescoping trick as graph_triangle_count's wedge count).
+    Compared against the null expectation E[I] = -1/(n-1).
+
+    Fully exact (no floor guards): deviations are the scaled integers
+    n*x_i - S (DECIMAL 38), region sums/squares exact, and I is one
+    double expression over four exact aggregates.
+
+    Scale: one fact scan -> 25-nation agg; everything after runs on
+    the 5-region table."""
+    t = load(spark, sf_dir)
+    x = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    g = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("s"),
+    )
+    z = x.crossJoin(F.broadcast(g)).select(
+        "rk",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * rev - CAST(s AS DECIMAL(38,0))"
+        ).alias("z"),
+        "n",
+    )
+    per_region = z.groupBy("rk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.expr("CAST(sum(z) AS DECIMAL(38,0))").alias("sz"),
+        F.expr("CAST(sum(z * z) AS DECIMAL(38,0))").alias("szz"),
+    )
+    agg = per_region.crossJoin(F.broadcast(g)).agg(
+        F.expr("any_value(n)").alias("n"),
+        F.expr("CAST(sum(sz * sz - szz) AS DECIMAL(38,0))").alias("num"),
+        F.expr("CAST(sum(szz) AS DECIMAL(38,0))").alias("den"),
+        F.sum(F.col("n_r") * (F.col("n_r") - 1))
+        .cast("long")
+        .alias("w_tot"),
+    )
+    i_expr = F.expr(
+        "CAST(n AS DOUBLE) * CAST(num AS DOUBLE)"
+        " / (w_tot * CAST(den AS DOUBLE))"
+    )
+    return agg.select(
+        F.col("n").alias("n_nations"),
+        F.col("w_tot").alias("n_neighbor_pairs"),
+        F.round(i_expr, 6).alias("moran_i"),
+        F.round(F.expr("-1.0 / (n - 1)"), 6).alias("expected_i"),
+        (i_expr > F.expr("-1.0 / (n - 1)")).cast("int").alias(
+            "positive_autocorrelation"
+        ),
+    )

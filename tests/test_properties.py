@@ -3485,3 +3485,45 @@ def test_kendalls_w_python_replica_and_identity(spark, duck):
     assert abs(r["w_concordance"] - w) <= 1e-5
     assert abs(r["friedman_chi2"] - m * (n - 1) * w) <= 1e-3
     assert 0 <= r["w_concordance"] <= 1
+
+
+def test_moran_i_pair_sum_identity(spark, duck):
+    """The telescoped region-sum computation must equal the explicit
+    O(n^2) double sum over same-region pairs computed in Python, and
+    I must be >= -1/(n-1)-ish bounded in a sane band."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        moran_i_regional,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = duck.execute(
+        f"""
+        SELECT n_regionkey,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        FROM '{SF_SMALL}/orders.parquet'
+        JOIN '{SF_SMALL}/customer.parquet' ON c_custkey = o_custkey
+        JOIN '{SF_SMALL}/nation.parquet' ON n_nationkey = c_nationkey
+        GROUP BY n_nationkey, n_regionkey
+        """
+    ).fetchall()
+    n = len(rows)
+    s = sum(v for _, v in rows)
+    zs = [(rk, n * v - s) for rk, v in rows]
+    num = sum(
+        zi * zj
+        for i, (ri, zi) in enumerate(zs)
+        for j, (rj, zj) in enumerate(zs)
+        if i != j and ri == rj
+    )
+    den = sum(z * z for _, z in zs)
+    from collections import Counter
+
+    nr = Counter(rk for rk, _ in zs)
+    w_tot = sum(c * (c - 1) for c in nr.values())
+    want = n * num / (w_tot * den)
+    r = moran_i_regional(spark, SF_SMALL).collect()[0]
+    assert r["n_nations"] == n and r["n_neighbor_pairs"] == w_tot
+    assert abs(r["moran_i"] - want) <= 1e-5
+    assert -1.5 <= r["moran_i"] <= 1.5
+    assert r["positive_autocorrelation"] == int(want > -1 / (n - 1))
