@@ -4007,3 +4007,165 @@ def moran_i_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive_autocorrelation"
         ),
     )
+
+
+@register(
+    "cart_best_split",
+    oracle="""
+    WITH panel AS (
+      SELECT CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS x,
+             CASE WHEN cv.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      FROM customer c
+      LEFT JOIN (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      ) cv ON cv.o_custkey = c.c_custkey
+    ),
+    vals AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM panel GROUP BY x
+    ),
+    cum AS (
+      SELECT x,
+             CAST(sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS nl,
+             CAST(sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS pl,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n,
+             CAST(sum(pos) OVER () AS BIGINT) AS p
+      FROM vals
+    ),
+    scored AS (
+      SELECT x AS threshold_cents, nl, n - nl AS nr, pl, p - pl AS pr,
+             n, p,
+             CAST(floor((
+               (CAST(pl AS DOUBLE) * pl
+                + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl
+               + (CAST(p - pl AS DOUBLE) * (p - pl)
+                  + CAST((n - nl) - (p - pl) AS DOUBLE)
+                    * ((n - nl) - (p - pl))) / (n - nl)
+               - (CAST(p AS DOUBLE) * p
+                  + CAST(n - p AS DOUBLE) * (n - p)) / n
+             ) / n * 1000000000 + 0.001) AS BIGINT) AS gain_nano
+      FROM cum WHERE nl > 0 AND nl < n
+    )
+    SELECT round(threshold_cents / 100.0, 2) AS threshold_dollars,
+           nl AS n_left, nr AS n_right,
+           round(pl * 1.0 / nl, 6) AS conv_rate_left,
+           round(pr * 1.0 / nr, 6) AS conv_rate_right,
+           gain_nano,
+           round(gain_nano / 1000000000.0, 6) AS gini_gain
+    FROM scored
+    ORDER BY gain_nano DESC, threshold_cents LIMIT 5
+    """,
+)
+def cart_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART decision-stump search (Breiman et al. 1984): the single
+    account-balance threshold that best splits 1996 converters from
+    non-converters by Gini impurity reduction — the INNER LOOP of
+    every tree/GBM induction, expressed as one prefix-sum scan over
+    the sorted value table instead of per-threshold passes (gain for
+    EVERY candidate cut comes from the same cumulative (n_l, pos_l)
+    pair; the n*Gini = n - (pos^2+neg^2)/n identity keeps it to three
+    ratio terms). Top-5 cuts with their left/right conversion rates —
+    the interpretable 'where does behavior change' readout, and the
+    white-box complement to the MLlib tree models (ml/classify.py)
+    whose split logic is internal.
+
+    Determinism: class counts are exact prefix-sum integers; each
+    candidate's gain is one double expression over them floored to
+    1e-9 for the ranking, ties broken on the threshold. Degenerate
+    cuts (empty side) are excluded identically.
+
+    Scale: one fact scan for labels, one customer scan; the candidate
+    scan is one window over the value-cardinality table (the oracle's
+    single window; at scale the same two-phase global_order_stats
+    decomposition every ranking query uses applies)."""
+    t = load(spark, sf_dir)
+    conv = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    panel = t.customer.join(
+        conv, F.col("c_custkey") == F.col("ck"), "left"
+    ).select(
+        F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").alias("x"),
+        F.when(F.col("ck").isNull(), 0).otherwise(1).alias("y"),
+    )
+    vals = (
+        panel.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        # global_order_stats needs a non-negative integral sort image;
+        # balances go to -$1000, so order by the shifted monotone copy
+        .withColumn("xs", (F.col("x") + 200_000).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    nl = global_order_stats(
+        vals, "xs", "x", measure_col="cnt", ascending=True
+    ).select("x", F.col("global_cum").cast("long").alias("nl"))
+    pl = global_order_stats(
+        vals, "xs", "x", measure_col="pos", ascending=True
+    ).select(
+        F.col("x").alias("x2"), F.col("global_cum").cast("long").alias("pl")
+    )
+    tot = vals.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    cum = (
+        nl.join(pl, F.col("x") == F.col("x2"))
+        .crossJoin(F.broadcast(tot))
+        .select("x", "nl", "pl", "n", "p")
+    )
+    scored = cum.filter(
+        (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
+    ).selectExpr(
+        "x AS threshold_cents",
+        "nl",
+        "n - nl AS nr",
+        "pl",
+        "p - pl AS pr",
+        "CAST(floor(("
+        " (CAST(pl AS DOUBLE) * pl"
+        "  + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl"
+        " + (CAST(p - pl AS DOUBLE) * (p - pl)"
+        "    + CAST((n - nl) - (p - pl) AS DOUBLE)"
+        "      * ((n - nl) - (p - pl))) / (n - nl)"
+        " - (CAST(p AS DOUBLE) * p"
+        "    + CAST(n - p AS DOUBLE) * (n - p)) / n"
+        ") / n * 1000000000 + 0.001) AS BIGINT) AS gain_nano",
+    )
+    return (
+        scored.select(
+            F.round(F.col("threshold_cents") / 100.0, 2).alias(
+                "threshold_dollars"
+            ),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round(F.col("pl") * 1.0 / F.col("nl"), 6).alias(
+                "conv_rate_left"
+            ),
+            F.round(F.col("pr") * 1.0 / F.col("nr"), 6).alias(
+                "conv_rate_right"
+            ),
+            "gain_nano",
+            F.round(F.col("gain_nano") / 1_000_000_000.0, 6).alias(
+                "gini_gain"
+            ),
+        )
+        .orderBy(F.col("gain_nano").desc(), "threshold_dollars")
+        .limit(5)
+    )

@@ -3527,3 +3527,61 @@ def test_moran_i_pair_sum_identity(spark, duck):
     assert abs(r["moran_i"] - want) <= 1e-5
     assert -1.5 <= r["moran_i"] <= 1.5
     assert r["positive_autocorrelation"] == int(want > -1 / (n - 1))
+
+
+def test_cart_split_python_replica(spark, duck):
+    """Top-5 split gains must match a brute-force Python scan over all
+    candidate thresholds (same 1e-9 floors); gains nonnegative-ish up
+    to floor residue; each row's rates consistent with its counts."""
+    import math
+
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        cart_best_split,
+    )
+
+    from .conftest import SF_SMALL
+
+    panel = duck.execute(
+        f"""
+        SELECT CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS x,
+               CASE WHEN cv.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+        FROM '{SF_SMALL}/customer.parquet' c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM
+                   '{SF_SMALL}/orders.parquet'
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate < TIMESTAMP '1997-01-01') cv
+          ON cv.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    from collections import Counter
+
+    cnt = Counter()
+    pos = Counter()
+    for x, y in panel:
+        cnt[x] += 1
+        pos[x] += y
+    n = sum(cnt.values())
+    p = sum(pos.values())
+    best = []
+    nl = pl = 0
+    for x in sorted(cnt):
+        nl += cnt[x]
+        pl += pos[x]
+        if 0 < nl < n:
+            nr, pr = n - nl, p - pl
+            gain = (
+                (pl * pl + (nl - pl) * (nl - pl)) / nl
+                + (pr * pr + (nr - pr) * (nr - pr)) / nr
+                - (p * p + (n - p) * (n - p)) / n
+            ) / n
+            best.append((-math.floor(gain * 1e9 + 1e-3), x))
+    best.sort()
+    rows = cart_best_split(spark, SF_SMALL).collect()
+    for r, (neg, x) in zip(rows, best[:5]):
+        assert r["gain_nano"] == -neg
+        assert abs(r["threshold_dollars"] - x / 100) < 0.005
+        assert r["gini_gain"] >= -1e-6
+        assert (
+            abs(r["conv_rate_left"] * r["n_left"]
+                + r["conv_rate_right"] * r["n_right"] - p) < 1.0
+        )
