@@ -4169,3 +4169,138 @@ def cart_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gain_nano").desc(), "threshold_dollars")
         .limit(5)
     )
+
+
+_PC_TERM = "CAST({t} AS DOUBLE) / n_g"
+
+
+@register(
+    "partial_correlation_weekday",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tagged AS (
+      SELECT dayofweek(day) AS dow, x, y FROM daily
+    ),
+    per_g AS (
+      SELECT dow,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM tagged GROUP BY dow
+    ),
+    terms AS (
+      SELECT n_g,
+             {_PC_TERM.format(t='n_g * sxy - sx * sy')} AS txy,
+             {_PC_TERM.format(t='n_g * sxx - sx * sx')} AS txx,
+             {_PC_TERM.format(t='n_g * syy - sy * sy')} AS tyy,
+             sx, sy, sxy, sxx, syy
+      FROM per_g
+    ),
+    pooled AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             sum(txy) AS pxy,
+             sum(txx) AS pxx,
+             sum(tyy) AS pyy,
+             CAST(sum(sx) AS DECIMAL(38,0)) AS gx,
+             CAST(sum(sy) AS DECIMAL(38,0)) AS gy,
+             CAST(sum(sxy) AS DECIMAL(38,0)) AS gxy,
+             CAST(sum(sxx) AS DECIMAL(38,0)) AS gxx,
+             CAST(sum(syy) AS DECIMAL(38,0)) AS gyy
+      FROM terms
+    )
+    SELECT n AS n_days,
+           round((CAST(n AS DOUBLE) * CAST(gxy AS DOUBLE)
+                  - CAST(gx AS DOUBLE) * CAST(gy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(gxx AS DOUBLE)
+                         - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(gyy AS DOUBLE)
+                           - CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE))),
+                 6) AS raw_pearson,
+           round(CAST(pxy AS DOUBLE)
+                 / sqrt(CAST(pxx AS DOUBLE) * CAST(pyy AS DOUBLE)), 6)
+             AS weekday_partial_r
+    FROM pooled
+    """,
+)
+def partial_correlation_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily order count and daily revenue
+    CONTROLLING FOR day-of-week: group-demeaned (within-weekday)
+    Pearson next to the raw one — if the raw correlation were mostly
+    the shared weekly cycle, the partial would collapse; here both are
+    high, proving count genuinely drives revenue beyond seasonality.
+    The 'controlling for' primitive the correlation row lacked
+    (correlation_matrix/spearman are marginal associations).
+
+    Determinism: per-weekday moment sums are exact DECIMAL(38,0); the
+    within-group centered terms n_g*Sxy - SxSy are exact wide
+    integers (the squared-cents magnitudes exceed BIGINT fixed-point
+    range, so the single per-group division by n_g stays double and
+    the pool is a 7-term double sum — the survival_km accepted class:
+    1e-16 ulp reorder noise sits ~10 orders below the 6-dp rounding);
+    the raw Pearson uses whole-series exact moments with one double
+    expression.
+
+    Scale: one fact scan -> day table; everything else on the 7-row
+    weekday rollup."""
+    o = load(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    per_g = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("sum(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("sum(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    terms = per_g.selectExpr(
+        "n_g",
+        f"{_PC_TERM.format(t='n_g * sxy - sx * sy')} AS txy",
+        f"{_PC_TERM.format(t='n_g * sxx - sx * sx')} AS txx",
+        f"{_PC_TERM.format(t='n_g * syy - sy * sy')} AS tyy",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+    )
+    pooled = terms.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("txy").alias("pxy"),
+        F.sum("txx").alias("pxx"),
+        F.sum("tyy").alias("pyy"),
+        F.expr("CAST(sum(sx) AS DECIMAL(38,0))").alias("gx"),
+        F.expr("CAST(sum(sy) AS DECIMAL(38,0))").alias("gy"),
+        F.expr("CAST(sum(sxy) AS DECIMAL(38,0))").alias("gxy"),
+        F.expr("CAST(sum(sxx) AS DECIMAL(38,0))").alias("gxx"),
+        F.expr("CAST(sum(syy) AS DECIMAL(38,0))").alias("gyy"),
+    )
+    return pooled.selectExpr(
+        "n AS n_days",
+        "round((CAST(n AS DOUBLE) * CAST(gxy AS DOUBLE)"
+        " - CAST(gx AS DOUBLE) * CAST(gy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(gxx AS DOUBLE)"
+        "         - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE))"
+        "        * (CAST(n AS DOUBLE) * CAST(gyy AS DOUBLE)"
+        "           - CAST(gy AS DOUBLE) * CAST(gy AS DOUBLE))), 6)"
+        " AS raw_pearson",
+        "round(CAST(pxy AS DOUBLE)"
+        " / sqrt(CAST(pxx AS DOUBLE) * CAST(pyy AS DOUBLE)), 6)"
+        " AS weekday_partial_r",
+    )

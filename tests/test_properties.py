@@ -3585,3 +3585,50 @@ def test_cart_split_python_replica(spark, duck):
             abs(r["conv_rate_left"] * r["n_left"]
                 + r["conv_rate_right"] * r["n_right"] - p) < 1.0
         )
+
+
+def test_partial_correlation_weekday_replica(spark, duck):
+    """Raw and weekday-partial correlations must match a Python
+    replica; both near-1 here (count drives revenue beyond the weekly
+    cycle) and bounded in [-1, 1]."""
+    from data_warehouse_data_mining_spark.operators.mining_stats import (
+        partial_correlation_weekday,
+    )
+
+    from .conftest import SF_SMALL
+
+    daily = duck.execute(
+        f"""
+        SELECT dayofweek(CAST(date_trunc('day', o_orderdate) AS DATE)),
+               count(*),
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        FROM '{SF_SMALL}/orders.parquet'
+        GROUP BY date_trunc('day', o_orderdate)
+        """
+    ).fetchall()
+    groups: dict = {}
+    for dow, x, y in daily:
+        groups.setdefault(dow, []).append((x, y))
+    n = len(daily)
+    gx = sum(x for _, x, _ in daily)
+    gy = sum(y for _, _, y in daily)
+    gxy = sum(x * y for _, x, y in daily)
+    gxx = sum(x * x for _, x, _ in daily)
+    gyy = sum(y * y for _, _, y in daily)
+    raw = (n * gxy - gx * gy) / (
+        ((n * gxx - gx * gx) * (n * gyy - gy * gy)) ** 0.5
+    )
+    pxy = pxx = pyy = 0.0
+    for pts in groups.values():
+        ng = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        pxy += (ng * sum(x * y for x, y in pts) - sx * sy) / ng
+        pxx += (ng * sum(x * x for x, _ in pts) - sx * sx) / ng
+        pyy += (ng * sum(y * y for _, y in pts) - sy * sy) / ng
+    part = pxy / (pxx * pyy) ** 0.5
+    r = partial_correlation_weekday(spark, SF_SMALL).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["raw_pearson"] - raw) <= 1e-5
+    assert abs(r["weekday_partial_r"] - part) <= 1e-5
+    assert -1 <= r["weekday_partial_r"] <= 1
