@@ -3793,7 +3793,7 @@ KW_YEARS = (1993, 1994, 1995, 1996, 1997)  # five full order years
            round(3.0 * s4 * (n - 1)
                  / (CAST(m AS DOUBLE) * (n * n * n - n)), 6)
              AS friedman_chi2,
-           36.415 AS chi2_crit_95,
+           CAST(36.415 AS DOUBLE) AS chi2_crit_95,
            CAST(3.0 * s4 * (n - 1)
                 / (CAST(m AS DOUBLE) * (n * n * n - n)) > 36.415
                 AS INT) AS significant_95
@@ -4002,8 +4002,10 @@ def moran_i_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_nations"),
         F.col("w_tot").alias("n_neighbor_pairs"),
         F.round(i_expr, 6).alias("moran_i"),
-        F.round(F.expr("-1.0 / (n - 1)"), 6).alias("expected_i"),
-        (i_expr > F.expr("-1.0 / (n - 1)")).cast("int").alias(
+        F.round(F.expr("CAST(-1.0 AS DOUBLE) / (n - 1)"), 6).alias(
+            "expected_i"
+        ),
+        (i_expr > F.expr("CAST(-1.0 AS DOUBLE) / (n - 1)")).cast("int").alias(
             "positive_autocorrelation"
         ),
     )
