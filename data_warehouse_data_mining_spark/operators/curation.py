@@ -1119,6 +1119,13 @@ def knapsack_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # significant digits of headroom under BIGINT suffix sums.
 KSH_K = 5
 KSH_T = 20
+# candidate bound per test point (r12, VERDICT r11 #1): the valuation
+# runs over each test point's EXACT top-M nearest training points
+# instead of the full corpus, so per-test-point work is O(M log M)
+# after one linear candidate scan — the truncation that makes the
+# operator finish at 100 TB (values beyond rank M decay as 1/i).
+KSH_M = 256
+_KSH_SALT = 16  # stage-1 top-M salt buckets (T*SALT-way parallelism)
 _KSH_SCALE = "1000000000000.0"
 
 
@@ -1143,12 +1150,14 @@ def _ksh_cos(qv: str, v: str) -> str:
           WHERE vec_id < {KSH_T}),
     tr AS (SELECT vec_id, label, v FROM e WHERE vec_id >= {KSH_T}),
     ranked AS (
-      SELECT q.q_id, tr.vec_id, tr.label,
-             CASE WHEN tr.label = q.q_label THEN 1 ELSE 0 END AS eq,
-             row_number() OVER (
-               PARTITION BY q.q_id
-               ORDER BY {_ksh_cos('q.qv', 'tr.v')} DESC, tr.vec_id) AS rn
-      FROM q JOIN tr ON true
+      SELECT * FROM (
+        SELECT q.q_id, tr.vec_id, tr.label,
+               CASE WHEN tr.label = q.q_label THEN 1 ELSE 0 END AS eq,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_ksh_cos('q.qv', 'tr.v')} DESC, tr.vec_id) AS rn
+        FROM q JOIN tr ON true
+      ) WHERE rn <= {KSH_M}
     ),
     w AS (
       SELECT q_id, vec_id, label, rn, eq,
@@ -1211,15 +1220,19 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers. Top-20 by exact integer total, vec_id
     tie-break.
 
-    Scale shape: T is bounded (T=20 broadcast), so the cross join is
-    one linear pass over the corpus and the rank/suffix windows
-    partition per test point — T-way parallel, each partition one
-    sorted pass (the exact-valuation yardstick, like
-    knn_brute_force). At 100 TB you'd value against IVF-candidate
-    neighborhoods per test point instead of the full corpus; the
-    suffix-sum algebra is unchanged. Property test pins the
+    Scale shape (r12, VERDICT r11 #1): the valuation is BOUNDED — each
+    test point values its exact top-M=256 nearest training points (the
+    truncated KNN-Shapley; tail values decay as 1/i). T is bounded
+    (T=20 broadcast), so candidate scoring is one linear map-side pass
+    over the corpus; the top-M cut runs as salted two-stage row_number
+    (T*16-way parallel local sorts of N/16, then one bounded <=16*M
+    re-rank per test point), and every window after operates on <=M
+    rows per test point. Per-test-point cost is O(M log M) after the
+    linear scan — at 100 TB swap the stage-1 candidate generator for
+    the IVF probe join (_ivf_neighbors); the suffix-sum algebra is
+    agnostic to how candidates arrive. Property test pins the
     efficiency identity sum_j s_tj = (#label-matching top-K)/K per
-    test point."""
+    test point (K <= M, so truncation preserves it)."""
     from data_warehouse_data_mining_spark.functions import vectors as V
 
     e = load(spark, sf_dir).embeddings.select(
@@ -1236,7 +1249,7 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(V.dot(F.col("v"), F.col("v")))
     )
     wq = W.partitionBy("q_id")
-    ranked = (
+    scored = (
         # broadcast-ok: q is bounded by KSH_T (literal id filter)
         tr.crossJoin(F.broadcast(q))
         .select(
@@ -1248,13 +1261,29 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("eq"),
             cos.alias("cos"),
         )
+    )
+    # exact top-M per test point in two stages (the scalable top-k
+    # shape): stage 1 ranks within (q_id, salt) — T*SALT-way parallel
+    # sorts of N/SALT rows — stage 2 re-ranks the <= SALT*M survivors
+    # per q_id. The final top-M by (cos desc, vec_id) is invariant to
+    # the salting, so the oracle mirrors it with one rn <= M filter.
+    w1 = W.partitionBy("q_id", "salt").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    ranked = (
+        scored.withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id"), F.lit(_KSH_SALT))
+        )
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KSH_M)
         .withColumn(
             "rn",
             F.row_number().over(
                 wq.orderBy(F.col("cos").desc(), F.col("vec_id"))
             ),
         )
-        .drop("cos")
+        .filter(F.col("rn") <= KSH_M)
+        .drop("cos", "salt", "rn1")
     )
     w = ranked.select(
         "q_id",

@@ -2945,13 +2945,13 @@ def rmst_restricted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', first_day,
                             coalesce(purchase_day, last_day)) AS BIGINT)
                AS t_days,
-             CASE WHEN purchase_day IS NULL THEN 0 ELSE 1 END AS churned
+             CASE WHEN purchase_day IS NULL THEN 0 ELSE 1 END AS event
       FROM spans
     ),
     per_t AS (
       SELECT t_days,
-             CAST(sum(churned) AS BIGINT) AS d,
-             CAST(sum(CASE WHEN arm = 'A' THEN churned ELSE 0 END)
+             CAST(sum(event) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 'A' THEN event ELSE 0 END)
                   AS BIGINT) AS d_a,
              CAST(count(*) AS BIGINT) AS total,
              CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
@@ -3048,15 +3048,17 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("t_days"),
+        # 1 = first purchase observed, 0 = censored at last activity
+        # (r12 rename from the misleading 'churned')
         F.when(F.col("purchase_day").isNull(), 0).otherwise(1).alias(
-            "churned"
+            "event"
         ),
     )
     per_t = (
         lives.groupBy("t_days")
         .agg(
-            F.sum("churned").cast("long").alias("d"),
-            F.sum(F.when(F.col("arm") == "A", F.col("churned")).otherwise(0))
+            F.sum("event").cast("long").alias("d"),
+            F.sum(F.when(F.col("arm") == "A", F.col("event")).otherwise(0))
             .cast("long")
             .alias("d_a"),
             F.count(F.lit(1)).cast("long").alias("total"),

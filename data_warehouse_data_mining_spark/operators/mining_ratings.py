@@ -282,12 +282,13 @@ def _elo_oracle() -> str:
         SELECT wi AS i FROM duel_seq UNION ALL SELECT li FROM duel_seq
       ) GROUP BY i
     )
-    SELECT u.i AS event_type, d.n_duels,
+    SELECT u.i AS event_type,
+           COALESCE(d.n_duels, CAST(0 AS BIGINT)) AS n_duels,
            CAST(u.r AS BIGINT) AS elo_milli,
            round(u.r / 1000.0, 3) AS elo_rating
     FROM (
       {' UNION ALL '.join(f"SELECT '{t}' AS i, r_{t} AS r FROM final" for t in _ELO_TYPES)}
-    ) u JOIN duels_per d ON d.i = u.i
+    ) u LEFT JOIN duels_per d ON d.i = u.i
     ORDER BY u.r DESC, u.i
     """
 

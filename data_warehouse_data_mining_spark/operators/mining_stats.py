@@ -3777,8 +3777,12 @@ KW_YEARS = (1993, 1994, 1995, 1996, 1997)  # five full order years
       FROM ranked GROUP BY nation
     ),
     consts AS (
+      -- balanced-panel assertion: W/Friedman assume every nation is
+      -- ranked in all m years; fail loudly instead of corrupting W
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(any_value(m_i) AS BIGINT) AS m
+             CAST(CASE WHEN min(m_i) = max(m_i) THEN min(m_i)
+                  ELSE error('kendalls_w: unbalanced panel') END
+                  AS BIGINT) AS m
       FROM sums
     ),
     s AS (
@@ -3857,9 +3861,18 @@ def kendalls_w_nation_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rk").cast("long").alias("r_i"),
         F.count(F.lit(1)).cast("long").alias("m_i"),
     )
+    # balanced-panel assertion (mirrors the oracle's error() guard): a
+    # nation absent from one year would make m_i non-constant and
+    # silently corrupt W/Friedman — fail loudly on both engines instead
     consts = sums.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("any_value(m_i)").cast("long").alias("m"),
+        F.expr(
+            "CASE WHEN min(m_i) = max(m_i) THEN min(m_i)"
+            " ELSE CAST(raise_error("
+            "'kendalls_w_nation_ranks: unbalanced panel') AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("m"),
     )
     s = (
         sums.crossJoin(F.broadcast(consts))

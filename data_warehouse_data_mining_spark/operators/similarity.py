@@ -22,6 +22,7 @@ match DuckDB's list_inner_product.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1256,6 +1257,78 @@ PQ_K = 16
 # corpus-sized MLlib transform output never exists, let alone persists
 # (closes ADVICE r8 item 1 — the un-unpersisted corpus caches).
 _CODEBOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
+# bounded (≤ PQ_FIT_CAP × DIM doubles) driver-side training sample per
+# (app, sf) — a fit artifact, never corpus data
+_FIT_SAMPLE_CACHE: dict[tuple, "np.ndarray"] = {}
+
+
+PQ_FIT_CAP = 16_384  # max rows any codebook fit ever sees (FAISS-style
+#                      train-on-a-sample: at 100 TB the fit is still one
+#                      bounded collect, never a corpus-sized MLlib job)
+
+
+def _lloyd_pp(x: "np.ndarray", k: int, seed: int, iters: int = 20) -> "np.ndarray":
+    """Seeded k-means++ init + fixed-iteration Lloyd's, pure numpy.
+    Deterministic for a fixed input row order (the caller sorts the
+    sample by vec_id): init draws come from RandomState(seed), the
+    assign step is an exact argmin over the n×k distance matrix
+    (||x||² + ||c||² − 2x·cᵀ — no n×k×d blowup), and the update is a
+    per-cluster mean in index order. Empty clusters keep their center."""
+    n = x.shape[0]
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    centers = np.empty((k, x.shape[1]), dtype=np.float64)
+    centers[0] = x[rng.randint(n)]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot > 0:
+            centers[j] = x[rng.choice(n, p=d2 / tot)]
+        else:
+            centers[j] = x[rng.randint(n)]
+        d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
+    xsq = (x**2).sum(axis=1)[:, None]
+    for _ in range(iters):
+        dists = xsq + (centers**2).sum(axis=1)[None, :] - 2.0 * (x @ centers.T)
+        a = dists.argmin(axis=1)
+        for j in range(k):
+            members = x[a == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
+def _fit_sample(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """Deterministic bounded training sample for every codebook fit:
+    an md5-threshold hash-sample of the embeddings capped near
+    PQ_FIT_CAP rows, collected to the driver SORTED BY vec_id — a fit
+    artifact in the _exact_top discipline (bounded rows, never corpus
+    data), cached per (app, sf). One count + one bounded collect; at
+    100 TB the count is parquet-metadata cheap and the collect is
+    ≤ PQ_FIT_CAP·DIM doubles regardless of corpus size."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FIT_SAMPLE_CACHE:
+        e = load(spark, sf_dir).embeddings.select(
+            "vec_id", V.as_double(F.col("embedding")).alias("v")
+        )
+        n = e.count()
+        if n > PQ_FIT_CAP:
+            thresh = int(PQ_FIT_CAP / n * 4294967296.0)
+            e = e.filter(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("pqfit|"), F.col("vec_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                < F.lit(thresh)
+            )
+        rows = e.orderBy("vec_id").collect()
+        _FIT_SAMPLE_CACHE[key] = np.array([r["v"] for r in rows], dtype=np.float64)
+    return _FIT_SAMPLE_CACHE[key]
 
 
 def _pq_codebooks(
@@ -1268,15 +1341,21 @@ def _pq_codebooks(
     base_seed: int = 42,
     residual_centers: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
-    """Fit (or fetch cached) per-subspace KMeans codebooks over the
-    embeddings table — or, when ``residual_centers`` is given, over the
-    RESIDUALS x − C[argmin_cell(x)] against that coarse codebook (the
-    FAISS IVF-PQ encoding: the quantizer codes what the cell centroid
-    missed, which carries far less variance than the raw vector). The
-    persist below is scoped EXACTLY to the fit phase — KMeans.fit is an
-    eager action per subspace, so the cache entry lives only while the
-    n_sub fits run and is dropped in the finally, never leaking into
-    the returned query plans.
+    """Fit (or fetch cached) per-subspace k-means codebooks over a
+    deterministic hash-sample of the embeddings — or, when
+    ``residual_centers`` is given, over the RESIDUALS
+    x − C[argmin_cell(x)] against that coarse codebook (the FAISS
+    IVF-PQ encoding: the quantizer codes what the cell centroid
+    missed, which carries far less variance than the raw vector).
+
+    r12 (VERDICT r11 #2): the fit is DRIVER-SIDE numpy Lloyd's on the
+    bounded _fit_sample — FAISS's own train-on-a-sample discipline —
+    replacing 25 per-subspace MLlib KMeans jobs per session (1 ivf +
+    8 pq + 8 adc + 8 adcres, each a multi-iteration distributed job
+    over a corpus that must never be scanned for fitting at 100 TB).
+    Side effect: codebooks are now partitioning-INDEPENDENT (fixed
+    sample order + seeded init), so every downstream recall/pruning
+    pin is reproducible across cluster layouts.
 
     The cache key is (app, sf, tag, shape, seed) — ``tag`` MUST encode
     the input variant (raw "adc" vs residual "adcres"), because
@@ -1284,30 +1363,20 @@ def _pq_codebooks(
     key = (spark.sparkContext.applicationId, sf_dir, tag, n_sub, subdim, k, base_seed)
     if key in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[key]
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = V.as_double(F.col("embedding"))
+    x = _fit_sample(spark, sf_dir)
     if residual_centers is not None:
-        cell = _argmin_center(v, residual_centers)
-        v = F.zip_with(
-            v,
-            F.element_at(_centers_lit(residual_centers), cell + 1),
-            lambda a, b: a - b,
+        c = np.asarray(residual_centers, dtype=np.float64)
+        d = (
+            (x**2).sum(axis=1)[:, None]
+            + (c**2).sum(axis=1)[None, :]
+            - 2.0 * (x @ c.T)
         )
-    e = load(spark, sf_dir).embeddings.select(v.alias("v")).persist()
-    try:
-        out = []
-        for m in range(n_sub):
-            sub = e.select(
-                F.slice("v", m * subdim + 1, subdim).alias("sv")
-            ).withColumn("features", array_to_vector(F.col("sv")))
-            model = KMeans(
-                k=k, seed=base_seed + m, featuresCol="features", predictionCol="code"
-            ).fit(sub)
-            out.append([[float(x) for x in c] for c in model.clusterCenters()])
-    finally:
-        e.unpersist()
+        x = x - c[d.argmin(axis=1)]
+    out = []
+    for m in range(n_sub):
+        sub = np.ascontiguousarray(x[:, m * subdim : (m + 1) * subdim])
+        centers = _lloyd_pp(sub, k, seed=base_seed + m)
+        out.append([[float(v) for v in row] for row in centers])
     _CODEBOOK_CACHE[key] = out
     return out
 
@@ -1348,6 +1417,74 @@ def _argmin_center(sv: Column, centers: list[list[float]]) -> Column:
         best["i"] >= 0, F.lit("_argmin_center: all distances NaN (corrupt vector?)")
     )
     return F.when(valid.isNull(), best["i"])
+
+
+def _np_argmin_rows(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Row-wise argmin over centers: ||x−c||² via the expanded form on
+    an n×k matrix (no n×k×d blowup). First-index on ties — the same
+    tie rule as _argmin_center's strict-< fold."""
+    d = (x**2).sum(axis=1)[:, None] + (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+    return d.argmin(axis=1)
+
+
+def _pq_code_udf(cbs: list[list[list[float]]], subdim: int,
+                 coarse: list[list[float]] | None = None):
+    """Arrow-vectorized PQ coder (r12, VERDICT r11 #2): array<double>
+    vector -> array<int> codes, computed batch-at-a-time in numpy with
+    the codebooks captured in the closure. With ``coarse`` the output
+    is [cell, code_0..code_{M-1}] coding the RESIDUAL x − C[cell]
+    (IVF-PQ); without, [code_0..code_{M-1}] over the raw subspaces.
+
+    Why a UDF where everything else is codegen expressions: the
+    expression form (_argmin_center folds over _centers_lit literals)
+    builds ~ M·k·subdim literal nodes — for the 8×64×8 ADC books that
+    is a ~10k-node tree costing seconds of py4j construction and
+    Catalyst/codegen PER QUERY BUILD, at any data size. The coder is
+    still map-side and shuffle-free; Arrow batches keep it
+    vectorized end to end (the sanctioned Pandas-UDF fallback)."""
+    coarse_np = None if coarse is None else np.asarray(coarse, dtype=np.float64)
+    cbs_np = [np.asarray(c, dtype=np.float64) for c in cbs]
+
+    @F.pandas_udf("array<int>")
+    def code(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy())
+        cols = []
+        if coarse_np is not None:
+            cell = _np_argmin_rows(x, coarse_np)
+            x = x - coarse_np[cell]
+            cols.append(cell.astype(np.int32))
+        for m, cb in enumerate(cbs_np):
+            sub = np.ascontiguousarray(x[:, m * subdim : (m + 1) * subdim])
+            cols.append(_np_argmin_rows(sub, cb).astype(np.int32))
+        packed = np.stack(cols, axis=1)
+        return pd.Series(list(packed))
+
+    return code
+
+
+def _adc_dist_udf(cbs: list[list[list[float]]], subdim: int, code_offset: int = 0):
+    """Arrow-vectorized asymmetric distance: (query_vec array<double>,
+    codes array<int>) -> double, sum over subspaces of
+    ||q_sub − codebook_m[code_m]||². ``code_offset`` skips a leading
+    cell id in the codes array (the IVF-PQ packing)."""
+    cbs_np = [np.asarray(c, dtype=np.float64) for c in cbs]
+
+    @F.pandas_udf("double")
+    def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.float64)
+        q = np.stack(qv.to_numpy())
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        tot = np.zeros(len(q), dtype=np.float64)
+        for m, cb in enumerate(cbs_np):
+            sub = q[:, m * subdim : (m + 1) * subdim]
+            diff = sub - cb[c[:, m + code_offset]]
+            tot += (diff**2).sum(axis=1)
+        return pd.Series(tot)
+
+    return adc
 
 
 @register(
@@ -1491,20 +1628,14 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    # ONE map-side projection codes every subspace, then an unpivot to
-    # (vec_id, m, code) rows for the broadcast LUT join
-    coded_wide = e.select(
+    # ONE map-side Arrow-vectorized projection codes every subspace
+    # (_pq_code_udf — see there for why not an expression fold), then
+    # a posexplode to (vec_id, m, code) rows for the broadcast LUT join
+    codes = e.select(
         "vec_id",
-        *[
-            _argmin_center(
-                F.slice("v", m * ADC_SUBDIM + 1, ADC_SUBDIM), cb[m]
-            ).alias(f"c{m}")
-            for m in range(ADC_M)
-        ],
-    )
-    stack_args = ", ".join(f"{m}, c{m}" for m in range(ADC_M))
-    codes = coded_wide.select(
-        "vec_id", F.expr(f"stack({ADC_M}, {stack_args}) AS (m, code)")
+        F.posexplode(_pq_code_udf(cb, ADC_SUBDIM)(F.col("v"))).alias(
+            "m", "code"
+        ),
     )
     # per-(query, subspace, code) ADC lookup tables
     # ONE pass over the query rows explodes all ADC_M subspace slices
@@ -1598,20 +1729,21 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw vector, which lifts measured recall@5 from 0.16/0.32
     (flat-vector coding) to 0.24/0.36 at sf0.001/0.01.
 
-    Plan shape: ONE map-side projection codes the corpus (coarse cell
-    via argmin over the {IVF_NLIST} cached IVF centroids, residual by
-    subtracting that centroid, then {ADC_M} PQ codes via argmin over
-    the cached residual codebooks — all folds over codebook literals
-    in the scan projection, zero shuffles so far). Queries probe
-    their {IVF_NPROBE} nearest cells; the probe table
+    Plan shape: ONE map-side Arrow-vectorized projection codes the
+    corpus (coarse cell + residual + all {ADC_M} PQ codes per numpy
+    batch — _pq_code_udf; r12 swapped the codebook-literal expression
+    folds for this after measuring the ~10k-node literal trees cost
+    seconds of py4j construction + Catalyst/codegen per build at ANY
+    data size). Zero shuffles so far. Queries probe their
+    {IVF_NPROBE} nearest cells; the probe table
     (q_id, probe_cell, query-residual-vs-that-cell) broadcasts onto
     the coded corpus as a cell equi-join, so candidate volume is the
     probed cells' share of the corpus, not N_QUERIES×corpus. ADC
-    distance is then {ADC_M} codebook lookups (element_at into the
-    centroid literal — the lookup table IS the literal) per surviving
-    row, between the query's PER-CELL residual and the code's
-    centroid. At 100 TB the corpus never shuffles: route map-side,
-    score map-side, one final per-query top-5.
+    distance is then one vectorized batch kernel per surviving row
+    (_adc_dist_udf) between the query's PER-CELL residual and the
+    coded centroids. At 100 TB the corpus never shuffles: route
+    map-side, score map-side, one final per-query top-5; the fit
+    itself trains on the bounded _fit_sample, never the corpus.
 
     Exact-oracle-checked as a PROPERTY (seeded k-means codebooks are
     partitioning-sensitive, so neighbor identities aren't
@@ -1629,29 +1761,17 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "adcres", ADC_M, ADC_SUBDIM, ADC_K,
         residual_centers=coarse,
     )
-    clit = _centers_lit(coarse)
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
-    # ONE projection: coarse routing cell, residual, all ADC_M PQ codes
-    coded = (
-        e.withColumn("cell", _argmin_center(F.col("v"), coarse))
-        .withColumn(
-            "r",
-            F.zip_with(
-                "v", F.element_at(clit, F.col("cell") + 1), lambda a, b: a - b
-            ),
-        )
-        .select(
-            "vec_id",
-            "cell",
-            *[
-                _argmin_center(
-                    F.slice("r", m * ADC_SUBDIM + 1, ADC_SUBDIM), cb[m]
-                ).alias(f"c{m}")
-                for m in range(ADC_M)
-            ],
-        )
+    # ONE map-side Arrow-vectorized projection codes the corpus: coarse
+    # routing cell + all ADC_M residual PQ codes per batch (see
+    # _pq_code_udf for why this is a UDF, not an expression fold)
+    coded = e.select(
+        "vec_id",
+        _pq_code_udf(cb, ADC_SUBDIM, coarse=coarse)(F.col("v")).alias("codes"),
+    ).select(
+        "vec_id", F.element_at("codes", 1).alias("cell"), "codes"
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -1679,16 +1799,11 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("qv", "center", lambda a, b: a - b).alias("qr"),
         )
     )
-    # ADC over ONLY the probed cells: sum over subspaces of
-    # ||q_residual_sub - residual_codebook[code]||², each an element_at
-    # lookup into the centroid literal
-    adc = None
-    for m in range(ADC_M):
-        term = _d2(
-            F.slice("qr", m * ADC_SUBDIM + 1, ADC_SUBDIM),
-            F.element_at(_centers_lit(cb[m]), F.col(f"c{m}") + 1),
-        )
-        adc = term if adc is None else adc + term
+    # ADC over ONLY the probed cells: vectorized sum over subspaces of
+    # ||q_residual_sub - residual_codebook[code]||² (Arrow batches)
+    adc = _adc_dist_udf(cb, ADC_SUBDIM, code_offset=1)(
+        F.col("qr"), F.col("codes")
+    )
     wa = W.partitionBy("q_id").orderBy(F.col("adc"), F.col("neighbor_id"))
     cand = coded.join(
         F.broadcast(probes),  # broadcast-ok: bounded by N_QUERIES*ADC_NPROBE rows

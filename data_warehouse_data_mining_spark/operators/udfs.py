@@ -960,10 +960,24 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("month")
         xs = [int(v) for v in pdf["x"].to_numpy()]
         n = len(xs)
+        if n < 2:
+            # A single-month series has no moving range: sigma-hat is
+            # undefined. The oracle's mr CTE inner-joins and therefore
+            # drops such nations; drop them identically here so both
+            # engines agree on degenerate series lengths.
+            return pd.DataFrame(
+                {
+                    "nation": pd.Series([], dtype=str),
+                    "n_months": pd.Series([], dtype="int64"),
+                    "sigma_hat_dollars": pd.Series([], dtype=float),
+                    "n_out_of_control": pd.Series([], dtype="int64"),
+                    "last_ewma_dollars": pd.Series([], dtype=float),
+                }
+            )
         sumx = sum(xs)
         smr = sum(abs(b - a) for a, b in zip(xs, xs[1:]))
         center = sumx / n
-        sigma = (smr / (n - 1)) / EWMA_D2 if n > 1 else 0.0
+        sigma = (smr / (n - 1)) / EWMA_D2
         s = sumx // n
         q = 1.0
         n_ooc = 0
