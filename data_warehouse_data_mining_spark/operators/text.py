@@ -3159,3 +3159,170 @@ def dunning_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr_micro2").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY doc_id
+    ),
+    firsts AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+    new_types AS (
+      SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY fd
+    ),
+    cum AS (
+      SELECT p.doc_id,
+             CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id) AS BIGINT) AS nn,
+             CAST(sum(coalesce(t.n_new, 0)) OVER (ORDER BY p.doc_id)
+                  AS BIGINT) AS vv
+      FROM per_doc p LEFT JOIN new_types t ON t.doc_id = p.doc_id
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(nn AS DOUBLE)) * 1000000 + 0.001)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(vv AS DOUBLE)) * 1000000 + 0.001)
+                  AS BIGINT) AS y
+      FROM cum
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts
+    ),
+    f AS (SELECT CAST(max(vv) AS BIGINT) AS vocab_final,
+                 CAST(max(nn) AS BIGINT) AS tokens_final FROM cum)
+    SELECT s.n AS n_docs, f.tokens_final, f.vocab_final,
+           round((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+                 / (CAST(s.n AS DOUBLE) * s.sxx
+                    - CAST(s.sx AS DOUBLE) * s.sx), 6) AS beta,
+           round(exp(((CAST(s.sy AS DOUBLE)
+                 - (CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+                   / (CAST(s.n AS DOUBLE) * s.sxx
+                      - CAST(s.sx AS DOUBLE) * s.sx) * s.sx) / s.n)
+                 / 1000000.0), 6) AS k_coefficient,
+           round(pow(CAST(s.n AS DOUBLE) * s.sxy
+                     - CAST(s.sx AS DOUBLE) * s.sy, 2)
+                 / ((CAST(s.n AS DOUBLE) * s.sxx
+                     - CAST(s.sx AS DOUBLE) * s.sx)
+                    * (CAST(s.n AS DOUBLE) * s.syy
+                       - CAST(s.sy AS DOUBLE) * s.sy)), 6) AS r2
+    FROM s CROSS JOIN f
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978; Herdan 1960):
+    V(n) ≈ K·n^beta, estimated by OLS of ln V(d) on ln N(d) over the
+    doc_id-ordered corpus prefix curve — natural text sits near
+    beta ≈ 0.4-0.6; templated corpora flatten early (tiny beta), and a
+    crawl whose vocabulary keeps growing linearly (beta → 1) is full of
+    noise/IDs — the growth-side companion to zipf_slope_fit (the two
+    laws are asymptotically dual) and the third corpus-linguistics
+    gate beside hapax_ratio_by_source.
+
+    Determinism (the zipf discipline, hardened for data-proportional
+    point counts): both cumulative curves are exact BIGINT prefix sums
+    computed DISTRIBUTED (global_order_stats two-phase — the doc table
+    is corpus-proportional, so a bare ORDER BY window is banned); each
+    regression point is floored to 1e-6 fixed point behind one ln, so
+    all five moment sums are exact BIGINT sums of identical integers
+    (bounded: x ≤ ln(N)·1e6 ≈ 2e7, x² ≤ 4e14, well under BIGINT at any
+    SF) and beta/K/R² are single double expressions on identical ints.
+
+    Scale: one tokenize pass feeds both the per-doc counts and the
+    type-first-occurrence agg (vocab-bounded); everything after runs
+    on one row per document with no single-partition stage."""
+    from data_warehouse_data_mining_spark.operators.ranking import (
+        global_order_stats,
+    )
+
+    d = load(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_doc = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+        # doc-bounded staged table: the two-phase ranking passes below
+        # otherwise each re-tokenize the corpus
+        .localCheckpoint(eager=True)
+    )
+    new_types = (
+        tok.groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    per_doc2 = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    ).localCheckpoint(eager=True)
+    cn = global_order_stats(
+        per_doc2, "doc_id", "doc_id", measure_col="n_tok", ascending=True
+    ).select("doc_id", F.col("global_cum").cast("long").alias("nn"))
+    cv = global_order_stats(
+        per_doc2, "doc_id", "doc_id", measure_col="n_new", ascending=True
+    ).select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("global_cum").cast("long").alias("vv"),
+    )
+    cum = cn.join(cv, F.col("doc_id") == F.col("doc_id2")).select(
+        "doc_id", "nn", "vv"
+    )
+    pts = cum.select(
+        F.expr(
+            "CAST(floor(ln(CAST(nn AS DOUBLE)) * 1000000 + 0.001) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(ln(CAST(vv AS DOUBLE)) * 1000000 + 0.001) AS BIGINT)"
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    f = cum.agg(
+        F.max("vv").cast("long").alias("vocab_final"),
+        F.max("nn").cast("long").alias("tokens_final"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    beta = num / den
+    return s.crossJoin(F.broadcast(f)).select(
+        F.col("n").alias("n_docs"),
+        "tokens_final",
+        "vocab_final",
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp(
+                ((F.col("sy").cast("double") - beta * F.col("sx")) / F.col("n"))
+                / 1_000_000.0
+            ),
+            6,
+        ).alias("k_coefficient"),
+        F.round(
+            F.pow(num, 2)
+            / (
+                den
+                * (
+                    nd * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -50,12 +50,19 @@ def bound_registry_dfs(spark):
     Shared by the type lints (test_oracle_types) and the registry-wide
     plan lints (test_plans); before r10 each file paid its own full
     ~3-minute binding pass. Values: bound DataFrame or an error string."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_warehouse_data_mining_spark import registry
 
-    out = {}
-    for name, q in registry.all_queries().items():
+    def bind(item):
+        name, q = item
         try:
-            out[name] = q.builder(spark, SF_SMALL)
+            return name, q.builder(spark, SF_SMALL)
         except Exception as exc:  # builder itself must bind
-            out[name] = f"builder failed to bind: {exc!r}"
-    return out
+            return name, f"builder failed to bind: {exc!r}"
+
+    # threaded (r12): binding is py4j/analysis latency, not compute —
+    # eager fit work (localCheckpoints, codebook fits) releases the GIL
+    # and the fit caches are deterministic+idempotent under races
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(ex.map(bind, registry.all_queries().items()))

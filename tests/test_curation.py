@@ -509,3 +509,140 @@ def test_knn_shapley_registered_output_shape(spark):
     for r in rows:
         # shap_value is round(.., 6) of the exact micro12 ratio
         assert abs(r["shap_value"] - r["shap_micro_sum"] / 2e13) <= 5e-7
+
+
+def test_knn_shapley_topm_invariant_to_salting(spark):
+    """The r12 top-M candidate cut is computed through a salted
+    two-stage row_number; the FINAL top-M by (cos desc, vec_id) must be
+    invariant to the salt fan-out. Pin: the registered query's result
+    equals a single-window (unsalted) reference computation."""
+    from pyspark.sql import Window as W
+
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.functions import vectors as V
+    from data_warehouse_data_mining_spark.operators.curation import (
+        KSH_K,
+        KSH_M,
+        KSH_T,
+        _KSH_SCALE,
+        knn_shapley_data_values,
+    )
+
+    got = [tuple(r) for r in knn_shapley_data_values(spark, SF_SMALL).collect()]
+
+    e = load(spark, SF_SMALL).embeddings.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < KSH_T).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    tr = e.filter(F.col("vec_id") >= KSH_T)
+    cos = V.dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(V.dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(V.dot(F.col("v"), F.col("v")))
+    )
+    wq = W.partitionBy("q_id")
+    ranked = (
+        tr.crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("eq"),
+            cos.alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.col("cos").desc(), F.col("vec_id"))),
+        )
+        .filter(F.col("rn") <= KSH_M)
+        .drop("cos")
+    )
+    w = ranked.select(
+        "q_id", "vec_id", "label", "rn", "eq",
+        F.lead("eq").over(wq.orderBy("rn")).alias("eqn"),
+        F.count(F.lit(1)).over(wq).cast("long").alias("n"),
+    ).withColumn(
+        "eq_last",
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("eq"))).over(wq),
+    )
+    d = w.select(
+        "q_id", "vec_id", "label", "rn", "n", "eq_last",
+        F.when(F.col("eqn").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                f"CAST(floor(((eq - eqn) * least({KSH_K}, rn)"
+                f" * {_KSH_SCALE}) / ({KSH_K} * rn)) AS BIGINT)"
+            )
+        )
+        .alias("d_micro"),
+    )
+    s = d.select(
+        "q_id", "vec_id", "label",
+        (
+            F.sum("d_micro")
+            .over(wq.orderBy("rn").rowsBetween(0, W.unboundedFollowing))
+            .cast("long")
+            + F.expr(f"CAST(floor(eq_last * {_KSH_SCALE} / n) AS BIGINT)")
+        ).alias("s_micro"),
+    )
+    want = [
+        tuple(r)
+        for r in s.groupBy("vec_id", "label")
+        .agg(F.sum("s_micro").cast("long").alias("shap_micro_sum"))
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("label").cast("int"),
+            "shap_micro_sum",
+            F.round(F.col("shap_micro_sum") / (KSH_T * 1e12), 6).alias("shap_value"),
+        )
+        .orderBy(F.col("shap_micro_sum").desc(), "vec_id")
+        .limit(20)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_pq_code_udf_matches_expression_argmin(spark):
+    """The Arrow-vectorized coder (r12) must agree with the codegen
+    expression fold it replaced: same argmin cells, same first-index
+    tie rule, on the real sf0.001 embeddings."""
+    from data_warehouse_data_mining_spark.catalog import load
+    from data_warehouse_data_mining_spark.functions import vectors as V
+    from data_warehouse_data_mining_spark.operators import similarity as S
+
+    coarse = S._pq_codebooks(spark, SF_SMALL, "ivf", 1, S.DIM, S.IVF_NLIST)[0]
+    e = load(spark, SF_SMALL).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    both = e.select(
+        "vec_id",
+        S._argmin_center(F.col("v"), coarse).alias("cell_expr"),
+        F.element_at(
+            S._pq_code_udf([], S.DIM, coarse=coarse)(F.col("v")), 1
+        ).alias("cell_udf"),
+    )
+    bad = both.filter(F.col("cell_expr") != F.col("cell_udf")).count()
+    assert bad == 0
+
+
+def test_lloyd_pp_is_deterministic_and_shaped():
+    """Driver-side codebook fit (r12): same input + seed => identical
+    centers; k is clamped to n; centers live in the data's range."""
+    import numpy as np
+
+    from data_warehouse_data_mining_spark.operators.similarity import _lloyd_pp
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(200, 8)
+    a = _lloyd_pp(x, 16, seed=42)
+    b = _lloyd_pp(x, 16, seed=42)
+    assert a.shape == (16, 8)
+    assert np.array_equal(a, b)
+    c = _lloyd_pp(x, 16, seed=43)
+    assert not np.array_equal(a, c)
+    tiny = _lloyd_pp(x[:5], 16, seed=42)
+    assert tiny.shape == (5, 8)
+    assert a.min() >= x.min() - 1e-12 and a.max() <= x.max() + 1e-12

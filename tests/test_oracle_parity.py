@@ -18,31 +18,66 @@ ROWS_ONLY_NAMES = sorted(n for n, q in _QUERIES.items() if q.oracle is None)
 
 
 @pytest.fixture(scope="module")
-def duck_small():
-    con = oracle.duckdb_connection(SF_SMALL)
-    yield con
-    con.close()
+def parity_results(spark, bound_registry_dfs):
+    """All 440+ oracle comparisons executed ONCE, concurrently (r12,
+    VERDICT r11 #7): the per-query cost at sf0.001 is Spark job-
+    scheduling LATENCY, not compute (measured 89 s Spark vs 3 s DuckDB
+    over a 40-query slice), so a thread pool overlapping collect()
+    waits cuts the parity wall-clock ~4x while the parametrized tests
+    below keep per-query pass/fail granularity. Spark job submission
+    is thread-safe; DuckDB connections are per-thread (not
+    thread-safe); builder-level fit caches are deterministic and
+    idempotent, so a concurrent double-fit is harmless."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    local = threading.local()
+
+    def get_con():
+        if not hasattr(local, "con"):
+            local.con = oracle.duckdb_connection(SF_SMALL)
+        return local.con
+
+    def one_parity(name: str) -> tuple[str, str | None]:
+        sdf = bound_registry_dfs.get(name)
+        if isinstance(sdf, str):
+            return name, sdf
+        try:
+            return name, oracle.compare_query(
+                name, spark, get_con(), SF_SMALL, sdf=sdf
+            )
+        except Exception as exc:  # surface as a per-test failure
+            return name, f"exception: {exc!r}"
+
+    def one_rows_only(name: str) -> tuple[str, str | None]:
+        df = bound_registry_dfs.get(name)
+        if isinstance(df, str):
+            return name, df
+        try:
+            if df is None:
+                df = _QUERIES[name].builder(spark, SF_SMALL)
+            n = df.count()
+            if n < 0 or not df.columns:
+                return name, f"degenerate result: rows={n} cols={df.columns}"
+            return name, None
+        except Exception as exc:
+            return name, f"exception: {exc!r}"
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        out = dict(ex.map(one_parity, ORACLE_NAMES))
+        out.update(dict(ex.map(one_rows_only, ROWS_ONLY_NAMES)))
+    return out
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
-def test_oracle_parity(spark, duck_small, bound_registry_dfs, name):
-    # reuse the session-shared bound DataFrame (VERDICT r10 #4): the
-    # 400+-builder bind pass is paid once for parity + type + plan lints
-    sdf = bound_registry_dfs.get(name)
-    if isinstance(sdf, str):
-        pytest.fail(f"{name}: {sdf}")
-    err = oracle.compare_query(name, spark, duck_small, SF_SMALL, sdf=sdf)
+def test_oracle_parity(parity_results, name):
+    err = parity_results[name]
     assert err is None, f"{name}: {err}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_queries_run(spark, bound_registry_dfs, name):
+def test_rows_only_queries_run(parity_results, name):
     """Queries without an oracle must still run and return a stable,
     non-degenerate result (the driver's weaker check)."""
-    df = bound_registry_dfs.get(name)
-    if isinstance(df, str):
-        pytest.fail(f"{name}: {df}")
-    if df is None:
-        df = _QUERIES[name].builder(spark, SF_SMALL)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+    err = parity_results[name]
+    assert err is None, f"{name}: {err}"
