@@ -2107,3 +2107,254 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weight_band")
     )
+
+
+# EM estimation of the Fellegi-Sunter parameters (Winkler 1988): the
+# m/u probabilities fellegi_sunter_linkage takes as clerical priors are
+# here LEARNED from the unlabeled blocked pairs. Exact fixed-point
+# walk: the state (p, m_k, u_k) lives in 1e-6 ints; each E-step pattern
+# weight is one double expression on that integer state floored to
+# 1e-12; M-step ratios are one double division of exact BIGINT sums
+# floored back to 1e-6 — so all 10 iterations are bit-identical across
+# engines (the elo/markov recursive-walk discipline).
+FS_EM_ITERS = 10
+_FS_EM_INIT = {"p": 50_000, "m": 900_000, "u": 100_000}  # micro
+
+
+def _fs_em_w12(gbits: str, pv: str, mv: list[str], uv: list[str]) -> str:
+    """SQL text for one pattern's E-step weight w12 (floored 1e-12):
+    num = (p/1e6) * prod_k t_k, den = ((1e6-p)/1e6) * prod_k s_k with
+    the factor order FIXED left-to-right — the Python walk multiplies
+    in the same order, so the doubles are identical."""
+    num = f"({pv} / 1000000.0)"
+    den = f"((1000000 - {pv}) / 1000000.0)"
+    for k, g in enumerate(gbits.split(",")):
+        num += (f" * (CASE WHEN {g} = 1 THEN {mv[k]} / 1000000.0"
+                f" ELSE (1000000 - {mv[k]}) / 1000000.0 END)")
+        den += (f" * (CASE WHEN {g} = 1 THEN {uv[k]} / 1000000.0"
+                f" ELSE (1000000 - {uv[k]}) / 1000000.0 END)")
+    return (f"CAST(floor(({num}) / (({num}) + ({den}))"
+            f" * 1000000000000 + 0.001) AS BIGINT)")
+
+
+def _fs_em_oracle() -> str:
+    fields = [f for f, _m in FS_FIELDS]
+    field_cols = ",\n             ".join(
+        f"{_FS_EXPRS[f]} AS {f}" for f in fields
+    )
+    gcols = ", ".join(f"g_{f}" for f in fields)
+    gexprs_1 = ", ".join(
+        f"CASE WHEN x.{f} = y.{f} THEN 1 ELSE 0 END AS g_{f}" for f in fields
+    )
+    clamp = "least(greatest({v}, CAST(1 AS BIGINT)), CAST(999999 AS BIGINT))"
+    its = []
+    prev = "e0"
+    for i in range(1, FS_EM_ITERS + 1):
+        w12 = _fs_em_w12(
+            ",".join(f"g_{f}" for f in fields),
+            "p", [f"m_{f}" for f in fields], [f"u_{f}" for f in fields],
+        )
+        sums = ["CAST(sum(c * w12) AS BIGINT) AS sw",
+                "CAST(sum(c * (1000000000000 - w12)) AS BIGINT) AS su",
+                "CAST(sum(c) AS BIGINT) AS nc"]
+        for f in fields:
+            sums.append(f"CAST(sum(CASE WHEN g_{f} = 1 THEN c * w12"
+                        f" ELSE 0 END) AS BIGINT) AS sw_{f}")
+            sums.append(f"CAST(sum(CASE WHEN g_{f} = 1 THEN"
+                        f" c * (1000000000000 - w12) ELSE 0 END)"
+                        f" AS BIGINT) AS su_{f}")
+        upd = [clamp.format(
+            v="CAST(floor(greatest(sw, 1) / (nc * 1000000000000.0)"
+              " * 1000000 + 0.001) AS BIGINT)") + " AS p"]
+        for f in fields:
+            upd.append(clamp.format(
+                v=f"CAST(floor(sw_{f} / (greatest(sw, 1) * 1.0)"
+                  f" * 1000000 + 0.001) AS BIGINT)") + f" AS m_{f}")
+            upd.append(clamp.format(
+                v=f"CAST(floor(su_{f} / (greatest(su, 1) * 1.0)"
+                  f" * 1000000 + 0.001) AS BIGINT)") + f" AS u_{f}")
+        its.append(f"""
+    e{i} AS (
+      SELECT {", ".join(upd)}
+      FROM (
+        SELECT {", ".join(sums)}
+        FROM (SELECT pt.c, {gcols}, {w12} AS w12
+              FROM patterns pt CROSS JOIN {prev})
+      )
+    )""")
+        prev = f"e{i}"
+    mu_out = ", ".join(
+        f"round(m_{f} / 1000000.0, 6) AS m_{f},"
+        f" round(u_{f} / 1000000.0, 6) AS u_{f}"
+        for f in fields
+    )
+    return f"""
+    WITH recs AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             {field_cols}
+      FROM customer
+    ),
+    gammas AS (
+      SELECT {gexprs_1}
+      FROM recs x JOIN recs y
+        ON x.c_nationkey = y.c_nationkey
+       AND x.c_mktsegment = y.c_mktsegment
+       AND x.bal = y.bal
+       AND x.c_custkey < y.c_custkey
+      UNION ALL
+      SELECT {gexprs_1}
+      FROM recs x JOIN recs y
+        ON x.c_nationkey = y.c_nationkey
+       AND x.c_mktsegment = y.c_mktsegment
+       AND x.mid = y.mid
+       AND x.bal <> y.bal
+       AND x.c_custkey < y.c_custkey
+    ),
+    patterns AS (
+      SELECT {gcols}, CAST(count(*) AS BIGINT) AS c
+      FROM gammas GROUP BY {gcols}
+    ),
+    e0 AS (SELECT CAST({_FS_EM_INIT["p"]} AS BIGINT) AS p,
+           {", ".join(f'CAST({_FS_EM_INIT["m"]} AS BIGINT) AS m_{f}' for f in fields)},
+           {", ".join(f'CAST({_FS_EM_INIT["u"]} AS BIGINT) AS u_{f}' for f in fields)}),
+    {",".join(its)},
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM patterns)
+    SELECT t.n_pairs, CAST({FS_EM_ITERS} AS INT) AS n_iters,
+           round(e.p / 1000000.0, 6) AS p_match, {mu_out}
+    FROM e{FS_EM_ITERS} e CROSS JOIN tot t
+    """
+
+
+@register("fellegi_sunter_em_params", oracle=_fs_em_oracle())
+def fellegi_sunter_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED estimation of the Fellegi-Sunter model — EM over
+    the gamma-pattern counts (Winkler 1988, the Splink `estimate_
+    parameters_using_expectation_maximisation` workhorse): where
+    fellegi_sunter_linkage SCORES pairs with clerically-set m
+    probabilities, this operator LEARNS (p, m_k, u_k) from the same
+    unlabeled blocked pairs by iterating E (per-pattern match weight
+    under conditional independence) and M (weighted agreement rates)
+    from a fixed symmetric-broken init (p=.05, m=.9, u=.1), 10
+    iterations.
+
+    Determinism (the elo/markov walk discipline): the sufficient
+    statistic is the 2^4-row gamma-pattern count table — EM never
+    touches pairs again; state lives in exact 1e-6 ints; each E-step
+    weight is ONE double expression over that integer state (factor
+    order fixed left-to-right) floored to 1e-12, weighted sums are
+    exact BIGINT sums, and each M-step ratio is one double division
+    floored back to 1e-6 and clamped to [1, 999999] micro, so all 10
+    iterations are bit-identical in both engines. Oracle unrolls the
+    10 iterations as chained CTEs (the markov-power-iteration
+    pattern).
+
+    Scale: the blocked pair join is the multi-key two-pass shape of
+    the linkage twin; pattern counting is one map-side-combinable
+    groupBy to <= 16 rows; the EM walk runs on that bounded table
+    inside one applyInPandas group (state is 9 numbers, never
+    data-sized)."""
+    import pandas as pd
+
+    fields = [f for f, _m in FS_FIELDS]
+    c = load(spark, sf_dir).customer
+    recs = c.selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        *[f"{_FS_EXPRS[f]} AS {f}" for f in fields],
+    ).localCheckpoint(eager=True)
+    x = recs.select(*[F.col(col).alias(f"x_{col}") for col in recs.columns])
+    y = recs.select(*[F.col(col).alias(f"y_{col}") for col in recs.columns])
+    gexprs = [
+        F.when(F.col(f"x_{f}") == F.col(f"y_{f}"), 1)
+        .otherwise(0)
+        .alias(f"g_{f}")
+        for f in fields
+    ]
+    pass1 = x.join(
+        y,
+        (F.col("x_c_nationkey") == F.col("y_c_nationkey"))
+        & (F.col("x_c_mktsegment") == F.col("y_c_mktsegment"))
+        & (F.col("x_bal") == F.col("y_bal"))
+        & (F.col("x_c_custkey") < F.col("y_c_custkey")),
+    ).select(*gexprs)
+    pass2 = x.join(
+        y,
+        (F.col("x_c_nationkey") == F.col("y_c_nationkey"))
+        & (F.col("x_c_mktsegment") == F.col("y_c_mktsegment"))
+        & (F.col("x_mid") == F.col("y_mid"))
+        & (F.col("x_bal") != F.col("y_bal"))
+        & (F.col("x_c_custkey") < F.col("y_c_custkey")),
+    ).select(*gexprs)
+    patterns = (
+        pass1.unionByName(pass2)
+        .groupBy(*[f"g_{f}" for f in fields])
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def em_walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        rows = [
+            ([int(r[f"g_{f}"]) for f in fields], int(r["c"]))
+            for _, r in pdf.iterrows()
+        ]
+        n_pairs = sum(cnt for _g, cnt in rows)
+        p = _FS_EM_INIT["p"]
+        m = [_FS_EM_INIT["m"]] * len(fields)
+        u = [_FS_EM_INIT["u"]] * len(fields)
+        clamp = lambda v: min(max(v, 1), 999_999)
+        for _ in range(FS_EM_ITERS):
+            sw = su = 0
+            swk = [0] * len(fields)
+            suk = [0] * len(fields)
+            for g, cnt in rows:
+                # factor order fixed left-to-right — identical to the
+                # oracle's SQL expression on identical integer state
+                num = p / 1000000.0
+                den = (1000000 - p) / 1000000.0
+                for k in range(len(fields)):
+                    num = num * (
+                        m[k] / 1000000.0 if g[k] == 1
+                        else (1000000 - m[k]) / 1000000.0
+                    )
+                    den = den * (
+                        u[k] / 1000000.0 if g[k] == 1
+                        else (1000000 - u[k]) / 1000000.0
+                    )
+                w12 = math.floor(num / (num + den) * 1000000000000 + 0.001)
+                sw += cnt * w12
+                su += cnt * (1000000000000 - w12)
+                for k in range(len(fields)):
+                    if g[k] == 1:
+                        swk[k] += cnt * w12
+                        suk[k] += cnt * (1000000000000 - w12)
+            p = clamp(
+                math.floor(
+                    max(sw, 1) / (n_pairs * 1000000000000.0) * 1000000
+                    + 0.001
+                )
+            )
+            m = [
+                clamp(math.floor(swk[k] / (max(sw, 1) * 1.0) * 1000000 + 0.001))
+                for k in range(len(fields))
+            ]
+            u = [
+                clamp(math.floor(suk[k] / (max(su, 1) * 1.0) * 1000000 + 0.001))
+                for k in range(len(fields))
+            ]
+        out = {"n_pairs": [n_pairs], "n_iters": [FS_EM_ITERS],
+               "p_match": [round(p / 1000000.0, 6)]}
+        for k, f in enumerate(fields):
+            out[f"m_{f}"] = [round(m[k] / 1000000.0, 6)]
+            out[f"u_{f}"] = [round(u[k] / 1000000.0, 6)]
+        return pd.DataFrame(out)
+
+    schema = "n_pairs long, n_iters int, p_match double, " + ", ".join(
+        f"m_{f} double, u_{f} double" for f in fields
+    )
+    return (
+        patterns.withColumn("grp", F.lit(1))
+        .groupBy("grp")
+        .applyInPandas(em_walk, schema=schema)
+    )
