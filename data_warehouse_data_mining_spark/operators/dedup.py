@@ -2157,7 +2157,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fellegi-Sunter (probabilistic) — this adds CHARACTER-level typo/
 # near-edit matching on each document's 64-char lead fingerprint.
 ED_K = 4        # edit-distance threshold
-ED_Q = 2        # q-gram width
+# q-gram width: q=4, NOT 2 — on a bounded alphabet the q-gram universe
+# is |alphabet|^q, and prefix filtering only prunes while gram df stays
+# small relative to the corpus. With q=2 the ~10^3-gram universe
+# saturates (every gram's df grows linearly with docs, candidates grow
+# quadratically — measured: the 8x probe never finished); q=4's ~10^6
+# universe keeps the rarest grams rare as the corpus grows — the
+# standard Ed-Join setting for strings of this length.
+ED_Q = 4
 ED_LEAD = 64    # lead fingerprint length
 # prefix filter: ed <= k destroys at most k*q distinct q-gram values
 # per side, so the (k*q + 1) globally-rarest distinct grams of each
@@ -2239,11 +2246,15 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", F.col("global_rank").alias("t"))
         .localCheckpoint(eager=True)
     )
-    ranked = grams.join(vocab, "g").withColumn(
-        "rn", F.row_number().over(W.partitionBy("id").orderBy("t"))
+    ranked = (
+        grams.join(vocab, "g")
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
+        .withColumn("rn", F.row_number().over(W.partitionBy("id").orderBy("t")))
     )
-    prefix = ranked.filter(F.col("rn") <= ED_PLEN).select("id", "t", "ln")
-    cand = (
+    prefix = ranked.filter(F.col("rn") <= ED_PLEN).select(
+        "id", "t", "rn", "n", "ln"
+    )
+    raw = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -2254,8 +2265,39 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("a.ln") - F.col("b.ln")) <= ED_K
             ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.rn").alias("rn_a"),
+            F.col("b.rn").alias("rn_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+    # accumulated count bound (the prefix_filter_jaccard_pairs
+    # machinery carried over): ed <= k needs shared distinct grams
+    # >= max(n_a, n_b) - k*q, and shared <= cnt + min(n_a - last_a,
+    # n_b - last_b) at the LAST prefix collision (non-collision shared
+    # grams order after every collision in the global gram order) —
+    # lossless, and it prunes sibling leads that collide on interior
+    # grams but differ everywhere else before any levenshtein runs
+    cand = (
+        raw.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("rn_a").alias("mx_a"),
+            F.max("rn_b").alias("mx_b"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(
+            F.col("cnt")
+            + F.least(
+                F.col("n_a") - F.col("mx_a"), F.col("n_b") - F.col("mx_b")
+            )
+            >= F.greatest("n_a", "n_b") - ED_K * ED_Q
+        )
+        .select("id_a", "id_b")
     )
     sa = leads.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = leads.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))

@@ -51,14 +51,32 @@ def stage(spark, replicas: int) -> str:
                 for col in KEY_SHIFTS[name]:
                     rep = rep.withColumn(col, F.col(col) + F.lit(r * OFFSET))
                 if name == "documents" and r > 0:
-                    # suffix every token per replica so shingle spaces are
-                    # DISJOINT across replicas: duplicate density per
-                    # replica stays what it was at 1x (otherwise each doc
-                    # gains r near-identical clones and candidate pairs
-                    # grow r^2, measuring pair blow-up instead of scan
-                    # scale-up)
+                    # Per-replica seeded alphabet PERMUTATION (r12;
+                    # replaces the old per-token "x{r}" suffix): every
+                    # replica's text goes through its own letter
+                    # substitution, so BOTH the word-shingle space and
+                    # the character-q-gram space are disjoint across
+                    # replicas while lengths, word boundaries, token/
+                    # gram DIVERSITY, and duplicate density stay exactly
+                    # what they were at 1x. The suffix achieved word
+                    # disjointness but collapsed per-replica char-gram
+                    # diversity (every token ended in the same 2 chars:
+                    # 978 -> 192 distinct 4-grams), handing char-level
+                    # operators a manufactured worst case — measuring
+                    # text degeneracy, not scan scale-up.
+                    import random
+
+                    alpha = "abcdefghijklmnopqrstuvwxyz"
+                    perm = list(alpha)
+                    random.Random(1000 + r).shuffle(perm)
+                    perm = "".join(perm)
                     rep = rep.withColumn(
-                        "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{r}")
+                        "text",
+                        F.translate(
+                            F.col("text"),
+                            alpha + alpha.upper(),
+                            perm + perm.upper(),
+                        ),
                     )
                 parts.append(rep)
             df = parts[0]
