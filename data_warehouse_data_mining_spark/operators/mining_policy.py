@@ -2452,16 +2452,18 @@ MSPRT_LN_INV_ALPHA_MICRO = 2995732  # floor(ln(1/0.05)*1e6): alpha = 5%
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     ),
     monthly AS (
+      -- ss stays HUGEINT: the cumulative second moment crosses BIGINT
+      -- at sf0.1 already (cents^2 ~ 2.5e15/row; 12-month cumsum > 9e18)
       SELECT m, arm, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(r) AS BIGINT) AS s,
-             CAST(sum(r * r) AS BIGINT) AS ss
+             sum(r * r) AS ss
       FROM panel GROUP BY m, arm
     ),
     looks AS (
       SELECT m, arm,
              CAST(sum(n) OVER w AS BIGINT) AS cn,
              CAST(sum(s) OVER w AS BIGINT) AS cs,
-             CAST(sum(ss) OVER w AS BIGINT) AS css
+             sum(ss) OVER w AS css
       FROM monthly
       WINDOW w AS (PARTITION BY arm ORDER BY m ROWS UNBOUNDED PRECEDING)
     ),
@@ -2539,7 +2541,10 @@ def msprt_always_valid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = panel.groupBy("m", "arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("r").cast("long").alias("s"),
-        F.sum(F.col("r") * F.col("r")).cast("long").alias("ss"),
+        # DECIMAL(38,0) second moment (exact, the oracle's HUGEINT
+        # twin): the cumulative css crosses BIGINT at sf0.1 already —
+        # r12, found by the off-gate sf0.1 robustness sweep
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,0)")).alias("ss"),
     ).localCheckpoint(eager=True)
     wc = W.partitionBy("arm").orderBy("m").rowsBetween(W.unboundedPreceding, 0)
     looks = monthly.select(
@@ -2547,7 +2552,7 @@ def msprt_always_valid_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         F.sum("n").over(wc).cast("long").alias("cn"),
         F.sum("s").over(wc).cast("long").alias("cs"),
-        F.sum("ss").over(wc).cast("long").alias("css"),
+        F.sum("ss").over(wc).cast("decimal(38,0)").alias("css"),
     )
     a = looks.filter(F.col("arm") == 0).select(
         "m", F.col("cn").alias("n_a"), F.col("cs").alias("cs_a"),
