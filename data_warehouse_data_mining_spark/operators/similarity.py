@@ -1707,8 +1707,10 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.partitionBy("q_id").orderBy(F.col("l2"), F.col("neighbor_id"))
     adc_top = (
         e.join(
+            # broadcast-ok: shortlist is bounded by N_QUERIES*ADC_REFINE rows
             F.broadcast(shortlist), F.col("vec_id") == F.col("neighbor_id")
         )
+        # broadcast-ok: qv2 is bounded by N_QUERIES (literal id filter)
         .join(F.broadcast(qv2), F.col("q_id") == F.col("rq_id"))
         .select("q_id", "neighbor_id", refine_l2.alias("l2"))
         .withColumn("rn", F.row_number().over(wr))

@@ -506,4 +506,8 @@ def test_no_broadcast_hints_on_unbounded_tables():
         ("similarity.py", "lut is bounded by N_QUERIES*ADC_M*ADC_K rows"),
         ("similarity.py", "q is bounded by N_QUERIES (literal id filter)"),
         ("similarity.py", "q is bounded by N_QUERIES (literal id filter)"),
+        # r12 ADC refine stage: the exact re-rank joins the bounded
+        # shortlist (N_QUERIES*ADC_REFINE rows) + query vectors back
+        # onto the corpus
+        ("similarity.py", "qv2 is bounded by N_QUERIES (literal id filter)"),
     ], f"waiver inventory drifted: {sorted(waivers)}"
