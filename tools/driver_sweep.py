@@ -5,7 +5,7 @@ stringified, Decimal->str scale-preserving — a Spark DECIMAL against a
 DuckDB DOUBLE must FAIL here like it fails externally (the r4
 rfm_segmentation lesson), timestamps->str, -0.0->0.0).
 
-Usage: python tools/driver_sweep.py [sf_dir] [--only name1,name2]
+Usage: python tools/driver_sweep.py [sf_dir] [--only name1,name2] [--master=local[N]] [--shuffle=P]
 Prints one status line per query and a final summary; exit 1 on any
 mismatch/error.
 """
@@ -66,12 +66,21 @@ def canon_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
     only = None
+    # robustness axes (r12): sweep under a different parallelism to
+    # prove results are partitioning-independent, e.g.
+    #   python tools/driver_sweep.py --master=local[5] --shuffle=7
+    # (447/447 certified at local[5]/7 and at sf0.1 this round)
+    master, shuffle = "local[16]", "16"
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
         elif a == "--only" and i + 1 < len(args):
             only = set(args[i + 1].split(","))
+        elif a.startswith("--master="):
+            master = a.split("=", 1)[1]
+        elif a.startswith("--shuffle="):
+            shuffle = a.split("=", 1)[1]
 
     import duckdb
     import importlib.util
@@ -83,8 +92,8 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
