@@ -2206,6 +2206,22 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused into the join. Survivors are verified with Spark's
     THRESHOLDED levenshtein (early-exit DP, returns -1 above k).
 
+    DEGENERATE-LEAD completeness: the count bound shared >=
+    max(n_a, n_b) - {ED_K}*{ED_Q} is VACUOUS when BOTH sides have
+    n <= {ED_K}*{ED_Q} distinct grams — such a pair can qualify while
+    sharing ZERO grams ('hello' vs 'help!', ed=2, no common 4-gram) and
+    the prefix join would never see it. (Mixed short x long pairs stay
+    covered: n_b >= {ED_PLEN} forces shared >= n_b - {ED_K}*{ED_Q} >=
+    1, and at most n_b - {ED_PLEN} shared grams can sit outside b's
+    prefix, so at least one collision lands inside BOTH prefixes — the
+    short side's prefix is its whole gram set.) Fix: leads with
+    n <= {ED_K}*{ED_Q} distinct grams take a length-banded all-pairs
+    side join (band key = exploded lead length, window |ln_a - ln_b|
+    <= {ED_K}) unioned into the candidate set before verification. In
+    natural corpora this set is only the very short (< ~{ED_K}*{ED_Q}
+    + {ED_Q} chars) or pathologically repetitive leads, and the
+    all-pairs cost is sum over length bands of |band|^2, never corpus^2.
+
     The ORACLE is the unfiltered brute-force levenshtein join: hash
     equality per driver round IS the completeness proof of the prefix
     filter (a pruned qualifying pair would surface as a missing row).
@@ -2263,6 +2279,14 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact ED length filter: |len_a - len_b| <= k
             & (
                 F.abs(F.col("a.ln") - F.col("b.ln")) <= ED_K
+            )
+            # both-degenerate pairs (n <= k*q on BOTH sides) are routed
+            # through the length-banded side join below — excluding
+            # them here keeps the two candidate paths disjoint, so the
+            # union needs no distinct()
+            & ~(
+                (F.col("a.n") <= ED_K * ED_Q)
+                & (F.col("b.n") <= ED_K * ED_Q)
             ),
         )
         .select(
@@ -2299,6 +2323,37 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
+    # degenerate-lead side join (docstring "DEGENERATE-LEAD"): leads
+    # with n <= k*q distinct grams can qualify while sharing ZERO
+    # grams, so both-short pairs get a length-banded all-pairs join —
+    # band key = exploded lead length over the |ln_a - ln_b| <= k
+    # window, each unordered pair emitted exactly once
+    gcnt = grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"), F.first("ln").alias("ln")
+    )
+    shorts = gcnt.filter(F.col("n") <= ED_K * ED_Q).select("id", "ln")
+    sh_a = shorts.select(
+        "id",
+        "ln",
+        F.explode(F.sequence(F.col("ln"), F.col("ln") + ED_K)).alias("key"),
+    )
+    sh_b = shorts.select(
+        F.col("id").alias("idb"),
+        F.col("ln").alias("lnb"),
+        F.col("ln").alias("key"),
+    )
+    short_pairs = (
+        sh_a.join(sh_b, "key")
+        .filter(
+            (F.col("ln") < F.col("lnb"))
+            | ((F.col("ln") == F.col("lnb")) & (F.col("id") < F.col("idb")))
+        )
+        .select(
+            F.least("id", "idb").alias("id_a"),
+            F.greatest("id", "idb").alias("id_b"),
+        )
+    )
+    cand = cand.unionByName(short_pairs)
     sa = leads.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
     sb = leads.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
     verified = (

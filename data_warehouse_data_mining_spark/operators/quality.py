@@ -2222,6 +2222,11 @@ def _fs_em_oracle() -> str:
     SELECT t.n_pairs, CAST({FS_EM_ITERS} AS INT) AS n_iters,
            round(e.p / 1000000.0, 6) AS p_match, {mu_out}
     FROM e{FS_EM_ITERS} e CROSS JOIN tot t
+    -- no blocked pairs -> no estimate row (mirrors the Spark side,
+    -- where applyInPandas never fires on an empty pattern table);
+    -- without this the empty-aggregate CTEs NULL-propagate into one
+    -- junk row
+    WHERE t.n_pairs IS NOT NULL
     """
 
 
@@ -2300,6 +2305,14 @@ def fellegi_sunter_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             for _, r in pdf.iterrows()
         ]
         n_pairs = sum(cnt for _g, cnt in rows)
+        if n_pairs == 0:
+            # degenerate: no blocked pairs -> no estimate row (the
+            # oracle filters its NULL-propagated row the same way);
+            # without this guard the p update below divides by zero
+            cols = ["n_pairs", "n_iters", "p_match"]
+            for f in fields:
+                cols += [f"m_{f}", f"u_{f}"]
+            return pd.DataFrame({col: [] for col in cols})
         p = _FS_EM_INIT["p"]
         m = [_FS_EM_INIT["m"]] * len(fields)
         u = [_FS_EM_INIT["u"]] * len(fields)

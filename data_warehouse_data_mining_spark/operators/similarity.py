@@ -1332,6 +1332,20 @@ def _fit_sample(spark: SparkSession, sf_dir: str) -> "np.ndarray":
                 < F.lit(thresh)
             )
         rows = e.orderBy("vec_id").collect()
+        # lower bound (ADVICE r13): the md5-threshold filter is
+        # stochastic and `thresh` truncates toward 0 at extreme n, so
+        # the sample can come back far smaller than intended — and
+        # _lloyd_pp on a tiny/empty sample either crashes
+        # (rng.randint(0)) or silently shrinks codebooks via
+        # k=min(k,n). Floor at 16x the largest k any fit uses
+        # (PQ_K=16, IVF_NLIST=16); below it, fall back to the
+        # unfiltered deterministic bounded limit.
+        floor = 16 * max(PQ_K, IVF_NLIST)
+        if len(rows) < floor:
+            e_all = load(spark, sf_dir).embeddings.select(
+                "vec_id", V.as_double(F.col("embedding")).alias("v")
+            )
+            rows = e_all.orderBy("vec_id").limit(PQ_FIT_CAP).collect()
         _FIT_SAMPLE_CACHE[key] = np.array([r["v"] for r in rows], dtype=np.float64)
     return _FIT_SAMPLE_CACHE[key]
 

@@ -228,3 +228,114 @@ def test_indexed_array_walks_linear_on_pathological_docs(adv_docs_df):
     bg_by_id = {r["doc_id"]: r["n"] for r in bg}
     assert bg_by_id[3] == REPEAT_N - 1
     assert elapsed < 60, f"indexed array walks took {elapsed:.1f}s — quadratic?"
+
+
+SHORT_DOCS = [
+    # degenerate leads: <= ED_K*ED_Q distinct 4-grams — the r13 ADVICE
+    # gap where the q-gram count bound is vacuous and a qualifying pair
+    # can share ZERO grams ('hello' vs 'help!', ed=2, no common 4-gram)
+    (1, "hello"),
+    (2, "help!"),
+    (3, "abcd"),
+    (4, "abce"),
+    # a long near-dup pair: pins that the normal prefix-filter path and
+    # the degenerate side path compose (disjoint candidate sets, union)
+    (5, "an ordinary document about nothing much at all really truly"),
+    (6, "an ordinary document about nothing much at all realy truly"),
+    # control: 25 chars — outside the |len| <= 4 window of every other
+    # doc, so it must NOT pair with anything
+    (7, "qwertyuiopasdfghjklzxcvbn"),
+    # pathologically repetitive long lead: 61 chars but ONE distinct
+    # gram — lands in the degenerate set despite its length
+    (8, "a" * 61),
+    (9, "a" * 60 + "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def short_dir(tmp_path_factory):
+    """A catalog dir whose documents are degenerate-lead texts (see
+    SHORT_DOCS); other tables symlinked from sf0.001."""
+    d = tmp_path_factory.mktemp("shortdoc_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in SHORT_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in SHORT_DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(SHORT_DOCS), pa.string()),
+            "source": pa.array(["s"] * len(SHORT_DOCS), pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in SHORT_DOCS], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(f"{SF_SMALL}/{name}.parquet", str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def test_edit_distance_complete_on_degenerate_leads(spark, short_dir):
+    """edit_distance_neardup_pairs must stay hash-exact vs the
+    brute-force levenshtein oracle when leads have <= ED_K*ED_Q
+    distinct grams (the prefix count bound is vacuous there — ADVICE
+    r13 medium): the length-banded all-pairs side path must surface
+    'hello'/'help!' and 'abcd'/'abce' even though they share no 4-gram,
+    and the repetitive-lead pair (docs 8/9, 1-2 distinct grams at
+    60+ chars) must route through the degenerate path too."""
+    con = oracle.duckdb_connection(short_dir)
+    try:
+        err = oracle.compare_query(
+            "edit_distance_neardup_pairs", spark, con, short_dir
+        )
+    finally:
+        con.close()
+    assert err is None, err
+    from data_warehouse_data_mining_spark.registry import all_queries
+
+    rows = (
+        all_queries()["edit_distance_neardup_pairs"]
+        .builder(spark, short_dir)
+        .collect()
+    )
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert (1, 2) in pairs  # zero shared grams, ed=2
+    assert (3, 4) in pairs  # zero shared grams, ed=1
+    assert (5, 6) in pairs  # normal prefix path
+    assert (8, 9) in pairs  # repetitive 60+ char degenerate leads
+    assert not any(7 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def lone_customer_dir(tmp_path_factory):
+    """A catalog dir whose customer table has ONE row — the blocked
+    pair set of the Fellegi-Sunter operators is empty there (a pair
+    needs two customers sharing block keys)."""
+    d = tmp_path_factory.mktemp("lonecust_sf")
+    tbl = pq.read_table(f"{SF_SMALL}/customer.parquet").slice(0, 1)
+    pq.write_table(tbl, str(d / "customer.parquet"))
+    for name in TABLE_NAMES:
+        if name != "customer":
+            os.symlink(f"{SF_SMALL}/{name}.parquet", str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def test_fs_em_params_empty_pair_set(spark, lone_customer_dir):
+    """fellegi_sunter_em_params on an empty blocked-pair set: both
+    engines must return ZERO rows ("no pairs -> no estimate") instead
+    of a ZeroDivisionError in the EM walk (Spark) or one NULL-
+    propagated junk row (DuckDB) — the r13 ADVICE degenerate case."""
+    from data_warehouse_data_mining_spark.registry import all_queries
+
+    sdf = all_queries()["fellegi_sunter_em_params"].builder(
+        spark, lone_customer_dir
+    )
+    assert sdf.count() == 0
+    con = oracle.duckdb_connection(lone_customer_dir)
+    try:
+        err = oracle.compare_query(
+            "fellegi_sunter_em_params", spark, con, lone_customer_dir
+        )
+    finally:
+        con.close()
+    assert err is None, err

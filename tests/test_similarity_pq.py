@@ -246,3 +246,33 @@ def test_grid_lof_outliers_shape(spark):
     for r in rows:
         assert r["n_within_r"] >= LOF_K
         assert r["lof"] > 0
+
+
+def test_fit_sample_floor_falls_back_to_bounded_limit(spark, monkeypatch):
+    """_fit_sample lower bound (ADVICE r13): when the md5-threshold
+    hash-sample comes back below 16*max(PQ_K, IVF_NLIST) rows, the fit
+    sample must fall back to the unfiltered deterministic
+    limit(PQ_FIT_CAP) ordered by vec_id — never hand _lloyd_pp an
+    empty/tiny stochastic sample. Forced here by shrinking the cap so
+    the threshold filter yields ~cap << floor rows."""
+    cap = 8
+    monkeypatch.setattr(S, "PQ_FIT_CAP", cap)
+    monkeypatch.setattr(S, "_FIT_SAMPLE_CACHE", {})
+    x = S._fit_sample(spark, SF_SMALL)
+    assert x.shape[0] == cap  # the bounded fallback, not the hash sample
+    want = np.array(
+        [
+            r["v"]
+            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+            .select(
+                "vec_id",
+                S.V.as_double(F.col("embedding")).alias("v"),
+            )
+            .orderBy("vec_id")
+            .limit(cap)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    assert np.array_equal(x, want)
+    monkeypatch.setattr(S, "_FIT_SAMPLE_CACHE", {})

@@ -70,12 +70,21 @@ def stage(spark, replicas: int) -> str:
                     perm = list(alpha)
                     random.Random(1000 + r).shuffle(perm)
                     perm = "".join(perm)
+                    # digits get their own seeded permutation (ADVICE
+                    # r13): letters-only remapping left numeric tokens
+                    # and their char q-grams colliding across replicas,
+                    # re-introducing cross-replica candidate pairs on
+                    # numeric-heavy text
+                    digits = "0123456789"
+                    dperm = list(digits)
+                    random.Random(2000 + r).shuffle(dperm)
+                    dperm = "".join(dperm)
                     rep = rep.withColumn(
                         "text",
                         F.translate(
                             F.col("text"),
-                            alpha + alpha.upper(),
-                            perm + perm.upper(),
+                            alpha + alpha.upper() + digits,
+                            perm + perm.upper() + dperm,
                         ),
                     )
                 parts.append(rep)
