@@ -2001,9 +2001,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last_a, last_b) in both docs; the first-collision bound
     1 + min(|A|-first_a, |B|-first_b) >= alpha is kept alongside
     (measured together: 3.54M -> 1.52M surviving pairs at sf0.1).
-    Verification joins the per-doc SORTED TOKEN-ID ARRAYS (two plain
-    equi-joins) and counts the intersection with one codegen
-    array_intersect per pair."""
+    A PPJoin+-style SUFFIX filter (r13) evaluates a lossless overlap
+    bound from 128-bucket presence signatures (two BIGINTs + an excess
+    count per prefix row — see the inline proof) INSIDE the prefix
+    join condition, so non-qualifying pairs' collision rows never
+    reach the candidate groupBy shuffle (12.76M -> 55k join rows at
+    sf0.1). Exact verification — per-doc SORTED TOKEN-ID ARRAYS joined
+    with two plain equi-joins, one codegen array_intersect per pair —
+    then touches thousands of pairs, not millions."""
     from data_warehouse_data_mining_spark.operators.ranking import (
         global_order_stats,
     )
@@ -2036,14 +2041,57 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tok0.join(vocab, "w").select("id", "t")
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     worder = W.partitionBy("id").orderBy("t")
-    ranked = tok.join(sizes, "id").withColumn(
-        "rn", F.row_number().over(worder)
+    # SUFFIX signature (r13, the PPJoin+ stage): a 128-bucket presence
+    # bitmap (bucket = t mod 128, packed into two BIGINTs) + the
+    # excess count, carried ON EVERY PREFIX ROW so the overlap bound
+    #   inter <= popcount(b0_a AND b0_b) + popcount(b1_a AND b1_b)
+    #          + min(excess_a, excess_b)
+    # evaluates INSIDE the prefix join condition. Lossless: per bucket,
+    # shared <= min(h_a, h_b) = [both occupied] + min(h_a-1, h_b-1);
+    # summing over buckets gives the popcount terms plus
+    # min(sz - occupied). The bound is pair-level (independent of rn),
+    # so a pair's collision rows all pass or all fail — cnt in the
+    # accumulated bound below stays exact for every surviving pair.
+    # Computed as window aggregates over the SAME (id) partitioning the
+    # row_number already shuffles for — zero extra exchanges. Measured
+    # at sf0.1: join output 12.76M -> 55k rows, the candidate groupBy
+    # shrinks from the plan's dominant shuffle to noise, sf0.1 median
+    # 12.1s -> ~6s. (Two rejected placements, both measured: the
+    # Bayardo asymmetric prefix — see ROADMAP r12 — and a post-groupBy
+    # signature join, which ADDED 1.5s because the groupBy itself, not
+    # verification, dominates the plan.)
+    wid = W.partitionBy("id")
+    ranked = (
+        tok.join(sizes, "id")
+        .withColumn("rn", F.row_number().over(worder))
+        .withColumn(
+            "b0",
+            F.expr(
+                "bit_or(CASE WHEN pmod(t, 128) < 64 THEN"
+                " shiftleft(CAST(1 AS BIGINT), CAST(pmod(t, 128) AS INT))"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).over(wid),
+        )
+        .withColumn(
+            "b1",
+            F.expr(
+                "bit_or(CASE WHEN pmod(t, 128) >= 64 THEN"
+                " shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pmod(t, 128) - 64 AS INT))"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).over(wid),
+        )
+        .withColumn(
+            "exc", F.col("sz") - F.bit_count("b0") - F.bit_count("b1")
+        )
     )
     # prefix length = sz - ceil(tau*sz) + 1; tau=1/2 -> sz - ceil(sz/2) + 1
     plen = F.col("sz") - F.expr(
         f"({PFX_TAU_NUM} * sz + {PFX_TAU_DEN} - 1) div {PFX_TAU_DEN}"
     ) + 1
-    prefix = ranked.filter(F.col("rn") <= plen).select("id", "t", "rn", "sz")
+    prefix = ranked.filter(F.col("rn") <= plen).select(
+        "id", "t", "rn", "sz", "b0", "b1", "exc"
+    )
     raw = (
         prefix.alias("a")
         .join(
@@ -2052,7 +2100,15 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.id") < F.col("b.id"))
             # length filter (exact): |A|/2 <= |B| <= 2|A|
             & (2 * F.col("b.sz") >= F.col("a.sz"))
-            & (F.col("b.sz") <= 2 * F.col("a.sz")),
+            & (F.col("b.sz") <= 2 * F.col("a.sz"))
+            # suffix signature bound (lossless, see above): prunes the
+            # pair's rows before they reach the groupBy shuffle
+            & (
+                F.bit_count(F.col("a.b0").bitwiseAND(F.col("b.b0")))
+                + F.bit_count(F.col("a.b1").bitwiseAND(F.col("b.b1")))
+                + F.least(F.col("a.exc"), F.col("b.exc"))
+                >= F.expr("(a.sz + b.sz + 2) div 3")
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -2099,9 +2155,9 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    # verification: per-doc distinct-token-id ARRAYS (doc-bounded rows),
-    # joined to the surviving pairs with hint-free equi-joins; the
-    # intersection count is one codegen array_intersect per pair
+    # exact verification on the (signature-pruned) survivors: per-doc
+    # distinct-token-id ARRAYS (doc-bounded rows), two equi-joins, one
+    # codegen array_intersect per pair
     arrs = tok.groupBy("id").agg(
         F.sort_array(F.collect_list("t")).alias("toks"),
         F.count(F.lit(1)).cast("long").alias("sz"),
@@ -2184,7 +2240,10 @@ ED_PLEN = ED_K * ED_Q + 1
            CAST(length(a.s) AS BIGINT) AS len_a,
            CAST(length(b.s) AS BIGINT) AS len_b
     FROM leads a JOIN leads b
-      ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= {ED_K}
+      ON a.doc_id < b.doc_id
+      -- lossless cheap bound evaluated before the DP: ed >= |len diff|
+      AND abs(length(a.s) - length(b.s)) <= {ED_K}
+      AND levenshtein(a.s, b.s) <= {ED_K}
     ORDER BY edit_distance, id_a, id_b
     LIMIT 500
     """,

@@ -1096,17 +1096,25 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inv_micro"
         ),
     )
+    # r13: the 1/ln(deg) weight joins the EDGE-sized sym table (one
+    # row per directed edge) BEFORE the wedge self-join, so the
+    # wedge-sized intermediate — sum over z of C(deg(z), 2) rows, the
+    # plan's largest relation by orders of magnitude — flows straight
+    # into the groupBy instead of through another join on z. (The
+    # wedge VOLUME itself is irreducible for exact AA: every
+    # common-neighbor pair contributes to every z's score, so unlike
+    # triangle counting no degree orientation can prune wedges — the
+    # deg-capped twin below is the 100 TB mitigation.)
+    s1 = sym.join(iw, F.col("node") == F.col("a")).select(
+        F.col("a").alias("z"), F.col("b").alias("lo"), "inv_micro"
+    )
     s2 = sym.select(F.col("a").alias("z2"), F.col("b").alias("hi"))
-    wedge = sym.select(F.col("a").alias("z"), F.col("b").alias("lo")).join(
+    wedge = s1.join(
         s2, (F.col("z") == F.col("z2")) & (F.col("lo") < F.col("hi"))
     )
-    cand = (
-        wedge.join(iw, F.col("node") == F.col("z"))
-        .groupBy("lo", "hi")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("inv_micro").cast("long").alias("aa_micro"),
-        )
+    cand = wedge.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("inv_micro").cast("long").alias("aa_micro"),
     )
     ex = e.select(F.col("lo").alias("elo"), F.col("hi").alias("ehi"))
     return (

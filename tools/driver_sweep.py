@@ -63,6 +63,12 @@ def canon_rows(cols, rows):
     return out
 
 
+# Queries whose DuckDB oracle is an intentionally unfiltered O(n^2)
+# completeness proof: compared at the gate SFs (0.001/0.01) where the
+# proof is cheap; off-gate sweeps (sf0.1+) run the Spark side alone.
+ORACLE_GATE_SF_ONLY = {"edit_distance_neardup_pairs"}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
     only = None
@@ -125,6 +131,21 @@ def main() -> int:
                 )
                 continue
             srows = [tuple(r) for r in sdf.collect()]
+            if name in ORACLE_GATE_SF_ONLY and sf_dir.rstrip("/").rsplit(
+                "sf", 1
+            )[-1] not in ("0.001", "0.01"):
+                # the oracle is a deliberately UNFILTERED brute-force
+                # join (the completeness proof of the Spark-side
+                # filters) — quadratic in DuckDB, ~4 min at sf0.1. The
+                # proof runs at the gate SFs; off-gate sweeps check the
+                # Spark side alone (VERDICT r12 #7).
+                n_rowsonly += 1
+                results[name] = "rows_only"
+                print(
+                    f"ROWS-ONLY {name}: {len(srows)} rows "
+                    f"(gate-SF-only oracle, {time.time()-t0:.1f}s)"
+                )
+                continue
             if name not in oracles:
                 n_rowsonly += 1
                 results[name] = "rows_only"
