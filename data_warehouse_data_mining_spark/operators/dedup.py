@@ -2321,13 +2321,46 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", F.col("global_rank").alias("t"))
         .localCheckpoint(eager=True)
     )
+    # SUFFIX signature (r13, carried over from prefix_filter_jaccard_
+    # pairs where it cut the join output 230x): a 128-bucket gram-
+    # presence bitmap + excess count per lead, giving the lossless
+    # distinct-gram overlap bound
+    #   shared <= popcount(b0_a AND b0_b) + popcount(b1_a AND b1_b)
+    #           + min(excess_a, excess_b)
+    # evaluated INSIDE the prefix join. Edit distance <= k requires
+    # shared >= max(n_a, n_b) - k*q — ~45 of a full lead's ~61 grams —
+    # so the bound is even more selective here than at the Jaccard
+    # tier's 1/3 threshold. Window aggregates over the same (id)
+    # partitioning rn already shuffles for; pair-level (rn-free), so a
+    # pair's collision rows all pass or all fail and cnt stays exact.
+    wid = W.partitionBy("id")
     ranked = (
         grams.join(vocab, "g")
-        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
+        .withColumn("n", F.count(F.lit(1)).over(wid))
         .withColumn("rn", F.row_number().over(W.partitionBy("id").orderBy("t")))
+        .withColumn(
+            "b0",
+            F.expr(
+                "bit_or(CASE WHEN pmod(t, 128) < 64 THEN"
+                " shiftleft(CAST(1 AS BIGINT), CAST(pmod(t, 128) AS INT))"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).over(wid),
+        )
+        .withColumn(
+            "b1",
+            F.expr(
+                "bit_or(CASE WHEN pmod(t, 128) >= 64 THEN"
+                " shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pmod(t, 128) - 64 AS INT))"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).over(wid),
+        )
+        .withColumn(
+            "exc", F.col("n") - F.bit_count("b0") - F.bit_count("b1")
+        )
     )
     prefix = ranked.filter(F.col("rn") <= ED_PLEN).select(
-        "id", "t", "rn", "n", "ln"
+        "id", "t", "rn", "n", "ln", "b0", "b1", "exc"
     )
     raw = (
         prefix.alias("a")
@@ -2346,6 +2379,13 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~(
                 (F.col("a.n") <= ED_K * ED_Q)
                 & (F.col("b.n") <= ED_K * ED_Q)
+            )
+            # suffix signature bound (lossless, see above)
+            & (
+                F.bit_count(F.col("a.b0").bitwiseAND(F.col("b.b0")))
+                + F.bit_count(F.col("a.b1").bitwiseAND(F.col("b.b1")))
+                + F.least(F.col("a.exc"), F.col("b.exc"))
+                >= F.greatest(F.col("a.n"), F.col("b.n")) - ED_K * ED_Q
             ),
         )
         .select(

@@ -66,3 +66,37 @@ def bound_registry_dfs(spark):
     # and the fit caches are deterministic+idempotent under races
     with ThreadPoolExecutor(max_workers=8) as ex:
         return dict(ex.map(bind, registry.all_queries().items()))
+
+
+# Suite-time guard (VERDICT r12 #8): the r12 threading work brought the
+# full suite from 18:31 to ~9 min; this warning keeps that win from
+# silently eroding as the registry grows. A warning, not a failure —
+# this host has hypervisor-level co-tenancy (SCALING.md r8), so
+# wall-clock asserts would flake on machine noise.
+SUITE_BUDGET_SEC = 15 * 60
+
+
+def pytest_sessionstart(session):
+    import time
+
+    session._suite_t0 = time.monotonic()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time
+
+    t0 = getattr(session, "_suite_t0", None)
+    if t0 is None:
+        return
+    elapsed = time.monotonic() - t0
+    # only meaningful for (near-)full runs; targeted -k/-x runs skip it
+    if session.testscollected >= 500 and elapsed > SUITE_BUDGET_SEC:
+        import warnings
+
+        warnings.warn(
+            f"full suite took {elapsed/60:.1f} min (> "
+            f"{SUITE_BUDGET_SEC//60} min budget) — check for a new "
+            "per-test Spark-job hotspot or a serialized oracle pass "
+            "(see the r12 ThreadPool fix in conftest/bound_registry_dfs)",
+            stacklevel=0,
+        )
