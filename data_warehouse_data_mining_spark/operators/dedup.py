@@ -451,30 +451,26 @@ def simhash128_hamming_pairs(
     ).select("id", "sh_hi", "sh_lo", "bd.band_idx", "bd.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
+    ham128 = F.expr(
+        "bit_count(a.sh_hi ^ b.sh_hi) + bit_count(a.sh_lo ^ b.sh_lo)"
+    )
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            # hamming verify fused INTO the join (r13, see the 64-bit
+            # twin): pair-level check, so the distinct() shuffle is
+            # pair-bounded instead of band-collision-bounded
+            & (ham128 <= max_hamming),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh_hi").alias("ha"),
-            F.col("a.sh_lo").alias("la"),
-            F.col("b.sh_hi").alias("hb"),
-            F.col("b.sh_lo").alias("lb"),
+            ham128.cast("int").alias("hamming"),
         )
         .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.expr("bit_count(ha ^ hb)") + F.expr("bit_count(la ^ lb)")
-            ).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1307,21 +1303,23 @@ def simhash_hamming_pairs(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            # hamming verify fused INTO the join (r13): at the 64x
+            # probe the band join emitted 26.1M collision rows whose
+            # distinct() shuffle dominated; the check is pair-level (a
+            # pair's collision rows all pass or all fail), so fusing it
+            # keeps the distinct pair-bounded instead of
+            # collision-bounded, with identical output
+            & (F.expr("bit_count(a.simhash ^ b.simhash)") <= max_hamming),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            F.expr("bit_count(a.simhash ^ b.simhash)")
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("bit_count(sa ^ sb)").cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
