@@ -1915,6 +1915,59 @@ def lsh_banding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 PFX_TAU_NUM, PFX_TAU_DEN = 1, 2
 
 
+def _with_suffix_signature(df: DataFrame, size_col: str, wid) -> DataFrame:
+    """Attach the 128-bucket token-presence SUFFIX SIGNATURE (r13, the
+    PPJoin+ stage) to a (id, t, ...) token-rank stream: columns b0/b1
+    (presence bitmap over bucket = t mod 128, packed into two BIGINTs)
+    and exc (tokens beyond the first per occupied bucket), computed as
+    window aggregates over the SAME per-id partitioning the prefix
+    row_number already shuffles for — zero extra exchanges.
+
+    LOSSLESSNESS (the one proof both call sites rely on): for one
+    bucket holding h_a tokens of A and h_b of B, the shared-token count
+    is <= min(h_a, h_b) = [both occupied] + min(h_a-1, h_b-1). Summing
+    over buckets: shared <= popcount(b0_a&b0_b) + popcount(b1_a&b1_b)
+    + min(exc_a, exc_b) — the bound `_signature_overlap_bound` builds.
+    It is pair-level (independent of the prefix row's rn), so inside a
+    prefix-join condition a pair's collision rows all pass or all
+    fail, and any accumulated per-collision count stays exact for
+    every surviving pair."""
+    return (
+        df.withColumn(
+            "b0",
+            F.expr(
+                "bit_or(CASE WHEN pmod(t, 128) < 64 THEN"
+                " shiftleft(CAST(1 AS BIGINT), CAST(pmod(t, 128) AS INT))"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).over(wid),
+        )
+        .withColumn(
+            "b1",
+            F.expr(
+                "bit_or(CASE WHEN pmod(t, 128) >= 64 THEN"
+                " shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pmod(t, 128) - 64 AS INT))"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).over(wid),
+        )
+        .withColumn(
+            "exc", F.col(size_col) - F.bit_count("b0") - F.bit_count("b1")
+        )
+    )
+
+
+def _signature_overlap_bound():
+    """Lossless upper bound on |tokens(a) ∩ tokens(b)| from the two
+    sides' suffix signatures (aliases `a`/`b`) — proof on
+    `_with_suffix_signature`. Compare >= the join's required-overlap
+    threshold inside the prefix-join condition."""
+    return (
+        F.bit_count(F.col("a.b0").bitwiseAND(F.col("b.b0")))
+        + F.bit_count(F.col("a.b1").bitwiseAND(F.col("b.b1")))
+        + F.least(F.col("a.exc"), F.col("b.exc"))
+    )
+
+
 @register(
     "prefix_filter_jaccard_pairs",
     headline=True,
@@ -2039,49 +2092,21 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tok0.join(vocab, "w").select("id", "t")
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     worder = W.partitionBy("id").orderBy("t")
-    # SUFFIX signature (r13, the PPJoin+ stage): a 128-bucket presence
-    # bitmap (bucket = t mod 128, packed into two BIGINTs) + the
-    # excess count, carried ON EVERY PREFIX ROW so the overlap bound
-    #   inter <= popcount(b0_a AND b0_b) + popcount(b1_a AND b1_b)
-    #          + min(excess_a, excess_b)
-    # evaluates INSIDE the prefix join condition. Lossless: per bucket,
-    # shared <= min(h_a, h_b) = [both occupied] + min(h_a-1, h_b-1);
-    # summing over buckets gives the popcount terms plus
-    # min(sz - occupied). The bound is pair-level (independent of rn),
-    # so a pair's collision rows all pass or all fail — cnt in the
-    # accumulated bound below stays exact for every surviving pair.
-    # Computed as window aggregates over the SAME (id) partitioning the
-    # row_number already shuffles for — zero extra exchanges. Measured
-    # at sf0.1: join output 12.76M -> 55k rows, the candidate groupBy
-    # shrinks from the plan's dominant shuffle to noise, sf0.1 median
-    # 12.1s -> ~6s. (Two rejected placements, both measured: the
-    # Bayardo asymmetric prefix — see ROADMAP r12 — and a post-groupBy
-    # signature join, which ADDED 1.5s because the groupBy itself, not
-    # verification, dominates the plan.)
+    # SUFFIX signature (r13, the PPJoin+ stage): the shared
+    # _with_suffix_signature bitmap+excess columns, carried ON EVERY
+    # PREFIX ROW so _signature_overlap_bound evaluates INSIDE the
+    # prefix join condition (losslessness proof on the helper).
+    # Measured at sf0.1: join output 12.76M -> 55k rows, the candidate
+    # groupBy shrinks from the plan's dominant shuffle to noise, sf0.1
+    # median 12.1s -> ~6s. (Two rejected placements, both measured:
+    # the Bayardo asymmetric prefix — see ROADMAP r12 — and a
+    # post-groupBy signature join, which ADDED 1.5s because the
+    # groupBy itself, not verification, dominates the plan.)
     wid = W.partitionBy("id")
-    ranked = (
-        tok.join(sizes, "id")
-        .withColumn("rn", F.row_number().over(worder))
-        .withColumn(
-            "b0",
-            F.expr(
-                "bit_or(CASE WHEN pmod(t, 128) < 64 THEN"
-                " shiftleft(CAST(1 AS BIGINT), CAST(pmod(t, 128) AS INT))"
-                " ELSE CAST(0 AS BIGINT) END)"
-            ).over(wid),
-        )
-        .withColumn(
-            "b1",
-            F.expr(
-                "bit_or(CASE WHEN pmod(t, 128) >= 64 THEN"
-                " shiftleft(CAST(1 AS BIGINT),"
-                " CAST(pmod(t, 128) - 64 AS INT))"
-                " ELSE CAST(0 AS BIGINT) END)"
-            ).over(wid),
-        )
-        .withColumn(
-            "exc", F.col("sz") - F.bit_count("b0") - F.bit_count("b1")
-        )
+    ranked = _with_suffix_signature(
+        tok.join(sizes, "id").withColumn("rn", F.row_number().over(worder)),
+        "sz",
+        wid,
     )
     # prefix length = sz - ceil(tau*sz) + 1; tau=1/2 -> sz - ceil(sz/2) + 1
     plen = F.col("sz") - F.expr(
@@ -2099,14 +2124,9 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # length filter (exact): |A|/2 <= |B| <= 2|A|
             & (2 * F.col("b.sz") >= F.col("a.sz"))
             & (F.col("b.sz") <= 2 * F.col("a.sz"))
-            # suffix signature bound (lossless, see above): prunes the
-            # pair's rows before they reach the groupBy shuffle
-            & (
-                F.bit_count(F.col("a.b0").bitwiseAND(F.col("b.b0")))
-                + F.bit_count(F.col("a.b1").bitwiseAND(F.col("b.b1")))
-                + F.least(F.col("a.exc"), F.col("b.exc"))
-                >= F.expr("(a.sz + b.sz + 2) div 3")
-            ),
+            # suffix signature bound (lossless, proof on the helper):
+            # prunes the pair's rows before the groupBy shuffle
+            & (_signature_overlap_bound() >= F.expr("(a.sz + b.sz + 2) div 3")),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -2320,42 +2340,22 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # SUFFIX signature (r13, carried over from prefix_filter_jaccard_
-    # pairs where it cut the join output 230x): a 128-bucket gram-
-    # presence bitmap + excess count per lead, giving the lossless
-    # distinct-gram overlap bound
-    #   shared <= popcount(b0_a AND b0_b) + popcount(b1_a AND b1_b)
-    #           + min(excess_a, excess_b)
-    # evaluated INSIDE the prefix join. Edit distance <= k requires
+    # pairs where it cut the join output 230x): the shared
+    # _with_suffix_signature bitmap+excess columns, so
+    # _signature_overlap_bound (losslessness proof on the helper)
+    # evaluates INSIDE the prefix join. Edit distance <= k requires
     # shared >= max(n_a, n_b) - k*q — ~45 of a full lead's ~61 grams —
     # so the bound is even more selective here than at the Jaccard
-    # tier's 1/3 threshold. Window aggregates over the same (id)
-    # partitioning rn already shuffles for; pair-level (rn-free), so a
-    # pair's collision rows all pass or all fail and cnt stays exact.
+    # tier's 1/3 threshold.
     wid = W.partitionBy("id")
-    ranked = (
+    ranked = _with_suffix_signature(
         grams.join(vocab, "g")
         .withColumn("n", F.count(F.lit(1)).over(wid))
-        .withColumn("rn", F.row_number().over(W.partitionBy("id").orderBy("t")))
         .withColumn(
-            "b0",
-            F.expr(
-                "bit_or(CASE WHEN pmod(t, 128) < 64 THEN"
-                " shiftleft(CAST(1 AS BIGINT), CAST(pmod(t, 128) AS INT))"
-                " ELSE CAST(0 AS BIGINT) END)"
-            ).over(wid),
-        )
-        .withColumn(
-            "b1",
-            F.expr(
-                "bit_or(CASE WHEN pmod(t, 128) >= 64 THEN"
-                " shiftleft(CAST(1 AS BIGINT),"
-                " CAST(pmod(t, 128) - 64 AS INT))"
-                " ELSE CAST(0 AS BIGINT) END)"
-            ).over(wid),
-        )
-        .withColumn(
-            "exc", F.col("n") - F.bit_count("b0") - F.bit_count("b1")
-        )
+            "rn", F.row_number().over(W.partitionBy("id").orderBy("t"))
+        ),
+        "n",
+        wid,
     )
     prefix = ranked.filter(F.col("rn") <= ED_PLEN).select(
         "id", "t", "rn", "n", "ln", "b0", "b1", "exc"
@@ -2378,11 +2378,9 @@ def edit_distance_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("a.n") <= ED_K * ED_Q)
                 & (F.col("b.n") <= ED_K * ED_Q)
             )
-            # suffix signature bound (lossless, see above)
+            # suffix signature bound (lossless, proof on the helper)
             & (
-                F.bit_count(F.col("a.b0").bitwiseAND(F.col("b.b0")))
-                + F.bit_count(F.col("a.b1").bitwiseAND(F.col("b.b1")))
-                + F.least(F.col("a.exc"), F.col("b.exc"))
+                _signature_overlap_bound()
                 >= F.greatest(F.col("a.n"), F.col("b.n")) - ED_K * ED_Q
             ),
         )

@@ -1338,14 +1338,22 @@ def _fit_sample(spark: SparkSession, sf_dir: str) -> "np.ndarray":
         # _lloyd_pp on a tiny/empty sample either crashes
         # (rng.randint(0)) or silently shrinks codebooks via
         # k=min(k,n). Floor at 16x the largest k any fit uses
-        # (PQ_K=16, IVF_NLIST=16); below it, fall back to the
-        # unfiltered deterministic bounded limit.
-        floor = 16 * max(PQ_K, IVF_NLIST)
-        if len(rows) < floor:
+        # (ADC_K=64 > PQ_K=16, IVF_NLIST=16); when the filtered sample
+        # comes back below it, fall back to the unfiltered
+        # deterministic bounded limit. The fallback only applies when
+        # the primary collect was actually filtered (n > PQ_FIT_CAP);
+        # below the cap the primary path already read the whole table,
+        # so a re-collect could not produce more rows.
+        floor = 16 * max(PQ_K, IVF_NLIST, ADC_K)
+        if n > PQ_FIT_CAP and len(rows) < floor:
             e_all = load(spark, sf_dir).embeddings.select(
                 "vec_id", V.as_double(F.col("embedding")).alias("v")
             )
             rows = e_all.orderBy("vec_id").limit(PQ_FIT_CAP).collect()
+        if not rows:
+            raise ValueError(
+                "codebook fit: embeddings table is empty — cannot train"
+            )
         _FIT_SAMPLE_CACHE[key] = np.array([r["v"] for r in rows], dtype=np.float64)
     return _FIT_SAMPLE_CACHE[key]
 

@@ -69,6 +69,19 @@ def canon_rows(cols, rows):
 ORACLE_GATE_SF_ONLY = {"edit_distance_neardup_pairs"}
 
 
+def _is_off_gate(sf_dir: str) -> bool:
+    """True only when the data dir is PROVABLY larger than the gate
+    SFs: the trailing sf<label> must parse as a float > 0.01. Any
+    unparseable path (no 'sf' marker, symlinked copy, odd spelling)
+    defaults to False, so the completeness-proof oracle RUNS rather
+    than silently downgrading to rows-only."""
+    label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(label) > 0.01
+    except ValueError:
+        return False
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
     only = None
@@ -131,9 +144,7 @@ def main() -> int:
                 )
                 continue
             srows = [tuple(r) for r in sdf.collect()]
-            if name in ORACLE_GATE_SF_ONLY and sf_dir.rstrip("/").rsplit(
-                "sf", 1
-            )[-1] not in ("0.001", "0.01"):
+            if name in ORACLE_GATE_SF_ONLY and _is_off_gate(sf_dir):
                 # the oracle is a deliberately UNFILTERED brute-force
                 # join (the completeness proof of the Spark-side
                 # filters) — quadratic in DuckDB, ~4 min at sf0.1. The
