@@ -276,3 +276,35 @@ def test_fit_sample_floor_falls_back_to_bounded_limit(spark, monkeypatch):
     )
     assert np.array_equal(x, want)
     monkeypatch.setattr(S, "_FIT_SAMPLE_CACHE", {})
+
+
+def test_fit_sample_empty_embeddings_raises_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """An EMPTY embeddings table must fail the codebook fit with a
+    clear ValueError (r13 review), not crash inside the numpy
+    k-means++ init (rng.randint(0)) or silently fit zero-row
+    codebooks. Also pins that the small-table path takes ONE collect:
+    below PQ_FIT_CAP the primary collect already reads the whole
+    table, so the floor fallback must not re-collect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    src = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    empty = pa.Table.from_batches([], schema=pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.string()),
+        ]
+    ))
+    # keep only the columns _fit_sample touches; extra source columns
+    # in the real table are irrelevant to the guard
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    pq.write_table(empty, str(d / "embeddings.parquet"))
+    monkeypatch.setattr(S, "_FIT_SAMPLE_CACHE", {})
+    with pytest.raises(ValueError, match="embeddings table is empty"):
+        S._fit_sample(spark, str(d))
+    monkeypatch.setattr(S, "_FIT_SAMPLE_CACHE", {})
