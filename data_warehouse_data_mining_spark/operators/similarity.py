@@ -325,11 +325,132 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked by label (generic:
-    blocked_cosine_pairs; at 100 TB block on an LSH bucket instead)."""
+    blocked_cosine_pairs). SCALE YARDSTICK, not the 100 TB path: the
+    label vocabulary is FIXED, so block sizes grow linearly with the
+    corpus and the in-block pair space quadratically (measured
+    9.87x/8x, SCALING.md r13) — the production twin is
+    cosine_neardup_lsh, whose bucket count follows the corpus."""
     return blocked_cosine_pairs(
         _corpus(spark, sf_dir), "label", NEARDUP_COS
     ).select(
         F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
+    )
+
+
+# Seeded hyperplanes for the auto-sized near-dup blocking: 16 planes is
+# the cap (65,536 buckets); neardup_n_planes picks how many of the low
+# bits are live so expected bucket occupancy stays ~O(1) as the corpus
+# grows (the simhash128_band_bits discipline).
+_NEARDUP_PLANES = np.round(
+    np.random.RandomState(43).standard_normal((16, DIM)), 6
+)
+_NEARDUP_TARGET_OCC = 4
+
+
+def neardup_n_planes(n: int) -> int:
+    """Live plane count for a corpus of n vectors: ceil(log2(n/4)),
+    clamped to [8, 16] — bucket count tracks the corpus so per-bucket
+    occupancy (and therefore per-bucket quadratic work) stays flat.
+    Past ~2^18 vectors the 16-plane cap is the knee: add planes (one
+    more CASE expression per bit), the join shape is unchanged."""
+    import math
+
+    return min(16, max(8, math.ceil(math.log2(max(n, 1) / _NEARDUP_TARGET_OCC))))
+
+
+def _sql_nd_dot(vec_expr: str, p: int) -> str:
+    lits = ", ".join(repr(float(v)) for v in _NEARDUP_PLANES[p])
+    return f"list_inner_product({vec_expr}, [{lits}]::DOUBLE[])"
+
+
+def _sql_nd_bucket(vec_expr: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_nd_dot(vec_expr, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    return f"({terms})"
+
+
+_ND_PAIR_COS = (
+    "list_inner_product(a.v, b2.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b2.v, b2.v)))"
+)
+
+
+@register(
+    "cosine_neardup_lsh",
+    oracle=f"""
+    WITH {_ORACLE_E},
+    np AS (SELECT LEAST(16, GREATEST(8,
+             CAST(ceil(log2(count(*) / {_NEARDUP_TARGET_OCC}.0)) AS INT))) AS p
+           FROM e),
+    b AS (SELECT vec_id, v,
+                 {_sql_nd_bucket('v')} % CAST(pow(2, np.p) AS BIGINT) AS bk
+          FROM e, np)
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           round({_ND_PAIR_COS}, 6) AS cosine
+    FROM b a JOIN b b2
+      ON a.vec_id < b2.vec_id
+     AND bit_count(xor(a.bk, b2.bk)) <= 1
+    WHERE {_ND_PAIR_COS} >= {NEARDUP_COS}
+    """,
+)
+def cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked on an AUTO-SIZED sign-LSH
+    bucket — the 100 TB twin of cosine_neardup_blocked. Charikar-style
+    hyperplane signatures (public: Charikar 2002) put each vector in
+    one of 2^p buckets with p following the corpus count
+    (neardup_n_planes), and the pair contract is Hamming<=1 on bucket
+    ids (multiprobe, Lv et al. 2007: one flipped hyperplane recovers
+    boundary-straddling near-dups). Each unordered pair is produced
+    EXACTLY once — the probe side explodes p+1 masks and a pair whose
+    buckets differ in bit set D matches only the single mask equal to
+    D (|D|<=1) — so no distinct() is needed, and the cosine threshold
+    is fused INTO the join condition (the r13 SimHash lesson: verify
+    before any shuffle, never after).
+
+    Scale shape: probe fanout is (p+1) rows per vector, the join is a
+    plain equi-join on bucket id with O(1) expected occupancy, and the
+    only quadratic term is within-bucket — held flat by the log2(n)
+    bucket rule. Deterministic plane literals keep the whole thing
+    exactly mirrored in the DuckDB oracle."""
+    e = _corpus(spark, sf_dir)
+    p = neardup_n_planes(e.count())
+    full = lsh_bucket_expr(F.col("v"), _NEARDUP_PLANES)
+    b = e.select("id", "v", F.pmod(full, F.lit(1 << p)).alias("bk"))
+    a = (
+        b.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("bk").alias("bk_a"),
+        )
+        .withColumn(
+            "mask",
+            F.explode(F.array(*[F.lit(m) for m in [0] + [1 << i for i in range(p)]])),
+        )
+        .withColumn("probe", F.col("bk_a").bitwiseXOR(F.col("mask")))
+        .drop("mask")
+    )
+    bb = b.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("bk").alias("bk_b"),
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (
+        V.norm(F.col("va")) * V.norm(F.col("vb"))
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("probe") == F.col("bk_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (cos >= NEARDUP_COS),
+        )
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
     )
 
 

@@ -3,7 +3,11 @@
 Stages an N-fold key-shifted replication of the sf0.1 fact tables
 (lineitem/orders share an orderkey shift so join selectivity is
 preserved; events shifts user_id+event_id so per-user density — and
-therefore interval-join fanout — stays constant) into a temp sf dir,
+therefore interval-join fanout — stays constant; documents get a
+per-replica seeded alphabet+digit permutation and embeddings a
+per-replica seeded rotation, so replicated text/vector workloads keep
+their intra-replica structure exactly while cross-replica near-dup /
+near-neighbor artifacts are scrambled away) into a temp sf dir,
 dimensions copied unchanged, then times the query at 1x vs Nx
 (median of 3 runs each, count() as the action).
 
@@ -87,6 +91,38 @@ def stage(spark, replicas: int) -> str:
                             perm + perm.upper() + dperm,
                         ),
                     )
+                if name == "embeddings" and r > 0:
+                    # Per-replica seeded ROTATION (r13, the vector-space
+                    # analog of the text alphabet permutation): vec_id
+                    # shifting alone leaves the VECTORS identical across
+                    # replicas, so every vector gains (replicas-1) exact
+                    # clones and any distance/cosine-threshold self-join's
+                    # true pair set grows quadratically in replicas — the
+                    # probe would measure that staging artifact, not scan
+                    # scale-up. An orthogonal transform preserves every
+                    # intra-replica L2 distance and cosine EXACTLY (the
+                    # 1x workload is replicated verbatim, just re-oriented)
+                    # while cross-replica geometry becomes pseudo-random.
+                    import numpy as np
+                    import pandas as pd
+
+                    g = np.random.RandomState(3000 + r).randn(64, 64)
+                    q_rot, rr = np.linalg.qr(g)
+                    # fix the QR sign ambiguity so the rotation is a
+                    # deterministic function of the seed
+                    rot = (q_rot * np.sign(np.diag(rr))).astype(np.float64)
+
+                    def _rotate(batches, _rot=rot):
+                        for pdf in batches:
+                            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                            out = m @ _rot.T
+                            pdf["embedding"] = pd.Series(
+                                [row.astype(np.float32) for row in out],
+                                index=pdf.index,
+                            )
+                            yield pdf
+
+                    rep = rep.mapInPandas(_rotate, schema=rep.schema)
                 parts.append(rep)
             df = parts[0]
             for p in parts[1:]:
