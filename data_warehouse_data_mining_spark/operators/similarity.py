@@ -382,7 +382,8 @@ _ND_PAIR_COS = (
     oracle=f"""
     WITH {_ORACLE_E},
     np AS (SELECT LEAST(16, GREATEST(8,
-             CAST(ceil(log2(count(*) / {_NEARDUP_TARGET_OCC}.0)) AS INT))) AS p
+             CAST(ceil(log2(GREATEST(count(*), 1) / {_NEARDUP_TARGET_OCC}.0))
+                  AS INT))) AS p
            FROM e),
     b AS (SELECT vec_id, v,
                  {_sql_nd_bucket('v')} % CAST(pow(2, np.p) AS BIGINT) AS bk
