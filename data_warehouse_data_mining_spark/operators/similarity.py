@@ -497,7 +497,11 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approx similarity self-join
-    (euclidean < 1.0), seeded.
+    (euclidean < 1.0), seeded. API PIN, not the scale path: the fixed
+    bucketLength means bucket occupancy grows linearly with the corpus
+    and the candidate space quadratically (measured: 5.27x/8x, then
+    64x did not complete — SCALING.md r13); at 100 TB use the
+    auto-sized hyperplane tiers (cosine_neardup_lsh, ann_lsh_hyperplane).
 
     Exact-oracle-checked against the GROUND-TRUTH pair set (brute-force
     all-pairs euclidean < 1.0 in SQL): approxSimilarityJoin re-checks
