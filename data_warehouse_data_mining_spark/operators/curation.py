@@ -1145,7 +1145,9 @@ def _ksh_cos(qv: str, v: str) -> str:
     "knn_shapley_data_values",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-               FROM embeddings),
+               FROM embeddings
+               WHERE list_inner_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]) > 0),
     q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
           WHERE vec_id < {KSH_T}),
     tr AS (SELECT vec_id, label, v FROM e WHERE vec_id >= {KSH_T}),
@@ -1237,7 +1239,9 @@ def knn_shapley_data_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(V.dot(F.col("v"), F.col("v")) > 0)
+    # zero-norm rows excluded (cosine undefined; Spark ANSI would
+    # throw DIVIDE_BY_ZERO) — mirrored in the oracle's e CTE
     q = e.filter(F.col("vec_id") < KSH_T).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),

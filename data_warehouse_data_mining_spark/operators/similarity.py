@@ -186,7 +186,16 @@ def _sql_bucket(vec_expr: str) -> str:
     return f"({terms})"
 
 
-_ORACLE_E = "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+# Zero-norm embeddings (failed encoder rows — present in any real
+# corpus) are EXCLUDED from the similarity tier: cosine is undefined
+# for them, and under Spark 4's default ANSI mode the norm division
+# would throw DIVIDE_BY_ZERO at runtime. The exclusion is the tier's
+# documented contract, applied identically in _corpus and _ORACLE_E so
+# every oracle mirrors it.
+_ORACLE_E = (
+    "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+)
 _ORACLE_COS = (
     "list_inner_product(q.qv, e.v) / "
     "(sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v)))"
@@ -194,10 +203,15 @@ _ORACLE_COS = (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir).embeddings.select(
-        F.col("vec_id").alias("id"),
-        "label",
-        V.as_double(F.col("embedding")).alias("v"),
+    """Similarity-tier corpus: zero-norm rows excluded (see _ORACLE_E)."""
+    return (
+        load(spark, sf_dir)
+        .embeddings.select(
+            F.col("vec_id").alias("id"),
+            "label",
+            V.as_double(F.col("embedding")).alias("v"),
+        )
+        .filter(V.dot(F.col("v"), F.col("v")) > 0)
     )
 
 
@@ -555,7 +569,7 @@ def _ivf_neighbors(
     coarse = _pq_codebooks(spark, sf_dir, "ivf", 1, DIM, IVF_NLIST)[0]
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(V.dot(F.col("v"), F.col("v")) > 0)  # cosine tier: see _ORACLE_E
     # Arrow-vectorized cell assignment (r12): the expression-fold form
     # built a ~1k-literal tree per consumer (x5 for the nprobe curve)
     assigned = e.withColumn(
@@ -604,6 +618,7 @@ def _ivf_neighbors(
            1 AS five_neighbors_per_query, 1 AS cosines_in_range,
            1 AS no_self_matches, 1 AS recall_at_least_0_3
     FROM embeddings WHERE vec_id < {N_QUERIES}
+      AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     """,
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2049,7 +2064,9 @@ IVF_CURVE_PROBES = (1, 2, 4, 8, 16)
     oracle=f"""
     SELECT p.nprobe, {IVF_NLIST} AS nlist, 5 AS k,
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings
-            WHERE vec_id < {N_QUERIES}) AS n_queries,
+            WHERE vec_id < {N_QUERIES}
+              AND list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0) AS n_queries,
            1 AS recall_ge_prev, 1 AS recall_ge_floor
     FROM (SELECT unnest([{", ".join(str(p) for p in IVF_CURVE_PROBES)}])
           AS nprobe) p
@@ -2091,7 +2108,13 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_top(spark, sf_dir).filter(F.col("rn") <= 5).select(
         "q_id", "neighbor_id"
     )
-    n_exact_total = 5 * N_QUERIES
+    # denominator from the yardstick itself, NOT the 5*N_QUERIES
+    # constant: zero-norm query rows are excluded from the cosine tier
+    # (see _ORACLE_E), so the literal frame can hold fewer than
+    # N_QUERIES query groups; a stale constant would deflate recall
+    # and trip the nprobe=nlist floor. `exact` is a bounded literal
+    # frame — counting it is driver-cheap.
+    n_exact_total = exact.count()
     floors = {1: 0.0, 2: 0.0, 4: 0.3, 8: 0.3, IVF_NLIST: 1.0}
     rows = []
     for p in IVF_CURVE_PROBES:
@@ -2109,9 +2132,17 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     curve = reduce(lambda a, b: a.unionByName(b), rows)
     wprev = W.orderBy("nprobe")
-    nq = load(spark, sf_dir).embeddings.filter(
-        F.col("vec_id") < N_QUERIES
-    ).agg(F.count(F.lit(1)).alias("n_queries"))
+    nq = (
+        load(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .filter(
+            V.dot(
+                V.as_double(F.col("embedding")), V.as_double(F.col("embedding"))
+            )
+            > 0
+        )
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
     floor_col = F.create_map(
         *[F.lit(x) for kv in floors.items() for x in kv]
     )[F.col("nprobe")]
@@ -2198,7 +2229,12 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv_d = F.slice(F.col("qv"), F.lit(1), F.col("d"))
     v_d = F.slice(F.col("v"), F.lit(1), F.col("d"))
-    cos = V.dot(qv_d, v_d) / (V.norm(qv_d) * V.norm(v_d))
+    # a nonzero full vector can still have an all-zero PREFIX at a
+    # truncated dim; DuckDB yields NULL for the 0/0 cosine while Spark
+    # ANSI would throw — emit the same NULL (NULLS LAST in the desc
+    # rank on both engines, so such pairs simply never make top-k)
+    denom = V.norm(qv_d) * V.norm(v_d)
+    cos = F.when(denom > 0, V.dot(qv_d, v_d) / denom)
     w = W.partitionBy("d", "q_id").orderBy(F.col("cos").desc(), "neighbor_id")
     topk = (
         e.join(F.broadcast(q), F.col("id") != F.col("q_id"))
@@ -2657,7 +2693,7 @@ def binary_quantization_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BQ_POOL}·N_QUERIES pool through hint-free equi-joins."""
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
-    )
+    ).filter(V.dot(F.col("v"), F.col("v")) > 0)  # cosine rerank: see _ORACLE_E
 
     def pack(lo: int) -> Column:
         return F.expr(

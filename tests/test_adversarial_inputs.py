@@ -339,3 +339,76 @@ def test_fs_em_params_empty_pair_set(spark, lone_customer_dir):
     finally:
         con.close()
     assert err is None, err
+
+
+# ---------------------------------------------------------------------------
+# Zero-norm embeddings (r13): the cosine tier's documented exclusion
+# ---------------------------------------------------------------------------
+
+ZERO_VEC_PARITY_QUERIES = [
+    # every cosine-dividing registered query: a zero-norm embedding
+    # (a failed encoder row — present in any real corpus) must neither
+    # crash Spark (ANSI DIVIDE_BY_ZERO) nor diverge from DuckDB; the
+    # tier's contract is that zero-norm rows are EXCLUDED, applied
+    # identically in _corpus / _ORACLE_E / the direct-load sites
+    "cosine_neardup_lsh",
+    "cosine_neardup_blocked",
+    "knn_brute_force",
+    "ann_lsh_hyperplane",
+    "embedding_margin_audit",
+    "embedding_matryoshka_audit",  # also: zero PREFIX slice -> NULL cos
+    "mmr_diversified_topk",
+    "binary_quantization_search",
+    "ann_ivf_kmeans",
+    "ivf_nprobe_recall_curve",  # n_queries + recall denominator shrink
+    "ann_lsh_recall_exact",
+    "semdedup_bucket_representatives",
+    "knn_shapley_data_values",
+    "embedding_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def zero_vec_dir(tmp_path_factory):
+    """A catalog dir whose embeddings table contains zero vectors —
+    among the query ids (vec_id 1 < N_QUERIES), in the corpus (3, 7),
+    plus a vector whose first 8 dims are zero (12: a zero matryoshka
+    PREFIX on a nonzero vector). Other tables symlink sf0.001."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("zero_vec_sf")
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(64).astype(np.float32) for _ in range(40)]
+    vecs[1] = np.zeros(64, dtype=np.float32)
+    vecs[3] = np.zeros(64, dtype=np.float32)
+    vecs[7] = np.zeros(64, dtype=np.float32)
+    v12 = np.zeros(64, dtype=np.float32)
+    v12[8:] = rng.randn(56)
+    vecs[12] = v12
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 3 for i in range(40)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for name in TABLE_NAMES:
+        if name != "embeddings":
+            os.symlink(f"{SF_SMALL}/{name}.parquet", str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ZERO_VEC_PARITY_QUERIES)
+def test_oracle_parity_with_zero_vectors(spark, zero_vec_dir, name):
+    """Exact engine parity of the cosine tier on a corpus containing
+    zero-norm embeddings (r13: before the exclusion contract, Spark
+    threw DIVIDE_BY_ZERO where DuckDB yielded NULL)."""
+    con = oracle.duckdb_connection(zero_vec_dir)
+    try:
+        err = oracle.compare_query(name, spark, con, zero_vec_dir)
+    finally:
+        con.close()
+    assert err is None, f"{name}: {err}"
