@@ -879,6 +879,14 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
       FROM pairs
+      -- r is undefined when either dim has zero variance (a constant
+      -- dimension): exclude the pair on BOTH engines (Spark ANSI would
+      -- throw on the 0-division; DuckDB would carry a NULL r into the
+      -- top-20 ordering)
+      WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
     )
     SELECT dim_i, dim_j, n, round(r, 6) AS pearson_r
     FROM corr
@@ -963,12 +971,12 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    r = (nd * F.col("sxy").cast("double") - sx * sy) / F.sqrt(
-        (nd * F.col("sxx").cast("double") - sx * sx)
-        * (nd * F.col("syy").cast("double") - sy * sy)
-    )
+    varx = nd * F.col("sxx").cast("double") - sx * sx
+    vary = nd * F.col("syy").cast("double") - sy * sy
+    r = (nd * F.col("sxy").cast("double") - sx * sy) / F.sqrt(varx * vary)
     return (
-        pairs.select(
+        pairs.filter((varx > 0) & (vary > 0))  # constant dim: r undefined
+        .select(
             F.col("i").cast("int").alias("dim_i"),
             F.col("j").cast("int").alias("dim_j"),
             "n",

@@ -412,3 +412,40 @@ def test_oracle_parity_with_zero_vectors(spark, zero_vec_dir, name):
     finally:
         con.close()
     assert err is None, f"{name}: {err}"
+
+
+def test_dim_correlation_parity_with_constant_dimension(
+    spark, tmp_path_factory
+):
+    """A constant embedding dimension has zero variance, so Pearson r
+    is undefined for its pairs: both engines must EXCLUDE them (r13 —
+    before the guard, Spark ANSI threw DIVIDE_BY_ZERO while DuckDB
+    carried NULL r rows into the top-20 ordering)."""
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("const_dim_sf")
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(64).astype(np.float32) for _ in range(30)]
+    for v in vecs:
+        v[5] = 1.25
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 3 for i in range(30)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for name in TABLE_NAMES:
+        if name != "embeddings":
+            os.symlink(f"{SF_SMALL}/{name}.parquet", str(d / f"{name}.parquet"))
+    con = oracle.duckdb_connection(str(d))
+    try:
+        err = oracle.compare_query(
+            "embedding_dim_correlation", spark, con, str(d)
+        )
+    finally:
+        con.close()
+    assert err is None, err
