@@ -259,8 +259,33 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
         .agg(F.sum("is_t").alias("ct"), F.count(F.lit(1)).alias("cr"))
         .localCheckpoint(eager=True)
     )
-    totals = per_bucket.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    return _dsir_ratios_from_per_bucket(per_bucket)
+
+
+def _dsir_ratios_from_per_bucket(per_bucket: DataFrame) -> DataFrame:
+    """(bucket, ratio_micro) from a (bucket, ct, cr) count table — the
+    one place the DSIR log-ratio float arithmetic (and its oracle-
+    mirrored pre-floor nudge) lives, shared by the token-pass builder
+    above and the doc_buckets-derived single-pass path in
+    dsir_importance_weights.
+
+    The corpus totals (nt, nr) come from an UNPARTITIONED window over
+    the per-bucket table rather than a separate agg + crossJoin branch:
+    the table is DSIR_BUCKETS rows by construction (a bounded global
+    window, never corpus-sized), and keeping per_bucket to a SINGLE
+    consumer is what lets AQE exchange reuse collapse the whole
+    importance-weight query to one token pass — a second consumer
+    re-ran the explode+md5 map stage (measured r13; the runtime reuse
+    cache caught the exchanges but not the totals branch)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    with_totals = per_bucket.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.sum("ct").over(w).alias("nt"),
+        F.sum("cr").over(w).alias("nr"),
     )
     # p = (c + 1/2) / (n + B/2)  ->  ln p = ln(2c+1) - ln(2n+B)
     # (kept in integers until the single ln per side)
@@ -271,7 +296,7 @@ def dsir_bucket_logratios(tokens: DataFrame, target_filter) -> DataFrame:
         + F.log(2 * F.col("nr") + DSIR_BUCKETS)
     )
     return (
-        per_bucket.crossJoin(F.broadcast(totals))
+        with_totals
         .select(
             "bucket",
             # +1e-3 pre-floor nudge (mirrored in the oracle SQL): the
@@ -348,20 +373,32 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^5 x that divergence but only 10^-3 of the quantum, so both
     engines floor identically at a negligible 1e-9 log-ratio bias); per-doc scores are then
     integer dot products
-    cnt x ratio_micro, summed exactly. 100 TB shape: two token passes
-    total — the ratio pass shuffles only DSIR_BUCKETS keys (map-side
-    combined) into a pinned 64-row table, the scoring pass shuffles
-    (doc, bucket) rows once and takes the ratios as a force-broadcast;
-    the top-50 cut is a distributed TakeOrdered, not a global sort.
-    (Pinning doc_buckets to make it one pass would pin a
-    corpus-proportional table — the r6 rule says stage that to parquet
-    instead when the corpus is reused; see clean_corpus(staging_dir).)"""
+    cnt x ratio_micro, summed exactly. 100 TB shape (r13): ONE token
+    pass total — the per-bucket target/raw counts are re-aggregated
+    FROM doc_buckets (sum(cnt) over (id, source, bucket) rows equals
+    the per-token conditional count exactly, integer arithmetic both
+    ways), so the expensive scan+split+explode+md5 map work and the
+    (id, source, bucket) exchange behind it appear once in the plan
+    and every other consumer hangs off ReusedExchange (plan-pinned in
+    tests/test_plans.py). The 64-row ratio table still reaches the
+    scoring join as a force-broadcast; the top-50 cut is a distributed
+    TakeOrdered, not a global sort. (Pinning doc_buckets itself would
+    pin a corpus-proportional table — the r6 rule says stage that to
+    parquet instead when the corpus is reused; the two-token-pass
+    dsir_bucket_logratios helper remains for callers with no
+    doc-grained aggregate to reuse.)"""
     d = load(spark, sf_dir).documents
     toks = token_table(d, "doc_id", "text", ["source"])
     doc_buckets = dsir_doc_buckets(toks, ["source"])
-    ratios = dsir_bucket_logratios(
-        toks, F.col("source") == DSIR_TARGET_SOURCE
+    per_bucket = doc_buckets.groupBy("bucket").agg(
+        F.sum(
+            F.when(
+                F.col("source") == DSIR_TARGET_SOURCE, F.col("cnt")
+            ).otherwise(F.lit(0))
+        ).alias("ct"),
+        F.sum("cnt").alias("cr"),
     )
+    ratios = _dsir_ratios_from_per_bucket(per_bucket)
     return (
         doc_buckets.join(F.broadcast(ratios), "bucket")
         .groupBy("id", "source")

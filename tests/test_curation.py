@@ -96,6 +96,23 @@ def test_dsir_ratio_table_is_bounded_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dsir_importance_weights_single_token_pass(spark):
+    """r13 optimization pin: the importance-weight query tokenizes the
+    corpus ONCE — the bucket ratios are re-aggregated from doc_buckets
+    (not from a second token pass), per_bucket has a single consumer
+    (totals via a bounded global window), and AQE exchange reuse
+    collapses the ratio branch onto the scoring branch's shuffle. The
+    AQE-final plan must therefore hold exactly one documents scan and
+    at least one ReusedExchange."""
+    from data_warehouse_data_mining_spark.plans import explain
+
+    plan = explain.final_plan(
+        curation.dsir_importance_weights(spark, SF_SMALL)
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_dsir_target_docs_score_higher(spark):
     """Model behavior: documents FROM the target domain must score
     higher on average than the pool — the whole point of importance
