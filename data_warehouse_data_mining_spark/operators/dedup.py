@@ -2090,7 +2090,6 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     tok = tok0.join(vocab, "w").select("id", "t")
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     worder = W.partitionBy("id").orderBy("t")
     # SUFFIX signature (r13, the PPJoin+ stage): the shared
     # _with_suffix_signature bitmap+excess columns, carried ON EVERY
@@ -2103,11 +2102,15 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-groupBy signature join, which ADDED 1.5s because the
     # groupBy itself, not verification, dominates the plan.)
     wid = W.partitionBy("id")
-    ranked = _with_suffix_signature(
-        tok.join(sizes, "id").withColumn("rn", F.row_number().over(worder)),
-        "sz",
-        wid,
-    )
+    # |doc| as a window count over the SAME id partitioning the
+    # row_number/signature windows already shuffle for — replaces the
+    # r12 groupBy(id)+join(sizes), which cost its own corpus tokenize
+    # pass plus a join (r13: main-job document passes 3 -> 1, the
+    # other two collapsing onto this exchange via AQE reuse).
+    base = tok.withColumn(
+        "sz", F.count(F.lit(1)).over(wid).cast("long")
+    ).withColumn("rn", F.row_number().over(worder))
+    ranked = _with_suffix_signature(base, "sz", wid)
     # prefix length = sz - ceil(tau*sz) + 1; tau=1/2 -> sz - ceil(sz/2) + 1
     plen = F.col("sz") - F.expr(
         f"({PFX_TAU_NUM} * sz + {PFX_TAU_DEN} - 1) div {PFX_TAU_DEN}"
@@ -2175,10 +2178,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact verification on the (signature-pruned) survivors: per-doc
     # distinct-token-id ARRAYS (doc-bounded rows), two equi-joins, one
-    # codegen array_intersect per pair
-    arrs = tok.groupBy("id").agg(
+    # codegen array_intersect per pair. Built from the WINDOW output
+    # (not tok.groupBy) so this branch's subtree is byte-identical to
+    # the prefix branch's up through the id exchange — AQE exchange
+    # reuse then feeds both from ONE tokenize pass; the groupBy itself
+    # adds no exchange (window output is already hash(id)-partitioned).
+    arrs = base.groupBy("id").agg(
         F.sort_array(F.collect_list("t")).alias("toks"),
-        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.first("sz").alias("sz"),
     )
     aa = arrs.select(
         F.col("id").alias("id_a"),

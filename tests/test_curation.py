@@ -412,6 +412,25 @@ def test_prefix_filter_is_lossless_on_small_corpus(spark):
         assert want == plen
 
 
+def test_prefix_filter_single_tokenize_pass(spark):
+    """r13 optimization pin: the PPJoin main job tokenizes the corpus
+    ONCE — |doc| comes from a window count over the same id partition
+    the row_number/signature windows shuffle for (no sizes groupBy +
+    join), and the verification arrays are built from the same window
+    output, so AQE exchange reuse feeds prefix, candidate and verify
+    branches from one tokenize pass. AQE-final plan: exactly one
+    documents scan (the vocab rank is a separate bounded checkpoint
+    job) and ReusedExchange present."""
+    from data_warehouse_data_mining_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from data_warehouse_data_mining_spark.plans import explain
+
+    plan = explain.final_plan(prefix_filter_jaccard_pairs(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_prefix_filter_pairs_meet_threshold(spark):
     """Every emitted pair satisfies the exact integer threshold
     3*inter >= |A|+|B| (jaccard >= 1/2), and rows arrive sorted by
