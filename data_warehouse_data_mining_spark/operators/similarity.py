@@ -2018,31 +2018,55 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes),  # broadcast-ok: bounded by N_QUERIES*ADC_NPROBE rows
         (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
     )
-    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    # per-query candidate count rides the SAME window exchange as the
+    # top-5 rank (a partition-only count window): the former separate
+    # count branch re-ran the whole corpus-coding ArrowEval pass (r13
+    # measured: 2 coding passes -> 1). Cost accepted: the count needs
+    # every candidate row across the exchange, so the rank's
+    # WindowGroupLimit map-side prune is forfeited — bounded by
+    # N_QUERIES * probe-fraction of the corpus in tiny
+    # (q_id, neighbor_id, adc) rows, far cheaper than recoding the
+    # corpus at any scale.
     adc_top = (
         cand.withColumn("adc", adc)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "adc")
         .withColumn("rn", F.row_number().over(wa))
+        .withColumn("cnt_q", F.count(F.lit(1)).over(W.partitionBy("q_id")))
         .filter(F.col("rn") <= 5)
     )
-    # exact L2 yardstick: session-cached fit-once literal frame
-    exact_top = _exact_top(spark, sf_dir, "l2").select("q_id", "neighbor_id")
-    hits = adc_top.join(exact_top, ["q_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # (the former cand.groupBy().count() branch is gone — its
+    # n_candidates total is now sum(first(cnt_q)) in the final fold)
+    # exact L2 yardstick: session-cached fit-once literal frame. The
+    # recall hit-flag joins onto the top-5 rows BEFORE the per-query
+    # fold (broadcast left join on a bounded literal) so the audit
+    # columns (k_found, selfs, candidate count, hits) all come from ONE
+    # pipeline — a separate hits branch re-ran the corpus-coding
+    # ArrowEval pass because its pruned window subtree no longer
+    # matched for AQE exchange reuse (r13 measured).
+    exact_top = _exact_top(spark, sf_dir, "l2").select(
+        "q_id", "neighbor_id", F.lit(1).alias("is_hit")
     )
     n_corpus = e.agg(F.count(F.lit(1)).alias("n_corpus"))
-    per_q = adc_top.groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("k_found"),
-        F.sum((F.col("neighbor_id") == F.col("q_id")).cast("int")).alias("selfs"),
+    per_q = (
+        adc_top.join(F.broadcast(exact_top), ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_found"),
+            F.sum((F.col("neighbor_id") == F.col("q_id")).cast("int")).alias("selfs"),
+            # cnt_q is constant per q_id (the pre-top-5 candidate count
+            # computed in the window stage above)
+            F.first("cnt_q").alias("cnt_q"),
+            F.sum(F.coalesce(F.col("is_hit"), F.lit(0))).alias("hits_q"),
+        )
     )
     return (
         per_q.agg(
             F.count(F.lit(1)).alias("n_queries"),
             F.min("k_found").alias("min_k"),
             F.sum("selfs").alias("n_selfs"),
+            F.sum("cnt_q").alias("n_candidates"),
+            F.sum("hits_q").alias("n_hits"),
         )
-        .crossJoin(F.broadcast(hits))
-        .crossJoin(F.broadcast(n_cand))
         .crossJoin(F.broadcast(n_corpus))
         .select(
             F.col("n_queries").cast("long").alias("n_queries"),
