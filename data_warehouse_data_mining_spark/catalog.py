@@ -24,6 +24,7 @@ so it does not depend on the batch catalog having run first.
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,27 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Module-level memo of the LAZY table DataFrames, keyed by the
+# SparkSession OBJECT (weakly) then (sf_dir, table). This is
+# plan-handle reuse, not data caching: a DataFrame is an unexecuted
+# logical plan over the parquet files — nothing is persisted, every
+# action still computes from the files — but constructing one costs a
+# ~115 ms driver round-trip (spark.read.parquet schema read + file
+# listing, measured r13), paid per table per query build before this
+# memo. The key must be the SESSION, not the applicationId: DataFrames
+# carry their creating session (temp views, session confs), and
+# newSession() clones share one appId — an appId-keyed memo handed a
+# clone's DataFrame to the parent session, which broke temp-view
+# registration and ML binds in the concurrent suite (measured r13).
+# WeakKeyDictionary entries die with the session wrapper, so a
+# restarted session can never see stale handles.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+_SESSION_PINNED: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 @dataclass
 class Catalog:
@@ -57,22 +79,33 @@ class Catalog:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
-            # events.parquet has carried INT64 TIMESTAMP(NANOS) in some
-            # testdata generations; Spark rejects that unless nanosAsLong is
-            # on. Both confs are runtime-settable, and the catalog may be
-            # handed an externally built SparkSession that lacks them, so set
-            # them here rather than relying on session.py. The UTC pin also
-            # guarantees the oracle contract (timestamps compared against
-            # DuckDB's naive-UTC semantics) regardless of the host session's
-            # timezone.
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = self.spark.read.parquet(
-                os.path.join(self.sf_dir, f"{name}.parquet")
-            )
-            if name == "events":
-                df = normalize_events(df)
-            self._cache[name] = df
+            if not _SESSION_PINNED.get(self.spark):
+                # events.parquet has carried INT64 TIMESTAMP(NANOS) in
+                # some testdata generations; Spark rejects that unless
+                # nanosAsLong is on. Both confs are runtime-settable,
+                # and the catalog may be handed an externally built
+                # SparkSession that lacks them, so set them here rather
+                # than relying on session.py. The UTC pin also
+                # guarantees the oracle contract (timestamps compared
+                # against DuckDB's naive-UTC semantics) regardless of
+                # the host session's timezone. Pinned once per SESSION
+                # (confs are session-scoped; newSession() clones need
+                # their own pin).
+                self.spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", "true"
+                )
+                self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+                _SESSION_PINNED[self.spark] = True
+            per_session = _TABLE_MEMO.setdefault(self.spark, {})
+            key = (os.path.abspath(self.sf_dir), name)
+            if key not in per_session:
+                df = self.spark.read.parquet(
+                    os.path.join(self.sf_dir, f"{name}.parquet")
+                )
+                if name == "events":
+                    df = normalize_events(df)
+                per_session[key] = df
+            self._cache[name] = per_session[key]
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -82,18 +82,25 @@ def md5_word(value: Column, lo_1based: int) -> Column:
 def affine_minhash_aggs(num_hashes: int) -> list[Column]:
     """MIN aggregates of the affine hash family over pre-projected
     ``b1``/``b2`` word columns (see md5_word) — one hash-aggregate job,
-    no shuffle per hash."""
+    no shuffle per hash. Built as one parsed SQL string per aggregate
+    (not per-operator Column composition): the Column form cost ~6 py4j
+    round-trips per hash per query BUILD — ~0.24 s of the minhash
+    builder's driver time at k=16, measured r13 — while F.expr parses
+    the identical expression in one call. b1/b2 are non-negative
+    (< 2^32) and j ≤ k, so SQL % equals the Column % here (no sign or
+    overflow divergence)."""
     return [
-        F.min((F.col("b1") + j * F.col("b2")) % MINHASH_PRIME).alias(f"h{j}")
+        F.expr(f"min((b1 + {j} * b2) % {MINHASH_PRIME}) AS h{j}")
         for j in range(num_hashes)
     ]
 
 
 def band_signature(band_id: int, rows_per_band: int) -> Column:
-    """LSH band signature: md5 over the concatenated minhashes of the band."""
+    """LSH band signature: md5 over the concatenated minhashes of the
+    band (one parsed expression — see affine_minhash_aggs on why)."""
     start = band_id * rows_per_band
-    cols = [F.col(f"h{j}") for j in range(start, start + rows_per_band)]
-    return F.md5(F.concat_ws("|", *cols))
+    cols = ", ".join(f"h{j}" for j in range(start, start + rows_per_band))
+    return F.expr(f"md5(concat_ws('|', {cols}))")
 
 
 def hex_digit_val(hexstr: Column, pos_1based: int) -> Column:
