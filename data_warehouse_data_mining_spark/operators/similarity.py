@@ -610,6 +610,53 @@ def _ivf_neighbors(
     )
 
 
+def _ivf_candidates_all_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, neighbor_id, cos, pr) for EVERY query x corpus-vector
+    pair (self excluded), where pr is the probe rank of the neighbor's
+    cell for that query under the same (distance², center_cell)
+    ordering `_ivf_neighbors` probes with. One Arrow assignment pass +
+    one broadcast join; the nprobe recall curve derives every sweep
+    from this single table (filtering pr <= p reproduces the probe-p
+    candidate set exactly, because probe lists are nested)."""
+    coarse = _pq_codebooks(spark, sf_dir, "ivf", 1, DIM, IVF_NLIST)[0]
+    e = load(spark, sf_dir).embeddings.select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    ).filter(V.dot(F.col("v"), F.col("v")) > 0)  # cosine tier: see _ORACLE_E
+    assigned = e.withColumn(
+        "cell",
+        F.element_at(_pq_code_udf([], DIM, coarse=coarse)(F.col("v")), 1),
+    )
+    centers = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "center_cell int, center array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dist2 = V.dot(
+        F.zip_with("qv", "center", lambda a, b: a - b),
+        F.zip_with("qv", "center", lambda a, b: a - b),
+    )
+    wprobe = W.partitionBy("q_id").orderBy(F.col("d2"), F.col("center_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("d2", dist2)
+        .withColumn("pr", F.row_number().over(wprobe))
+        .select("q_id", "qv", F.col("center_cell").alias("probe_cell"), "pr")
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (
+        V.norm(F.col("qv")) * V.norm(F.col("v"))
+    )
+    return (
+        assigned.join(
+            F.broadcast(probes),  # broadcast-ok: N_QUERIES*nlist rows
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"), "pr")
+    )
+
+
 @register(
     "ann_ivf_kmeans",
     oracle=f"""
@@ -2127,18 +2174,26 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       degenerates to exact search by construction. A failed floor at
       nprobe=16 is a routing bug, full stop.
 
-    Scale shape: the 5 sweeps share the cached coarse centroids and
-    the same map-side assignment expression; each sweep is the
-    ann_ivf_kmeans plan at a different probe count, and the exact
-    yardstick is computed once (localCheckpoint-pinned — it is
-    5·N_QUERIES rows, a bounded pin) and joined to all five."""
-    from functools import reduce
-
-    # the exact yardstick is the session-cached fit-once literal frame
-    # (5*N_QUERIES rows) — the brute-force scan runs once per session,
-    # not once per query, and never replans into the five sweep branches
+    Scale shape (r13 single-pass rewrite): the five sweeps' candidate
+    sets are NESTED (probe lists for smaller nprobe are prefixes of
+    larger ones), so ONE corpus cell-assignment pass joined at ALL
+    nlist cells — each candidate row carrying pr, the probe rank of
+    the neighbor's cell for that query — serves every sweep: a row is
+    in the probe-p top-5 iff pr <= p and its RUNNING count of
+    pr <= p rows (in the shared total order cos desc, neighbor_id) is
+    <= 5 — exactly row_number over the pr <= p subset. The five
+    running counts are five sums over ONE window spec, so Spark plans
+    one exchange + one Window operator where the old form ran five
+    full Arrow assignment passes + five joins + five windows.
+    Honest cost note: the old nprobe=nlist sweep already MATERIALIZED
+    the full N_QUERIES x corpus candidate set map-side (its
+    WindowGroupLimit pruned it before the exchange); the rewrite
+    shuffles those narrow (q_id, neighbor_id, cos, pr, is_hit) rows
+    once instead of recoding the corpus four more times. The exact
+    yardstick stays the session-cached fit-once literal frame, now
+    joined ONCE as a broadcast hit-flag before the window."""
     exact = _exact_top(spark, sf_dir).filter(F.col("rn") <= 5).select(
-        "q_id", "neighbor_id"
+        "q_id", "neighbor_id", F.lit(1).alias("is_hit")
     )
     # denominator from the yardstick itself, NOT the 5*N_QUERIES
     # constant: zero-norm query rows are excluded from the cosine tier
@@ -2148,21 +2203,46 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame — counting it is driver-cheap.
     n_exact_total = exact.count()
     floors = {1: 0.0, 2: 0.0, 4: 0.3, 8: 0.3, IVF_NLIST: 1.0}
-    rows = []
-    for p in IVF_CURVE_PROBES:
-        ivf = _ivf_neighbors(spark, sf_dir, nprobe=p).select(
-            "q_id", "neighbor_id"
-        )
-        hits = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_hits")
-        )
-        rows.append(
-            hits.select(
-                F.lit(p).cast("int").alias("nprobe"),
-                (F.col("n_hits") / F.lit(n_exact_total)).alias("recall"),
+    cand = _ivf_candidates_all_cells(spark, sf_dir).join(
+        F.broadcast(exact), ["q_id", "neighbor_id"], "left"
+    )
+    worder = W.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    in_p = {
+        p: F.sum((F.col("pr") <= p).cast("int")).over(worder)
+        for p in IVF_CURVE_PROBES
+    }
+    flagged = cand.select(
+        "pr",
+        F.coalesce(F.col("is_hit"), F.lit(0)).alias("is_hit"),
+        *[in_p[p].alias(f"c{p}") for p in IVF_CURVE_PROBES],
+    )
+    hit_cols = [
+        F.sum(
+            (
+                (F.col("pr") <= p) & (F.col(f"c{p}") <= 5)
+                & (F.col("is_hit") == 1)
+            ).cast("int")
+        ).alias(f"h{p}")
+        for p in IVF_CURVE_PROBES
+    ]
+    one = flagged.agg(*hit_cols)
+    curve = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("int").alias("nprobe"),
+                        (F.col(f"h{p}") / F.lit(n_exact_total)).alias(
+                            "recall"
+                        ),
+                    )
+                    for p in IVF_CURVE_PROBES
+                ]
             )
-        )
-    curve = reduce(lambda a, b: a.unionByName(b), rows)
+        ).alias("s")
+    ).select("s.nprobe", "s.recall")
     wprev = W.orderBy("nprobe")
     nq = (
         load(spark, sf_dir)

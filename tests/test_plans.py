@@ -501,6 +501,10 @@ def test_no_broadcast_hints_on_unbounded_tables():
     # pinned waiver inventory — every entry must be bounded BY DESIGN
     assert sorted(waivers) == [
         ("curation.py", "q is bounded by KSH_T (literal id filter)"),
+        # r13: the nprobe recall curve's single-pass candidate table
+        # broadcasts the UNFILTERED probe-rank table (all nlist cells
+        # per query — still N_QUERIES*nlist rows, a literal-bounded set)
+        ("similarity.py", "N_QUERIES*nlist rows"),
         ("similarity.py", "bounded by N_QUERIES*ADC_NPROBE rows"),
         ("similarity.py", "bounded by N_QUERIES*nprobe rows"),
         ("similarity.py", "lut is bounded by N_QUERIES*ADC_M*ADC_K rows"),
