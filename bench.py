@@ -73,14 +73,16 @@ CORE_BASELINE_SET = frozenset({
     "tumbling_window_counts",
 })
 
-# Heavy additions run fewer samples: their single-run cost (10-25 s —
-# dominated by fixed plan-compile cost for the codebook-literal ANN
-# plan, amortized at real scale) would triple bench wall-clock at 7
-# runs; 3 still gives a min over >1 JIT-warm run.
+# Heavy additions run fewer samples. The 3-sample cap dates from when
+# this trio cost 10-25 s/run (codebook-literal plan compile, pre-r12);
+# after the r12/r13 rewrites they run 1.3-3.9 s, and at 3 samples the
+# min — the host's only interference-resistant statistic — is owned by
+# a single noisy window (r13-opt: dsir flagged a min "regression" that
+# interleaved A/B disproved). dsir/ivf_pq now take the full RUNS;
+# prefix keeps a reduced-but-larger 5 (~4 s/run). Old 3-sample numbers
+# remain in BENCH_r12 history; medians are unaffected in expectation.
 PER_QUERY_RUNS = {
-    "ivf_pq_search": 3,
-    "prefix_filter_jaccard_pairs": 3,
-    "dsir_importance_weights": 3,
+    "prefix_filter_jaccard_pairs": 5,
 }
 
 # Queries that get ONE untimed pass before their samples: the
