@@ -117,6 +117,24 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
         # exact seeded confusion-cell pins; latest driver green is r6.
         "ml_logreg_confusion": 8,
         "ml_random_forest_report": 8,
+        # r13 optimization restructured these five queries (single
+        # token/coding pass, window-count sizes, F.expr minhash, one
+        # all-cells candidate table), but the capped sweep's
+        # green-at-latest ordering rotated every one of them OUT of
+        # driver re-verification exactly when it was rewritten
+        # (VERDICT r13 item 1): their newest driver rows predate the
+        # rewrites. Pin until a round >= 14 row exists at the
+        # post-rewrite code.
+        "dsir_importance_weights": 14,
+        "prefix_filter_jaccard_pairs": 14,
+        "ivf_pq_search": 14,
+        "dedup_minhash_lsh": 14,
+        "ivf_nprobe_recall_curve": 14,
+        # r14 optimization touched these query paths (see
+        # OPTIMIZATION_r14.md); same rule — driver row at or after the
+        # round that changed the builder.
+        "graph_pagerank": 14,
+        "ml_cv_grid_search": 14,
     }
     stale = tuple(
         sorted(
