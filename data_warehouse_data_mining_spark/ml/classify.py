@@ -11,6 +11,7 @@ defect d).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.ml.classification import (
@@ -102,12 +103,26 @@ def cross_validate(
     """Leak-free grid-search CV: folds over TRAIN only, report on TEST."""
     clf = make_classifier(name, features_col, label_col)
     evaluator = BinaryClassificationEvaluator(labelCol=label_col)
+    maps = grid if grid is not None else param_grid(name, clf)
+    # Fit the grid points of each fold concurrently (r14, guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially). CrossValidator splits folds once up front (seeded)
+    # and evaluates avgMetrics per param-map index, so parallelism
+    # changes wall-clock only, never a metric. Capped at the grid size
+    # (CV parallelizes within a fold) and at the session's core count
+    # so a small local[N] run isn't oversubscribed; overridable for
+    # cluster runs where executor count != defaultParallelism.
+    cores = train.sparkSession.sparkContext.defaultParallelism
+    parallelism = int(
+        os.environ.get("SPARK_GRAFT_CV_PARALLELISM", 0)
+    ) or max(1, min(len(maps), cores))
     cv = CrossValidator(
         estimator=clf,
-        estimatorParamMaps=grid if grid is not None else param_grid(name, clf),
+        estimatorParamMaps=maps,
         evaluator=evaluator,
         numFolds=num_folds,
         seed=SEED,
+        parallelism=parallelism,
     )
     model = cv.fit(train)
     best = model.bestModel
