@@ -784,7 +784,13 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed teleport mass so unreachable-but-seeded nodes persist.
     At 100 TB the working set is the walk's frontier, not the graph.
     Same integer fixed-point determinism contract as graph_pagerank
-    (module docstring); the oracle unrolls the identical recurrence."""
+    (module docstring); the oracle unrolls the identical recurrence.
+
+    Loop-invariant hoisting (r14, same rewrite as graph_pagerank,
+    measured there): ONE persisted (src, dst, d) contribution table
+    pre-partitioned by src replaces the separate edges/deg caches, and
+    the seed count + teleport constants are computed once as scalars
+    instead of a per-iteration 1-row crossJoin broadcast."""
     li = load(spark, sf_dir).lineitem
     pairs = (
         li.select(
@@ -793,25 +799,31 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
-        .unionAll(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("p").alias("dst")
+    ).unionAll(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib_edges = (
+        edges.join(deg, "src")
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
     seeds = (
-        deg.filter((F.col("src") % 2 == 0) & (F.expr("src div 2") <= N_SEEDS))
+        contrib_edges.filter(
+            (F.col("src") % 2 == 0) & (F.expr("src div 2") <= N_SEEDS)
+        )
         .select(F.col("src").alias("node"))
         .distinct()
+        .persist()
     )
-    ns = seeds.agg(F.count(F.lit(1)).alias("n"))
-    seed_base = seeds.crossJoin(F.broadcast(ns)).select(
-        "node", F.expr(f"(15 * ({R_UNIT} div n)) div 100").cast("long").alias("b")
-    ).persist()
-    ranks = seeds.crossJoin(F.broadcast(ns)).select(
-        "node", F.expr(f"{R_UNIT} div n").cast("long").alias("rank")
-    )
-    contrib_edges = edges.join(deg, "src")
+    # loop-invariant teleport scalars (1-row driver scalar per build —
+    # parameterizes the plan, nothing cached across runs); the count
+    # also materializes both caches
+    n = seeds.count()
+    r0 = R_UNIT // n if n else 0
+    b = (15 * r0) // 100
+    seed_base = seeds.select("node", F.lit(b).cast("long").alias("b"))
+    ranks = seeds.select("node", F.lit(r0).cast("long").alias("rank"))
     for it in range(N_ITER_PPR):
         spread = (
             contrib_edges.join(ranks, F.col("src") == F.col("node"))
@@ -831,9 +843,8 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ranks = ranks.localCheckpoint(eager=True)
-    edges.unpersist()
-    deg.unpersist()
-    seed_base.unpersist()
+    contrib_edges.unpersist()
+    seeds.unpersist()
     return (
         ranks.filter(F.col("node") % 2 == 1)
         .select(
