@@ -301,8 +301,10 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤1-micro-per-step floor drift is mirrored exactly. Removal
     monotonicity (effect >= 0) is test-pinned. Scale shape: one events
     pass with per-user lag windows builds edges; everything after runs
-    on the (scenario × states²) table — ≤ 5·7² rows — for 16 bounded
-    joins."""
+    on the (scenario × states²) table — ≤ 5·7² rows — whose 16
+    supersteps execute inside one applyInPandas task per scenario
+    (bounded model state, the elo_rating_replay discipline), not as 16
+    scheduled join rounds."""
     e = load(spark, sf_dir).events
     first_p = e.filter(F.col("event_type") == "purchase").groupBy(
         "user_id"
@@ -366,74 +368,50 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     wn = W.partitionBy("scenario", "src")
-    trans = trans0.withColumn(
-        "n", F.sum("c").over(wn).cast("long")
-    ).localCheckpoint(eager=True)
-    states = (
-        trans.select("scenario", F.col("src").alias("state"))
-        .union(
-            trans.select("scenario").distinct().select(
-                "scenario", F.lit("conv").alias("state")
-            )
+    trans = trans0.withColumn("n", F.sum("c").over(wn).cast("long"))
+
+    # The {MARKOV_ITERS} value-iteration supersteps run INSIDE one
+    # applyInPandas task per scenario (r14, guide §1.2 — change the
+    # algorithm first; the elo_rating_replay precedent): the absorption
+    # recurrence operates on the (scenario × states²) transition table,
+    # ≤ 5·7² literal-bounded rows, never on data-sized state, and each
+    # scenario's walk is independent. The former DataFrame loop paid
+    # 16 × (join + groupBy + left join) in stage scheduling — ~5 s warm
+    # at sf0.01 on 245 rows — plus an eager checkpoint every 4 steps;
+    # this shape pays ONE tiny shuffle. Arithmetic is the identical
+    # integer fixed point: nv(s) = sum(c·v(dst)) // n over Python ints
+    # (non-negative, so SQL div ≡ //); a dst absent from the state set
+    # contributed nothing via the former inner join and contributes
+    # v.get(dst, 0) = 0 here; states never in flow got coalesce(nv, 0)
+    # and get 0 here the same way.
+    import pandas as pd
+
+    def value_iterate(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        scen = pdf["scenario"].iloc[0]
+        by_src: dict[str, tuple[int, list[tuple[str, int]]]] = {}
+        for src, dst, c, n in zip(pdf["src"], pdf["dst"], pdf["c"], pdf["n"]):
+            ent = by_src.setdefault(src, (int(n), []))
+            ent[1].append((dst, int(c)))
+        states = set(by_src) | {"conv", "null"}
+        v = {s: (1_000_000 if s == "conv" else 0) for s in states}
+        for _ in range(MARKOV_ITERS):
+            nv = {}
+            for s in states:
+                if s == "conv":
+                    nv[s] = 1_000_000
+                elif s == "null":
+                    nv[s] = 0
+                else:
+                    n_s, rows = by_src[s]
+                    nv[s] = sum(c * v.get(dst, 0) for dst, c in rows) // n_s
+            v = nv
+        return pd.DataFrame(
+            {"scenario": scen, "state": sorted(v), "v": [v[s] for s in sorted(v)]}
         )
-        .union(
-            trans.select("scenario").distinct().select(
-                "scenario", F.lit("null").alias("state")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+
+    v = trans.groupBy("scenario").applyInPandas(
+        value_iterate, "scenario string, state string, v long"
     )
-    v = states.select(
-        "scenario",
-        "state",
-        F.when(F.col("state") == "conv", 1_000_000)
-        .otherwise(0)
-        .cast("long")
-        .alias("v"),
-    )
-    for i in range(MARKOV_ITERS):
-        flow = (
-            trans.join(
-                v.select(
-                    F.col("scenario").alias("ts2"),
-                    F.col("state").alias("vdst"),
-                    F.col("v").alias("pv"),
-                ),
-                (F.col("ts2") == F.col("scenario"))
-                & (F.col("vdst") == F.col("dst")),
-            )
-            .groupBy("scenario", "src")
-            .agg(
-                F.expr("CAST(sum(c * pv) div any_value(n) AS BIGINT)").alias(
-                    "nv"
-                )
-            )
-            .select(
-                F.col("scenario").alias("fs"),
-                F.col("src").alias("fstate"),
-                "nv",
-            )
-        )
-        v = (
-            states.join(
-                flow,
-                (F.col("fs") == F.col("scenario"))
-                & (F.col("fstate") == F.col("state")),
-                "left",
-            )
-            .select(
-                "scenario",
-                "state",
-                F.when(F.col("state") == "conv", 1_000_000)
-                .when(F.col("state") == "null", 0)
-                .otherwise(F.coalesce(F.col("nv"), F.lit(0)))
-                .cast("long")
-                .alias("v"),
-            )
-        )
-        if (i + 1) % 4 == 0:
-            v = v.localCheckpoint(eager=True)
     pconv = v.filter(F.col("state") == "start").select("scenario", "v")
     base = pconv.filter(F.col("scenario") == "base").select(
         F.col("v").alias("bv")
