@@ -103,8 +103,9 @@ def bradley_terry_event_strengths(
     floor(x + 1e-3) guard (the n*U^2 numerators exceed BIGINT, and
     identical-input correctly-rounded double ops floor to identical
     integers), so all {BT_ITERS} iterations are bit-identical walks of
-    a 5-row state table — Spark localCheckpoints each step, the oracle
-    unrolls materialized CTEs.
+    a 5-row state table — Spark runs them inside one applyInPandas
+    task (bounded model state, the elo discipline), the oracle unrolls
+    materialized CTEs.
 
     Scale: one fact scan -> (day, type) hash agg; duels, wins and all
     iterations run on calendar x 5-type bounded tables."""
@@ -172,35 +173,58 @@ def bradley_terry_event_strengths(
     w = wins.groupBy(F.col("wi").alias("i")).agg(
         F.sum("nw").cast("long").alias("w")
     ).localCheckpoint(eager=True)
-    state = w.select("i", F.lit(BT_UNIT // 5).cast("long").alias("p"))
-    for _ in range(BT_ITERS):
-        p2 = state.select(F.col("i").alias("j2"), F.col("p").alias("pj"))
-        d = (
-            sym.join(state, "i")
-            .join(p2, F.col("j") == F.col("j2"))
-            .selectExpr(
-                "i",
-                f"CAST(floor((CAST(n AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}"
-                " / (p + pj) + 0.001) AS BIGINT) AS term",
-            )
-            .groupBy("i")
-            .agg(F.sum("term").cast("long").alias("d"))
-        )
-        praw = w.join(d, "i").selectExpr(
-            "i",
-            f"CAST(floor((CAST(w AS DOUBLE) * {BT_UNIT}) * {BT_UNIT}"
-            " / greatest(d, 1) + 0.001) AS BIGINT) AS praw",
-        )
-        tot = praw.agg(F.sum("praw").cast("long").alias("s"))
-        state = (
-            praw.crossJoin(F.broadcast(tot))
-            .selectExpr(
-                "i",
-                f"CAST(floor((CAST(praw AS DOUBLE) * {BT_UNIT}) / s"
-                " + 0.001) AS BIGINT) AS p",
-            )
-            .localCheckpoint(eager=True)
-        )
+
+    # The {BT_ITERS} MM iterations run INSIDE one applyInPandas task
+    # (r14, guide §1.2; the elo_rating_replay single-bounded-group
+    # discipline): the MM recurrence walks a ≤5-row state table over a
+    # ≤5×4-row symmetric duel-count table — literal-bounded model
+    # state, never data-sized — and the former DataFrame loop paid
+    # 8 × (2 joins + groupBy + crossJoin + EAGER localCheckpoint) in
+    # stage scheduling (~4-5 s warm at sf0.01 on 25 rows). Arithmetic
+    # is the identical double expression sequence behind the same
+    # floor(x + 1e-3) guards: CPython floats are IEEE doubles, int →
+    # double conversion is round-to-nearest exactly like the JVM's
+    # long → double promotion, and both evaluate the same
+    # left-associative chain, so every iteration floors to the same
+    # integers (oracle hash equality at three SFs is the proof).
+    import math
+
+    import pandas as pd
+
+    def mm_iterate(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sym_rows = list(zip(pdf["i"], pdf["j"], (int(x) for x in pdf["n"])))
+        wmap = {i: int(wi) for i, wi in zip(pdf["i"], pdf["w"])}
+        state = {i: BT_UNIT // 5 for i in wmap}
+        for _ in range(BT_ITERS):
+            d: dict[str, int] = {}
+            for i, j, n in sym_rows:
+                if i in state and j in state:
+                    term = math.floor(
+                        float(n) * BT_UNIT * BT_UNIT / (state[i] + state[j])
+                        + 0.001
+                    )
+                    d[i] = d.get(i, 0) + term
+            praw = {
+                i: math.floor(
+                    float(wmap[i]) * BT_UNIT * BT_UNIT / max(d[i], 1) + 0.001
+                )
+                for i in wmap
+                if i in d
+            }
+            s = sum(praw.values())
+            state = {
+                i: math.floor(float(p) * BT_UNIT / s + 0.001)
+                for i, p in praw.items()
+            }
+        keys = sorted(state)
+        return pd.DataFrame({"i": keys, "p": [state[k] for k in keys]})
+
+    state = (
+        sym.join(w, "i")
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(mm_iterate, "i string, p long")
+    )
     contests = sym.groupBy("i").agg(F.sum("n").cast("long").alias("n_contests"))
     return (
         w.join(state, "i")
