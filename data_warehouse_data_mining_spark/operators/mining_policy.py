@@ -2857,16 +2857,21 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterfactual trio (ips/dr/qini): those evaluate a FIXED policy
     from logs, this replays an adaptive one.
 
-    Both engines evaluate the SAME generated stage expressions
-    (_ucb_stage_exprs) over the same pivoted 60-column row — state
-    stays in exact ppm BIGINTs, ln(t) is baked as 9-dp literals, and
-    the one sqrt per (arm, step) is correctly rounded then floored to
-    ppm before entering the integer index, so the walk's choice
-    sequence is bit-identical including ties (first arm in name order
-    wins). Each stage is a SEPARATE materialized layer — Spark
-    localCheckpoints the 1-row state every stage and DuckDB marks the
-    stage CTEs MATERIALIZED; inlined as lateral aliases the expression
-    tree grows exponentially (the first draft hung both engines).
+    Both engines evaluate the SAME arithmetic over the same pivoted
+    60-column row — state stays in exact ppm BIGINTs, ln(t) is baked
+    as 9-dp literals, and the one sqrt per (arm, step) is correctly
+    rounded then floored to ppm before entering the integer index, so
+    the walk's choice sequence is bit-identical including ties (first
+    arm in name order wins). DuckDB unrolls the stages as MATERIALIZED
+    CTEs (inlined as lateral aliases the expression tree grows
+    exponentially — the first draft hung both engines); Spark runs the
+    whole walk inside ONE applyInPandas task over the 1-row pivot
+    (r14; previously 12 stages × 2 eager localCheckpoints ≈ 24
+    scheduled jobs of pure stage latency — the _ucb_stage_exprs SQL
+    mirrors CPython float semantics op for op: floor(s*1.0/n),
+    floor(sqrt(2*ln_t/n)*1e6), integer comparisons with
+    first-in-name-order ties — both are IEEE doubles with correctly
+    rounded ops, proven by oracle hash equality at three SFs).
 
     Scale shape: one fact scan -> 60-cell hash agg -> one-row pivot;
     the replay is O(arms x months) scalar work on that row."""
@@ -2896,32 +2901,72 @@ def ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(1, UCB_MONTHS + 1)
             for a in UCB_ARMS
         ]
-    ).localCheckpoint(eager=True)
-    for t in range(1, UCB_MONTHS + 1):
-        chosen, updates = _ucb_stage_exprs(t)
-        state = state.selectExpr("*", chosen).localCheckpoint(eager=True)
-        state = state.selectExpr("*", *updates).localCheckpoint(eager=True)
-    walk = state.selectExpr("*", _ucb_best_arm_sql())
-    trace_structs = ", ".join(
-        f"STRUCT({t} AS month, ch{t} AS chosen_arm, rw{t} AS reward_ppm, "
-        + _ucb_best_case(t)
-        + " AS best_reward_ppm)"
-        for t in range(1, UCB_MONTHS + 1)
     )
-    trace = walk.select(
-        F.explode(F.expr(f"array({trace_structs})")).alias("s")
-    ).select("s.month", "s.chosen_arm", "s.reward_ppm", "s.best_reward_ppm")
-    wseq = W.orderBy("month").rowsBetween(W.unboundedPreceding, 0)
-    return trace.select(
-        F.col("month").alias("day"),
-        "chosen_arm",
-        F.col("reward_ppm").cast("long").alias("reward_ppm"),
-        F.sum("reward_ppm").over(wseq).cast("long").alias("cum_reward_ppm"),
-        F.sum(F.col("best_reward_ppm") - F.col("reward_ppm"))
-        .over(wseq)
-        .cast("long")
-        .alias("cum_regret_ppm"),
-    ).orderBy("month")
+
+    import math
+
+    import pandas as pd
+
+    def replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        row = pdf.iloc[0]
+        r = {
+            (t, a): int(row[f"r{t}_{a}"])
+            for t in range(1, UCB_MONTHS + 1)
+            for a in UCB_ARMS
+        }
+        tot = {
+            a: sum(r[(t, a)] for t in range(1, UCB_MONTHS + 1))
+            for a in UCB_ARMS
+        }
+        best_arm = next(
+            a
+            for a in UCB_ARMS
+            if all(tot[a] >= tot[b] for b in UCB_ARMS if b != a)
+        )
+        n = {a: 0 for a in UCB_ARMS}
+        s = {a: 0 for a in UCB_ARMS}
+        out = []
+        cum_rw = cum_rg = 0
+        for t in range(1, UCB_MONTHS + 1):
+            if t <= len(UCB_ARMS):
+                ch = UCB_ARMS[t - 1]
+            else:
+                ln_t = _UCB_LN[t - 1]
+                idx = {
+                    a: math.floor(s[a] * 1.0 / n[a])
+                    + math.floor(math.sqrt(2 * ln_t / n[a]) * 1000000)
+                    for a in UCB_ARMS
+                }
+                # ties: first arm in name order wins (the CASE order)
+                ch = next(
+                    a
+                    for a in UCB_ARMS
+                    if all(idx[a] >= idx[b] for b in UCB_ARMS if b != a)
+                )
+            rw = r[(t, ch)]
+            n[ch] += 1
+            s[ch] += rw
+            cum_rw += rw
+            cum_rg += r[(t, best_arm)] - rw
+            out.append((t, ch, rw, cum_rw, cum_rg))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "day", "chosen_arm", "reward_ppm",
+                "cum_reward_ppm", "cum_regret_ppm",
+            ],
+        )
+
+    return (
+        state.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            replay,
+            "day int, chosen_arm string, reward_ppm long, "
+            "cum_reward_ppm long, cum_regret_ppm long",
+        )
+        .orderBy("day")
+    )
 
 
 def _lmom_c(m: str, k: int, cast: str, div: str = "/") -> str:
