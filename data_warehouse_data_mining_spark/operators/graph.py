@@ -568,8 +568,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
             .select("lo", "hi")
             # each round's survivors feed the next degree agg AND the
-            # stats row — truncate lineage per round
-            .localCheckpoint(eager=True)
+            # stats row — truncate lineage per round. LAZY (r14): the
+            # truncation happens at plan level immediately; the RDD
+            # materializes once inside the final job instead of paying
+            # one scheduled driver job per peel (measured at sf0.01:
+            # min 2.28 -> 1.71 s, rows identical).
+            .localCheckpoint(eager=False)
         )
         n_nodes = keep.agg(F.count(F.lit(1)).alias("n_nodes"))
         n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -677,7 +681,10 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.orderBy(F.col("d").desc(), F.col("src"))
         .limit(1)
         .select(F.col("src").alias("node"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): truncates lineage now, materializes in the final
+        # job — same for the per-round frontier/visited checkpoints
+        # below (measured at sf0.01: min 1.95 -> 1.37 s, rows equal)
+        .localCheckpoint(eager=False)
     )
     frontier = root
     visited = root
@@ -694,9 +701,9 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        visited = visited.unionAll(frontier).localCheckpoint(eager=False)
         rows.append(
             frontier.agg(F.count(F.lit(1)).alias("n_nodes")).select(
                 F.lit(i + 1).alias("layer"), "n_nodes"
