@@ -1684,7 +1684,14 @@ def _pq_code_udf(cbs: list[list[list[float]]], subdim: int,
         packed = np.stack(cols, axis=1)
         return pd.Series(list(packed))
 
-    return code
+    # asNondeterministic (r14, guide §4.4): the coder IS deterministic,
+    # but when element_at(codes, 1) becomes an equi-join key the
+    # planner's pushed isnotnull(join key) filter re-evaluated the UDF
+    # below the filter AND again in the projection — two ArrowEvalPython
+    # corpus-coding passes for one call (ivf_pq_search executed plan,
+    # nodes 3+6). Marking it non-deterministic forbids the duplication;
+    # the null filter then runs once above the single coding pass.
+    return code.asNondeterministic()
 
 
 def _adc_dist_udf(cbs: list[list[list[float]]], subdim: int, code_offset: int = 0):

@@ -76,6 +76,23 @@ def test_ivf_pq_plan_broadcasts_probes_never_shuffles_corpus_on_cell(spark):
     assert "Exchange hashpartitioning(cell" not in plan
 
 
+def test_ivf_pq_single_coding_pass(spark):
+    """r14 optimization pin (VERDICT r13 #5): exactly TWO Python-eval
+    nodes in the executed plan — one corpus-coding pass + one ADC
+    kernel. The planner used to evaluate the coder twice (the pushed
+    isnotnull(join key) filter duplicated the UDF below itself, guide
+    §4.4); _pq_code_udf is marked non-deterministic to forbid that.
+    Engine-version note: this pins Spark 4.x planner behavior — on an
+    upgrade, re-baseline before suspecting the query."""
+    plan = (
+        S.ivf_pq_search(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
 def test_ivf_pq_search_pins_green(spark):
     """All property pins (5 neighbors/query, no self matches, pruning
     strictly below query×corpus, recall@5 ≥ 0.1) hold at sf0.001 —
