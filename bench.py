@@ -93,10 +93,22 @@ WARM_FIRST = {"ivf_pq_search"}
 
 def _prior_mins(sf_label: str) -> dict[str, float]:
     """Best-ever per-query min across prior rounds' BENCH_r*.json at
-    the same sf, clamped up to any ACCEPTED_FLOOR_RESETS entry. The
-    min-of-N is the interference-resistant statistic on this co-tenant
-    host, so regressions are judged min-vs-best-min, never
-    mean-vs-mean."""
+    the same sf AND the same core count, clamped up to any
+    ACCEPTED_FLOOR_RESETS entry. The min-of-N is the
+    interference-resistant statistic on this co-tenant host, so
+    regressions are judged min-vs-best-min, never mean-vs-mean.
+
+    Same-core-count guard (r14 measurement-bug fix, documented in
+    OPTIMIZATION_r14.md): the driver also records a LOW-core run
+    (BENCH_r13_c8.json, "cpus": 8 in its wrapper), and several sub-2 s
+    queries are FASTER at 8 cores (32-way task fan-out overhead
+    dominates 17 MB of data — the scaling block's ratios < 1 for
+    dedup_minhash/dsir/tfidf), so without the guard the 8-core mins
+    (dsir 0.83, dedup_minhash 0.871) became unreachable "best priors"
+    for every 32-core run and the gate flagged permanent false
+    regressions. Records whose wrapper lacks a cpus field (this
+    bench's own stdout line has none) are assumed comparable; old
+    numbers stay in the BENCH_r* history untouched."""
     import glob
 
     best: dict[str, float] = {}
@@ -105,6 +117,9 @@ def _prior_mins(sf_label: str) -> dict[str, float]:
             with open(path) as f:
                 rec = json.load(f)
         except (OSError, json.JSONDecodeError):
+            continue
+        rec_cpus = rec.get("cpus")
+        if rec_cpus is not None and str(rec_cpus) != str(CPUS):
             continue
         # the external driver records bench output wrapped under "parsed"
         if isinstance(rec.get("parsed"), dict):
