@@ -368,7 +368,14 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     wn = W.partitionBy("scenario", "src")
-    trans = trans0.withColumn("n", F.sum("c").over(wn).cast("long"))
+    # eager checkpoint (kept from the pre-r14 shape): the walk output
+    # is consumed TWICE downstream (the removed-channel rows and the
+    # broadcast 'base' row), so without the truncation the whole
+    # events->edges pipeline re-expands under both references (the
+    # static plan grew to 28 events scans when this was dropped).
+    trans = trans0.withColumn(
+        "n", F.sum("c").over(wn).cast("long")
+    ).localCheckpoint(eager=True)
 
     # The {MARKOV_ITERS} value-iteration supersteps run INSIDE one
     # applyInPandas task per scenario (r14, guide §1.2 — change the
