@@ -296,13 +296,18 @@ def _simhash_votes(
             for p in range(1, n_hex_digits + 1)
         ],
     )
+    # ONE parsed SQL string per vote aggregate (r14; the r13 texthash
+    # F.expr precedent): the operator-by-operator Column composition
+    # cost ~25k py4j round-trips (~4 s of driver time per build for the
+    # 128 sums). Semantically identical: shiftright/& /CASE/sum parse
+    # to the same expressions the Column API built.
     vote_sums = []
     for i in range(4 * n_hex_digits):
         p, b = i // 4 + 1, i % 4
-        bit = F.shiftright(F.col(f"d{p}"), 3 - b).bitwiseAND(F.lit(1))
         vote_sums.append(
-            F.sum(
-                F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            F.expr(
+                f"sum(CASE WHEN (shiftright(d{p}, {3 - b}) & 1) = 1 "
+                "THEN cnt ELSE -cnt END)"
             ).alias(f"v{i}")
         )
     return digits.groupBy("id").agg(*vote_sums)
@@ -313,15 +318,17 @@ def _votes_to_long(lo_bit: int) -> Column:
     v{lo_bit}..v{lo_bit+63}: OR together shiftleft(1, j) for every bit
     whose vote is positive (disjoint bits, so OR == the old SUM and bit
     63 lands as the sign bit without overflow checks)."""
-    word = F.lit(0).cast("bigint")
-    for j in range(64):
-        word = word.bitwiseOR(
-            F.when(
-                F.col(f"v{lo_bit + j}") > 0,
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})"),
-            ).otherwise(F.lit(0).cast("bigint"))
+    # one parsed OR-chain (r14, same py4j-cost rationale as
+    # _simhash_votes); disjoint bits, so the chain equals the old
+    # incremental fold bit for bit
+    return F.expr(
+        " | ".join(
+            f"(CASE WHEN v{lo_bit + j} > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for j in range(64)
         )
-    return word
+    )
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
