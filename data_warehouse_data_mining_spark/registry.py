@@ -135,6 +135,21 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
         # round that changed the builder.
         "graph_pagerank": 14,
         "ml_cv_grid_search": 14,
+        "graph_personalized_pagerank": 14,
+        "graph_kcore_peel": 14,
+        "graph_bfs_layers": 14,
+        "markov_removal_attribution": 14,
+        "bradley_terry_event_strengths": 14,
+        "ucb1_bandit_replay": 14,
+        "smote_rebalance_counts": 14,
+        "ml_smote_then_train": 14,
+        "simhash_fingerprints": 14,
+        "simhash_hamming_stats": 14,
+        "simhash128_hamming_stats": 14,
+        # shared _pq_code_udf marked non-deterministic (r14): the other
+        # three consumers beyond ivf_pq_search
+        "ann_ivf_kmeans": 14,
+        "pq_adc_search": 14,
     }
     stale = tuple(
         sorted(
