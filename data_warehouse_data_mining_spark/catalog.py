@@ -24,7 +24,6 @@ so it does not depend on the batch catalog having run first.
 from __future__ import annotations
 
 import os
-import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,26 +44,37 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Module-level memo of the LAZY table DataFrames, keyed by the
-# SparkSession OBJECT (weakly) then (sf_dir, table). This is
-# plan-handle reuse, not data caching: a DataFrame is an unexecuted
-# logical plan over the parquet files — nothing is persisted, every
-# action still computes from the files — but constructing one costs a
-# ~115 ms driver round-trip (spark.read.parquet schema read + file
-# listing, measured r13), paid per table per query build before this
-# memo. The key must be the SESSION, not the applicationId: DataFrames
-# carry their creating session (temp views, session confs), and
-# newSession() clones share one appId — an appId-keyed memo handed a
-# clone's DataFrame to the parent session, which broke temp-view
-# registration and ML binds in the concurrent suite (measured r13).
-# WeakKeyDictionary entries die with the session wrapper, so a
-# restarted session can never see stale handles.
-_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
-_SESSION_PINNED: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
-    weakref.WeakKeyDictionary()
-)
+# Per-session memo of the LAZY table DataFrames, stored as a private
+# attribute ON the SparkSession wrapper, keyed by (sf_dir, table).
+# This is plan-handle reuse, not data caching: a DataFrame is an
+# unexecuted logical plan over the parquet files — nothing is
+# persisted, every action still computes from the files — but
+# constructing one costs a ~115 ms driver round-trip
+# (spark.read.parquet schema read + file listing, measured r13), paid
+# per table per query build before this memo. The memo must live with
+# the SESSION, not the applicationId: DataFrames carry their creating
+# session (temp views, session confs), and newSession() clones share
+# one appId — an appId-keyed memo handed a clone's DataFrame to the
+# parent session, which broke temp-view registration and ML binds in
+# the concurrent suite (measured r13). r14 (ADVICE r13): the r13
+# WeakKeyDictionary form leaked — its VALUES (DataFrames) strongly
+# reference their session, so each entry kept its own key alive for
+# the process lifetime; an attribute on the wrapper has exactly the
+# intended lifetime (dies with the session object) with no cycle
+# through the registry.
+#
+# Known, accepted semantics (ADVICE r13): the memoized DataFrame
+# freezes the parquet FILE LISTING captured at first read — within one
+# session, a fresh Catalog over the same sf_dir will not see files
+# added/replaced on disk (the pre-r13 code re-listed per Catalog).
+# Benchmark/test data is static; regenerate data in a new session.
+_MEMO_ATTR = "_spark_graft_table_memo"
+# Conf-pin flag, same attribute pattern. Pinned once per session: if
+# external code mutates spark.sql.session.timeZone AFTER the first
+# catalog use, later Catalogs inherit the drift (the pre-r13 code
+# re-pinned per Catalog). Nothing in-repo does this; the oracle
+# contract assumes the session stays UTC once pinned.
+_PINNED_ATTR = "_spark_graft_confs_pinned"
 
 
 @dataclass
@@ -79,7 +89,7 @@ class Catalog:
         if name not in TABLE_NAMES:
             raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
         if name not in self._cache:
-            if not _SESSION_PINNED.get(self.spark):
+            if not getattr(self.spark, _PINNED_ATTR, False):
                 # events.parquet has carried INT64 TIMESTAMP(NANOS) in
                 # some testdata generations; Spark rejects that unless
                 # nanosAsLong is on. Both confs are runtime-settable,
@@ -95,8 +105,11 @@ class Catalog:
                     "spark.sql.legacy.parquet.nanosAsLong", "true"
                 )
                 self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-                _SESSION_PINNED[self.spark] = True
-            per_session = _TABLE_MEMO.setdefault(self.spark, {})
+                setattr(self.spark, _PINNED_ATTR, True)
+            per_session = getattr(self.spark, _MEMO_ATTR, None)
+            if per_session is None:
+                per_session = {}
+                setattr(self.spark, _MEMO_ATTR, per_session)
             key = (os.path.abspath(self.sf_dir), name)
             if key not in per_session:
                 df = self.spark.read.parquet(
