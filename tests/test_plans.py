@@ -215,6 +215,56 @@ def test_iterative_loops_checkpoint_truncates_lineage(spark):
         )
 
 
+def test_bounded_model_recurrences_run_in_one_task(spark):
+    """r14 optimization pin: the three literal-bounded model
+    recurrences (markov value iteration, Bradley-Terry MM, UCB1
+    replay) execute INSIDE one applyInPandas task — a
+    FlatMapGroupsInPandas node in the plan — instead of one scheduled
+    join round per superstep (the elo_rating_replay discipline; each
+    paid seconds of pure stage latency on tables of dozens of rows).
+    Oracle equality with the unrolled-CTE DuckDB recurrences is pinned
+    separately by the sweep; this pins the execution shape."""
+    from data_warehouse_data_mining_spark.operators.mining_policy import (
+        markov_removal_attribution,
+        ucb1_bandit_replay,
+    )
+    from data_warehouse_data_mining_spark.operators.mining_ratings import (
+        bradley_terry_event_strengths,
+    )
+
+    for builder in (
+        markov_removal_attribution,
+        ucb1_bandit_replay,
+        bradley_terry_event_strengths,
+    ):
+        plan = explain.formatted_plan(builder(spark, SF_SMALL))
+        assert "FlatMapGroupsInPandas" in plan, (
+            f"{builder.__name__}: model recurrence no longer runs as a "
+            "single applyInPandas task"
+        )
+
+
+def test_smote_bucket_refinement_single_coding_pass(spark):
+    """r14 optimization pin: smote's bucket refinement derives every
+    per-level count from ONE checkpointed full-code count table — the
+    coded minority (scan + Arrow LSH pass) is evaluated at most twice
+    in the final plan (the counting pass is materialized at build, so
+    the remaining ArrowEvalPython nodes are the final projection's),
+    never once per refinement level (6 passes pre-r14; the static plan
+    held 128 ArrowEvalPython nodes)."""
+    from data_warehouse_data_mining_spark.ml.queries import (
+        smote_rebalance_counts,
+    )
+
+    import re
+
+    plan = explain.formatted_plan(smote_rebalance_counts(spark, SF_SMALL))
+    # count operator-detail entries ("(n) ArrowEvalPython"), not the
+    # tree rendering, which lists every node a second time
+    n = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    assert n <= 2, f"smote plan re-derives the coded minority: {n} Arrow nodes"
+
+
 def test_aqe_skew_join_split(spark):
     """AQE must split a skewed shuffle-join partition at runtime: one
     hot key holding ~50% of the fact side becomes multiple subtasks
