@@ -1615,11 +1615,14 @@ def _d2(a: Column, b: Column) -> Column:
     return V.dot(d, d)
 
 
-def _argmin_center(sv: Column, centers: list[list[float]]) -> Column:
-    """Index of the nearest center (squared L2) — a fold over the
-    codebook literal. Map-side, JVM expression evaluation, no MLlib
-    transform and no row expansion: the corpus is coded in the same
-    projection that scans it."""
+def _argmin_center_best(sv: Column, centers: list[list[float]]) -> Column:
+    """Nearest-center fold over the codebook literal, returning the
+    guarded (d2, i) STRUCT — the squared L2 to the winner alongside
+    its index — so callers needing both (embedding_pq_quantization's
+    MSE) pay one fold instead of a code join back onto the codebook.
+    Map-side, JVM expression evaluation, no MLlib transform and no row
+    expansion: the corpus is coded in the same projection that scans
+    it."""
     scored = F.transform(
         _centers_lit(centers),
         lambda c, i: F.struct(_d2(sv, c).alias("d2"), i.alias("i")),
@@ -1639,7 +1642,13 @@ def _argmin_center(sv: Column, centers: list[list[float]]) -> Column:
     valid = F.assert_true(
         best["i"] >= 0, F.lit("_argmin_center: all distances NaN (corrupt vector?)")
     )
-    return F.when(valid.isNull(), best["i"])
+    return F.when(valid.isNull(), best)
+
+
+def _argmin_center(sv: Column, centers: list[list[float]]) -> Column:
+    """Index of the nearest center (squared L2) — see
+    _argmin_center_best."""
+    return _argmin_center_best(sv, centers)["i"]
 
 
 def _np_argmin_rows(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
@@ -1745,71 +1754,77 @@ def embedding_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means objective at k={PQ_K} can never lose to k=1, so a violated
     flag means the coding is broken, not just suboptimal.
 
-    Scale shape: codebooks train on the subspace slice (MLlib KMeans —
-    sampled/sketched at real corpus scale; fit-once cached per
-    session×sf via _pq_codebooks), assignment is a map-side argmin
-    EXPRESSION over the codebook literal (no transform output to
-    persist), per-subspace stats are 1-row aggregates; centroids stay
-    driver-side tiny ({PQ_SUBSPACES}×{PQ_K}×{PQ_SUBDIM} floats)."""
-    from functools import reduce
-
+    Scale shape (r14 — guide §2.4, remove redundant passes): codebooks
+    train on the subspace slice (MLlib KMeans — sampled/sketched at
+    real corpus scale; fit-once cached per session×sf via
+    _pq_codebooks), assignment is a map-side argmin EXPRESSION over
+    the codebook literal (no transform output to persist), and ALL
+    {PQ_SUBSPACES} subspaces' stats come from TWO corpus passes: one
+    1-row per-dimension mean aggregate (broadcast back), then one wide
+    aggregate computing every subspace's count/MSE/variance/code-range
+    columns at once — the per-subspace branch construction paid one
+    mean pass + one stats pass per subspace (8 corpus scans in the
+    plan; now 2). The winner's d2 comes from the same argmin fold that
+    picks the code (_argmin_center_best), replacing the per-branch
+    code→centroid join. Centroids stay driver-side tiny
+    ({PQ_SUBSPACES}×{PQ_K}×{PQ_SUBDIM} floats). The output flags are
+    integer properties, insensitive to double accumulation order, so
+    the restructure cannot move them."""
     cb = _pq_codebooks(spark, sf_dir, "pq", PQ_SUBSPACES, PQ_SUBDIM, PQ_K)
     e = load(spark, sf_dir).embeddings.select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
-    outs = []
+    # pass 1: per-dimension means — global aggregate (ONE row) — .agg,
+    # not .select, so the broadcast below is provably bounded to the
+    # taint lint
+    mu = e.agg(
+        F.array(
+            *[F.avg(F.col("v")[i]) for i in range(PQ_SUBSPACES * PQ_SUBDIM)]
+        ).alias("mu")
+    )
+    # pass 2: one wide aggregate over (corpus ⨯ broadcast means)
+    aggs = [F.count(F.lit(1)).alias("n_vectors")]
     for m in range(PQ_SUBSPACES):
-        sub = e.select(
-            "vec_id",
-            F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-        )
-        centers = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cb[m])],
-            "code int, center array<double>",
-        )
-        coded = sub.withColumn("code", _argmin_center(F.col("sv"), cb[m]))
-        d2 = V.dot(
-            F.zip_with("sv", "center", lambda a, b: a - b),
-            F.zip_with("sv", "center", lambda a, b: a - b),
-        )
-        # global aggregate (ONE row) — .agg, not .select, so the
-        # broadcast below is provably bounded to the taint lint
-        mean_vec = sub.agg(
-            F.array(
-                *[F.avg(F.col("sv")[i]) for i in range(PQ_SUBDIM)]
-            ).alias("mu")
-        )
+        sv = F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        smu = F.slice("mu", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        best = _argmin_center_best(sv, cb[m])
         var_term = V.dot(
-            F.zip_with("sv", "mu", lambda a, b: a - b),
-            F.zip_with("sv", "mu", lambda a, b: a - b),
+            F.zip_with(sv, smu, lambda a, b: a - b),
+            F.zip_with(sv, smu, lambda a, b: a - b),
         )
-        stats = (
-            coded.join(F.broadcast(centers), "code")
-            .crossJoin(F.broadcast(mean_vec))
-            .agg(
-                F.count(F.lit(1)).alias("n_vectors"),
-                F.avg(d2).alias("mse"),
-                F.avg(var_term).alias("variance"),
-                F.sum(
-                    F.when(
-                        (F.col("code") >= 0) & (F.col("code") < PQ_K), 0
-                    ).otherwise(1)
-                ).alias("bad_codes"),
-            )
-            .select(
-                F.lit(m).alias("subspace"),
-                F.lit(PQ_SUBDIM).alias("dims_per_subspace"),
-                F.lit(PQ_K).alias("codebook_size"),
-                F.col("n_vectors").cast("long").alias("n_vectors"),
-                (F.col("bad_codes") == 0).cast("int").alias("codes_in_range"),
-                (F.col("mse") <= F.col("variance") * 1.0000001)
-                .cast("int")
-                .alias("mse_leq_variance"),
-                (F.col("mse") >= 0).cast("int").alias("mse_nonneg"),
-            )
+        aggs.append(F.avg(best["d2"]).alias(f"mse_{m}"))
+        aggs.append(F.avg(var_term).alias(f"var_{m}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    (best["i"] >= 0) & (best["i"] < PQ_K), 0
+                ).otherwise(1)
+            ).alias(f"bad_{m}")
         )
-        outs.append(stats)
-    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("subspace")
+    wide = e.crossJoin(F.broadcast(mu)).agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("subspace"),
+                    F.lit(PQ_SUBDIM).alias("dims_per_subspace"),
+                    F.lit(PQ_K).alias("codebook_size"),
+                    F.col("n_vectors").cast("long").alias("n_vectors"),
+                    (F.col(f"bad_{m}") == 0).cast("int").alias("codes_in_range"),
+                    (F.col(f"mse_{m}") <= F.col(f"var_{m}") * 1.0000001)
+                    .cast("int")
+                    .alias("mse_leq_variance"),
+                    (F.col(f"mse_{m}") >= 0).cast("int").alias("mse_nonneg"),
+                )
+                for m in range(PQ_SUBSPACES)
+            ]
+        )
+    ).alias("s")
+    return (
+        wide.select(rows)
+        .select("s.*")
+        .orderBy("subspace")
+    )
 
 
 ADC_M = 8          # finer subspaces than the stats query: 8-d sub-vectors
