@@ -150,6 +150,7 @@ def _driver_history() -> tuple[frozenset[str], tuple[str, ...], frozenset[str]]:
         # three consumers beyond ivf_pq_search
         "ann_ivf_kmeans": 14,
         "pq_adc_search": 14,
+        "embedding_pq_quantization": 14,
     }
     stale = tuple(
         sorted(
